@@ -1,0 +1,139 @@
+"""K1-K6 — sink surface (SURVEY.md §2.7, custom components §4.3).
+
+The reference loads row-at-a-time with ``executemany`` into Postgres
+(evidence_images_processing.py:173-178, 212-218) and patches the table
+afterwards with whole-table UPDATE passes (K3, :236,:252,:270,:286).
+Here every derived column is computed in the plan *before* the write
+(no read-backs), writes are bulk columnar, and idempotency is DataFrame
+algebra (operators.upsert) instead of PK conflict errors.
+
+Targets are parquet directories (Delta/Iceberg jars not present in this
+environment; the writer API is format-agnostic so a table format slots
+in by changing ``format``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from evidence_images_etl_airflow_spark.operators.upsert import conflict_skip, merge_upsert
+
+
+class VarcharOverflowError(ValueError):
+    """Pre-write analog of Postgres STRING_DATA_RIGHT_TRUNCATION
+    (handled reactively at evidence_images_processing.py:223-228)."""
+
+
+def validate_varchar_lengths(
+    df: DataFrame, limits: dict[str, int], sample: int = 5
+) -> DataFrame:
+    """K2's error handler, made proactive (SURVEY §4.3c): one aggregate
+    pass computing max(length) per limited column; raise with offending
+    samples if any limit is exceeded. Returns ``df`` unchanged so it
+    chains inside a write pipeline."""
+    present = {c: n for c, n in limits.items() if c in [x.lower() for x in df.columns]}
+    if not present:
+        return df
+    aggs = [F.max(F.length(F.col(c))).alias(c) for c in present]
+    row = df.agg(*aggs).collect()[0]
+    bad = {c: row[c] for c in present if row[c] is not None and row[c] > present[c]}
+    if bad:
+        details = {}
+        for c in bad:
+            vals = (
+                df.filter(F.length(F.col(c)) > present[c])
+                .select(c)
+                .limit(sample)
+                .collect()
+            )
+            details[c] = [r[0][:64] for r in vals]
+        raise VarcharOverflowError(
+            f"varchar overflow: {', '.join(f'{c} max={bad[c]} limit={present[c]}' for c in bad)}; "
+            f"samples={details}"
+        )
+    return df
+
+
+def append_parquet(
+    df: DataFrame,
+    path: str,
+    varchar_limits: dict[str, int] | None = None,
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """K2: plain validated append (the sessions load,
+    evidence_images_processing.py:181-228)."""
+    if varchar_limits:
+        validate_varchar_lengths(df, varchar_limits)
+    writer = df.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def _read_target(spark: SparkSession, path: str, like: DataFrame) -> DataFrame | None:
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None  # first write: target does not exist yet
+
+
+def idempotent_append_parquet(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    order_by: Sequence[str] | None = None,
+) -> int:
+    """K1: the conflict-skip load (ON CONFLICT DO NOTHING,
+    evidence_images_processing.py:169-171) on a parquet target. Appends
+    only rows whose key is new; returns how many were appended.
+
+    Scale note: only the *keys* of the existing table are read (column
+    pruning reaches the scan), so re-runs cost one key-scan + one
+    shuffle, not a rewrite. With a Delta/Iceberg target this becomes
+    MERGE WHEN NOT MATCHED THEN INSERT with file skipping.
+    """
+    existing = _read_target(spark, path, df)
+    if existing is None:
+        from evidence_images_etl_airflow_spark.operators.upsert import dedup_first_wins
+
+        to_insert = dedup_first_wins(df, keys, order_by)
+    else:
+        to_insert = conflict_skip(df, existing, keys, order_by)
+    # count + append in one cached pass so the plan runs once
+    to_insert = to_insert.persist()
+    try:
+        n = to_insert.count()
+        if n:
+            to_insert.write.mode("append").parquet(path)
+    finally:
+        to_insert.unpersist()
+    return n
+
+
+def merge_into_parquet(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    update_cols: Sequence[str] | None = None,
+) -> None:
+    """K5/J3: staging + MERGE (learn/postgres_op.py:30-68) on a parquet
+    target: read target, full-outer merge, rewrite atomically via a
+    temp directory swap. On a table format this is a native MERGE; on
+    raw parquet a rewrite is the only transactional option."""
+    import shutil
+    import uuid
+
+    target = _read_target(spark, path, source)
+    if target is None:
+        source.write.mode("overwrite").parquet(path)
+        return
+    merged = merge_upsert(target, source, keys, update_cols)
+    tmp = f"{path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)

@@ -1,0 +1,67 @@
+"""M6 — incremental ingestion as Structured Streaming (SURVEY.md §7).
+
+The reference's sensors poll object storage and then a daily batch
+re-reads a 15-day window, relying on PK conflict-skip for idempotency.
+The streaming file source subsumes both: it tracks which files have
+been processed (checkpointed), so each file is read exactly once and
+"the new data since last run" needs no lookback window at all.
+``trigger(availableNow=True)`` gives the batch-cadence version: drain
+everything new, then stop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def ingest_available_now(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    sink_path: str,
+    checkpoint_path: str,
+    transform=None,
+    fmt: str = "parquet",
+) -> None:
+    """Read whatever files have arrived under ``source_path``, apply
+    ``transform`` (DataFrame -> DataFrame), append to ``sink_path``,
+    exactly once per file, then stop."""
+    stream = spark.readStream.format(fmt).schema(schema).load(source_path)
+    if transform is not None:
+        stream = transform(stream)
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate over a (possibly streaming)
+    events frame — the late-data-tolerant rollup pattern for the
+    ``events`` table."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )

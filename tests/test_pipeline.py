@@ -1,0 +1,53 @@
+"""EP1/EP2 end-to-end plan tests (SURVEY.md §3) on the FIXTURES.md
+frames — the reference-semantics golden outputs."""
+
+import datetime as dt
+
+from evidence_images_etl_airflow_spark.plans.evidence_pipeline import (
+    transform_evidence_images,
+    transform_sessions,
+)
+from evidence_images_etl_airflow_spark.plans.image_urls import image_urls
+
+
+def test_transform_evidence_images_golden(irmq_raw):
+    out = transform_evidence_images(irmq_raw)
+    rows = {(r.sessionuid, r.sceneuid, r.subscenetype): r for r in out.collect()}
+    # empty-URL row (s2,c3) filtered; duplicate PK row still present
+    # (dedup happens at the sink, J2)
+    assert len(rows) == 5
+    multi = rows[("s1", "c2", "Main")]
+    assert multi.formattedevidenceimagename == ["a.jpg", "b.jpg", "c.jpg"]
+    assert multi.formattedevidenceimageurl == [
+        "http://img/a.jpg", "http://img/b.jpg", "http://img/c.jpg",
+    ]
+    assert multi.reexportstatus == 0 and multi.reprocessedstatus == 1  # T1
+    single = rows[("s1", "c1", "Main")]
+    assert single.formattedevidenceimagename == ["a.jpg"]
+    numeric = rows[("s3", "c5", "Front")]
+    assert numeric.reexportstatus == 1 and numeric.reprocessedstatus == 0
+
+
+def test_transform_sessions_interval(irsession_raw):
+    out = transform_sessions(irsession_raw)
+    rows = {r.sessionuid: r for r in out.collect()}
+    assert rows["s1"].session_length == dt.timedelta(hours=1)  # T8 TODO implemented
+    assert rows["s1"].client_code == "CLI1"
+    assert len(out.columns) == 24
+
+
+def test_image_urls_view(irmq_raw, irsession_raw):
+    ev = transform_evidence_images(irmq_raw)
+    ss = transform_sessions(irsession_raw)
+    out = image_urls(ev, ss)
+    rows = out.collect()
+    # only sessions s1 (Complete) and s3 (Complete) survive P3;
+    # s1 has 3 evidence rows (incl. dup PK), s3 has 1
+    assert len(rows) == 4
+    by_scene = {(r.sessionuid, r.sceneuid, r.subscenetype): r for r in rows}
+    r = by_scene[("s1", "c2", "Main")]
+    assert r.session_date == dt.date(2023, 8, 16)
+    assert r.first_image_name == "a.jpg"  # element_at 1-indexed
+    assert r.first_image_url == "http://img/a.jpg"
+    # midnight-spanning session keeps its start date
+    assert by_scene[("s3", "c5", "Front")].session_date == dt.date(2023, 8, 16)

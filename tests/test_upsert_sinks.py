@@ -1,0 +1,100 @@
+"""J2/J3/K1/K2/K5 upsert + sink tests (SURVEY.md §2.5, §2.7)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from evidence_images_etl_airflow_spark.operators.upsert import (
+    conflict_skip,
+    dedup_first_wins,
+    merge_upsert,
+)
+from evidence_images_etl_airflow_spark.sinks.writers import (
+    VarcharOverflowError,
+    idempotent_append_parquet,
+    merge_into_parquet,
+    validate_varchar_lengths,
+)
+
+
+def test_dedup_first_wins_deterministic(spark):
+    df = spark.createDataFrame(
+        [("k1", 2, "second"), ("k1", 1, "first"), ("k2", 1, "only")],
+        "k string, ord int, v string",
+    )
+    out = {r.k: r.v for r in dedup_first_wins(df, ["k"], order_by=["ord"]).collect()}
+    assert out == {"k1": "first", "k2": "only"}
+
+
+def test_conflict_skip_in_batch_and_existing(spark):
+    existing = spark.createDataFrame([("a", 1, "old")], "k string, ord int, v string")
+    new = spark.createDataFrame(
+        [("a", 2, "clash"), ("b", 1, "new1"), ("b", 2, "newdup"), ("c", 1, "new2")],
+        "k string, ord int, v string",
+    )
+    out = {r.k: r.v for r in conflict_skip(new, existing, ["k"], order_by=["ord"]).collect()}
+    # 'a' skipped (exists), 'b' deduped to first, 'c' inserted
+    assert out == {"b": "new1", "c": "new2"}
+
+
+def test_merge_upsert_matched_and_new(spark):
+    target = spark.createDataFrame(
+        [(dt.date(2023, 1, 1), "dag_a", 1), (dt.date(2023, 1, 2), "dag_a", 2)],
+        "dt date, dag_id string, runs int",
+    )
+    source = spark.createDataFrame(
+        [(dt.date(2023, 1, 2), "dag_a", 99), (dt.date(2023, 1, 3), "dag_a", 3)],
+        "dt date, dag_id string, runs int",
+    )
+    out = {(r.dt, r.dag_id): r.runs for r in merge_upsert(target, source, ["dt", "dag_id"]).collect()}
+    assert out == {
+        (dt.date(2023, 1, 1), "dag_a"): 1,   # untouched
+        (dt.date(2023, 1, 2), "dag_a"): 99,  # matched -> update
+        (dt.date(2023, 1, 3), "dag_a"): 3,   # not matched -> insert
+    }
+
+
+def test_validate_varchar_lengths_raises(spark):
+    df = spark.createDataFrame([("x" * 300,)], "cancelcallnote string")
+    with pytest.raises(VarcharOverflowError):
+        validate_varchar_lengths(df, {"cancelcallnote": 255})
+    # under the limit passes through
+    ok = spark.createDataFrame([("short",)], "cancelcallnote string")
+    assert validate_varchar_lengths(ok, {"cancelcallnote": 255}) is ok
+
+
+def test_idempotent_append_parquet(spark, tmp_path):
+    path = str(tmp_path / "evidence")
+    batch1 = spark.createDataFrame(
+        [("s1", "c1", "v1", 1), ("s1", "c2", "v2", 2)],
+        "sessionuid string, sceneuid string, v string, ord int",
+    )
+    n1 = idempotent_append_parquet(spark, batch1, path, ["sessionuid", "sceneuid"], ["ord"])
+    assert n1 == 2
+    # re-run the same batch (the reference's daily 15-day lookback) -> 0 inserts
+    n2 = idempotent_append_parquet(spark, batch1, path, ["sessionuid", "sceneuid"], ["ord"])
+    assert n2 == 0
+    # overlapping batch: one clash, one new
+    batch2 = spark.createDataFrame(
+        [("s1", "c2", "CLASH", 3), ("s2", "c3", "v3", 4)],
+        "sessionuid string, sceneuid string, v string, ord int",
+    )
+    n3 = idempotent_append_parquet(spark, batch2, path, ["sessionuid", "sceneuid"], ["ord"])
+    assert n3 == 1
+    final = spark.read.parquet(path)
+    assert final.count() == 3
+    assert final.filter(F.col("v") == "CLASH").count() == 0  # conflict skipped
+
+
+def test_merge_into_parquet(spark, tmp_path):
+    path = str(tmp_path / "dag_run")
+    t1 = spark.createDataFrame([(dt.date(2023, 1, 1), "d", 1)], "dt date, dag_id string, runs int")
+    merge_into_parquet(spark, t1, path, ["dt", "dag_id"])
+    t2 = spark.createDataFrame(
+        [(dt.date(2023, 1, 1), "d", 5), (dt.date(2023, 1, 2), "d", 1)],
+        "dt date, dag_id string, runs int",
+    )
+    merge_into_parquet(spark, t2, path, ["dt", "dag_id"])
+    out = {(r.dt, r.dag_id): r.runs for r in spark.read.parquet(path).collect()}
+    assert out == {(dt.date(2023, 1, 1), "d"): 5, (dt.date(2023, 1, 2), "d"): 1}
