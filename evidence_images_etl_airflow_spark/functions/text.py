@@ -1,0 +1,148 @@
+"""Text-analysis column expressions for the training-data pipeline
+extensions (SURVEY.md §7 M7): tokenization, n-grams/shingles,
+language-ID heuristic, quality scoring, fingerprinting.
+
+Everything here is built from native Catalyst expressions (split /
+higher-order array functions / md5) — no Python UDFs — so it runs
+JVM-side inside whole-stage codegen and scales linearly with input
+splits. Each helper is deliberately *deterministic and SQL-expressible*
+so the DuckDB oracle can verify it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# --- tokenization ------------------------------------------------------------
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization: split on runs of whitespace after
+    trimming. The 'BPE-ish' variant below handles punctuation."""
+    return F.split(F.trim(_c(col)), r"\s+")
+
+
+def bpe_ish_tokens(col: str | Column) -> Column:
+    """Regex token counting in the spirit of BPE pre-tokenizers:
+    word pieces = letter runs, digit runs, or single non-space symbols.
+    Implemented as a regex split on boundaries; good enough for token
+    *counting* without a vocab."""
+    # insert a space at letter/digit/symbol boundaries, then split
+    spaced = F.regexp_replace(
+        F.regexp_replace(_c(col), r"([0-9]+)", r" $1 "),
+        r"([^\sA-Za-z0-9]+)",
+        r" $1 ",
+    )
+    return F.split(F.trim(spaced), r"\s+")
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+# --- n-grams / shingles ------------------------------------------------------
+def char_ngrams(col: str | Column, n: int = 3) -> Column:
+    """Character n-grams as an array<string>; empty array for strings
+    shorter than n. Built with sequence+transform (no explode needed
+    until the caller wants one)."""
+    c = _c(col)
+    return F.when(
+        F.length(c) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - (n - 1)),
+            lambda i: c.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(col: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingles (arrays of space-joined n-token windows),
+    the MinHash/Jaccard input unit."""
+    t = tokens(col)
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# --- language ID (n-gram / stopword heuristic) -------------------------------
+# tiny public stopword lists; deterministic and oracle-expressible
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "en": ["the", "a", "of", "and", "is", "to", "in", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3"],  # pinyin-ish
+}
+
+
+def lang_scores(col: str | Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts over the token set."""
+    t = tokens(col)
+    out = {}
+    for lang, words in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(t, lambda x: F.array_contains(arr, F.lower(x))))
+    return out
+
+
+def lang_id(col: str | Column) -> Column:
+    """Argmax language over the stopword scores; ties break to the
+    alphabetically-first language (strict > in the fold), and zero hits
+    everywhere yields 'und'. Sequential fold -> deterministic and
+    reproducible as nested CASE in the oracle SQL."""
+    scores = lang_scores(col)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(scores):
+        better = scores[lang] > best_score
+        best = F.when(better, F.lit(lang)).otherwise(best)
+        best_score = F.when(better, scores[lang]).otherwise(best_score)
+    return best
+
+
+# --- quality scoring ---------------------------------------------------------
+def quality_score(col: str | Column) -> Column:
+    """Deterministic document-quality heuristic in [0,1]:
+    0.4 * lexical diversity (distinct/total tokens)
+    + 0.3 * length saturation (min(n_tokens/64, 1))
+    + 0.3 * alnum-char ratio. Rounded to 6dp for stable cross-engine
+    comparison."""
+    c = _c(col)
+    t = tokens(c)
+    n = F.size(t)
+    diversity = F.size(F.array_distinct(t)) / n
+    saturation = F.least(n / F.lit(64.0), F.lit(1.0))
+    alnum = F.length(F.regexp_replace(c, r"[^A-Za-z0-9]", "")) / F.length(c)
+    return F.round(
+        F.when(n > 0, 0.4 * diversity + 0.3 * saturation + 0.3 * alnum).otherwise(0.0),
+        6,
+    )
+
+
+# --- fingerprinting ----------------------------------------------------------
+def fingerprint_md5(col: str | Column) -> Column:
+    """Exact-dup fingerprint: md5 of the whitespace-normalized,
+    lowercased text. Stable across engines (md5 is md5 everywhere)."""
+    norm = F.lower(F.regexp_replace(F.trim(_c(col)), r"\s+", " "))
+    return F.md5(norm)
+
+
+def rolling_hash(col: str | Column, mod: int = 2_147_483_647, base: int = 31) -> Column:
+    """Polynomial rolling hash over the characters (Rabin-Karp style):
+    h = fold(chars, 0, (acc, ch) -> (acc*base + ascii(ch)) % mod).
+    Uses a left-fold over the char array — sequential, deterministic,
+    and integer-exact (acc < 2^31 so acc*31+c fits in a long)."""
+    chars = F.split(_c(col), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )

@@ -1,0 +1,244 @@
+"""Deduplication operators for the training-data pipeline (SURVEY.md
+§7 M7): exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+
+Design rules, all scale-driven:
+- Candidate generation is always *blocked* (shared shingle / LSH band /
+  hyperplane bucket) so the pairwise phase never does an O(N^2) shuffle.
+- Hashes are md5-based (same function in every engine) and folds are
+  sequential, so every operator is reproducible in the DuckDB oracle.
+- All heavy lifting is exploded-row joins + aggregations — plain
+  shuffles Catalyst/AQE can size, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from evidence_images_etl_airflow_spark.functions.text import (
+    fingerprint_md5,
+    tokens,
+    word_shingles,
+)
+from evidence_images_etl_airflow_spark.functions.vectors import (
+    cosine,
+    hyperplane_signature,
+)
+
+
+# --- exact -------------------------------------------------------------------
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup on the normalized-text fingerprint,
+    keeping the lowest id per group (deterministic survivor choice).
+    One shuffle on the 32-char fingerprint — at 100 TB this is the
+    cheapest possible exact dedup: the shuffle moves (fingerprint, id)
+    pairs only, and map-side partial aggregation collapses local dups
+    before the exchange."""
+    fp = fingerprint_md5(F.col(text_col))
+    keyed = df.withColumn("fingerprint", fp)
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# --- n-gram Jaccard ----------------------------------------------------------
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) exploded, distinct within doc."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b) with n-gram-shingle Jaccard >=
+    threshold. Candidates come from a self-join on shared shingles —
+    only docs sharing at least one shingle ever meet, so cost follows
+    shingle collision counts, not N^2.
+
+    ``max_doc_freq`` drops shingles appearing in more than that many
+    docs (stop-shingles): a shingle shared by 1M docs would generate
+    10^12 candidate pairs on its own; dropping it loses only pairs
+    whose *every* common shingle is that frequent. This is the standard
+    frequency-cap guard for web-scale dedup.
+    """
+    sh = _doc_shingles(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+        sh = sh.join(freq.filter(F.col("df_") <= max_doc_freq), "shingle").drop("df_")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig_0..sig_{k-1}): per-doc MinHash signature. Hash family i
+    is ``md5(i || ':' || shingle)`` with the *lexicographic* min — md5
+    hex strings order identically everywhere, so signatures are
+    engine-independent. One groupBy per doc computes all k mins in a
+    single aggregation pass (map-side combinable)."""
+    sh = _doc_shingles(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """MinHash banding: split the k-hash signature into ``bands`` bands
+    of k/bands rows; docs agreeing on ANY full band become candidate
+    pairs (id_a < id_b). Pair generation is a self-join on the band
+    key — a string equality join that shuffles (band_key) not vectors.
+    If ``verify_threshold`` is set, candidates are verified with true
+    shingle Jaccard and filtered."""
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cands
+    verified = ngram_jaccard_pairs(
+        df, id_col, text_col, n=shingle_n, threshold=verify_threshold, max_doc_freq=None
+    )
+    return cands.join(verified, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+# --- SimHash -----------------------------------------------------------------
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash): 64-bit SimHash of the token set as a 64-char
+    '0'/'1' string (MSB first). Bit b of each token comes from its md5;
+    the doc's bit is the sign of the +/-1 vote sum. A bitstring (not a
+    bigint) keeps it sign-safe and engine-portable.
+
+    Plan shape: explode tokens -> one groupBy computing 64 conditional
+    sums (all map-side combinable) -> concat. No Python, no second pass.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok")))
+    votes = []
+    for bit in range(64):
+        digit = bit // 4  # hex digit index (0-based), MSB first
+        within = 3 - (bit % 4)  # bit within the hex digit, MSB first
+        val = F.conv(F.col("h").substr(digit + 1, 1), 16, 10).cast("int")
+        is_set = val.bitwiseAND(F.lit(1 << within)) > 0
+        votes.append(
+            F.sum(F.when(is_set, 1).otherwise(-1)).alias(f"v{bit}")
+        )
+    agg = tok.groupBy("id").agg(*votes)
+    bits = [
+        F.when(F.col(f"v{b}") >= 0, F.lit("1")).otherwise(F.lit("0")) for b in range(64)
+    ]
+    return agg.select("id", F.concat(*bits).alias("simhash"))
+
+
+def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Docs sharing an identical 64-bit SimHash (near-dup up to SimHash
+    resolution): groups with >1 member, listing member ids sorted."""
+    sh = simhash64(df, id_col, text_col)
+    return (
+        sh.groupBy("simhash")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+# --- embedding cosine near-dup ------------------------------------------------
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine, blocked by sign-LSH bucket:
+    only vectors whose hyperplane signature matches are compared, so
+    the exact-cosine join is per-bucket, not global. More planes ->
+    smaller buckets -> cheaper exact phase but more missed pairs (the
+    standard LSH recall/cost dial)."""
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

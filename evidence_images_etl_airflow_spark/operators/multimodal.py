@@ -1,0 +1,118 @@
+"""Multimodal (image/audio/video) column plumbing (SURVEY.md §7 M7).
+
+Media travel as opaque ``binary`` columns with a typed metadata struct
+alongside — the pattern the reference's evidence-image URLs point at
+(it stores URLs; a training pipeline stores/decodes the bytes).
+
+The Spark-side plumbing here is real and tested: schemas, Arrow batch
+shape, ``mapInPandas`` signatures, partition sizing. The actual codec
+step is STUBBED — image/audio libraries are not in this container —
+behind ``decode_fn`` hooks: pass a real decoder (PIL/torchaudio/...)
+in production; the default ``deterministic_fake_decode`` derives
+metadata purely from the byte content so tests and the DuckDB oracle
+can verify the plumbing end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# output schema of the decode step — stable contract for downstream ops
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes int, width int, height int, format string"
+)
+
+
+def attach_binary(df: DataFrame, text_col: str = "text", out_col: str = "payload") -> DataFrame:
+    """Materialize an opaque binary payload column (here: utf-8 bytes of
+    the text column — the container has no real media, so documents
+    stand in for blobs; with real data this column comes straight off
+    ``spark.read.format('binaryFile')``)."""
+    return df.withColumn(out_col, F.encode(F.col(text_col), "utf-8"))
+
+
+def deterministic_fake_decode(payload: bytes) -> tuple[int, int, str]:
+    """Stand-in for an image codec: derives (width, height, format)
+    deterministically from the payload bytes. Replace with a real
+    decoder; the signature is the contract."""
+    n = len(payload)
+    width = n % 64 + 1
+    height = n % 37 + 1
+    fmt = "png" if n % 2 == 0 else "jpeg"
+    return width, height, fmt
+
+
+def real_image_decode(payload: bytes) -> tuple[int, int, str]:
+    """Real decoder hook: uses PIL when available, otherwise raises —
+    clearly marking the stubbed boundary."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore
+    except ImportError as e:  # pragma: no cover - not in this container
+        raise NotImplementedError(
+            "image decoding requires Pillow, which is not installed in "
+            "this environment; use deterministic_fake_decode for plumbing "
+            "tests or install PIL in production"
+        ) from e
+    img = Image.open(io.BytesIO(payload))  # pragma: no cover
+    return img.width, img.height, (img.format or "unknown").lower()  # pragma: no cover
+
+
+def decode_image_metadata(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decode_fn: Callable[[bytes], tuple[int, int, str]] = deterministic_fake_decode,
+) -> DataFrame:
+    """Decode / feature-extract over binary payloads via ``mapInPandas``:
+    Arrow-batched binary in, typed metadata out. The per-batch loop is
+    where a vectorized decoder (or GPU batch) plugs in; partitioning and
+    batch sizing are inherited from the scan, so a 100 TB run is just
+    more partitions of the same shape."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            meta = [decode_fn(bytes(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": [len(bytes(p)) for p in payloads],
+                    "width": [m[0] for m in meta],
+                    "height": [m[1] for m in meta],
+                    "format": [m[2] for m in meta],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(decode_batches, DECODE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n_bytes: int = 32,
+) -> DataFrame:
+    """Frame-sampling plumbing (video analog): emit one row per sampled
+    offset with a small byte slice — the explode-shaped output a real
+    frame sampler would produce. Sampling positions are deterministic
+    functions of payload length."""
+    n = F.length(F.col(payload_col))
+    offsets = F.sequence(F.lit(0), n - 1, F.lit(every_n_bytes))
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(payload_col).alias("payload"),
+            F.explode(offsets).alias("frame_offset"),
+        )
+        .select(
+            "doc_id",
+            "frame_offset",
+            F.substring(F.col("payload"), F.col("frame_offset") + 1, 8).alias("frame_bytes"),
+        )
+    )

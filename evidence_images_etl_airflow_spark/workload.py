@@ -1,0 +1,1072 @@
+"""The engine's query workload: one entry per implemented operator
+(SURVEY.md §2 + §7 extensions), each with a DuckDB-equivalent oracle
+SQL string for differential testing.
+
+Cross-engine determinism rules used throughout (so value-hashes match):
+- Money aggregates are summed as DECIMAL(18,2)-derived decimals (exact
+  in both engines), then cast to double and rounded for output.
+- Float folds (dot products, norms, rolling hashes) are sequential
+  left-folds in DOUBLE — the oracle SQL spells out the identical
+  left-associative chain, so the fp result is bit-identical.
+- Scores are rounded BEFORE any top-k cut, and every ranking has a
+  deterministic tie-break key.
+- Hash functions are md5 (identical everywhere); timestamps are
+  compared as epoch doubles / dates, never as raw timestamps.
+- Every computed column is aliased identically in the Spark plan and
+  the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from evidence_images_etl_airflow_spark.functions.text import (
+    LANG_STOPWORDS,
+    fingerprint_md5,
+    lang_id,
+    quality_score,
+    rolling_hash,
+    tokens,
+)
+from evidence_images_etl_airflow_spark.functions.transforms import (
+    coerce_bool_columns_to_int,
+    first_element,
+    qualify_urls,
+    split_names,
+)
+from evidence_images_etl_airflow_spark.functions.vectors import random_hyperplanes
+from evidence_images_etl_airflow_spark.operators.dedup import (
+    dedup_exact,
+    embedding_near_dups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from evidence_images_etl_airflow_spark.operators.filters import non_empty_rows
+from evidence_images_etl_airflow_spark.operators.multimodal import (
+    attach_binary,
+    decode_image_metadata,
+)
+from evidence_images_etl_airflow_spark.operators.projection import filter_columns
+from evidence_images_etl_airflow_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from evidence_images_etl_airflow_spark.operators.union import concat_dfs
+from evidence_images_etl_airflow_spark.operators.upsert import conflict_skip, merge_upsert
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None -> driver runs the weaker rows-only check
+    headline: bool = False  # included in bench.py
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, headline: bool = False):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(fn, oracle, headline)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col: str) -> F.Column:
+    """Exact decimal view of a 2dp money column."""
+    return F.col(col).cast("decimal(18,2)")
+
+
+# ===========================================================================
+# Reference-core queries (SURVEY §2) on the TPC-H-ish tables
+# ===========================================================================
+
+@register(
+    "flagship_image_urls",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS session_date,
+           c_name AS client_name,
+           n_name AS nation_name,
+           o_orderkey,
+           string_split(o_orderpriority, '-')[1] AS priority_code,
+           string_split(o_orderpriority, '-')[2] AS priority_name
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderstatus = 'O'
+    """,
+    headline=True,
+)
+def flagship_image_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP2 analog (add_image_data.py:32-52): inner equi-join J1 +
+    status filter P3 + to_date T6 + split T4 / element_at T7 — the
+    reference's image_urls view re-shaped onto orders/customer/nation.
+    Small dims broadcast; the status filter pushes below the join."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    parts = split_names("o_orderpriority", "-")  # T4
+    return (
+        o.filter(F.col("o_orderstatus") == "O")  # P3
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))  # J1
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.to_date("o_orderdate").alias("session_date"),  # T6
+            F.col("c_name").alias("client_name"),
+            F.col("n_name").alias("nation_name"),
+            "o_orderkey",
+            first_element(parts, 1).alias("priority_code"),  # T7
+            first_element(parts, 2).alias("priority_name"),
+        )
+    )
+
+
+@register(
+    "p1_projection",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CAST(l_shipdate AS DATE) AS ship_date
+    FROM lineitem
+    """,
+)
+def p1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: case-insensitive keep-list projection (filter_columns.py:10)
+    — keep-list deliberately wrong-cased; Catalyst prunes the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    kept = filter_columns(li, ["L_ORDERKEY", "l_LineNumber", "L_Quantity", "l_shipdate"])
+    return kept.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.to_date("l_shipdate").alias("ship_date"),
+    )
+
+
+@register(
+    "p2_nonempty_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, flag FROM (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_returnflag = 'N' THEN '' ELSE l_returnflag END AS flag
+      FROM lineitem)
+    WHERE flag <> ''
+    """,
+)
+def p2_nonempty_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: the non-empty-string row filter
+    (evidence_images_processing.py:147-150) — empty string, not NULL."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_returnflag") == "N", F.lit("")).otherwise(F.col("l_returnflag")).alias("flag"),
+    )
+    return non_empty_rows(li, "flag")
+
+
+@register(
+    "t1_bool_coercion",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN bool_str = 'True' THEN 1
+                WHEN bool_str = 'False' THEN 0
+                ELSE TRY_CAST(bool_str AS INTEGER) END AS status_bit
+    FROM (SELECT l_orderkey, l_linenumber,
+                 CASE WHEN l_returnflag = 'R' THEN 'True'
+                      WHEN l_returnflag = 'A' THEN 'False'
+                      ELSE l_linestatus END AS bool_str
+          FROM lineitem)
+    """,
+)
+def t1_bool_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: 'True'/'False' string -> 1/0 bit coercion
+    (column_transformations.py:13-14), non-boolean leftovers -> NULL."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_returnflag") == "R", F.lit("True"))
+        .when(F.col("l_returnflag") == "A", F.lit("False"))
+        .otherwise(F.col("l_linestatus"))
+        .alias("bool_str"),
+    )
+    out = coerce_bool_columns_to_int(li, ["bool_str"])
+    return out.select("l_orderkey", "l_linenumber", F.col("bool_str").alias("status_bit"))
+
+
+@register(
+    "t4_t5_arrays",
+    oracle="""
+    SELECT o_orderkey,
+           len(string_split(o_orderpriority, '-')) AS n_parts,
+           array_to_string(string_split(o_orderpriority, '-'), ',') AS parts_joined,
+           array_to_string(
+             list_transform(string_split(o_orderpriority, '-'),
+                            p -> o_orderstatus || ':' || p), ',') AS qualified_joined
+    FROM orders
+    """,
+)
+def t4_t5_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 split + T5 higher-order transform/concat
+    (evidence_images_processing.py:248, :278-284) on the priority code."""
+    o = _t(spark, sf_dir, "orders")
+    parts = split_names("o_orderpriority", "-")
+    o = o.withColumn("parts", parts).withColumn(
+        "qualified",
+        F.transform(F.col("parts"), lambda p: F.concat(F.col("o_orderstatus"), F.lit(":"), p)),
+    )
+    return o.select(
+        "o_orderkey",
+        F.size("parts").alias("n_parts"),
+        F.array_join("parts", ",").alias("parts_joined"),
+        F.array_join("qualified", ",").alias("qualified_joined"),
+    )
+
+
+@register(
+    "u1_union_by_name",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, CAST(NULL AS DOUBLE) AS l_extendedprice
+    FROM lineitem WHERE l_quantity < 10
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, CAST(NULL AS DOUBLE) AS l_quantity, l_extendedprice
+    FROM lineitem WHERE l_quantity > 45
+    """,
+)
+def u1_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: union-by-name with null-fill for missing columns
+    (concat_dfs.py:12 ≈ pd.concat column alignment)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") < 10).select("l_orderkey", "l_linenumber", "l_quantity")
+    b = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_linenumber", "l_extendedprice")
+    return concat_dfs([a, b])
+
+
+@register(
+    "j2_conflict_skip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM (
+      SELECT n.l_orderkey, n.l_linenumber, n.l_quantity
+      FROM lineitem n
+      WHERE n.l_quantity >= 48
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem e
+          WHERE e.l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+            AND e.l_orderkey = n.l_orderkey AND e.l_linenumber = n.l_linenumber))
+    QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+                               ORDER BY l_quantity) = 1
+    """,
+)
+def j2_conflict_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: ON CONFLICT DO NOTHING as in-batch dedup + left-anti join
+    (evidence_images_processing.py:169-171) — 'new batch' rows whose PK
+    is not already in the 'existing' table. The synthetic lineitem has
+    duplicate (orderkey, linenumber) pairs, so the in-batch dedup is
+    live; first-wins order is made explicit for determinism."""
+    li = _t(spark, sf_dir, "lineitem")
+    new = li.filter(F.col("l_quantity") >= 48).select("l_orderkey", "l_linenumber", "l_quantity")
+    existing = li.filter(F.col("l_shipdate") < "1996-01-01").select("l_orderkey", "l_linenumber")
+    return conflict_skip(
+        new, existing, ["l_orderkey", "l_linenumber"], order_by=["l_quantity"]
+    )
+
+
+@register(
+    "j3_merge_upsert",
+    oracle="""
+    WITH src AS (
+      SELECT c_custkey, c_name, CAST(round(c_acctbal * 2, 2) AS DOUBLE) AS c_acctbal
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION ALL
+      SELECT c_custkey + 1000000 AS c_custkey, c_name, c_acctbal
+      FROM customer WHERE c_mktsegment = 'MACHINERY')
+    SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+           round(CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END, 2) AS c_acctbal
+    FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+    """,
+)
+def j3_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: MERGE matched-update / not-matched-insert
+    (learn/postgres_op.py:46-58) as the full-outer-join rewrite."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    full = _t(spark, sf_dir, "customer")
+    updates = full.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_name", F.round(F.col("c_acctbal") * 2, 2).cast("double").alias("c_acctbal")
+    )
+    inserts = full.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"), "c_name", "c_acctbal"
+    )
+    source = updates.unionByName(inserts)
+    merged = merge_upsert(c, source, ["c_custkey"])
+    return merged.select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
+
+
+# ===========================================================================
+# Aggregation / window / sort surface (SURVEY §2.6, M5)
+# ===========================================================================
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy 2-key aggregation. Sums go through
+    DECIMAL so they are exact (and engine-independent); averages derive
+    from the exact sums. One shuffle, map-side partial agg."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("_sq"),
+            F.sum(_dec("l_extendedprice")).alias("_sbp"),
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).alias("_sdp"),
+            F.sum(
+                _dec("l_extendedprice") * (one - _dec("l_discount")) * (one + _dec("l_tax"))
+            ).alias("_sc"),
+            F.sum(_dec("l_discount")).alias("_sd"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_sq").cast("double").alias("sum_qty"),
+            F.col("_sbp").cast("double").alias("sum_base_price"),
+            F.col("_sdp").cast("double").alias("sum_disc_price"),
+            F.col("_sc").cast("double").alias("sum_charge"),
+            F.round(F.col("_sq").cast("double") / F.col("count_order"), 6).alias("avg_qty"),
+            F.round(F.col("_sbp").cast("double") / F.col("count_order"), 6).alias("avg_price"),
+            F.round(F.col("_sd").cast("double") / F.col("count_order"), 6).alias("avg_disc"),
+            "count_order",
+        )
+    )
+
+
+@register(
+    "q3_top_revenue_orders",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    QUALIFY row_number() OVER (
+      ORDER BY CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) DESC,
+               l_orderkey) <= 10
+    """,
+    headline=True,
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-k. Revenue
+    is an exact decimal sum, so the top-10 cut is reproducible; the
+    customer dim filters early and broadcasts."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    one = F.lit(1).cast("decimal(18,2)")
+    agg = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+    return (
+        agg.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.to_date("o_orderdate").alias("order_date"),
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    GROUP BY n_name
+    """,
+    headline=True,
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join. All dims broadcast; the only
+    shuffles are fact-fact (orders-lineitem) and the final 1-key agg."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c), (F.col("o_custkey") == F.col("c_custkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_distinct_counts",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-distinct aggregation (expand + two-phase agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register("agg_approx_distinct", oracle=None)  # HLL sketches differ per engine
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the constant-memory
+    cardinality path for 100 TB scans. No oracle — sketch estimates are
+    engine-specific; the driver records the rows-only check."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@register(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rn,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) sum per customer — analytic window with an
+    explicit ROWS frame and deterministic ordering."""
+    o = _t(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(wo).alias("rn"),
+        F.sum(_dec("o_totalprice")).over(wf).cast("double").alias("running_total"),
+    )
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders)
+    WHERE rnk <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — ranking window + filter, the
+    standard top-k-per-group pattern."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+# ===========================================================================
+# Events: sessionization, time windows, JSON (M5/M6 batch analogs)
+# ===========================================================================
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects by default; ``nanosAsLong`` reads it as long nanos.
+    Nanosecond epochs exceed double precision (2^53), so all event-time
+    arithmetic below runs on exact integer MICROseconds (``ts_us``) —
+    which is also precisely what DuckDB sees (it truncates the nanos
+    column to its native µs timestamp). A µs timestamp column ``ts_utc``
+    is provided for window/date functions."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = _t(spark, sf_dir, "events")
+    ts_type = dict(e.dtypes)["ts"]
+    if ts_type == "bigint":
+        e = e.withColumn("ts_us", F.expr("ts div 1000"))
+    else:  # a future reader may hand us a real timestamp
+        e = e.withColumn("ts_us", F.unix_micros(F.col("ts")))
+    return e.withColumn("ts_utc", F.timestamp_micros(F.col("ts_us")))
+
+
+@register(
+    "events_sessionization",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, epoch_us(ts) AS te,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, event_id, te,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY te, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM gaps)
+    SELECT user_id, session_id, count(*) AS n_events,
+           CAST(max(te) - min(te) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS duration_s
+    FROM sess GROUP BY user_id, session_id
+    """,
+    headline=True,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative
+    sum of session-start markers — the batch form of streaming
+    session_window. All event-time math on exact integer µs."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = gaps.withColumn("session_id", F.sum("is_new").over(w2))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (
+            (F.max("ts_us") - F.min("ts_us")).cast("double") / F.lit(1000000.0)
+        ).alias("duration_s"),
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    headline=True,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation via F.window over the µs
+    timestamp — the batch form of streaming.windowed_counts (same
+    operator, same plan shape). The window start is emitted as an exact
+    epoch-seconds bigint."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts_utc", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           count(DISTINCT json_extract_string(props, '$.k')) AS distinct_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props: JSON path extraction + aggregation."""
+    e = _events(spark, sf_dir).withColumn("k", F.get_json_object("props", "$.k"))
+    return e.groupBy("event_type").agg(
+        F.sum(F.col("k").try_cast("bigint")).alias("sum_k"),
+        F.countDistinct("k").alias("distinct_k"),
+    )
+
+
+# ===========================================================================
+# Text analysis (M7)
+# ===========================================================================
+
+_TOK = r"string_split_regex(trim(text), '\s+')"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOK}) AS n_tokens,
+           length(text) AS n_chars_actual,
+           round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                 / len({_TOK}), 6) AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + per-doc length stats, all codegen'd string ops."""
+    d = _t(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.round(
+            F.length(F.regexp_replace("text", r"\s+", "")).cast("double") / F.size(t), 6
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           round(CASE WHEN len({_TOK}) > 0 THEN
+             CAST(0.4 AS DOUBLE) * (len(list_distinct({_TOK})) / len({_TOK}))
+             + CAST(0.3 AS DOUBLE) * least(len({_TOK}) / CAST(64.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+             + CAST(0.3 AS DOUBLE) * (length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) / length(text))
+           ELSE CAST(0.0 AS DOUBLE) END, 6) AS quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality heuristic (diversity + length saturation +
+    alnum ratio); formula mirrored term-for-term in the oracle."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def _lang_oracle() -> str:
+    score_cols = []
+    for lang, words in LANG_STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"len(list_filter({_TOK}, x -> list_contains([{lst}], lower(x)))) AS s_{lang}"
+        )
+    langs = sorted(LANG_STOPWORDS)
+    greatest = f"greatest({', '.join('s_' + x for x in langs)})"
+    case = f"CASE WHEN {greatest} = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN s_{lang} = {greatest} THEN '{lang}' "
+    case += "END"
+    return f"""
+    WITH scored AS (SELECT doc_id, {', '.join(score_cols)} FROM documents)
+    SELECT doc_id, {case} AS lang_guess FROM scored
+    """
+
+
+@register("text_lang_id", oracle=_lang_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-list language-ID heuristic with deterministic
+    alphabetical tie-break ('und' when no hits)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           list_reduce(list_transform(string_split(text, ''), x -> CAST(ascii(x) AS BIGINT)),
+                       (a, b) -> (a * 31 + b) % 2147483647) AS rhash
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text (exact dedup key)
+    + Rabin-Karp rolling hash (integer-exact sequential fold)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint_md5(F.col("text")).alias("fingerprint"),
+        rolling_hash(F.col("text")).alias("rhash"),
+    )
+
+
+# ===========================================================================
+# Deduplication (M7)
+# ===========================================================================
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents GROUP BY 2
+    """,
+    headline=True,
+)
+def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup survivors (lowest doc_id per normalized-text hash)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup_exact(d, "doc_id", "text").select("doc_id", "fingerprint")
+
+
+_SHINGLES = (
+    "[array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]"
+)  # 3-token shingles from token list t
+
+
+def _shingle_cte() -> str:
+    return f"""
+    toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle
+           FROM toks WHERE len(t) >= 3)
+    """
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_shingle_cte()},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+    """,
+    headline=True,
+)
+def dedup_ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-token-shingle Jaccard >= 0.5, candidates
+    blocked on shared shingles (no O(N^2) pair generation)."""
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=None)
+
+
+def _minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    sigs = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(num_hashes)
+    )
+    band_rows = []
+    for b in range(bands):
+        key = " || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows))
+        band_rows.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM sig")
+    banded = " UNION ALL ".join(band_rows)
+    return f"""
+    WITH {_shingle_cte()},
+    sig AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
+    banded AS ({banded}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT c.id_a, c.id_b,
+           round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+    FROM cands c
+    JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.5
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle(), headline=True)
+def dedup_minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 perms)+LSH(4 bands) candidate pairs, verified with true
+    Jaccard >= 0.5. md5-derived hash family keeps signatures identical
+    across engines."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3, verify_threshold=0.5
+    )
+
+
+def _simhash_oracle() -> str:
+    bit_cases = []
+    for bit in range(64):
+        digit = bit // 4 + 1  # 1-based substr position
+        within = 3 - (bit % 4)
+        bit_cases.append(
+            f"CASE WHEN sum(CASE WHEN (CAST('0x' || substr(h, {digit}, 1) AS INTEGER) & {1 << within}) > 0 "
+            f"THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END"
+        )
+    concat = " || ".join(bit_cases)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, md5(unnest({_TOK})) AS h FROM documents)
+    SELECT doc_id, {concat} AS simhash
+    FROM tok GROUP BY doc_id
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (token md5 votes, sign bits) as a
+    portable bitstring."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash64(d, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+# ===========================================================================
+# Embedding similarity (M7)
+# ===========================================================================
+
+_DIM = 64
+_ANN_PLANES = random_hyperplanes(_DIM, 8, seed=7)
+_DUP_PLANES = random_hyperplanes(_DIM, 6, seed=11)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return " + ".join(
+        f"CAST({a}.embedding[{i}] AS DOUBLE) * CAST({b}.embedding[{i}] AS DOUBLE)"
+        for i in range(1, _DIM + 1)
+    )
+
+
+def _norm_sql(x: str) -> str:
+    sq = " + ".join(
+        f"CAST({x}.embedding[{i}] AS DOUBLE) * CAST({x}.embedding[{i}] AS DOUBLE)"
+        for i in range(1, _DIM + 1)
+    )
+    return f"sqrt({sq})"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"CASE WHEN ({_norm_sql(a)}) * ({_norm_sql(b)}) > 0 "
+        f"THEN ({_dot_sql(a, b)}) / (({_norm_sql(a)}) * ({_norm_sql(b)})) END"
+    )
+
+
+def _sig_sql(x: str, planes: list[list[float]]) -> str:
+    bits = []
+    for plane in planes:
+        d = " + ".join(
+            f"CAST({x}.embedding[{i + 1}] AS DOUBLE) * ({v!r})" for i, v in enumerate(plane)
+        )
+        bits.append(f"CASE WHEN ({d}) >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+@register(
+    "ann_brute_force_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5)
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round({_cos_sql('q', 'c')}, 6) AS cos_sim,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round({_cos_sql('q', 'c')}, 6) DESC, c.vec_id) AS rank
+    FROM embeddings c CROSS JOIN q
+    WHERE c.vec_id <> q.vec_id
+    QUALIFY rank <= 3
+    """,
+    headline=True,
+)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-3 for 5 query vectors — the ANN correctness
+    baseline. Queries broadcast; corpus scanned once."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries, "vec_id", "embedding", k=3)
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH sigs AS (SELECT vec_id, embedding, {_sig_sql('embeddings', _ANN_PLANES)} AS bucket
+                  FROM embeddings),
+    q AS (SELECT * FROM sigs WHERE vec_id < 20)
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round({_cos_sql('q', 'c')}, 6) AS cos_sim,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round({_cos_sql('q', 'c')}, 6) DESC, c.vec_id) AS rank
+    FROM sigs c JOIN q ON c.bucket = q.bucket
+    WHERE c.vec_id <> q.vec_id
+    QUALIFY rank <= 3
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 via sign-LSH bucketing (8 seeded hyperplanes):
+    candidates restricted to the query's bucket — the scale path where
+    a full scan per query is unaffordable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return lsh_topk(emb, queries, _ANN_PLANES, "vec_id", "embedding", k=3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH sigs AS (SELECT vec_id, embedding, {_sig_sql('embeddings', _DUP_PLANES)} AS bucket
+                  FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_cos_sql('a', 'b')}, 6) AS cos_sim
+    FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round({_cos_sql('a', 'b')}, 6) >= 0.9
+    """,
+)
+def dedup_embedding_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.9), LSH-blocked so the
+    exact-cosine phase is per-bucket rather than all-pairs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, "vec_id", "embedding", _DUP_PLANES, threshold=0.9)
+
+
+# ===========================================================================
+# Multimodal plumbing (M7)
+# ===========================================================================
+
+@register(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           octet_length(encode(text)) % 64 + 1 AS width,
+           octet_length(encode(text)) % 37 + 1 AS height,
+           CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing: utf-8 payloads through an
+    Arrow-batched mapInPandas 'decoder' (deterministic fake codec; a
+    real PIL/ffmpeg decoder drops into the same hook — see
+    operators.multimodal)."""
+    d = attach_binary(_t(spark, sf_dir, "documents"), "text", "payload")
+    return decode_image_metadata(d, "doc_id", "payload")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(off AS INTEGER) AS frame_offset,
+           CAST(least(8, octet_length(encode(text)) - off) AS INTEGER) AS frame_len
+    FROM documents, unnest(range(0, octet_length(encode(text)), 32)) AS t(off)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (video analog): one row per 32-byte
+    stride with the sampled slice length — explode-shaped output."""
+    d = attach_binary(_t(spark, sf_dir, "documents"), "text", "payload")
+    return (
+        d.select("doc_id", F.length("payload").alias("__n"))
+        .select(
+            "doc_id",
+            "__n",
+            F.explode(F.sequence(F.lit(0), F.col("__n") - 1, F.lit(32))).alias("frame_offset"),
+        )
+        .select(
+            "doc_id",
+            F.col("frame_offset").cast("int").alias("frame_offset"),
+            F.least(F.lit(8), F.col("__n") - F.col("frame_offset")).cast("int").alias("frame_len"),
+        )
+    )
+
+
+# ===========================================================================
+# public accessors
+# ===========================================================================
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+
+
+def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in REGISTRY.items() if q.headline}
