@@ -59,10 +59,15 @@ def char_ngrams(col: str | Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def word_shingles(col: str | Column, n: int = 3) -> Column:
-    """Word n-gram shingles (arrays of space-joined n-token windows),
-    the MinHash/Jaccard input unit."""
-    t = tokens(col)
+def shingles_from_tokens(tok_col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an ALREADY-MATERIALIZED token-array
+    column. ``tok_col`` must be a plain column reference (not an inline
+    ``tokens(...)`` expression): lambdas in higher-order functions are
+    interpreted, so any expression inlined into the lambda body is
+    re-evaluated once PER ELEMENT — an inlined split makes shingling
+    O(tokens^2) per row (measured 50x slower at sf0.1). Materialize
+    with ``df.withColumn("__tk", tokens(c))`` first."""
+    t = tok_col
     return F.when(
         F.size(t) >= n,
         F.transform(
@@ -70,6 +75,14 @@ def word_shingles(col: str | Column, n: int = 3) -> Column:
             lambda i: F.array_join(F.slice(t, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(col: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingles (arrays of space-joined n-token windows),
+    the MinHash/Jaccard input unit. NOTE: inlines the tokenizer into
+    the transform lambda — fine for tests/small data; hot paths should
+    materialize tokens and use ``shingles_from_tokens`` (see there)."""
+    return shingles_from_tokens(tokens(col), n)
 
 
 # --- language ID (n-gram / stopword heuristic) -------------------------------

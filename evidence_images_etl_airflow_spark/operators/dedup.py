@@ -17,8 +17,8 @@ from pyspark.sql import functions as F
 
 from evidence_images_etl_airflow_spark.functions.text import (
     fingerprint_md5,
+    shingles_from_tokens,
     tokens,
-    word_shingles,
 )
 from evidence_images_etl_airflow_spark.functions.vectors import (
     cosine,
@@ -46,10 +46,14 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 # --- n-gram Jaccard ----------------------------------------------------------
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle) exploded, distinct within doc."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("shingle"),
+    """(id, shingle) exploded, distinct within doc. Tokens are
+    materialized in their own projection BEFORE the shingle transform —
+    inlining the tokenizer into the higher-order lambda would re-run it
+    once per output element (see functions.text.shingles_from_tokens)."""
+    toks = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__tk"))
+    return toks.select(
+        "id",
+        F.explode(F.array_distinct(shingles_from_tokens(F.col("__tk"), n))).alias("shingle"),
     )
 
 
@@ -76,6 +80,11 @@ def ngram_jaccard_pairs(
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
         sh = sh.join(freq.filter(F.col("df_") <= max_doc_freq), "shingle").drop("df_")
+    # the shingle table feeds both join sides AND the size agg — persist
+    # it so the tokenize+explode runs once, not 4x (spills to disk when
+    # it outgrows memory; at cluster scale this is the natural
+    # checkpoint between candidate generation and verification)
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -135,10 +144,19 @@ def minhash_lsh_pairs(
     pairs (id_a < id_b). Pair generation is a self-join on the band
     key — a string equality join that shuffles (band_key) not vectors.
     If ``verify_threshold`` is set, candidates are verified with true
-    shingle Jaccard and filtered."""
+    shingle Jaccard computed *only for candidate pairs* (join the
+    candidate list back to the per-doc shingle sets) — the whole point
+    of LSH is that the exact phase never touches non-candidate pairs,
+    so verification cost follows |candidates|, not |docs|^2."""
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    # reused by signatures, both verify join sides, and sizes: persist
+    sh = _doc_shingles(df, id_col, text_col, shingle_n).persist()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("id").agg(*aggs)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -163,10 +181,31 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cands
-    verified = ngram_jaccard_pairs(
-        df, id_col, text_col, n=shingle_n, threshold=verify_threshold, max_doc_freq=None
+    # exact Jaccard over candidate pairs only: route each pair through
+    # the two docs' shingle sets and count matches
+    sha = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
+    shb = sh.select(F.col("id").alias("__idb"), F.col("shingle").alias("sh_b"))
+    inter = (
+        cands.join(sha, "id_a")
+        .join(shb, (F.col("id_b") == F.col("__idb")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
     )
-    return cands.join(verified, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 # --- SimHash -----------------------------------------------------------------
