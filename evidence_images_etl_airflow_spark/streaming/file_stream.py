@@ -55,7 +55,9 @@ def windowed_counts(
         .groupBy(F.window(F.col(ts_col), window), F.col(key_col))
         .agg(
             F.count("*").alias("n_events"),
-            F.sum("value").alias("total_value"),
+            # decimal accumulation: exact and independent of row order,
+            # which streaming (and any distributed engine) can't fix
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),

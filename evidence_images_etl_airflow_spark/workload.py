@@ -36,6 +36,7 @@ from evidence_images_etl_airflow_spark.functions.transforms import (
     coerce_bool_columns_to_int,
     first_element,
     qualify_urls,
+    session_length_seconds,
     split_names,
 )
 from evidence_images_etl_airflow_spark.functions.vectors import random_hyperplanes
@@ -310,9 +311,223 @@ def j3_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
 
 
+@register(
+    "t8_interval_ship_delay",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(epoch(l_shipdate) - epoch(o_orderdate) AS DOUBLE) AS ship_delay_s,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS INTEGER) AS ship_delay_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def t8_interval_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: interval arithmetic — the reference declares
+    ``session_length interval`` but never computes it
+    (evidence_images_processing.py:85,:183). Implemented as end - start,
+    emitted as epoch-seconds double + whole days (the oracle-comparable
+    forms of DayTimeIntervalType; SURVEY §7 hard-part 3)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_linenumber",
+        session_length_seconds("l_shipdate", "o_orderdate").alias("ship_delay_s"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("int")
+        .alias("ship_delay_days"),
+    )
+
+
+@register(
+    "ep1_fused_pipeline",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN bool_str = 'True' THEN 1 WHEN bool_str = 'False' THEN 0
+                ELSE TRY_CAST(bool_str AS INTEGER) END AS status_bit,
+           len(string_split(o_orderpriority, '-')) AS n_names,
+           list_transform(string_split(o_orderpriority, '-'),
+                          n -> 'https://blob/' || o_orderkey || '/' || n)[1] AS first_url
+    FROM (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderstatus = 'O' THEN 'True'
+                  WHEN o_orderstatus = 'F' THEN 'False'
+                  ELSE o_orderstatus END AS bool_str
+      FROM orders WHERE o_orderpriority <> '')
+    """,
+)
+def ep1_fused_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1 fused into one lazy plan (SURVEY §3 EP1): T1 bool coercion ->
+    P2 non-empty filter -> T4 split -> T5 URL-qualify -> T7 subscript,
+    with zero intermediate materialization — the reference runs these as
+    separate Airflow tasks + two read-back UPDATE passes."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "bool_str",
+        F.when(F.col("o_orderstatus") == "O", F.lit("True"))
+        .when(F.col("o_orderstatus") == "F", F.lit("False"))
+        .otherwise(F.col("o_orderstatus")),
+    )
+    o = non_empty_rows(o, "o_orderpriority")  # P2
+    o = coerce_bool_columns_to_int(o, ["bool_str"])  # T1
+    base = F.concat(F.lit("https://blob/"), F.col("o_orderkey").cast("string"), F.lit("/"))
+    o = o.withColumn("names", split_names("o_orderpriority", "-"))  # T4
+    o = o.withColumn("urls", qualify_urls(base, "names"))  # T5
+    return o.select(
+        "o_orderkey",
+        F.col("bool_str").alias("status_bit"),
+        F.size("names").alias("n_names"),
+        first_element("urls", 1).alias("first_url"),  # T7
+    )
+
+
 # ===========================================================================
 # Aggregation / window / sort surface (SURVEY §2.6, M5)
 # ===========================================================================
+
+@register(
+    "q4_semi_join",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS as a left-semi join (orders with at least
+    one returned line), then a 1-key agg. The semi join shuffles only
+    the distinct keys of the probe side."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1997-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q13_outer_join_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderstatus = 'O'
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13_outer_join_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join preserving customers with no
+    orders, two-level aggregation (count per customer, then histogram
+    of counts)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q17_scalar_subquery",
+    oracle="""
+    SELECT l.l_partkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue
+    FROM lineitem l
+    JOIN (SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg
+          FROM lineitem GROUP BY l_partkey) a
+      ON l.l_partkey = a.l_partkey
+    WHERE l.l_quantity < a.half_avg
+    GROUP BY l.l_partkey
+    """,
+)
+def q17_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average)
+    decorrelated into an aggregate + self-join — the rewrite Catalyst
+    would do for the correlated form, written explicitly so the plan is
+    one agg + one shuffle join on l_partkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    avgs = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(avgs, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).cast("double").alias("small_qty_revenue"))
+    )
+
+
+@register(
+    "setops_intersect_except",
+    oracle="""
+    SELECT 'both' AS tag, c_custkey FROM (
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    UNION ALL
+    SELECT 'only_open' AS tag, c_custkey FROM (
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+)
+def setops_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (absent from the reference, SURVEY §2.3):
+    customers with both open and finished orders vs open-only."""
+    o = _t(spark, sf_dir, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    fin = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    both = open_.intersect(fin).select(F.lit("both").alias("tag"), "c_custkey")
+    # subtract == SQL EXCEPT (set semantics); exceptAll would keep keys
+    # whose open-count merely exceeds their finished-count
+    only = open_.subtract(fin).select(F.lit("only_open").alias("tag"), "c_custkey")
+    return both.unionByName(only)
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 2^k subtotal combinations)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT: Spark plans TakeOrderedAndProject —
+    per-partition top-k then a single-driver merge, never a full sort.
+    Tie-break on the key keeps the cut deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    return o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(20).select(
+        "o_orderkey", "o_totalprice"
+    )
 
 @register(
     "q1_pricing_summary",
@@ -671,6 +886,57 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_windowed_counts",
+    oracle="""
+    SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: the SAME hourly rollup as events_hourly_rollup, but executed
+    by the Structured Streaming engine — file source over the events
+    parquet, watermarked tumbling window, availableNow trigger draining
+    to a memory sink. Batch and streaming agree on the answer, which is
+    exactly the Spark unified-engine contract; the oracle is the plain
+    batch SQL."""
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from evidence_images_etl_airflow_spark.streaming.file_stream import windowed_counts
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the streaming file source wants a directory or a glob, not a bare
+    # file path; the glob keeps the basePath at sf_dir
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parque*")
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in schema.fields)["ts"]
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) read as long nanos
+        stream = stream.withColumn("ts_utc", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        stream = stream.withColumn("ts_utc", F.col("ts"))
+    agg = windowed_counts(stream, "ts_utc", "event_type", "1 hour", "2 hours")
+    name = f"stream_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sgckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").alias("hour_epoch"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
 # ===========================================================================
 # Text analysis (M7)
 # ===========================================================================
@@ -994,14 +1260,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round({_cos_sql('a', 'b')}, 6) AS cos_sim
     FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE round({_cos_sql('a', 'b')}, 6) >= 0.9
+    WHERE round({_cos_sql('a', 'b')}, 6) >= 0.35
     """,
 )
 def dedup_embedding_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine >= 0.9), LSH-blocked so the
-    exact-cosine phase is per-bucket rather than all-pairs."""
+    """Embedding near-dup pairs (cosine >= threshold), LSH-blocked so
+    the exact-cosine phase is per-bucket rather than all-pairs. The
+    synthetic embeddings are near-orthogonal (max pairwise cos ~0.51),
+    so the threshold is 0.35 to exercise non-empty pair output."""
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dups(emb, "vec_id", "embedding", _DUP_PLANES, threshold=0.9)
+    return embedding_near_dups(emb, "vec_id", "embedding", _DUP_PLANES, threshold=0.35)
 
 
 # ===========================================================================

@@ -1,0 +1,123 @@
+"""S1-S5 scan surface + M6 streaming ingest (SURVEY.md §2.1, §7 M6)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from evidence_images_etl_airflow_spark.sources.parquet_source import (
+    SourceConfig,
+    date_window,
+    scan_parquet,
+    scan_sources,
+)
+from evidence_images_etl_airflow_spark.streaming.file_stream import (
+    ingest_available_now,
+    windowed_counts,
+)
+
+
+def test_date_window_semantics():
+    today = dt.date(2023, 8, 16)
+    start, stop = date_window(15, -1, today=today)
+    assert start == dt.date(2023, 8, 1)  # 15-day lookback
+    assert stop == dt.date(2023, 8, 17)  # stop=-1 -> tomorrow (no cutoff)
+    s2, e2 = date_window(0, 0, today=today)
+    assert s2 == e2 == today
+
+
+def _write_two_files(spark, base):
+    old, new = f"{base}/old", f"{base}/new"
+    spark.range(0, 5).withColumn("src", F.lit("old")).coalesce(1).write.parquet(old)
+    spark.range(5, 8).withColumn("src", F.lit("new")).coalesce(1).write.parquet(new)
+    past = dt.datetime(2020, 1, 1).timestamp()
+    for root, _, files in os.walk(old):
+        for f in files:
+            os.utime(os.path.join(root, f), (past, past))
+    return old, new
+
+
+def test_scan_parquet_modified_after_prunes_files(spark, tmp_path):
+    """S3: mtime window pruning skips files before any read."""
+    old, new = _write_two_files(spark, str(tmp_path))
+    both = scan_parquet(spark, [f"{old}/*.parquet", f"{new}/*.parquet"])
+    assert both.count() == 8
+    pruned = scan_parquet(
+        spark,
+        [f"{old}/*.parquet", f"{new}/*.parquet"],
+        modified_after=dt.date(2021, 1, 1),
+    )
+    assert set(r.src for r in pruned.select("src").distinct().collect()) == {"new"}
+
+
+def test_scan_sources_tags_constants(spark, tmp_path):
+    """D3 replacement: per-source constant columns (country code)."""
+    a, b = f"{tmp_path}/a", f"{tmp_path}/b"
+    spark.range(0, 3).write.parquet(a)
+    spark.range(3, 5).write.parquet(b)
+    df = scan_sources(
+        spark,
+        [
+            SourceConfig(path=a, constants={"country": "KEN"}),
+            SourceConfig(path=b, constants={"country": "TZA"}),
+        ],
+    )
+    counts = {r.country: r.n for r in df.groupBy("country").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"KEN": 3, "TZA": 2}
+
+
+def test_ingest_available_now_exactly_once(spark, tmp_path):
+    """M6: the streaming file source reads each file exactly once across
+    restarts (checkpoint), subsuming the reference's 15-day lookback +
+    conflict-skip idempotency."""
+    src = f"{tmp_path}/src"
+    sink = f"{tmp_path}/sink"
+    ckpt = f"{tmp_path}/ckpt"
+    spark.range(0, 10).select(F.col("id"), (F.col("id") * 2).alias("v")).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    ingest_available_now(spark, src, schema, sink, ckpt)
+    assert spark.read.parquet(sink).count() == 10
+
+    # second drain with nothing new: no duplicates
+    ingest_available_now(spark, src, schema, sink, ckpt)
+    assert spark.read.parquet(sink).count() == 10
+
+    # a late-arriving file is picked up incrementally
+    spark.range(10, 12).select(F.col("id"), (F.col("id") * 2).alias("v")).write.mode(
+        "append"
+    ).parquet(src)
+    ingest_available_now(spark, src, schema, sink, ckpt)
+    assert spark.read.parquet(sink).count() == 12
+
+
+def test_windowed_counts_batch_streaming_agree(spark, tmp_path):
+    """The windowed agg gives the same answer on the batch and streaming
+    engines (unified-engine contract)."""
+    import uuid
+
+    rows = [
+        (dt.datetime(2024, 1, 1, h, m), "click", 1.5)
+        for h in (0, 1) for m in (0, 30, 59)
+    ]
+    src = f"{tmp_path}/ev"
+    spark.createDataFrame(rows, "ts timestamp, event_type string, value double").write.parquet(src)
+
+    batch = windowed_counts(spark.read.parquet(src)).orderBy("window_start").collect()
+
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed_counts(spark.readStream.schema("ts timestamp, event_type string, value double").parquet(src))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.table(name).orderBy("window_start").collect()
+    assert [tuple(r) for r in batch] == [tuple(r) for r in streamed]
+    assert [r.n_events for r in batch] == [3, 3]

@@ -1,0 +1,168 @@
+"""M7 extension operators: text functions, dedup, similarity,
+multimodal plumbing (SURVEY.md §7)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from evidence_images_etl_airflow_spark.functions.text import (
+    fingerprint_md5,
+    lang_id,
+    quality_score,
+    token_count,
+    word_shingles,
+)
+from evidence_images_etl_airflow_spark.functions.vectors import (
+    cosine,
+    hyperplane_signature,
+    random_hyperplanes,
+)
+from evidence_images_etl_airflow_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from evidence_images_etl_airflow_spark.operators.multimodal import (
+    attach_binary,
+    decode_image_metadata,
+    real_image_decode,
+    sample_frames,
+)
+from evidence_images_etl_airflow_spark.operators.similarity import brute_force_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (4, "completely different text about spark engines here"),
+        (5, "ab"),  # shorter than one shingle
+        (6, "  the   quick\tbrown fox jumps over the lazy dog "),  # ws-variant of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([("one two",)], "t string")
+    assert df.select(F.size(word_shingles(F.col("t"), 3)).alias("n")).first().n == 0
+
+
+def test_token_count_and_quality_bounds(docs):
+    out = docs.select(token_count("text").alias("n"), quality_score("text").alias("q")).collect()
+    assert all(r.n >= 1 for r in out)
+    assert all(0.0 <= r.q <= 1.0 for r in out)
+
+
+def test_lang_id_basic(spark):
+    rows = [
+        (1, "the cat is on the mat and it is happy"),
+        (2, "el gato es un animal que vive en la casa"),
+        (3, "xyzzy plugh qwerty"),  # no stopword hits
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.lang for r in df.select("id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "es"
+    assert got[3] == "und"
+
+
+def test_fingerprint_normalizes_whitespace_and_case(docs):
+    fps = {r.doc_id: r.fp for r in docs.select("doc_id", fingerprint_md5(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[3] == fps[6]  # dup + whitespace variant collapse
+    assert fps[1] != fps[2]
+
+
+def test_dedup_exact_keeps_lowest_id(docs):
+    survivors = {r.doc_id for r in dedup_exact(docs, "doc_id", "text").select("doc_id").collect()}
+    assert 1 in survivors and 3 not in survivors and 6 not in survivors
+    assert {2, 4, 5} <= survivors
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.4).collect()}
+    assert (1, 2) in pairs  # 8-token docs differing in last token
+    assert all(0.0 <= j <= 1.0 for j in pairs.values())
+    # exact dups have jaccard 1.0
+    assert pairs[(1, 3)] == 1.0
+
+
+def test_minhash_lsh_candidates_superset_verified(docs):
+    verified = minhash_lsh_pairs(docs, "doc_id", "text", verify_threshold=0.4)
+    cands = minhash_lsh_pairs(docs, "doc_id", "text", verify_threshold=None)
+    v = {(r.id_a, r.id_b) for r in verified.collect()}
+    c = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert v <= c
+    assert (1, 3) in v  # exact dups always collide in every band
+
+
+def test_simhash_dups_match_and_near_dups_close(docs):
+    sh = {r.id: r.simhash for r in simhash64(docs, "doc_id", "text").collect()}
+    assert sh[1] == sh[3]  # identical token multisets
+    ham_12 = sum(a != b for a, b in zip(sh[1], sh[2]))
+    ham_14 = sum(a != b for a, b in zip(sh[1], sh[4]))
+    assert ham_12 < ham_14  # near-dup closer than unrelated
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+        (4, [0.7, 0.7, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_identities(spark, vectors):
+    a = vectors.filter("vec_id = 0").select(F.col("embedding").alias("a"))
+    pairs = a.crossJoin(vectors.select(F.col("vec_id"), F.col("embedding").alias("b")))
+    got = {r.vec_id: round(r.c, 6) for r in pairs.select("vec_id", cosine(F.col("a"), F.col("b")).alias("c")).collect()}
+    assert got[0] == 1.0
+    assert got[2] == 0.0
+    assert got[3] == -1.0
+
+
+def test_brute_force_topk_ranks_nearest_first(vectors):
+    res = brute_force_topk(vectors, vectors.filter("vec_id = 0"), "vec_id", "embedding", k=2).collect()
+    assert [r.neighbor_id for r in sorted(res, key=lambda r: r.rank)] == [1, 4]
+
+
+def test_lsh_topk_subset_of_bucket(vectors):
+    planes = random_hyperplanes(4, 3, seed=5)
+    res = lsh_topk(vectors, vectors.filter("vec_id = 0"), planes, "vec_id", "embedding", k=3)
+    # every returned neighbor shares the query's bucket
+    sigs = {
+        r.vec_id: r.b
+        for r in vectors.select("vec_id", hyperplane_signature(F.col("embedding"), planes).alias("b")).collect()
+    }
+    for r in res.collect():
+        assert sigs[r.neighbor_id] == sigs[0]
+
+
+def test_multimodal_decode_schema_and_determinism(docs):
+    out = decode_image_metadata(attach_binary(docs, "text", "payload"), "doc_id", "payload")
+    assert [f.name for f in out.schema.fields] == ["doc_id", "n_bytes", "width", "height", "format"]
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].n_bytes == len("the quick brown fox jumps over the lazy dog")
+    assert rows[1].format in ("png", "jpeg")
+    # identical payloads decode identically
+    assert tuple(rows[1])[1:] == tuple(rows[3])[1:]
+
+
+def test_real_image_decode_is_clearly_stubbed():
+    with pytest.raises(NotImplementedError):
+        real_image_decode(b"\x89PNG...")
+
+
+def test_sample_frames_strides(docs):
+    out = sample_frames(attach_binary(docs.filter("doc_id = 1"), "text", "payload"), every_n_bytes=16)
+    rows = sorted(out.collect(), key=lambda r: r.frame_offset)
+    n = len("the quick brown fox jumps over the lazy dog")
+    assert [r.frame_offset for r in rows] == list(range(0, n, 16))
+    assert all(1 <= len(r.frame_bytes) <= 8 for r in rows)
