@@ -837,6 +837,46 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_session_window",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, epoch_us(ts) AS te,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, event_id, te,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY te, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM gaps)
+    SELECT user_id, min(te) AS session_start_us, count(*) AS n_events,
+           CAST(max(te) - min(te) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS duration_s
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` (30-min gap) — the built-in operator
+    computing exactly what events_sessionization derives manually with
+    lag + cumulative sum; the oracle is that manual derivation, so this
+    also proves the two formulations agree. In streaming this same
+    groupBy is the stateful session operator."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.session_window("ts_utc", "30 minutes"), "user_id")
+        .agg(
+            F.min("ts_us").alias("session_start_us"),
+            F.count("*").alias("n_events"),
+            ((F.max("ts_us") - F.min("ts_us")).cast("double") / F.lit(1000000.0)).alias(
+                "duration_s"
+            ),
+        )
+        .select("user_id", "session_start_us", "n_events", "duration_s")
+    )
+
+
+@register(
     "events_hourly_rollup",
     oracle="""
     SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,

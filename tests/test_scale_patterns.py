@@ -1,0 +1,99 @@
+"""Scale patterns the 100 TB design leans on, asserted against the
+actual physical plans: bucketed co-located joins (no shuffle), salted
+skew joins (correct + spread), broadcast pruning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from evidence_images_etl_airflow_spark.operators.skew import key_skew_profile, salted_join
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketing both sides on the join key pre-shuffles at write time;
+    the join then runs with zero Exchange — the co-location pattern for
+    repeated fact-fact joins at scale."""
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    # external tables under tmp_path (warehouse.dir is a static conf)
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
+        "path", str(tmp_path / "o_b")
+    ).mode("overwrite").saveAsTable("o_b")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+        "path", str(tmp_path / "li_b")
+    ).mode("overwrite").saveAsTable("li_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join path (broadcast would trivially win at
+        # this tiny SF; at scale both sides are too big to broadcast)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table("li_b")
+            .join(spark.table("o_b"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        assert len(joined.collect()) > 0
+        plan = _physical(joined)  # final AQE plan of the executed DF
+        assert "SortMergeJoin" in plan
+        # the join itself must not introduce a shuffle of either side
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS o_b")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+
+
+def test_salted_join_matches_plain_join(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select("o_orderkey", "o_orderstatus")
+    plain = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).groupBy(
+        "o_orderstatus"
+    ).agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+    salted = salted_join(
+        li, o.withColumnRenamed("o_orderkey", "l_orderkey"), ["l_orderkey"], num_salts=8
+    ).groupBy("o_orderstatus").agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+    a = {r.o_orderstatus: (r.n, round(r.q, 6)) for r in plain.collect()}
+    b = {r.o_orderstatus: (r.n, round(r.q, 6)) for r in salted.collect()}
+    assert a == b
+
+
+def test_salted_left_join_preserves_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (99, "zz")], "k long, v string")
+    right = spark.createDataFrame([(1, "x"), (2, "y")], "k long, w string")
+    out = salted_join(left, right, ["k"], num_salts=4, how="left").collect()
+    got = {r.k: r.w for r in out}
+    assert got == {1: "x", 2: "y", 99: None}
+    with pytest.raises(ValueError):
+        salted_join(left, right, ["k"], how="full_outer")
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """A single hot key lands in num_salts distinct (key, salt) groups."""
+    hot = spark.range(0, 10_000).select(F.lit(7).alias("k"), F.col("id"))
+    dim = spark.createDataFrame([(7, "seven")], "k long, name string")
+    from evidence_images_etl_airflow_spark.operators.skew import SALT_COL
+
+    salted = hot.withColumn(SALT_COL, (F.rand(seed=42) * 16).cast("int"))
+    n_groups = salted.select(SALT_COL).distinct().count()
+    assert n_groups == 16
+    # and the join still returns every row exactly once
+    assert salted_join(hot, dim, ["k"], num_salts=16).count() == 10_000
+
+
+def test_key_skew_profile_ranks_hot_keys(spark):
+    df = spark.createDataFrame(
+        [(1,)] * 70 + [(2,)] * 20 + [(3,)] * 10, "k long"
+    )
+    prof = key_skew_profile(df, ["k"], top=2).collect()
+    assert [r.k for r in prof] == [1, 2]
+    assert prof[0].n_rows == 70 and abs(prof[0].share - 0.7) < 1e-9
