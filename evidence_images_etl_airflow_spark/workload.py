@@ -312,6 +312,46 @@ def j3_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p4_like_predicate",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    WHERE o_orderpriority LIKE '%-%' AND o_orderpriority NOT LIKE '%SPECIFIED%'
+      AND o_orderpriority LIKE '_-%'
+    """,
+)
+def p4_like_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: the LIKE predicate the reference authored then disabled
+    (evidence_images_processing.py:234, ``LIKE '%,%'`` for multi-image
+    rows) — contains / NOT LIKE / single-char wildcard, all pushed into
+    the scan as StringContains filters."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderpriority").contains("-")
+        & ~F.col("o_orderpriority").like("%SPECIFIED%")
+        & F.col("o_orderpriority").like("_-%")
+    ).select("o_orderkey", "o_orderpriority")
+
+
+@register(
+    "t9_fold_concat",
+    oracle="""
+    SELECT l_returnflag,
+           string_agg(DISTINCT l_linestatus, ' and ' ORDER BY l_linestatus) AS statuses
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def t9_fold_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9: the reduce-with-' and ' string fold (taskflow_api_dag.py:44)
+    as concat_ws over a sorted collected set — deterministic order makes
+    the fold reproducible."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), " and ").alias("statuses")
+    )
+
+
+@register(
     "t8_interval_ship_delay",
     oracle="""
     SELECT l_orderkey, l_linenumber,
