@@ -15,15 +15,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from evidence_images_etl_airflow_spark.functions.partitioning import spread
 from evidence_images_etl_airflow_spark.functions.text import (
     fingerprint_md5,
     shingles_from_tokens,
     tokens,
 )
+
+
 from evidence_images_etl_airflow_spark.functions.vectors import (
     cosine,
     hyperplane_signature,
 )
+
+
+def _materialized(sh: DataFrame) -> DataFrame:
+    """Persist AND populate the shingle cache with one job before the
+    multi-branch pair plan runs. Left lazy, each of the 4 downstream
+    branches races to populate the same cache inside one job (measured
+    ~4x the work); eager population pays the explode exactly once."""
+    sh = sh.persist()
+    sh.count()
+    return sh
 
 
 # --- exact -------------------------------------------------------------------
@@ -35,7 +48,7 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     pairs only, and map-side partial aggregation collapses local dups
     before the exchange."""
     fp = fingerprint_md5(F.col(text_col))
-    keyed = df.withColumn("fingerprint", fp)
+    keyed = spread(df, F.col(id_col)).withColumn("fingerprint", fp)
     w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
     return (
         keyed.withColumn("__rn", F.row_number().over(w))
@@ -50,7 +63,9 @@ def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     materialized in their own projection BEFORE the shingle transform —
     inlining the tokenizer into the higher-order lambda would re-run it
     once per output element (see functions.text.shingles_from_tokens)."""
-    toks = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__tk"))
+    toks = spread(df, F.col(id_col)).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__tk")
+    )
     return toks.select(
         "id",
         F.explode(F.array_distinct(shingles_from_tokens(F.col("__tk"), n))).alias("shingle"),
@@ -81,10 +96,10 @@ def ngram_jaccard_pairs(
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
         sh = sh.join(freq.filter(F.col("df_") <= max_doc_freq), "shingle").drop("df_")
     # the shingle table feeds both join sides AND the size agg — persist
-    # it so the tokenize+explode runs once, not 4x (spills to disk when
-    # it outgrows memory; at cluster scale this is the natural
-    # checkpoint between candidate generation and verification)
-    sh = sh.persist()
+    # + eager-populate so the tokenize+explode runs once, not 4x (spills
+    # to disk when it outgrows memory; at cluster scale this is the
+    # natural checkpoint between candidate generation and verification)
+    sh = _materialized(sh)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -151,7 +166,7 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows = num_hashes // bands
     # reused by signatures, both verify join sides, and sizes: persist
-    sh = _doc_shingles(df, id_col, text_col, shingle_n).persist()
+    sh = _materialized(_doc_shingles(df, id_col, text_col, shingle_n))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
         for i in range(num_hashes)
@@ -218,7 +233,7 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Plan shape: explode tokens -> one groupBy computing 64 conditional
     sums (all map-side combinable) -> concat. No Python, no second pass.
     """
-    tok = df.select(
+    tok = spread(df, F.col(id_col)).select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     ).withColumn("h", F.md5(F.col("tok")))
@@ -262,7 +277,7 @@ def embedding_near_dups(
     the exact-cosine join is per-bucket, not global. More planes ->
     smaller buckets -> cheaper exact phase but more missed pairs (the
     standard LSH recall/cost dial)."""
-    sig = df.select(
+    sig = spread(df, F.col(id_col)).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         hyperplane_signature(F.col(vec_col), planes).alias("bucket"),

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from evidence_images_etl_airflow_spark.functions.partitioning import spread
 from evidence_images_etl_airflow_spark.functions.vectors import (
     cosine,
     hyperplane_signature,
@@ -37,7 +38,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    c = corpus.select(
+    c = spread(corpus, F.col(id_col)).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     )
     scored = (
@@ -76,7 +77,7 @@ def lsh_topk(
         hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
     )
     q = sig(queries, "query_id", "qvec")
-    c = sig(corpus, "neighbor_id", "cvec")
+    c = sig(spread(corpus, F.col(id_col)), "neighbor_id", "cvec")
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
