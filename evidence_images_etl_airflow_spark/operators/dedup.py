@@ -171,7 +171,12 @@ def minhash_lsh_pairs(
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
         for i in range(num_hashes)
     ]
-    sig = sh.groupBy("id").agg(*aggs)
+    # min(string) aggregates plan as interpreted SortAggregate (string
+    # buffers are not HashAggregate-able), ~100x the cost of a codegen
+    # agg — and the band self-join would run it once PER SIDE. The
+    # signature table is O(docs) rows; materializing it caps the
+    # expensive agg at exactly one pass (measured 106s -> ~12s at sf0.1).
+    sig = _materialized(sh.groupBy("id").agg(*aggs))
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
