@@ -125,6 +125,19 @@ def ngram_jaccard_pairs(
 
 
 # --- MinHash + LSH -----------------------------------------------------------
+def _minhash_value(i: int) -> F.Column:
+    """Hash family i as a 60-bit BIGINT: the first 15 hex chars of
+    ``md5(i || ':' || shingle)`` parsed base-16. Fixed-width hex orders
+    identically to its numeric value, and every engine parses hex the
+    same way, so signatures stay engine-independent — while min(long)
+    plans as a codegen HashAggregate instead of the interpreted
+    SortAggregate that min(string) forces (string buffers are not
+    hash-aggregatable; measured ~5x slower at sf0.1). 15 chars (not 16)
+    keeps the value under 2^63 so the BIGINT cast never overflows."""
+    h = F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -132,16 +145,11 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, sig_0..sig_{k-1}): per-doc MinHash signature. Hash family i
-    is ``md5(i || ':' || shingle)`` with the *lexicographic* min — md5
-    hex strings order identically everywhere, so signatures are
-    engine-independent. One groupBy per doc computes all k mins in a
-    single aggregation pass (map-side combinable)."""
+    """(id, sig_0..sig_{k-1}): per-doc MinHash signature, each a 60-bit
+    BIGINT (see _minhash_value). One groupBy per doc computes all k mins
+    in a single aggregation pass (map-side combinable)."""
     sh = _doc_shingles(df, id_col, text_col, shingle_n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
-        for i in range(num_hashes)
-    ]
+    aggs = [F.min(_minhash_value(i)).alias(f"sig_{i}") for i in range(num_hashes)]
     return sh.groupBy("id").agg(*aggs)
 
 
@@ -167,15 +175,9 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     # reused by signatures, both verify join sides, and sizes: persist
     sh = _materialized(_doc_shingles(df, id_col, text_col, shingle_n))
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
-        for i in range(num_hashes)
-    ]
-    # min(string) aggregates plan as interpreted SortAggregate (string
-    # buffers are not HashAggregate-able), ~100x the cost of a codegen
-    # agg — and the band self-join would run it once PER SIDE. The
-    # signature table is O(docs) rows; materializing it caps the
-    # expensive agg at exactly one pass (measured 106s -> ~12s at sf0.1).
+    aggs = [F.min(_minhash_value(i)).alias(f"sig_{i}") for i in range(num_hashes)]
+    # the band self-join reads the signature table from BOTH sides;
+    # materializing the O(docs)-row table caps the k-hash agg at one pass
     sig = _materialized(sh.groupBy("id").agg(*aggs))
     band_cols = [
         F.struct(

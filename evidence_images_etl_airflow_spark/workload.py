@@ -1175,12 +1175,18 @@ def dedup_ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
     rows = num_hashes // bands
+    # 60-bit integer minhash, mirroring dedup._minhash_value: first 15
+    # hex chars of the md5 parsed base-16 (fixed-width hex orders like
+    # its numeric value, so min() agrees across engines)
     sigs = ", ".join(
-        f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(num_hashes)
+        f"min(CAST('0x' || substr(md5('{i}:' || shingle), 1, 15) AS BIGINT)) AS sig_{i}"
+        for i in range(num_hashes)
     )
     band_rows = []
     for b in range(bands):
-        key = " || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows))
+        key = " || '|' || ".join(
+            f"CAST(sig_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
         band_rows.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM sig")
     banded = " UNION ALL ".join(band_rows)
     return f"""
