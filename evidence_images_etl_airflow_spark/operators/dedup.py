@@ -12,6 +12,8 @@ Design rules, all scale-driven:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -125,17 +127,43 @@ def ngram_jaccard_pairs(
 
 
 # --- MinHash + LSH -----------------------------------------------------------
-def _minhash_value(i: int) -> F.Column:
-    """Hash family i as a 60-bit BIGINT: the first 15 hex chars of
-    ``md5(i || ':' || shingle)`` parsed base-16. Fixed-width hex orders
-    identically to its numeric value, and every engine parses hex the
-    same way, so signatures stay engine-independent — while min(long)
-    plans as a codegen HashAggregate instead of the interpreted
-    SortAggregate that min(string) forces (string buffers are not
-    hash-aggregatable; measured ~5x slower at sf0.1). 15 chars (not 16)
-    keeps the value under 2^63 so the BIGINT cast never overflows."""
-    h = F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
-    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+MINHASH_P = (1 << 31) - 1
+"""Modulus for the affine MinHash family: the Mersenne prime 2^31-1.
+With a, b, h all < P, every a*h + b product stays under 2^62, so the
+arithmetic never overflows signed 64-bit in any engine."""
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for affine hash family i,
+    ``(a*h + b) mod P`` — derived from md5 so the DuckDB oracle can
+    reproduce them exactly; a is forced nonzero."""
+    params = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"a:{i}".encode()).hexdigest()[:15], 16) % (MINHASH_P - 1) + 1
+        b = int(hashlib.md5(f"b:{i}".encode()).hexdigest()[:15], 16) % MINHASH_P
+        params.append((a, b))
+    return params
+
+
+def _base_hash(shingle: F.Column) -> F.Column:
+    """One 31-bit base hash per shingle: the first 15 hex chars of its
+    md5 parsed base-16 (fixed-width hex orders like its numeric value,
+    and fits signed 64-bit), folded mod P. The k hash families are
+    affine transforms of THIS value — one md5 per shingle row instead
+    of k, which is the dominant CPU cost of signature building."""
+    h = F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long")
+    return h % F.lit(MINHASH_P)
+
+
+def _sig_aggs(num_hashes: int) -> list[F.Column]:
+    """min((a_i*hp + b_i) mod P) per family, over a precomputed base
+    hash column ``hp``. Integer min plans as a codegen HashAggregate;
+    min(string) over md5 hex would force an interpreted SortAggregate
+    (string buffers are not hash-aggregatable; measured ~5x slower)."""
+    return [
+        F.min((F.lit(a) * F.col("hp") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    ]
 
 
 def minhash_signatures(
@@ -145,12 +173,14 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, sig_0..sig_{k-1}): per-doc MinHash signature, each a 60-bit
-    BIGINT (see _minhash_value). One groupBy per doc computes all k mins
-    in a single aggregation pass (map-side combinable)."""
-    sh = _doc_shingles(df, id_col, text_col, shingle_n)
-    aggs = [F.min(_minhash_value(i)).alias(f"sig_{i}") for i in range(num_hashes)]
-    return sh.groupBy("id").agg(*aggs)
+    """(id, sig_0..sig_{k-1}): per-doc MinHash signature, each a 31-bit
+    affine permutation of the shingle's base hash (see _base_hash /
+    _sig_aggs). One groupBy per doc computes all k mins in a single
+    aggregation pass (map-side combinable)."""
+    sh = _doc_shingles(df, id_col, text_col, shingle_n).withColumn(
+        "hp", _base_hash(F.col("shingle"))
+    )
+    return sh.groupBy("id").agg(*_sig_aggs(num_hashes))
 
 
 def minhash_lsh_pairs(
@@ -174,11 +204,15 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows = num_hashes // bands
     # reused by signatures, both verify join sides, and sizes: persist
-    sh = _materialized(_doc_shingles(df, id_col, text_col, shingle_n))
-    aggs = [F.min(_minhash_value(i)).alias(f"sig_{i}") for i in range(num_hashes)]
+    # (with the base hash, so md5 runs once per shingle row, ever)
+    sh = _materialized(
+        _doc_shingles(df, id_col, text_col, shingle_n).withColumn(
+            "hp", _base_hash(F.col("shingle"))
+        )
+    )
     # the band self-join reads the signature table from BOTH sides;
     # materializing the O(docs)-row table caps the k-hash agg at one pass
-    sig = _materialized(sh.groupBy("id").agg(*aggs))
+    sig = _materialized(sh.groupBy("id").agg(*_sig_aggs(num_hashes)))
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),

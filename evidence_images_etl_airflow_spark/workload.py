@@ -41,9 +41,11 @@ from evidence_images_etl_airflow_spark.functions.transforms import (
 )
 from evidence_images_etl_airflow_spark.functions.vectors import random_hyperplanes
 from evidence_images_etl_airflow_spark.operators.dedup import (
+    MINHASH_P,
     dedup_exact,
     embedding_near_dups,
     minhash_lsh_pairs,
+    minhash_params,
     ngram_jaccard_pairs,
     simhash64,
 )
@@ -1175,12 +1177,14 @@ def dedup_ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
     rows = num_hashes // bands
-    # 60-bit integer minhash, mirroring dedup._minhash_value: first 15
-    # hex chars of the md5 parsed base-16 (fixed-width hex orders like
-    # its numeric value, so min() agrees across engines)
+    # affine-permutation minhash, mirroring dedup._base_hash/_sig_aggs:
+    # one 31-bit base hash per shingle (first 15 md5 hex chars parsed
+    # base-16, folded mod P), then (a*h + b) mod P per hash family —
+    # identical integer arithmetic in both engines
+    p = MINHASH_P
     sigs = ", ".join(
-        f"min(CAST('0x' || substr(md5('{i}:' || shingle), 1, 15) AS BIGINT)) AS sig_{i}"
-        for i in range(num_hashes)
+        f"min(({a} * hp + {b}) % {p}) AS sig_{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
     )
     band_rows = []
     for b in range(bands):
@@ -1191,7 +1195,10 @@ def _minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
     banded = " UNION ALL ".join(band_rows)
     return f"""
     WITH {_shingle_cte()},
-    sig AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
+    shh AS (SELECT doc_id,
+                   CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {p} AS hp
+            FROM sh),
+    sig AS (SELECT doc_id, {sigs} FROM shh GROUP BY doc_id),
     banded AS ({banded}),
     cands AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
