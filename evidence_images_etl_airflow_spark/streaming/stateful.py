@@ -1,0 +1,114 @@
+"""M6 — custom stateful streaming operator via ``applyInPandasWithState``.
+
+The reference has no streaming at all (its closest construct is a
+polling file sensor, learn/dag_minio_test.py:18-23); native
+``session_window`` covers the built-in windowed case (see workload
+``events_session_window``). This module is the *extension* path the
+engine sanctions for stateful logic Spark's operators can't express:
+arbitrary per-key state machines, written as Arrow-batched pandas
+functions over ``applyInPandasWithState``.
+
+The shipped example is gap-based sessionization as a state machine:
+one open session per user lives in the state store; events extend or
+close it, and the event-time timeout closes idle sessions when the
+watermark passes ``last_event + gap`` — so a session is emitted exactly
+once, whether it is closed by a later event or by silence. This is the
+canonical shape for per-entity trackers at 100 TB scale: state is
+O(active keys), each micro-batch shuffles only its own events by key,
+and the state store handles persistence/recovery.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", StringType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+# one open session per key: (start_us, last_us, n_events)
+_STATE_SCHEMA = "start_us LONG, last_us LONG, n LONG"
+
+
+def _sessionize_fn(gap_us: int):
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user_id = key[0]
+        closed: list[tuple[str, int, int, int]] = []
+
+        if state.hasTimedOut:
+            # watermark passed last_event + gap with no new events:
+            # the open session is over
+            start, last, n = state.get
+            closed.append((user_id, start, last, n))
+            state.remove()
+            yield pd.DataFrame(
+                closed, columns=["user_id", "session_start_us", "session_end_us", "n_events"]
+            )
+            return
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "event_id"])
+
+        cur = state.get if state.exists else None  # (start, last, n)
+        for ts in batch["ts_us"]:
+            ts = int(ts)
+            if cur is None:
+                cur = (ts, ts, 1)
+            elif ts - cur[1] > gap_us:
+                closed.append((user_id, cur[0], cur[1], cur[2]))
+                cur = (ts, ts, 1)
+            else:
+                cur = (cur[0], max(cur[1], ts), cur[2] + 1)
+
+        state.update(cur)
+        # close by silence: when the watermark passes last + gap
+        state.setTimeoutTimestamp((cur[1] + gap_us) // 1000 + 1)
+        yield pd.DataFrame(
+            closed, columns=["user_id", "session_start_us", "session_end_us", "n_events"]
+        )
+
+    return fn
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming gap-sessionization over an events stream carrying
+    ``user_id``, ``event_id``, ``ts_us`` (integer event-time µs) and
+    ``ts_utc`` (timestamp mirror of ts_us, used for the watermark).
+
+    Emits one row per *completed* session (append semantics): a session
+    completes when a later event for the same user arrives more than
+    ``gap_minutes`` after its last event, or when the watermark passes
+    that point with no event at all (event-time timeout). Sessions
+    still open when the query stops stay in the state store and are
+    emitted on a later trigger — exactly-once, resumable semantics.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    return (
+        events.withWatermark("ts_utc", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn(gap_us),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -121,3 +121,69 @@ def test_windowed_counts_batch_streaming_agree(spark, tmp_path):
     streamed = spark.table(name).orderBy("window_start").collect()
     assert [tuple(r) for r in batch] == [tuple(r) for r in streamed]
     assert [r.n_events for r in batch] == [3, 3]
+
+
+def test_sessionize_stateful_state_machine(spark, tmp_path):
+    """M6 custom stateful operator (applyInPandasWithState): sessions
+    close by a later-event gap AND by event-time timeout when the
+    watermark passes last_event + gap; still-open sessions stay in the
+    state store (resumable), emitted exactly once either way."""
+    import uuid
+
+    from evidence_images_etl_airflow_spark.streaming.stateful import sessionize_stateful
+
+    sec = 1_000_000  # µs
+    # offset all event times off epoch 0: the initial watermark is 0,
+    # and stateful operators drop rows at-or-before the watermark
+    t0 = 3600 * sec
+    files = [
+        # file 1: user A session 1 (two events), user B lone event
+        [("A", "e1", t0), ("A", "e2", t0 + 10 * sec), ("B", "e3", t0 + 5 * sec)],
+        # file 2: A's next event 2000s later -> closes A session 1 by gap
+        [("A", "e4", t0 + 2000 * sec)],
+        # file 3: watermark (=2000s after file 2) passes B's 5s+60s
+        # timeout -> B's session closes by silence
+        [("C", "e5", t0 + 4000 * sec)],
+    ]
+    src = f"{tmp_path}/sessions_src"
+    for i, rows in enumerate(files):
+        pdf = [
+            (u, e, ts, dt.datetime.fromtimestamp(ts / sec, dt.timezone.utc).replace(tzinfo=None))
+            for u, e, ts in rows
+        ]
+        spark.createDataFrame(
+            pdf, "user_id string, event_id string, ts_us long, ts_utc timestamp"
+        ).coalesce(1).write.parquet(f"{src}/f{i}")
+        # file source processes oldest-mtime first: pin the order
+        t = dt.datetime(2024, 1, 1 + i).timestamp()
+        for root, _, fs in os.walk(f"{src}/f{i}"):
+            for f in fs:
+                os.utime(os.path.join(root, f), (t, t))
+
+    stream = (
+        spark.readStream.schema("user_id string, event_id string, ts_us long, ts_utc timestamp")
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .parquet(f"{src}/f*")
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_stateful(stream, gap_minutes=1)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.table(name).collect()
+    }
+    assert got == {
+        ("A", t0, t0 + 10 * sec, 2),  # closed by e4's gap
+        ("B", t0 + 5 * sec, t0 + 5 * sec, 1),  # closed by watermark timeout
+        # availableNow runs a final zero-row batch that commits the
+        # advanced watermark (4000s), timing out A's second session too
+        ("A", t0 + 2000 * sec, t0 + 2000 * sec, 1),
+        # C's session (timeout 4060s > final watermark 4000s) stays open
+    }
