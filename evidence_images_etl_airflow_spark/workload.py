@@ -49,7 +49,9 @@ from evidence_images_etl_airflow_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash64,
 )
+from evidence_images_etl_airflow_spark.operators.asof import asof_join_backward
 from evidence_images_etl_airflow_spark.operators.filters import non_empty_rows
+from evidence_images_etl_airflow_spark.operators.range_join import range_join
 from evidence_images_etl_airflow_spark.operators.multimodal import (
     attach_binary,
     decode_image_metadata,
@@ -965,6 +967,74 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.sum(F.col("k").try_cast("bigint")).alias("sum_k"),
         F.countDistinct("k").alias("distinct_k"),
+    )
+
+
+@register(
+    "asof_join_last_view",
+    oracle="""
+    WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+               FROM events WHERE event_type = 'error'),
+         r AS (SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS view_value
+               FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+    SELECT l.user_id, l.event_id, l.ts_us, l.value, r.view_value
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND r.ts_us <= l.ts_us
+    """,
+    headline=True,
+)
+def asof_join_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): attach to every error event the
+    value of the same user's latest view at-or-before it — DuckDB's
+    ASOF LEFT JOIN as the oracle. Right side pre-aggregated per
+    (user, ts) so the survivor at equal timestamps is deterministic.
+    One shuffle on user_id, no row explosion (union+window plan)."""
+    e = _events(spark, sf_dir)
+    left = e.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts_us", "value"
+    )
+    right = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("view_value"))
+    )
+    return asof_join_backward(
+        left, right, keys=["user_id"], left_ts="ts_us", right_ts="ts_us",
+        payload=["view_value"],
+    ).select("user_id", "event_id", "ts_us", "value", "view_value")
+
+
+@register(
+    "range_join_error_context",
+    oracle="""
+    WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+               FROM events WHERE event_type = 'error'),
+         r AS (SELECT user_id, epoch_us(ts) AS ts_us, value
+               FROM events WHERE event_type = 'click')
+    SELECT l.event_id, l.user_id, count(*) AS n_nearby,
+           CAST(sum(CAST(r.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_nearby_value
+    FROM l JOIN r
+      ON l.user_id = r.user_id
+     AND r.ts_us BETWEEN l.ts_us - 600000000 AND l.ts_us + 600000000
+    GROUP BY 1, 2
+    """,
+)
+def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join (operators/range_join.py): clicks within +/-10 min of
+    each error by the same user, aggregated per error. The bucketed
+    rewrite keeps this an equi-join (no BroadcastNestedLoopJoin);
+    exact money-style sums via decimal for cross-engine hashing."""
+    e = _events(spark, sf_dir)
+    left = e.filter(F.col("event_type") == "error").select("user_id", "event_id", "ts_us")
+    right = e.filter(F.col("event_type") == "click").select("user_id", "ts_us", "value")
+    ten_min_us = 600_000_000
+    joined = range_join(
+        left, right, keys=["user_id"], left_ts="ts_us", right_ts="ts_us",
+        lower=ten_min_us, upper=ten_min_us,
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("*").alias("n_nearby"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_nearby_value"),
     )
 
 
