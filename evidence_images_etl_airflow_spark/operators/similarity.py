@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (SURVEY.md §7 M7).
 
-Two tiers, mirroring how ANN systems scale:
+Three tiers, mirroring how ANN systems scale:
 - ``brute_force_topk``: exact cosine top-k — the correctness baseline.
   The query side is tiny and broadcast, so the corpus is scanned once
   with no shuffle of the corpus itself; per-query top-k is a window
@@ -9,6 +9,12 @@ Two tiers, mirroring how ANN systems scale:
   vectors in their hyperplane bucket. At 100 TB the bucket join
   replaces the full scan-per-query with an equality shuffle on the
   bucket key; recall is tunable via the number of planes.
+- ``ivf_topk``: inverted-file search — the corpus is partitioned into
+  cells by nearest centroid; queries probe only their ``nprobe``
+  closest cells. The cell assignment is the one full corpus pass (in
+  production, materialize it partitioned by cell id so search never
+  rescans); per-query cost then follows cell sizes, and recall is the
+  nprobe dial.
 
 Scores fold in double precision (functions.vectors) and are rounded to
 6dp *before* ranking so the top-k cut is reproducible across engines.
@@ -43,6 +49,91 @@ def brute_force_topk(
     )
     scored = (
         c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cid",
+) -> DataFrame:
+    """(id, vec, cell): each corpus vector assigned to its nearest
+    centroid by cosine (ties -> smallest centroid id). Centroids are
+    assumed tiny (hundreds..thousands) and broadcast; the corpus is
+    touched exactly once, with no corpus-side shuffle until the
+    per-vector argmax window on the corpus id."""
+    cent = F.broadcast(
+        centroids.select(F.col(centroid_id_col).alias("cell"), F.col(vec_col).alias("centv"))
+    )
+    scored = corpus.crossJoin(cent).select(
+        id_col,
+        vec_col,
+        "cell",
+        F.round(cosine(F.col(vec_col), F.col("centv")), 6).alias("__cs"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__cs").desc(), F.col("cell"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__cs")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cid",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: search only the query's ``nprobe``
+    nearest cells. Same output shape as brute_force_topk; recall is
+    bounded by whether true neighbors share a probed cell.
+
+    ``centroids`` is the trained codebook (any deterministic source —
+    offline k-means, or a seeded sample); passing it in keeps the
+    operator itself fully deterministic and engine-reproducible."""
+    cells = assign_cells(corpus, centroids, id_col, vec_col, centroid_id_col)
+    cent = F.broadcast(
+        centroids.select(F.col(centroid_id_col).alias("cell"), F.col(vec_col).alias("centv"))
+    )
+    qscored = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).crossJoin(cent).select(
+        "query_id",
+        "qvec",
+        "cell",
+        F.round(cosine(F.col("qvec"), F.col("centv")), 6).alias("__cs"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("__cs").desc(), F.col("cell"))
+    probed = (
+        qscored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "qvec", "cell")
+    )
+    scored = (
+        cells.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "cell"
+        )
+        .join(F.broadcast(probed), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",

@@ -59,6 +59,7 @@ from evidence_images_etl_airflow_spark.operators.multimodal import (
 from evidence_images_etl_airflow_spark.operators.projection import filter_columns
 from evidence_images_etl_airflow_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_topk,
 )
 from evidence_images_etl_airflow_spark.operators.union import concat_dfs
@@ -1587,6 +1588,49 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return lsh_topk(emb, queries, _ANN_PLANES, "vec_id", "embedding", k=3)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 16),
+    assign AS (
+      SELECT c.vec_id, c.embedding, cent.cell,
+             row_number() OVER (PARTITION BY c.vec_id
+                                ORDER BY round({_cos_sql('c', 'cent')}, 6) DESC, cent.cell) AS rn
+      FROM embeddings c CROSS JOIN cent),
+    cells AS (SELECT vec_id, embedding, cell FROM assign WHERE rn = 1),
+    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    qprobe AS (
+      SELECT q.vec_id AS query_id, q.embedding, cent.cell,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY round({_cos_sql('q', 'cent')}, 6) DESC, cent.cell) AS prn
+      FROM q CROSS JOIN cent),
+    p AS (SELECT query_id, embedding, cell FROM qprobe WHERE prn <= 2)
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+           round({_cos_sql('p', 'c')}, 6) AS cos_sim,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY round({_cos_sql('p', 'c')}, 6) DESC, c.vec_id) AS rank
+    FROM cells c JOIN p ON c.cell = p.cell
+    WHERE c.vec_id <> p.query_id
+    QUALIFY rank <= 3
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-3: corpus partitioned into 16 cells by
+    nearest centroid (deterministic codebook: the 16 lowest-id
+    vectors, standing in for an offline-trained k-means), queries
+    probe their 2 closest cells. The scale path where even one full
+    scan per query batch is unaffordable: search cost follows probed
+    cell sizes only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(
+        emb, queries, centroids, "vec_id", "embedding", "cid", k=3, nprobe=2
+    )
 
 
 @register(

@@ -145,6 +145,41 @@ def test_lsh_topk_subset_of_bucket(vectors):
         assert sigs[r.neighbor_id] == sigs[0]
 
 
+def test_ivf_topk_cells_and_probes(spark, vectors):
+    from evidence_images_etl_airflow_spark.operators.similarity import (
+        assign_cells,
+        ivf_topk,
+    )
+
+    # codebook: vec 0 (x-axis) and vec 2 (y-axis)
+    cents = vectors.filter("vec_id in (0, 2)").select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    cells = {r.vec_id: r.cell for r in assign_cells(vectors, cents).collect()}
+    # 1 hugs the x axis; 3 = -x scores cos -1 vs 0 on x but 0 vs y ->
+    # cell 2; 4 ties at 45 degrees -> smallest cid wins
+    assert cells == {0: 0, 1: 0, 2: 2, 3: 2, 4: 0}
+
+    # nprobe=2 probes every cell here -> IVF degenerates to exact
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in brute_force_topk(vectors, vectors.filter("vec_id = 0"), k=2).collect()
+    }
+    ivf = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk(
+            vectors, vectors.filter("vec_id = 0"), cents, k=2, nprobe=2
+        ).collect()
+    }
+    assert ivf == exact
+
+    # nprobe=1 searches only the query's own cell: cell 2 = {2, 3}, so
+    # the true nearest (4, at 45 degrees, in cell 0) is missed — the
+    # recall trade IVF makes
+    got = ivf_topk(vectors, vectors.filter("vec_id = 2"), cents, k=5, nprobe=1)
+    assert {r.neighbor_id for r in got.collect()} == {3}
+
+
 def test_multimodal_decode_schema_and_determinism(docs):
     out = decode_image_metadata(attach_binary(docs, "text", "payload"), "doc_id", "payload")
     assert [f.name for f in out.schema.fields] == ["doc_id", "n_bytes", "width", "height", "format"]
