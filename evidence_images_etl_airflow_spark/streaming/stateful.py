@@ -25,29 +25,37 @@ from typing import Any, Iterator, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
-SESSION_SCHEMA = StructType(
-    [
-        StructField("user_id", StringType()),
-        StructField("session_start_us", LongType()),
-        StructField("session_end_us", LongType()),
-        StructField("n_events", LongType()),
-    ]
-)
+
+def _session_schema(events: DataFrame, key_col: str) -> StructType:
+    """Output schema with the key column's type copied from the input
+    (user ids are strings in the reference fixtures, bigints in the
+    events test table — the operator shouldn't care)."""
+    key_field = events.schema[key_col]
+    return StructType(
+        [
+            StructField(key_col, key_field.dataType),
+            StructField("session_start_us", LongType()),
+            StructField("session_end_us", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
 
 # one open session per key: (start_us, last_us, n_events)
 _STATE_SCHEMA = "start_us LONG, last_us LONG, n LONG"
 
 
-def _sessionize_fn(gap_us: int):
+def _sessionize_fn(gap_us: int, key_col: str):
+    cols = [key_col, "session_start_us", "session_end_us", "n_events"]
+
     def fn(
         key: Tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         user_id = key[0]
-        closed: list[tuple[str, int, int, int]] = []
+        closed: list[tuple[Any, int, int, int]] = []
 
         if state.hasTimedOut:
             # watermark passed last_event + gap with no new events:
@@ -55,9 +63,7 @@ def _sessionize_fn(gap_us: int):
             start, last, n = state.get
             closed.append((user_id, start, last, n))
             state.remove()
-            yield pd.DataFrame(
-                closed, columns=["user_id", "session_start_us", "session_end_us", "n_events"]
-            )
+            yield pd.DataFrame(closed, columns=cols)
             return
 
         batch = pd.concat(list(pdfs), ignore_index=True)
@@ -77,9 +83,7 @@ def _sessionize_fn(gap_us: int):
         state.update(cur)
         # close by silence: when the watermark passes last + gap
         state.setTimeoutTimestamp((cur[1] + gap_us) // 1000 + 1)
-        yield pd.DataFrame(
-            closed, columns=["user_id", "session_start_us", "session_end_us", "n_events"]
-        )
+        yield pd.DataFrame(closed, columns=cols)
 
     return fn
 
@@ -88,6 +92,7 @@ def sessionize_stateful(
     events: DataFrame,
     gap_minutes: int = 30,
     watermark_delay: str = "0 seconds",
+    key_col: str = "user_id",
 ) -> DataFrame:
     """Streaming gap-sessionization over an events stream carrying
     ``user_id``, ``event_id``, ``ts_us`` (integer event-time µs) and
@@ -103,10 +108,10 @@ def sessionize_stateful(
     gap_us = gap_minutes * 60 * 1_000_000
     return (
         events.withWatermark("ts_utc", watermark_delay)
-        .groupBy("user_id")
+        .groupBy(key_col)
         .applyInPandasWithState(
-            _sessionize_fn(gap_us),
-            outputStructType=SESSION_SCHEMA,
+            _sessionize_fn(gap_us, key_col),
+            outputStructType=_session_schema(events, key_col),
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,

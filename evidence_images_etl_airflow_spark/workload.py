@@ -1214,6 +1214,72 @@ def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_stateful_sessions",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, epoch_us(ts) AS te,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, event_id, te,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY te, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM gaps),
+    agg AS (
+      SELECT user_id, sid,
+             min(te) AS session_start_us, max(te) AS session_end_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, sid),
+    marked AS (
+      SELECT *, max(session_end_us) OVER (PARTITION BY user_id) AS last_end
+      FROM agg),
+    wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events)
+    SELECT user_id, session_start_us, session_end_us, n_events
+    FROM marked, wm
+    WHERE session_end_us < last_end
+       OR (session_end_us + 1800000000) // 1000 + 1 < wm_ms
+    """,
+)
+def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 custom stateful operator, driven for real: the
+    applyInPandasWithState gap-sessionizer (streaming/stateful.py) over
+    a streaming read of the events table, availableNow. Emitted rows =
+    sessions closed by a later event (all but each user's last) plus
+    last sessions whose event-time timeout (last + 30 min, in ms) the
+    final committed watermark (max event time) has passed — which is
+    exactly what the oracle SQL computes from the batch sessionization
+    plus the watermark predicate. Proves the streaming state machine
+    agrees with the declarative batch formulation."""
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from evidence_images_etl_airflow_spark.streaming.stateful import sessionize_stateful
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parque*")
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in schema.fields)["ts"]
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) read as long nanos
+        stream = stream.withColumn("ts_us", F.expr("ts div 1000"))
+    else:
+        stream = stream.withColumn("ts_us", F.unix_micros(F.col("ts")))
+    stream = stream.withColumn("ts_utc", F.timestamp_micros(F.col("ts_us")))
+    name = f"stateful_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_stateful(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
     "streaming_windowed_counts",
     oracle="""
     SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,
