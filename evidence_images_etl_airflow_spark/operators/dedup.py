@@ -264,6 +264,57 @@ def minhash_lsh_pairs(
     )
 
 
+# --- duplicate clusters (connected components) -------------------------------
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component): connected components over an undirected pair
+    list — the final step of every near-dup pipeline, turning pairwise
+    matches into duplicate *clusters* keyed by the smallest member id
+    (the canonical survivor).
+
+    Iterative min-label propagation: each round, every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds (near-dup clusters are shallow — a
+    handful of rounds in practice). Each round is two shuffles (join +
+    groupBy), all JVM-side; ``localCheckpoint`` truncates the plan so
+    lineage doesn't grow with iterations. For graphs with huge
+    components at 100 TB scale, swap the propagation loop for the
+    large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — same interface, fewer
+    rounds; the label-propagation form is the right default for the
+    shallow clusters dedup produces.
+    """
+    e = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "lbl"
+        )
+        new_labels = (
+            labels.unionByName(msgs).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", F.col("lbl").alias("component"))
+
+
 # --- SimHash -----------------------------------------------------------------
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash): 64-bit SimHash of the token set as a 64-char

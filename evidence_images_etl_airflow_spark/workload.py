@@ -42,6 +42,7 @@ from evidence_images_etl_airflow_spark.functions.transforms import (
 from evidence_images_etl_airflow_spark.functions.vectors import random_hyperplanes
 from evidence_images_etl_airflow_spark.operators.dedup import (
     MINHASH_P,
+    connected_components,
     dedup_exact,
     embedding_near_dups,
     minhash_lsh_pairs,
@@ -1538,6 +1539,44 @@ def dedup_minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         d, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3, verify_threshold=0.5
+    )
+
+
+def _cc_oracle() -> str:
+    """Duplicate clusters = connected components over the verified
+    MinHash pair list, labels = min reachable doc_id. The recursive CTE
+    computes full reachability (finite: distinct (node, lbl) pairs),
+    then min per node — the declarative mirror of the engine's
+    label-propagation loop."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+      SELECT node, node AS lbl FROM nodes
+      UNION
+      SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON r.node = e.src)
+    SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """
+
+
+@register("dedup_minhash_clusters", oracle=_cc_oracle())
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> clusters: connected components (operators/dedup.py
+    label propagation) over the verified MinHash+LSH pair list, each
+    doc labeled with its cluster's smallest doc_id. This is the step
+    that makes dedup actionable — keep component representative, drop
+    the rest."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3, verify_threshold=0.5
+    )
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
     )
 
 

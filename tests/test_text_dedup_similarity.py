@@ -19,6 +19,7 @@ from evidence_images_etl_airflow_spark.functions.vectors import (
     random_hyperplanes,
 )
 from evidence_images_etl_airflow_spark.operators.dedup import (
+    connected_components,
     dedup_exact,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -201,3 +202,15 @@ def test_sample_frames_strides(docs):
     n = len("the quick brown fox jumps over the lazy dog")
     assert [r.frame_offset for r in rows] == list(range(0, n, 16))
     assert all(1 <= len(r.frame_bytes) <= 8 for r in rows)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 5-node path (needs multiple propagation rounds), a 2-node
+    island, and a node pair order that exercises the symmetric edge
+    expansion."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9), (7, 9)],
+        "id_a long, id_b long",
+    )
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 7: 7, 8: 7, 9: 7}
