@@ -1129,6 +1129,75 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_rollup_cascade",
+    oracle="""
+    WITH minute AS (
+      SELECT (epoch_us(ts) // 60000000) * 60 AS bucket, event_type,
+             count(*) AS n_events,
+             sum(CAST(value AS DECIMAL(18,2))) AS total_value
+      FROM events GROUP BY 1, 2),
+    hour AS (
+      SELECT (bucket // 3600) * 3600 AS bucket, event_type,
+             CAST(sum(n_events) AS BIGINT) AS n_events, sum(total_value) AS total_value
+      FROM minute GROUP BY 1, 2),
+    day AS (
+      SELECT (bucket // 86400) * 86400 AS bucket, event_type,
+             CAST(sum(n_events) AS BIGINT) AS n_events, sum(total_value) AS total_value
+      FROM hour GROUP BY 1, 2)
+    SELECT 'minute' AS level, bucket, event_type,
+           CAST(n_events AS BIGINT) AS n_events, CAST(total_value AS DOUBLE) AS total_value
+    FROM minute
+    UNION ALL
+    SELECT 'hour', bucket, event_type, n_events, CAST(total_value AS DOUBLE) FROM hour
+    UNION ALL
+    SELECT 'day', bucket, event_type, n_events, CAST(total_value AS DOUBLE) FROM day
+    """,
+)
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: aggregate raw events
+    once at minute grain, then derive hour from minute and day from
+    hour by re-aggregating the *previous level* — the cascade pattern
+    that makes continuous aggregates affordable at 100 TB (each coarser
+    level reads the much smaller finer rollup, never the raw table;
+    count/sum re-aggregate losslessly). One raw-data pass total."""
+    e = _events(spark, sf_dir)
+    minute = (
+        e.groupBy(
+            ((F.col("ts_us") / 60_000_000).cast("long") * 60).alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value")).alias("total_value"),
+        )
+        .persist()  # hour and day both re-read this tiny rollup
+    )
+
+    def _coarsen(df: DataFrame, seconds: int) -> DataFrame:
+        return df.groupBy(
+            ((F.col("bucket") / seconds).cast("long") * seconds).alias("bucket"),
+            "event_type",
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value").alias("total_value"),
+        )
+
+    hour = _coarsen(minute, 3600).persist()
+    day = _coarsen(hour, 86400)
+
+    def _out(df: DataFrame, level: str) -> DataFrame:
+        return df.select(
+            F.lit(level).alias("level"),
+            "bucket",
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("total_value").cast("double").alias("total_value"),
+        )
+
+    return _out(minute, "minute").unionAll(_out(hour, "hour")).unionAll(_out(day, "day"))
+
+
+@register(
     "events_json_extract",
     oracle="""
     SELECT event_type,
