@@ -22,3 +22,40 @@ def spread(df: DataFrame, key: str | Column | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, key) if key is not None else df.repartition(target)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str | Column,
+    fractions: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic dataset split for training pipelines: adds a
+    ``split`` column ('train'/'val'/...) assigned by md5(salt || id)
+    mod 10000 against cumulative fraction buckets. Unlike
+    ``randomSplit``, membership is a pure function of the id — stable
+    across runs, partitionings, cluster sizes, and engines (the DuckDB
+    oracle reproduces it exactly), and new rows never reshuffle old
+    ones between splits. No shuffle: a row-local expression."""
+    from pyspark.sql import functions as F
+
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    # first 15 md5 hex chars fit a signed 64-bit int in every engine
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.lit(":"), c.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    expr = None
+    cum = 0.0
+    for name, frac in fractions.items():
+        cum += frac
+        hi = int(round(cum * 10000))
+        cond = bucket < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr.otherwise(list(fractions)[-1]))

@@ -39,6 +39,7 @@ from evidence_images_etl_airflow_spark.functions.transforms import (
     session_length_seconds,
     split_names,
 )
+from evidence_images_etl_airflow_spark.functions.partitioning import hash_split
 from evidence_images_etl_airflow_spark.functions.vectors import random_hyperplanes
 from evidence_images_etl_airflow_spark.operators.dedup import (
     MINHASH_P,
@@ -1631,6 +1632,29 @@ def _cc_oracle() -> str:
     SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS component
     FROM reach GROUP BY node
     """
+
+
+@register(
+    "data_hash_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS b
+          FROM documents)
+    """,
+)
+def data_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by id hash
+    (functions/partitioning.hash_split): stable across runs, engines,
+    and data growth — the property randomSplit lacks. Pure row-local
+    expression, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return hash_split(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
 
 
 @register("dedup_minhash_clusters", oracle=_cc_oracle())

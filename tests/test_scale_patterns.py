@@ -97,3 +97,27 @@ def test_key_skew_profile_ranks_hot_keys(spark):
     prof = key_skew_profile(df, ["k"], top=2).collect()
     assert [r.k for r in prof] == [1, 2]
     assert prof[0].n_rows == 70 and abs(prof[0].share - 0.7) < 1e-9
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from evidence_images_etl_airflow_spark.functions.partitioning import hash_split
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in hash_split(df, "doc_id", fr).collect()}
+    # repartitioning must not change membership (randomSplit fails this)
+    b = {r.doc_id: r.split for r in hash_split(df.repartition(13), "doc_id", fr).collect()}
+    assert a == b
+    # growing the dataset never reassigns existing rows
+    grown = hash_split(spark.range(0, 8000).withColumnRenamed("id", "doc_id"), "doc_id", fr)
+    c = {r.doc_id: r.split for r in grown.collect()}
+    assert all(c[k] == v for k, v in a.items())
+    # proportions close to requested
+    from collections import Counter
+    n = Counter(a.values())
+    assert abs(n["train"] / 5000 - 0.8) < 0.03
+    assert abs(n["val"] / 5000 - 0.1) < 0.02
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hash_split(df, "doc_id", {"train": 0.5, "val": 0.1})
