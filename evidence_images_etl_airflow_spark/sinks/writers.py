@@ -137,3 +137,62 @@ def merge_into_parquet(
     merged.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(path)
     shutil.move(tmp, path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Partition-pruned layout on the write side (the mirror of the
+    reference's dated blob layout, learn/az_blob_storage.py:30): Hive
+    ``partitionBy`` directories readers prune by path.
+
+    The ``repartition(partition_cols)`` before the write is the part
+    that matters at scale: without it, every one of the W writing tasks
+    can hold rows for every one of P partitions -> W*P small files (at
+    1000 executors x 1000 date-partitions, a million files per batch).
+    Shuffling by the partition columns first makes each partition
+    directory the output of as few tasks as possible;
+    ``maxRecordsPerFile`` then caps file size from the other side."""
+    out = df.repartition(*[F.col(c) for c in partition_cols])
+    w = out.write.mode(mode).partitionBy(*partition_cols)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files and atomically swap
+    it in; returns the new file count. Streaming sinks and frequent
+    small appends accrete tiny files whose per-file open/footer cost
+    eventually dominates scans — periodic compaction (OPTIMIZE in table
+    formats) restores ~HDFS-block-sized files. Uses the Hadoop
+    FileSystem API, so it works on any supported storage, not just
+    local paths."""
+    import math
+
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    total = 0
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            total += f.getLen()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = f"{path.rstrip('/')}__compact"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    fs.delete(hpath, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
+    return n_files

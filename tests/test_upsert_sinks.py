@@ -98,3 +98,38 @@ def test_merge_into_parquet(spark, tmp_path):
     merge_into_parquet(spark, t2, path, ["dt", "dag_id"])
     out = {(r.dt, r.dag_id): r.runs for r in spark.read.parquet(path).collect()}
     assert out == {(dt.date(2023, 1, 1), "d"): 5, (dt.date(2023, 1, 2), "d"): 1}
+
+
+def test_write_partitioned_layout_prunes(spark, tmp_path):
+    from evidence_images_etl_airflow_spark.sinks.writers import write_partitioned
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 4).alias("bucket")
+    )
+    path = f"{tmp_path}/part_tbl"
+    write_partitioned(df, path, ["bucket"])
+    import os
+
+    dirs = {d for d in os.listdir(path) if d.startswith("bucket=")}
+    assert dirs == {"bucket=0", "bucket=1", "bucket=2", "bucket=3"}
+    # a partition filter reads one directory (partition pruning)
+    got = spark.read.parquet(path).filter("bucket = 2")
+    assert got.count() == 250
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan
+
+
+def test_compact_parquet_reduces_files_keeps_data(spark, tmp_path):
+    import os
+
+    from evidence_images_etl_airflow_spark.sinks.writers import compact_parquet
+
+    path = f"{tmp_path}/frag"
+    spark.range(0, 10_000).repartition(40).write.parquet(path)
+    before = sum(f.endswith(".parquet") for f in os.listdir(path))
+    assert before == 40
+    compact_parquet(spark, path, target_file_bytes=10**9)
+    after = sum(f.endswith(".parquet") for f in os.listdir(path))
+    assert after == 1
+    assert spark.read.parquet(path).count() == 10_000
+    assert spark.read.parquet(path).agg(F.sum("id")).first()[0] == 49995000
