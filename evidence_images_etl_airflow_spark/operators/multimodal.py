@@ -116,3 +116,45 @@ def sample_frames(
             F.substring(F.col("payload"), F.col("frame_offset") + 1, 8).alias("frame_bytes"),
         )
     )
+
+
+RESIZE_SCHEMA = "doc_id long, width int, height int, payload binary"
+
+
+def deterministic_fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Stand-in for a raster resize: returns exactly width*height bytes
+    (truncate or zero-pad). Replace with a real codec; the signature —
+    bytes in, target dims, bytes out — is the contract."""
+    target = width * height
+    return payload[:target].ljust(target, b"\x00")
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    resize_fn: Callable[[bytes, int, int], bytes] = deterministic_fake_resize,
+) -> DataFrame:
+    """Resize plumbing via ``mapInPandas``: binary in, binary out, fixed
+    target dims in the output schema. Binary-to-binary is the shape
+    that matters — the resized payload column feeds straight into a
+    writer or the decode/feature steps, staying Arrow-batched end to
+    end with no driver round-trip. A GPU/vectorized resizer replaces
+    the per-row loop inside the batch without touching the plan."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "payload": [
+                        resize_fn(bytes(p), width, height) for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(resize_batches, RESIZE_SCHEMA)

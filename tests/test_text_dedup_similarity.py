@@ -214,3 +214,20 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r.node: r.component for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 7: 7, 8: 7, 9: 7}
+
+
+def test_resize_images_plumbing(docs):
+    from evidence_images_etl_airflow_spark.operators.multimodal import (
+        attach_binary,
+        resize_images,
+    )
+
+    out = resize_images(attach_binary(docs, "text", "payload"), width=8, height=4)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 6}
+    for r in rows.values():
+        assert (r.width, r.height) == (8, 4)
+        assert len(r.payload) == 32  # exactly width*height bytes
+    # short payload zero-padded, long payload truncated
+    assert bytes(rows[5].payload).startswith(b"ab\x00")
+    assert bytes(rows[1].payload) == b"the quick brown fox jumps over t"
