@@ -684,6 +684,102 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q10_returned_revenue",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS acctbal, n_name,
+           row_number() OVER (ORDER BY round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) DESC, c_custkey) AS rank
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, CAST(c_acctbal AS DOUBLE), n_name
+    QUALIFY rank <= 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most (one quarter, flag 'R'),
+    top 20. Both filters cut the fact tables before the fact-fact
+    shuffle; nation broadcasts; the top-k rank is WindowGroupLimit-
+    guarded. Revenue rounded before ranking, c_custkey tie-break."""
+    one = F.lit(1).cast("decimal(18,2)")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    agg = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            "n_name",
+        )
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).cast("double"),
+                6,
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("c_custkey", "c_name", "revenue", "acctbal", "n_name", "rank")
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+    WITH pos AS (SELECT CAST(count(*) AS DECIMAL(18,0)) AS cnt,
+                        sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total
+                 FROM customer WHERE c_acctbal > 0)
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, pos
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt > total
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balance and no
+    early (pre-1995H2) orders, per nation. The above-average predicate
+    is cross-multiplied (bal * count > sum, all decimal) so the
+    threshold is exact in both engines — no fp-average drift. The
+    no-orders test is a left-anti join whose right side is date-pruned
+    at the scan; the 1-row aggregate broadcasts."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-07-01")
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.count("*").cast("decimal(18,0)").alias("cnt"),
+        F.sum(_dec("c_acctbal")).alias("total"),
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(_dec("c_acctbal") * F.col("cnt") > F.col("total"))
+        .join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+@register(
     "setops_intersect_except",
     oracle="""
     SELECT 'both' AS tag, c_custkey FROM (
