@@ -684,6 +684,30 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+           round(quantile_cont(l_discount, 0.5), 6) AS median_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``: both linear interpolation over the sorted
+    group). Exact percentile needs the group's values together — the
+    scale path is ``approx_percentile`` (t-digest, map-side mergeable;
+    see agg_approx_distinct for the analogous HLL trade)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
+        F.round(F.percentile("l_discount", F.lit(0.5)), 6).alias("median_disc"),
+    )
+
+
+@register(
     "q10_returned_revenue",
     oracle="""
     SELECT c_custkey, c_name,
