@@ -67,3 +67,42 @@ def windowed_counts(
             "total_value",
         )
     )
+
+
+def upsert_stream_available_now(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    target_path: str,
+    keys: list[str],
+    checkpoint_path: str,
+    transform=None,
+    fmt: str = "parquet",
+) -> None:
+    """Streaming analog of the reference's K1 idempotent load
+    (evidence_images_processing.py:169-171, ON CONFLICT DO NOTHING):
+    each micro-batch lands through the conflict-skip upsert writer via
+    ``foreachBatch``. The file-source checkpoint makes delivery
+    at-least-once across restarts; the keyed anti-join makes the sink
+    idempotent, so the composition is effectively-once even when a
+    failed batch is retried after partially committing — the same
+    end-to-end guarantee the reference gets from its PK, without a
+    transactional store."""
+    from evidence_images_etl_airflow_spark.sinks.writers import (
+        idempotent_append_parquet,
+    )
+
+    stream = spark.readStream.format(fmt).schema(schema).load(source_path)
+    if transform is not None:
+        stream = transform(stream)
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        idempotent_append_parquet(batch_df.sparkSession, batch_df, target_path, keys)
+
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

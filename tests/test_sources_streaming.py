@@ -263,3 +263,29 @@ def test_sessionize_stateful_survives_restart(spark, tmp_path):
             ("A", t0 + 2000 * sec, t0 + 2000 * sec, 1),  # crossed the restart
         ]
     )  # list-compare: a duplicate emission would fail here
+
+
+def test_upsert_stream_idempotent_across_overlap(spark, tmp_path):
+    """foreachBatch + conflict-skip upsert: overlapping deliveries of
+    the same keyed rows (the at-least-once failure mode) land exactly
+    once in the target."""
+    from evidence_images_etl_airflow_spark.streaming.file_stream import (
+        upsert_stream_available_now,
+    )
+
+    schema = "k long, v string"
+    src = f"{tmp_path}/up_src"
+    tgt = f"{tmp_path}/up_tgt"
+
+    spark.createDataFrame([(1, "a"), (2, "b")], schema).write.parquet(f"{src}/f0")
+    upsert_stream_available_now(
+        spark, f"{src}/f*", schema, tgt, ["k"], f"{tmp_path}/up_ckpt"
+    )
+    # second delivery overlaps key 2 (redelivery) and adds key 3; a
+    # fresh checkpoint simulates a retried producer re-sending f1's data
+    spark.createDataFrame([(2, "b"), (3, "c")], schema).write.parquet(f"{src}/f1")
+    upsert_stream_available_now(
+        spark, f"{src}/f*", schema, tgt, ["k"], f"{tmp_path}/up_ckpt2"
+    )
+    got = sorted((r.k, r.v) for r in spark.read.parquet(tgt).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]  # no dup for keys 1/2
