@@ -345,6 +345,64 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select("id", F.concat(*bits).alias("simhash"))
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b, hamming <= max_hamming) over 64-bit
+    SimHashes, blocked by the pigeonhole trick: split the signature
+    into ``blocks`` equal bit-blocks — any pair within Hamming distance
+    blocks-1 agrees exactly on at least one block — and self-join on
+    (block index, block value). Candidate generation shuffles short
+    block keys only; the exact Hamming count (64 codegen'd char
+    compares, no UDF) runs per candidate, never per pair of docs.
+    Requires ``max_hamming < blocks`` for lossless candidate recall."""
+    assert max_hamming < blocks, "pigeonhole needs max_hamming < blocks"
+    assert 64 % blocks == 0
+    blen = 64 // blocks
+    sig = _materialized(simhash64(df, id_col, text_col))
+    block_cols = [
+        F.struct(
+            F.lit(b).alias("blk"),
+            F.substring("simhash", b * blen + 1, blen).alias("bv"),
+        )
+        for b in range(blocks)
+    ]
+    blk = sig.select(
+        "id", "simhash", F.explode(F.array(*block_cols)).alias("b")
+    ).select("id", "simhash", F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv"))
+    a, b = blk.alias("a"), blk.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = sum(
+        F.when(
+            F.substring("sh_a", i + 1, 1) != F.substring("sh_b", i + 1, 1), 1
+        ).otherwise(0)
+        for i in range(64)
+    )
+    return (
+        cands.withColumn("hamming", hamming.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Docs sharing an identical 64-bit SimHash (near-dup up to SimHash
     resolution): groups with >1 member, listing member ids sorted."""

@@ -50,6 +50,7 @@ from evidence_images_etl_airflow_spark.operators.dedup import (
     minhash_params,
     ngram_jaccard_pairs,
     simhash64,
+    simhash_near_pairs,
 )
 from evidence_images_etl_airflow_spark.operators.asof import asof_join_backward
 from evidence_images_etl_airflow_spark.operators.filters import non_empty_rows
@@ -1911,6 +1912,41 @@ def _simhash_oracle() -> str:
     SELECT doc_id, {concat} AS simhash
     FROM tok GROUP BY doc_id
     """
+
+
+def _simhash_near_oracle(max_hamming: int = 3, blocks: int = 4) -> str:
+    blen = 64 // blocks
+    base = _simhash_oracle().strip()
+    block_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS blk, substr(simhash, {b * blen + 1}, {blen}) AS bv FROM sig"
+        for b in range(blocks)
+    )
+    ham = " + ".join(
+        f"CASE WHEN substr(sh_a, {i + 1}, 1) <> substr(sh_b, {i + 1}, 1) THEN 1 ELSE 0 END"
+        for i in range(64)
+    )
+    return f"""
+    WITH sig AS ({base}),
+    blocks AS ({block_rows}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sh_a,
+                      b.doc_id AS id_b, b.simhash AS sh_b
+      FROM blocks a JOIN blocks b
+        ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST({ham} AS BIGINT) AS hamming
+    FROM cands
+    WHERE {ham} <= {max_hamming}
+    """
+
+
+@register("dedup_simhash_near", oracle=_simhash_near_oracle())
+def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3, candidates
+    from the 4-block pigeonhole join (operators/dedup.simhash_near_pairs)
+    — the standard web-scale SimHash dedup, not just identical-hash
+    grouping."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, "doc_id", "text", max_hamming=3, blocks=4)
 
 
 @register("dedup_simhash", oracle=_simhash_oracle())

@@ -24,6 +24,7 @@ from evidence_images_etl_airflow_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash64,
+    simhash_near_pairs,
 )
 from evidence_images_etl_airflow_spark.operators.multimodal import (
     attach_binary,
@@ -231,3 +232,24 @@ def test_resize_images_plumbing(docs):
     # short payload zero-padded, long payload truncated
     assert bytes(rows[5].payload).startswith(b"ab\x00")
     assert bytes(rows[1].payload) == b"the quick brown fox jumps over t"
+
+
+def test_simhash_near_pairs_within_hamming(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    # exact dups / whitespace variants: identical signatures, distance 0
+    assert pairs[(1, 3)] == 0 and pairs[(1, 6)] == 0 and pairs[(3, 6)] == 0
+    assert all(h <= 3 for h in pairs.values())
+    # candidates came only from block agreement, so every reported pair
+    # must also be reachable brute-force: cross-check against full
+    # signatures (pigeonhole guarantees no pair <= 3 is missed)
+    sh = {r.id: r.simhash for r in simhash64(docs, "doc_id", "text").collect()}
+    brute = {
+        (a, b)
+        for a in sh
+        for b in sh
+        if a < b and sum(x != y for x, y in zip(sh[a], sh[b])) <= 3
+    }
+    assert set(pairs) == brute
