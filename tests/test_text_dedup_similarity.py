@@ -253,3 +253,39 @@ def test_simhash_near_pairs_within_hamming(docs):
         if a < b and sum(x != y for x, y in zip(sh[a], sh[b])) <= 3
     }
     assert set(pairs) == brute
+
+
+def test_normalize_text_nfkc_scalar_pandas_udf(spark):
+    from evidence_images_etl_airflow_spark.operators.grouped import normalize_text_nfkc
+
+    df = spark.createDataFrame(
+        [(1, "ﬁne"), (2, "Ｆｕｌｌ"), (3, "x²"), (4, None)], "id long, t string"
+    )
+    got = {r.id: r.n for r in df.select("id", normalize_text_nfkc("t").alias("n")).collect()}
+    assert got == {1: "fine", 2: "Full", 3: "x2", 4: None}
+
+
+def test_fit_group_trend_matches_numpy(spark):
+    import numpy as np
+
+    from evidence_images_etl_airflow_spark.operators.grouped import fit_group_trend
+
+    rows = []
+    # user a: exact line y = 3x + 2; user b: noisy; user c: single point
+    for x in range(10):
+        rows.append(("a", float(x), 3.0 * x + 2.0))
+        rows.append(("b", float(x), 0.5 * x + ((-1) ** x) * 0.25))
+    rows.append(("c", 1.0, 9.9))
+    df = spark.createDataFrame(rows, "user string, x double, y double")
+    got = {r.user: r for r in fit_group_trend(df, ["user"], "x", "y").collect()}
+
+    assert abs(got["a"].slope - 3.0) < 1e-9
+    assert abs(got["a"].intercept - 2.0) < 1e-9
+    assert abs(got["a"].r2 - 1.0) < 1e-12
+    bx = np.arange(10, dtype="float64")
+    by = 0.5 * bx + ((-1.0) ** bx) * 0.25
+    exp_slope, exp_int = np.polyfit(bx, by, 1)
+    assert abs(got["b"].slope - exp_slope) < 1e-9
+    assert abs(got["b"].intercept - exp_int) < 1e-9
+    assert 0 < got["b"].r2 < 1
+    assert got["c"].slope is None and got["c"].n == 1
