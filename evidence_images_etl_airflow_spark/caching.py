@@ -1,0 +1,72 @@
+"""Cache lifecycle for intermediate persists (VERDICT r01 item 7).
+
+Operators that persist intermediates (shingle tables in
+``operators.dedup``, the revenue view in q15, the rollup cascade)
+register them here so a long-lived session doesn't accumulate cached
+tables until eviction pressure. Two release tiers:
+
+- ``release_all(spark)`` — unpersist every DataFrame the engine
+  tracked. Safe anytime: unpersisting a ``persist()`` cache only costs
+  recomputation.
+- ``release_all(spark, hard=True)`` — additionally drop ALL persistent
+  RDDs in the session via the JVM, which is the only way to free
+  ``localCheckpoint`` blocks (connected_components truncates lineage
+  with them; a checkpointed plan cannot be rebuilt, so this tier is for
+  session owners at a query boundary, not for library callers holding
+  live handles).
+
+The workload registry wraps every query so each invocation hard-releases
+the previous query's leftovers — the sweep-level leak the round-1
+verdict flagged (workload.py:855, :1397, operators/dedup.py:34-41).
+"""
+
+from __future__ import annotations
+
+import weakref
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Weak references: tracking must not keep a query's whole plan alive
+# after the caller drops it.
+_TRACKED: "weakref.WeakSet[DataFrame]" = weakref.WeakSet()
+
+
+def track(df: DataFrame) -> DataFrame:
+    """Register an already-``persist()``-ed DataFrame for release."""
+    _TRACKED.add(df)
+    return df
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Persist, eagerly populate (one job), and track.
+
+    Eager population matters when the persisted table feeds several
+    branches of one downstream job: left lazy, the branches race to
+    populate the same cache and the work runs ~4x (measured on the
+    shingle tables)."""
+    df = df.persist()
+    df.count()
+    return track(df)
+
+
+def live_count() -> int:
+    return len(_TRACKED)
+
+
+def release_all(spark: SparkSession | None = None, hard: bool = False) -> None:
+    """Unpersist tracked DataFrames; with ``hard`` also free every
+    persistent RDD in the session (localCheckpoint blocks included)."""
+    for df in list(_TRACKED):
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass  # session gone / already released
+    # WeakSet has .clear()
+    _TRACKED.clear()
+    if hard and spark is not None:
+        try:
+            # py4j exposes the java Map as a dict-like JavaMap
+            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                jrdd.unpersist(False)
+        except Exception:
+            pass

@@ -133,7 +133,14 @@ def quality_score(col: str | Column) -> Column:
     n = F.size(t)
     diversity = F.size(F.array_distinct(t)) / n
     saturation = F.least(n / F.lit(64.0), F.lit(1.0))
-    alnum = F.length(F.regexp_replace(c, r"[^A-Za-z0-9]", "")) / F.length(c)
+    # Guard the length-0 divisor explicitly: under Spark 4's default ANSI
+    # mode a bare `x / length(c)` aborts the job with DIVIDE_BY_ZERO on an
+    # empty document (and `n > 0` doesn't cover it — split('') is [''], so
+    # n is 1 there). The oracle SQL mirrors this CASE.
+    alnum = F.when(
+        F.length(c) > 0,
+        F.length(F.regexp_replace(c, r"[^A-Za-z0-9]", "")) / F.length(c),
+    ).otherwise(F.lit(0.0))
     return F.round(
         F.when(n > 0, 0.4 * diversity + 0.3 * saturation + 0.3 * alnum).otherwise(0.0),
         6,

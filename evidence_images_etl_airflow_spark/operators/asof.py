@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 _SIDE = "__asof_side"
 _RTS = "__asof_rts"
+_PACK = "__asof_pack"
 
 
 def asof_join_backward(
@@ -59,13 +60,22 @@ def asof_join_backward(
     if overlap:
         raise ValueError(f"payload columns collide with left side: {overlap}")
 
-    l_tagged = left.withColumn(_SIDE, F.lit(1)).withColumn(_RTS, F.lit(None).cast("long"))
+    # All payload columns + the right timestamp travel in ONE struct:
+    # per-column last(ignorenulls) would skip a right row whose payload
+    # value is legitimately NULL and resurrect an older row's value
+    # (diverging from merge_asof/DuckDB ASOF), and could disagree with
+    # the _RTS used for the tolerance cutoff. The struct is non-null on
+    # every right row (even all-NULL fields), so the whole row rides or
+    # none of it does — and it's a single window fill instead of N+1.
+    l_tagged = left.withColumn(_SIDE, F.lit(1))
     r_tagged = right.select(
         *keys,
         F.col(right_ts).alias(left_ts),
         F.lit(0).alias(_SIDE),
-        F.col(right_ts).cast("long").alias(_RTS),
-        *payload,
+        F.struct(
+            F.col(right_ts).cast("long").alias(_RTS),
+            *[F.col(c) for c in payload],
+        ).alias(_PACK),
     )
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
@@ -76,16 +86,14 @@ def asof_join_backward(
         .orderBy(F.col(left_ts).asc(), F.col(_SIDE).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned
-    for c in payload:
-        filled = filled.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
-    filled = filled.withColumn(_RTS, F.last(F.col(_RTS), ignorenulls=True).over(w))
+    filled = unioned.withColumn(_PACK, F.last(F.col(_PACK), ignorenulls=True).over(w))
 
     out = filled.filter(F.col(_SIDE) == 1)
+    matched = F.col(_PACK).isNotNull()
     if tolerance is not None:
-        stale = F.col(_RTS).isNull() | (
-            F.col(left_ts).cast("long") - F.col(_RTS) > F.lit(tolerance)
+        matched = matched & (
+            F.col(left_ts).cast("long") - F.col(_PACK)[_RTS] <= F.lit(tolerance)
         )
-        for c in payload:
-            out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
-    return out.drop(_SIDE, _RTS)
+    for c in payload:
+        out = out.withColumn(c, F.when(matched, F.col(_PACK)[c]))
+    return out.drop(_SIDE, _PACK)

@@ -17,6 +17,7 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from evidence_images_etl_airflow_spark import caching
 from evidence_images_etl_airflow_spark.functions.partitioning import spread
 from evidence_images_etl_airflow_spark.functions.text import (
     fingerprint_md5,
@@ -35,10 +36,10 @@ def _materialized(sh: DataFrame) -> DataFrame:
     """Persist AND populate the shingle cache with one job before the
     multi-branch pair plan runs. Left lazy, each of the 4 downstream
     branches races to populate the same cache inside one job (measured
-    ~4x the work); eager population pays the explode exactly once."""
-    sh = sh.persist()
-    sh.count()
-    return sh
+    ~4x the work); eager population pays the explode exactly once.
+    Tracked in ``caching`` so session owners can release between
+    queries (the registry wrapper does this automatically)."""
+    return caching.materialize(sh)
 
 
 # --- exact -------------------------------------------------------------------

@@ -103,7 +103,12 @@ def sample_frames(
     frame sampler would produce. Sampling positions are deterministic
     functions of payload length."""
     n = F.length(F.col(payload_col))
-    offsets = F.sequence(F.lit(0), n - 1, F.lit(every_n_bytes))
+    # Zero-length payloads must yield zero frames, not an error: under
+    # ANSI mode sequence(0, -1, 32) raises 'Illegal sequence boundaries'
+    # (SQL range() semantics would just be empty).
+    offsets = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(every_n_bytes))
+    ).otherwise(F.array().cast("array<int>"))
     return (
         df.select(
             F.col(id_col).alias("doc_id"),

@@ -84,18 +84,24 @@ def merge_upsert(
     update_cols = list(update_cols) if update_cols is not None else [
         c for c in non_keys if c in source.columns
     ]
+    # Presence markers, not key-NULL checks: the join uses eqNullSafe, so
+    # a source row with a NULL key legitimately matches — testing
+    # s.<key0> IS NOT NULL would misclassify it as unmatched and let the
+    # target's stale values win.
     t = target.alias("t")
-    s = source.alias("s")
+    s = source.withColumn("__s_present", F.lit(1)).alias("s")
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
     joined = t.join(s, cond, "full_outer")
+    s_present = F.col("s.__s_present").isNotNull()
     out_cols = [
-        F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k) for k in keys
+        F.when(s_present, F.col(f"s.{k}")).otherwise(F.col(f"t.{k}")).alias(k)
+        for k in keys
     ]
     for c in non_keys:
         if c in update_cols:
             # matched -> source value; source-only -> source; target-only -> target
             out_cols.append(
-                F.when(F.col(f"s.{keys[0]}").isNotNull(), F.col(f"s.{c}"))
+                F.when(s_present, F.col(f"s.{c}"))
                 .otherwise(F.col(f"t.{c}"))
                 .alias(c)
             )

@@ -18,11 +18,14 @@ Cross-engine determinism rules used throughout (so value-hashes match):
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from evidence_images_etl_airflow_spark import caching
 
 from evidence_images_etl_airflow_spark.functions.text import (
     LANG_STOPWORDS,
@@ -81,7 +84,17 @@ REGISTRY: dict[str, QueryDef] = {}
 
 def register(name: str, oracle: str | None, headline: bool = False):
     def deco(fn):
-        REGISTRY[name] = QueryDef(fn, oracle, headline)
+        # Each registry invocation hard-releases the PREVIOUS query's
+        # tracked persists and localCheckpoint blocks (caching module),
+        # so a resident engine sweeping many queries holds at most one
+        # query's caches. Safe at the boundary: prior results have been
+        # collected by then, and this query hasn't built caches yet.
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            caching.release_all(spark, hard=True)
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QueryDef(wrapped, oracle, headline)
         return fn
 
     return deco
@@ -854,6 +867,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    caching.track(revenue)
     mx = revenue.agg(F.max("total_rev").alias("mx"))
     s = _t(spark, sf_dir, "supplier")
     return (
@@ -1396,6 +1410,7 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()  # hour and day both re-read this tiny rollup
     )
+    caching.track(minute)
 
     def _coarsen(df: DataFrame, seconds: int) -> DataFrame:
         return df.groupBy(
@@ -1406,7 +1421,7 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("total_value").alias("total_value"),
         )
 
-    hour = _coarsen(minute, 3600).persist()
+    hour = caching.track(_coarsen(minute, 3600).persist())
     day = _coarsen(hour, 86400)
 
     def _out(df: DataFrame, level: str) -> DataFrame:
@@ -1663,7 +1678,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CASE WHEN len({_TOK}) > 0 THEN
              CAST(0.4 AS DOUBLE) * (len(list_distinct({_TOK})) / len({_TOK}))
              + CAST(0.3 AS DOUBLE) * least(len({_TOK}) / CAST(64.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
-             + CAST(0.3 AS DOUBLE) * (length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) / length(text))
+             + CAST(0.3 AS DOUBLE) * (CASE WHEN length(text) > 0
+                 THEN length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) / length(text)
+                 ELSE CAST(0.0 AS DOUBLE) END)
            ELSE CAST(0.0 AS DOUBLE) END, 6) AS quality
     FROM documents
     """,
@@ -1975,18 +1992,30 @@ def _dot_sql(a: str, b: str) -> str:
     )
 
 
-def _norm_sql(x: str) -> str:
+def _norm_expr_sql() -> str:
+    """Per-row norm as a CTE projection (``e.nrm``): computed ONCE per
+    vector instead of inline per pair. Factoring matters: the fully
+    inlined cosine (norm twice + dot, repeated in SELECT and ORDER BY)
+    made the IVF oracle ~90 KB of SQL, which DuckDB's planner could fail
+    to allocate while the Spark JVM was resident (observed
+    'Failed to allocate block ... bad allocation' in the round-1-style
+    sweep). Same left-to-right addition order, so values are
+    bit-identical to the inline form."""
     sq = " + ".join(
-        f"CAST({x}.embedding[{i}] AS DOUBLE) * CAST({x}.embedding[{i}] AS DOUBLE)"
+        f"CAST(embedding[{i}] AS DOUBLE) * CAST(embedding[{i}] AS DOUBLE)"
         for i in range(1, _DIM + 1)
     )
     return f"sqrt({sq})"
 
 
-def _cos_sql(a: str, b: str) -> str:
+def _cos_nrm_sql(a: str, b: str) -> str:
+    """Cosine between rows of norm-carrying CTEs (``{a}.nrm`` /
+    ``{b}.nrm`` precomputed by ``_norm_expr_sql``). IEEE multiply is
+    commutative and the dot's addition order is unchanged, so this is
+    value-identical to the fully inlined cosine."""
     return (
-        f"CASE WHEN ({_norm_sql(a)}) * ({_norm_sql(b)}) > 0 "
-        f"THEN ({_dot_sql(a, b)}) / (({_norm_sql(a)}) * ({_norm_sql(b)})) END"
+        f"CASE WHEN {a}.nrm * {b}.nrm > 0 "
+        f"THEN ({_dot_sql(a, b)}) / ({a}.nrm * {b}.nrm) END"
     )
 
 
@@ -2003,13 +2032,17 @@ def _sig_sql(x: str, planes: list[list[float]]) -> str:
 @register(
     "ann_brute_force_topk",
     oracle=f"""
-    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5)
-    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           round({_cos_sql('q', 'c')}, 6) AS cos_sim,
-           row_number() OVER (PARTITION BY q.vec_id
-                              ORDER BY round({_cos_sql('q', 'c')}, 6) DESC, c.vec_id) AS rank
-    FROM embeddings c CROSS JOIN q
-    WHERE c.vec_id <> q.vec_id
+    WITH e AS (SELECT vec_id, embedding, {_norm_expr_sql()} AS nrm FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_cos_nrm_sql('q', 'c')}, 6) AS cos_sim
+      FROM e c CROSS JOIN q
+      WHERE c.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
     QUALIFY rank <= 3
     """,
     headline=True,
@@ -2025,15 +2058,19 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_lsh_topk",
     oracle=f"""
-    WITH sigs AS (SELECT vec_id, embedding, {_sig_sql('embeddings', _ANN_PLANES)} AS bucket
+    WITH sigs AS (SELECT vec_id, embedding, {_norm_expr_sql()} AS nrm,
+                         {_sig_sql('embeddings', _ANN_PLANES)} AS bucket
                   FROM embeddings),
-    q AS (SELECT * FROM sigs WHERE vec_id < 20)
-    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           round({_cos_sql('q', 'c')}, 6) AS cos_sim,
-           row_number() OVER (PARTITION BY q.vec_id
-                              ORDER BY round({_cos_sql('q', 'c')}, 6) DESC, c.vec_id) AS rank
-    FROM sigs c JOIN q ON c.bucket = q.bucket
-    WHERE c.vec_id <> q.vec_id
+    q AS (SELECT * FROM sigs WHERE vec_id < 20),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_cos_nrm_sql('q', 'c')}, 6) AS cos_sim
+      FROM sigs c JOIN q ON c.bucket = q.bucket
+      WHERE c.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
     QUALIFY rank <= 3
     """,
 )
@@ -2049,26 +2086,38 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_ivf_topk",
     oracle=f"""
-    WITH cent AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 16),
-    assign AS (
-      SELECT c.vec_id, c.embedding, cent.cell,
-             row_number() OVER (PARTITION BY c.vec_id
-                                ORDER BY round({_cos_sql('c', 'cent')}, 6) DESC, cent.cell) AS rn
-      FROM embeddings c CROSS JOIN cent),
-    cells AS (SELECT vec_id, embedding, cell FROM assign WHERE rn = 1),
-    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
-    qprobe AS (
-      SELECT q.vec_id AS query_id, q.embedding, cent.cell,
-             row_number() OVER (PARTITION BY q.vec_id
-                                ORDER BY round({_cos_sql('q', 'cent')}, 6) DESC, cent.cell) AS prn
+    WITH e AS (SELECT vec_id, embedding, {_norm_expr_sql()} AS nrm FROM embeddings),
+    cent AS (SELECT vec_id AS cell, embedding, nrm FROM e WHERE vec_id < 16),
+    ascore AS (
+      SELECT c.vec_id, c.embedding, c.nrm, cent.cell,
+             round({_cos_nrm_sql('c', 'cent')}, 6) AS cs
+      FROM e c CROSS JOIN cent),
+    cells AS (
+      SELECT vec_id, embedding, nrm, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cs DESC, cell) AS rn
+        FROM ascore)
+      WHERE rn = 1),
+    q AS (SELECT vec_id, embedding, nrm FROM e WHERE vec_id < 5),
+    qscore AS (
+      SELECT q.vec_id AS query_id, q.embedding, q.nrm, cent.cell,
+             round({_cos_nrm_sql('q', 'cent')}, 6) AS cs
       FROM q CROSS JOIN cent),
-    p AS (SELECT query_id, embedding, cell FROM qprobe WHERE prn <= 2)
-    SELECT p.query_id, c.vec_id AS neighbor_id,
-           round({_cos_sql('p', 'c')}, 6) AS cos_sim,
-           row_number() OVER (PARTITION BY p.query_id
-                              ORDER BY round({_cos_sql('p', 'c')}, 6) DESC, c.vec_id) AS rank
-    FROM cells c JOIN p ON c.cell = p.cell
-    WHERE c.vec_id <> p.query_id
+    p AS (
+      SELECT query_id, embedding, nrm, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cs DESC, cell) AS prn
+        FROM qscore)
+      WHERE prn <= 2),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             round({_cos_nrm_sql('p', 'c')}, 6) AS cos_sim
+      FROM cells c JOIN p ON c.cell = p.cell
+      WHERE c.vec_id <> p.query_id)
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
     QUALIFY rank <= 3
     """,
 )
@@ -2092,12 +2141,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH sigs AS (SELECT vec_id, embedding, {_sig_sql('embeddings', _DUP_PLANES)} AS bucket
-                  FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_cos_sql('a', 'b')}, 6) AS cos_sim
-    FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE round({_cos_sql('a', 'b')}, 6) >= 0.35
+    WITH sigs AS (SELECT vec_id, embedding, {_norm_expr_sql()} AS nrm,
+                         {_sig_sql('embeddings', _DUP_PLANES)} AS bucket
+                  FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_cos_nrm_sql('a', 'b')}, 6) AS cos_sim
+      FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.35
     """,
 )
 def dedup_embedding_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2151,7 +2202,13 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "__n",
-            F.explode(F.sequence(F.lit(0), F.col("__n") - 1, F.lit(32))).alias("frame_offset"),
+            # guard n=0: ANSI sequence(0,-1,32) raises, range() is empty
+            F.explode(
+                F.when(
+                    F.col("__n") > 0,
+                    F.sequence(F.lit(0), F.col("__n") - 1, F.lit(32)),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("frame_offset"),
         )
         .select(
             "doc_id",
@@ -2165,12 +2222,42 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # public accessors
 # ===========================================================================
 
+# Queries whose round-1 CORRECTNESS rows were cut off (the driver sweep
+# stopped at exactly 50 entries). Emit these FIRST so a capped or
+# timed-out sweep still verifies the least-proven surface; everything
+# else follows in registration order (each already has a green r01 row).
+_VERIFY_FIRST = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "data_hash_split",
+    "dedup_minhash_clusters",
+    "dedup_simhash_near",
+    "dedup_simhash",
+    "ann_brute_force_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+]
+
+
+def _ordered() -> list[str]:
+    first = [n for n in _VERIFY_FIRST if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in set(first)]
+    return first + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.fn for name, q in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _ordered()
+        if REGISTRY[name].oracle is not None
+    }
 
 
 def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

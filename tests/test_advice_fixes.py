@@ -1,0 +1,127 @@
+"""Regression tests for the round-1 ADVICE findings: ANSI-mode edge
+cases (empty documents / payloads), as-of NULL-payload semantics,
+merge_upsert NULL-key matching, and the cache lifecycle."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from evidence_images_etl_airflow_spark import caching, workload
+from evidence_images_etl_airflow_spark.functions.text import quality_score
+from evidence_images_etl_airflow_spark.operators.asof import asof_join_backward
+from evidence_images_etl_airflow_spark.operators.multimodal import (
+    attach_binary,
+    sample_frames,
+)
+from evidence_images_etl_airflow_spark.operators.upsert import merge_upsert
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_quality_score_empty_doc_no_ansi_abort(spark):
+    # ANSI mode is on by default in Spark 4; an empty or whitespace-only
+    # document must not DIVIDE_BY_ZERO the whole job.
+    df = spark.createDataFrame(
+        [("", 1), ("   ", 2), ("real text here", 3)], ["text", "id"]
+    )
+    rows = {
+        r["id"]: r["q"]
+        for r in df.select("id", quality_score("text").alias("q")).collect()
+    }
+    # split('') -> [''], so diversity=1, saturation=1/64, alnum=0
+    assert rows[1] == round(0.4 + 0.3 / 64, 6)
+    assert rows[3] > 0
+
+
+def test_sample_frames_zero_length_payload(spark):
+    df = spark.createDataFrame(
+        [(1, b""), (2, b"x" * 70)], ["doc_id", "payload"]
+    )
+    out = sample_frames(df).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_offset"])
+    assert 1 not in by_doc  # zero frames, not an error
+    assert sorted(by_doc[2]) == [0, 32, 64]
+
+
+def test_multimodal_frame_sample_query_empty_doc(spark):
+    # inline copy in the workload query: same guard
+    d = attach_binary(
+        spark.createDataFrame([("", 1), ("abcd", 2)], ["text", "doc_id"]),
+        "text",
+        "payload",
+    )
+    n = d.select(
+        F.explode(
+            F.when(
+                F.length("payload") > 0,
+                F.sequence(F.lit(0), F.length("payload") - 1, F.lit(32)),
+            ).otherwise(F.array().cast("array<int>"))
+        )
+    ).count()
+    assert n == 1  # only doc 2 emits a frame
+
+
+def test_asof_null_payload_value_rides_with_its_row(spark):
+    # right row at t=20 has px=NULL; merge_asof/DuckDB ASOF return NULL
+    # for a left row at t=25 (latest right row wins, field and all) —
+    # NOT the older t=10 row's 1.0.
+    left = spark.createDataFrame([("k", 25)], ["key", "ts"])
+    right = spark.createDataFrame(
+        [Row(key="k", rts=10, px=1.0), Row(key="k", rts=20, px=None)]
+    )
+    out = asof_join_backward(
+        left, right, keys=["key"], left_ts="ts", right_ts="rts", payload=["px"]
+    ).collect()
+    assert len(out) == 1 and out[0]["px"] is None
+
+
+def test_asof_tolerance_uses_matched_row_ts(spark):
+    # the NULL-payload right row at t=20 is the match; with tolerance 7
+    # it's fresh (25-20=5) so px stays NULL-from-that-row, and an old
+    # non-null row must not leak through the tolerance path either
+    left = spark.createDataFrame([("k", 25)], ["key", "ts"])
+    right = spark.createDataFrame(
+        [Row(key="k", rts=10, px=1.0), Row(key="k", rts=20, px=None)]
+    )
+    out = asof_join_backward(
+        left,
+        right,
+        keys=["key"],
+        left_ts="ts",
+        right_ts="rts",
+        payload=["px"],
+        tolerance=7,
+    ).collect()
+    assert out[0]["px"] is None
+
+
+def test_merge_upsert_null_key_source_wins(spark):
+    # eqNullSafe matches NULL keys; the matched-update must apply the
+    # source's value there, not silently keep the target's.
+    target = spark.createDataFrame(
+        [Row(k=None, v="old"), Row(k=1, v="t1")]
+    )
+    source = spark.createDataFrame(
+        [Row(k=None, v="new"), Row(k=2, v="s2")]
+    )
+    out = {r["k"]: r["v"] for r in merge_upsert(target, source, ["k"]).collect()}
+    assert out == {None: "new", 1: "t1", 2: "s2"}
+
+
+def test_registry_sweep_releases_caches(spark):
+    # run cache-heavy registry queries back-to-back, then release: no
+    # persistent RDDs may remain (VERDICT r01 item 7's done-criterion)
+    qs = workload.queries()
+    for name in ["q15_top_supplier", "dedup_minhash_clusters", "events_rollup_cascade"]:
+        qs[name](spark, SF_DIR).count()
+    caching.release_all(spark, hard=True)
+    jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+    assert jrdds.size() == 0
+    # and the boundary release inside the wrapper keeps a sweep bounded:
+    qs["q15_top_supplier"](spark, SF_DIR).count()
+    qs["events_hourly_rollup"](spark, SF_DIR).count()  # releases q15's persist
+    assert caching.live_count() <= 1
+    caching.release_all(spark, hard=True)
