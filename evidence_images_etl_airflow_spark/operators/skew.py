@@ -33,18 +33,37 @@ def salted_join(
     on: Sequence[str],
     num_salts: int = 16,
     how: str = "inner",
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Equi-join robust to hot keys on the ``skewed`` side.
 
-    ``rand()`` seeds the salt per-row on the skewed side (values in
-    [0, num_salts)); the small side is exploded across every salt so
-    every (key, salt) pair finds its match. Output columns match a
-    plain ``skewed.join(small, on, how)``.
+    The salt is CONTENT-BASED — ``pmod(xxhash64(salt_cols), n)`` — not
+    ``rand()``: rand's output depends on partition layout and changes
+    under repartition or task retry, which contradicts this operator's
+    whole reason to exist (deterministic layouts that must not depend on
+    runtime re-planning). A content hash is retry-stable, just as
+    uniform, and reproducible across runs.
+
+    ``salt_cols`` are the columns the salt hashes — they must VARY
+    WITHIN a join key (a row id, an event timestamp), since salting on
+    the join key itself would land every row of the hot key in one salt
+    bucket. Defaults to all non-key columns. The small side is exploded
+    across every salt so every (key, salt) pair finds its match. Output
+    columns match a plain ``skewed.join(small, on, how)``.
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    hash_cols = list(salt_cols) if salt_cols else [
+        c for c in skewed.columns if c not in set(on)
+    ]
+    if not hash_cols:
+        raise ValueError(
+            "no salt_cols: every column is a join key, so a content salt "
+            "cannot spread the hot key — add a row-varying column"
+        )
     salted = skewed.withColumn(
-        SALT_COL, (F.rand(seed=42) * num_salts).cast("int")
+        SALT_COL,
+        F.pmod(F.xxhash64(*[F.col(c) for c in hash_cols]), F.lit(num_salts)).cast("int"),
     )
     exploded = small.withColumn(
         SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))

@@ -65,6 +65,45 @@ def conflict_skip(
     return batch.join(existing.select(*keys).dropDuplicates(keys), keys, "left_anti")
 
 
+def keyed_update(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    set_cols: Sequence[str],
+) -> DataFrame:
+    """J4: the reference's cross-engine keyed UPDATE
+    (add_image_data.py:65-71) — ``UPDATE target SET set_cols FROM
+    source WHERE keys match`` — as a left join. Matched target rows
+    take the source's values for ``set_cols``; unmatched target rows
+    keep theirs; source rows with no target match are ignored (UPDATE
+    never inserts). Plain ``=`` key matching, like the SQL it mirrors.
+
+    ``source`` must be key-unique (the reference's executemany applies
+    rows sequentially, so duplicates would be last-write-wins
+    nondeterminism — enforce with dedup_first_wins upstream)."""
+    keys = list(keys)
+    missing = [c for c in set_cols if c not in target.columns]
+    if missing:
+        raise ValueError(f"set_cols not in target: {missing}")
+    t = target.alias("t")
+    s = (
+        source.select(*keys, *set_cols)
+        .withColumn("__s_present", F.lit(1))
+        .alias("s")
+    )
+    joined = t.join(s, [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys], "left")
+    matched = F.col("s.__s_present").isNotNull()
+    out_cols = []
+    for c in target.columns:
+        if c in set_cols:
+            out_cols.append(
+                F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            )
+        else:
+            out_cols.append(F.col(f"t.{c}").alias(c))
+    return joined.select(*out_cols)
+
+
 def merge_upsert(
     target: DataFrame,
     source: DataFrame,

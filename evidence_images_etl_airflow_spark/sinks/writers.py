@@ -122,10 +122,15 @@ def merge_into_parquet(
     update_cols: Sequence[str] | None = None,
 ) -> None:
     """K5/J3: staging + MERGE (learn/postgres_op.py:30-68) on a parquet
-    target: read target, full-outer merge, rewrite atomically via a
-    temp directory swap. On a table format this is a native MERGE; on
-    raw parquet a rewrite is the only transactional option."""
-    import shutil
+    target: read target, full-outer merge, rewrite via a temp directory
+    swap through the Hadoop FileSystem API — the same pattern as
+    ``compact_parquet``, so the swap works on any supported storage
+    scheme (local, HDFS, s3a/abfs), not just the local filesystem a
+    ``shutil`` move can reach. On a table format this is a native MERGE;
+    on raw parquet a rewrite is the only transactional option. Note the
+    delete+rename window is only atomic where the store's rename is
+    (HDFS yes; object stores emulate) — a table format is the real
+    answer for concurrent readers at 100 TB."""
     import uuid
 
     target = _read_target(spark, path, source)
@@ -135,8 +140,11 @@ def merge_into_parquet(
     merged = merge_upsert(target, source, keys, update_cols)
     tmp = f"{path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
 
 
 def write_partitioned(

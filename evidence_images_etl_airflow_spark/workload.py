@@ -36,8 +36,10 @@ from evidence_images_etl_airflow_spark.functions.text import (
     tokens,
 )
 from evidence_images_etl_airflow_spark.functions.transforms import (
+    cast_all_to_string,
     coerce_bool_columns_to_int,
     first_element,
+    normalize_nat,
     qualify_urls,
     session_length_seconds,
     split_names,
@@ -69,7 +71,12 @@ from evidence_images_etl_airflow_spark.operators.similarity import (
     lsh_topk,
 )
 from evidence_images_etl_airflow_spark.operators.union import concat_dfs
-from evidence_images_etl_airflow_spark.operators.upsert import conflict_skip, merge_upsert
+from evidence_images_etl_airflow_spark.operators.upsert import (
+    conflict_skip,
+    dedup_first_wins,
+    keyed_update,
+    merge_upsert,
+)
 
 
 @dataclass
@@ -225,6 +232,37 @@ def t1_bool_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t2_t3_string_nan_normalization",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_linenumber AS VARCHAR) AS line_str,
+           CASE WHEN l_discount < 0.02 THEN NULL ELSE l_tax END AS maybe_nan
+    FROM lineitem
+    """,
+)
+def t2_t3_string_nan_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 (object->string cast, column_transformations.py:20-24) + T3
+    (NaT/NaN -> NULL, :27-39) through the registry: a float column with
+    injected NaNs comes out NULL, and an int column is explicitly cast
+    to its string form. Both are near-no-ops in Spark (nulls are native,
+    casts are columnar) — the entry proves the observable semantics."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_discount") < 0.02, F.lit(float("nan")))
+        .otherwise(F.col("l_tax"))
+        .alias("maybe_nan"),
+    )
+    out = normalize_nat(li)  # T3: NaN -> NULL
+    out = cast_all_to_string(out, ["l_linenumber"])  # T2
+    return out.select(
+        "l_orderkey",
+        F.col("l_linenumber").alias("line_str"),
+        "maybe_nan",
+    )
+
+
+@register(
     "t4_t5_arrays",
     oracle="""
     SELECT o_orderkey,
@@ -330,6 +368,77 @@ def j3_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     source = updates.unionByName(inserts)
     merged = merge_upsert(c, source, ["c_custkey"])
     return merged.select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
+
+
+_J4_ROWSET = """
+      SELECT o_custkey % 100 AS outlet_code,
+             string_split(o_orderpriority, '-')[1] AS subscenetype,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS session_date,
+             'img_' || CAST(o_orderkey AS VARCHAR) AS evidence_image_name,
+             'https://blob/evidence/' || CAST(o_orderkey AS VARCHAR)
+               AS evidence_image_url,
+             o_orderkey
+      FROM orders WHERE o_orderstatus = '{status}'
+      QUALIFY row_number() OVER (
+        PARTITION BY outlet_code, subscenetype, session_date
+        ORDER BY o_orderkey) = 1
+"""
+
+
+@register(
+    "j4_keyed_update",
+    oracle=f"""
+    WITH tgt AS ({_J4_ROWSET.format(status='F')}),
+    src AS ({_J4_ROWSET.format(status='O')})
+    SELECT t.outlet_code, t.subscenetype, t.session_date,
+           CASE WHEN s.outlet_code IS NOT NULL
+                THEN s.evidence_image_name ELSE t.evidence_image_name END
+             AS evidence_image_name,
+           CASE WHEN s.outlet_code IS NOT NULL
+                THEN s.evidence_image_url ELSE t.evidence_image_url END
+             AS evidence_image_url,
+           t.o_orderkey AS target_orderkey
+    FROM tgt t LEFT JOIN src s
+      ON t.outlet_code = s.outlet_code
+     AND t.subscenetype = s.subscenetype
+     AND t.session_date = s.session_date
+    """,
+)
+def j4_keyed_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/EP2 end-to-end: the image_urls view's rows pushed as a keyed
+    UPDATE into a View_ManualQuestions-shaped target on
+    (outlet_code, subscenetype, session_date) (add_image_data.py:65-84)
+    — matched rows take the source's name/url, unmatched keep theirs,
+    and UPDATE never inserts. Target = finished orders, source = open
+    orders, both deduped to one row per key (min orderkey) so the
+    update is deterministic."""
+    o = _t(spark, sf_dir, "orders")
+
+    def rowset(status: str) -> DataFrame:
+        base = o.filter(F.col("o_orderstatus") == status).select(
+            (F.col("o_custkey") % 100).alias("outlet_code"),
+            first_element(split_names("o_orderpriority", "-"), 1).alias("subscenetype"),
+            F.trunc(F.to_date("o_orderdate"), "month").alias("session_date"),
+            F.concat(F.lit("img_"), F.col("o_orderkey").cast("string")).alias(
+                "evidence_image_name"
+            ),
+            F.concat(
+                F.lit("https://blob/evidence/"), F.col("o_orderkey").cast("string")
+            ).alias("evidence_image_url"),
+            "o_orderkey",
+        )
+        return dedup_first_wins(
+            base, ["outlet_code", "subscenetype", "session_date"], ["o_orderkey"]
+        )
+
+    target = rowset("F").withColumnRenamed("o_orderkey", "target_orderkey")
+    source = rowset("O").drop("o_orderkey")
+    return keyed_update(
+        target,
+        source,
+        keys=["outlet_code", "subscenetype", "session_date"],
+        set_cols=["evidence_image_name", "evidence_image_url"],
+    )
 
 
 @register(
@@ -718,6 +827,27 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
         F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
         F.round(F.percentile("l_discount", F.lit(0.5)), 6).alias("median_disc"),
+    )
+
+
+@register("agg_approx_percentiles", oracle=None)  # t-digest estimates differ per engine
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest-style sketch, accuracy knob 10000):
+    the 100 TB percentile path — map-side mergeable partial sketches, no
+    per-group value materialization (agg_exact_percentiles documents the
+    trade). Rows-only check, like agg_approx_distinct: sketch estimates
+    are engine-specific by construction."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)), 6
+        ).alias("median_qty_approx"),
+        F.round(
+            F.approx_percentile("l_quantity", F.lit(0.9), F.lit(10000)), 6
+        ).alias("p90_qty_approx"),
+        F.round(
+            F.approx_percentile("l_discount", F.lit(0.5), F.lit(10000)), 6
+        ).alias("median_disc_approx"),
     )
 
 
@@ -1797,6 +1927,37 @@ def dedup_ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=None)
 
 
+@register(
+    "dedup_ngram_jaccard_guarded",
+    oracle=f"""
+    WITH {_shingle_cte()},
+    freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+    shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)
+            WHERE df <= 2),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION path of ngram_jaccard_pairs: ``max_doc_freq`` set
+    (here 2 — at sf0.01 that drops ~2.3k stop-shingles and removes two
+    pairs vs the unguarded run, so the guard is verifiably live). This
+    is the frequency-cap that keeps a hot shingle from generating
+    O(df^2) candidate pairs at 100 TB; the unguarded variant above
+    exists for exact-Jaccard parity."""
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=2)
+
+
 def _minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
     rows = num_hashes // bands
     # affine-permutation minhash, mirroring dedup._base_hash/_sig_aggs:
@@ -2239,6 +2400,11 @@ _VERIFY_FIRST = [
     "dedup_embedding_cosine",
     "multimodal_decode",
     "multimodal_frame_sample",
+    # new in round 2 — no prior rows either
+    "j4_keyed_update",
+    "dedup_ngram_jaccard_guarded",
+    "t2_t3_string_nan_normalization",
+    "agg_approx_percentiles",
 ]
 
 

@@ -81,13 +81,30 @@ def test_salted_join_spreads_hot_key(spark):
     """A single hot key lands in num_salts distinct (key, salt) groups."""
     hot = spark.range(0, 10_000).select(F.lit(7).alias("k"), F.col("id"))
     dim = spark.createDataFrame([(7, "seven")], "k long, name string")
-    from evidence_images_etl_airflow_spark.operators.skew import SALT_COL
-
-    salted = hot.withColumn(SALT_COL, (F.rand(seed=42) * 16).cast("int"))
-    n_groups = salted.select(SALT_COL).distinct().count()
+    # the operator's content salt: hash of the row-varying column
+    salted = hot.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col("id")), F.lit(16)).cast("int")
+    )
+    n_groups = salted.select("__salt").distinct().count()
     assert n_groups == 16
     # and the join still returns every row exactly once
     assert salted_join(hot, dim, ["k"], num_salts=16).count() == 10_000
+
+
+def test_salted_join_salt_is_retry_stable(spark):
+    """Content-based salt: the same row gets the same salt no matter how
+    the input is partitioned (rand()-based salting breaks this under
+    repartition/task retry)."""
+    base = spark.range(0, 1000).select(F.lit(1).alias("k"), F.col("id"))
+    expr = F.pmod(F.xxhash64(F.col("id")), F.lit(8)).cast("int").alias("s")
+    a = {r.id: r.s for r in base.select("id", expr).collect()}
+    b = {r.id: r.s for r in base.repartition(7).select("id", expr).collect()}
+    assert a == b
+    # every-column-is-a-key is a usage error, not silent bad spreading
+    with pytest.raises(ValueError):
+        salted_join(
+            base.select("k"), spark.createDataFrame([(1,)], "k long"), ["k"]
+        )
 
 
 def test_key_skew_profile_ranks_hot_keys(spark):
