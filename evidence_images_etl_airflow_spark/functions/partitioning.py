@@ -15,9 +15,19 @@ def spread(df: DataFrame, key: str | Column | None = None) -> DataFrame:
     """Repartition up to the session's default parallelism when the
     input has fewer partitions — so per-row compute downstream uses
     every core. Hash-partitions by ``key`` when given (keeps related
-    rows together for later groupBys); round-robin otherwise. No-op
-    when the input is already parallel enough."""
+    rows together for later groupBys); round-robin otherwise.
+
+    Cluster masters return immediately: there, inputs arrive in many
+    splits (the module docstring's premise) and the partition-count
+    probe below (``df.rdd``) would force a physical-planning round-trip
+    on the driver per call for nothing — the helper's entire reason to
+    exist is the small-local-file case. An AQE rebalance hint is NOT a
+    substitute here: AQE coalesces by byte size, so a tiny input with
+    heavy per-row compute (shingling, vector math) would collapse back
+    to one partition."""
     sc = df.sparkSession.sparkContext
+    if not sc.master.startswith("local"):
+        return df
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
