@@ -69,3 +69,56 @@ def hash_split(
         cond = bucket < hi
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr.otherwise(list(fractions)[-1]))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str | Column,
+    strata_col: str | Column,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample — the training-data
+    mixture dial ('keep 30% of web, all of books'). A row survives iff
+    ``md5(salt:stratum:id) % 10000 < fraction(stratum) * 10000``:
+    membership is a pure function of (id, stratum), so it is stable
+    across runs, partitionings, and engines (oracle-reproducible),
+    re-sampling with a larger fraction is a SUPERSET of the smaller one
+    (the property quota-by-shuffling lacks), and no shuffle happens —
+    it's a row-local filter that pushes down to the scan. Strata absent
+    from ``fractions`` fall back to ``default_fraction``."""
+    from pyspark.sql import functions as F
+
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} out of [0,1]: {frac}")
+    c_id = F.col(id_col) if isinstance(id_col, str) else id_col
+    c_st = F.col(strata_col) if isinstance(strata_col, str) else strata_col
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt), F.lit(":"), c_st.cast("string"),
+                        F.lit(":"), c_id.cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    thresh = None
+    for name, frac in fractions.items():
+        hi = F.lit(int(round(frac * 10000)))
+        thresh = F.when(c_st == name, hi) if thresh is None else thresh.when(c_st == name, hi)
+    thresh = (
+        thresh.otherwise(F.lit(int(round(default_fraction * 10000))))
+        if thresh is not None
+        else F.lit(int(round(default_fraction * 10000)))
+    )
+    return df.filter(bucket < thresh)

@@ -1,0 +1,113 @@
+"""Corpus-quality statistics for training-data curation (SURVEY.md §7
+M7 extension): intra-document repetition signals and train/eval
+contamination detection.
+
+Both are explode + aggregate plans — plain shuffles Catalyst sizes, no
+Python in the hot path — and both are deterministic and
+oracle-expressible.
+
+- Repetition (the Gopher/C4-style quality filters): documents whose
+  n-grams repeat heavily are boilerplate/spam-like; the duplicate-ngram
+  fraction and top-ngram share are the standard dials.
+- Contamination: an eval document sharing many n-grams with a training
+  document signals leakage; the overlap join is shingle-blocked (pairs
+  only form on shared n-grams), the same no-O(N^2) shape as the dedup
+  operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from evidence_images_etl_airflow_spark.functions.partitioning import spread
+from evidence_images_etl_airflow_spark.functions.text import (
+    shingles_from_tokens,
+    tokens,
+)
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Per-document n-gram repetition metrics:
+
+    (id, n_ngrams, dup_ngram_fraction, top_ngram_share) where
+    ``dup_ngram_fraction = 1 - distinct/total`` and ``top_ngram_share =
+    max_count/total`` (both 0 for documents with fewer than ``n``
+    tokens). NOTE the explode is NOT distinct — repetition is exactly
+    what dedup's shingle paths throw away.
+
+    Plan: explode n-grams -> count per (id, gram) -> re-aggregate per
+    id. Two shuffles on keys that include the doc id, so partial
+    aggregation collapses local duplicates map-side; no per-doc state
+    ever exceeds (distinct grams) rows."""
+    toks = spread(df, F.col(id_col)).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__tk")
+    )
+    ng = toks.select(
+        "id", F.explode(shingles_from_tokens(F.col("__tk"), n)).alias("g")
+    )
+    cnt = ng.groupBy("id", "g").agg(F.count("*").alias("c"))
+    agg = cnt.groupBy("id").agg(
+        F.sum("c").alias("total"),
+        F.count("*").alias("dist"),
+        F.max("c").alias("maxc"),
+    )
+    total_d = F.col("total").cast("double")
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(agg, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("total"), F.lit(0)).cast("bigint").alias("n_ngrams"),
+            F.round(
+                F.coalesce(F.lit(1.0) - F.col("dist") / total_d, F.lit(0.0)), 6
+            ).alias("dup_ngram_fraction"),
+            F.round(
+                F.coalesce(F.col("maxc") / total_d, F.lit(0.0)), 6
+            ).alias("top_ngram_share"),
+        )
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Train/eval decontamination probe: (eval_id, train_id,
+    shared_ngrams) for pairs sharing >= ``min_shared`` distinct
+    n-grams. The canonical pre-training hygiene step — benchmark
+    documents whose n-grams appear in the training corpus are leaked.
+
+    Distinct shingles per side, equi-join on the shingle, count per
+    pair: candidates only form on shared n-grams (shingle-blocked, like
+    the dedup operators), so cost follows collision counts. At 100 TB
+    the training side's shingle table is the big one — it partitions by
+    shingle hash and each eval shingle meets only its bucket. For
+    web-scale corpora drop shingles above a document-frequency cap
+    first (see ngram_jaccard_pairs.max_doc_freq; same rationale)."""
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        toks = spread(df, F.col(id_col)).select(
+            F.col(id_col).alias(name), tokens(F.col(text_col)).alias("__tk")
+        )
+        return toks.select(
+            name,
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("__tk"), n))
+            ).alias("g"),
+        )
+
+    t = side(train, "train_id")
+    e = side(eval_df, "eval_id")
+    return (
+        e.join(t, "g")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count("*").alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_shared)
+    )

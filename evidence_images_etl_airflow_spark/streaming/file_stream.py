@@ -69,6 +69,26 @@ def windowed_counts(
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming dedup: keep the first row per key, dropping duplicates
+    that arrive within the watermark delay of each other — Spark's
+    bounded-state dedup (state for a key is reclaimed once the
+    watermark passes it, unlike an unbounded ``dropDuplicates`` whose
+    state grows forever on an endless stream). The M7 dedup story's
+    streaming tier: exact dedup for live ingestion, the batch operators
+    for the corpus at rest.
+
+    Duplicates separated by MORE than the watermark delay in event time
+    are both emitted — that's the bounded-state trade, and re-running
+    the batch dedup downstream is what reconciles it."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def upsert_stream_available_now(
     spark: SparkSession,
     source_path: str,

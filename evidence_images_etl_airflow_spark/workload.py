@@ -44,7 +44,10 @@ from evidence_images_etl_airflow_spark.functions.transforms import (
     session_length_seconds,
     split_names,
 )
-from evidence_images_etl_airflow_spark.functions.partitioning import hash_split
+from evidence_images_etl_airflow_spark.functions.partitioning import (
+    hash_split,
+    stratified_hash_sample,
+)
 from evidence_images_etl_airflow_spark.functions.vectors import random_hyperplanes
 from evidence_images_etl_airflow_spark.operators.dedup import (
     MINHASH_P,
@@ -69,6 +72,10 @@ from evidence_images_etl_airflow_spark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
     lsh_topk,
+)
+from evidence_images_etl_airflow_spark.operators.text_stats import (
+    ngram_contamination,
+    repetition_signals,
 )
 from evidence_images_etl_airflow_spark.operators.union import concat_dfs
 from evidence_images_etl_airflow_spark.operators.upsert import (
@@ -1769,6 +1776,55 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6/M7: bounded-state streaming dedup
+    (streaming/file_stream.dedup_within_watermark,
+    dropDuplicatesWithinWatermark) over a streaming read of events,
+    availableNow. The single input file drains in one micro-batch, so
+    the watermark hasn't evicted any state and the emitted key set
+    equals the batch DISTINCT — which is the oracle. (On an endless
+    stream, duplicates farther apart than the watermark both emit;
+    that's the bounded-state trade the operator documents.)"""
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from evidence_images_etl_airflow_spark.streaming.file_stream import (
+        dedup_within_watermark,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parque*")
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in schema.fields)["ts"]
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) read as long nanos
+        stream = stream.withColumn("ts_utc", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        stream = stream.withColumn("ts_utc", F.col("ts"))
+    deduped = dedup_within_watermark(
+        stream.select("user_id", "event_type", "ts_utc"),
+        keys=["user_id", "event_type"],
+        ts_col="ts_utc",
+        watermark="2 hours",
+    ).select("user_id", "event_type")
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sgckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 # ===========================================================================
 # Text analysis (M7)
 # ===========================================================================
@@ -1867,6 +1923,86 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         fingerprint_md5(F.col("text")).alias("fingerprint"),
         rolling_hash(F.col("text")).alias("rhash"),
+    )
+
+
+@register(
+    "text_repetition_signals",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    ng AS (SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
+                                  for i in range(1, len(t))]) AS g
+           FROM toks WHERE len(t) >= 2),
+    cnt AS (SELECT doc_id, g, count(*) AS c FROM ng GROUP BY 1, 2),
+    agg AS (SELECT doc_id, sum(c) AS total, count(*) AS dist, max(c) AS maxc
+            FROM cnt GROUP BY 1)
+    SELECT d.doc_id AS id,
+           CAST(coalesce(total, 0) AS BIGINT) AS n_ngrams,
+           round(coalesce(1 - dist / CAST(total AS DOUBLE), 0), 6)
+             AS dup_ngram_fraction,
+           round(coalesce(maxc / CAST(total AS DOUBLE), 0), 6)
+             AS top_ngram_share
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality filters: per-doc duplicate-
+    bigram fraction and top-bigram share (operators/text_stats.py) —
+    the boilerplate/spam dials a curation pipeline thresholds on."""
+    d = _t(spark, sf_dir, "documents")
+    return repetition_signals(d, "doc_id", "text", n=2)
+
+
+@register(
+    "text_contamination_check",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(t[i:i+5], ' ')
+                                           for i in range(1, len(t) - 4)]) AS g
+           FROM toks WHERE len(t) >= 6),
+    tr AS (SELECT doc_id AS train_id, g FROM sh WHERE doc_id < 250),
+    ev AS (SELECT doc_id AS eval_id, g FROM sh WHERE doc_id >= 250)
+    SELECT eval_id, train_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+    FROM ev JOIN tr USING (g) GROUP BY 1, 2
+    """,
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination probe: 6-gram overlap between the
+    corpus halves standing in for train and benchmark sets
+    (operators/text_stats.ngram_contamination) — shingle-blocked, so
+    pairs only form on shared n-grams."""
+    d = _t(spark, sf_dir, "documents")
+    return ngram_contamination(
+        d.filter(F.col("doc_id") < 250),
+        d.filter(F.col("doc_id") >= 250),
+        "doc_id",
+        "text",
+        n=6,
+    )
+
+
+@register(
+    "text_nfkc_normalize",
+    oracle="""
+    SELECT doc_id, 'fi2' || text AS normalized FROM documents
+    """,
+)
+def text_nfkc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar pandas_udf surface (operators/grouped.py), driver-
+    verified: NFKC normalization with compatibility characters INJECTED
+    (ligature U+FB01 'ﬁ' + superscript '²' prepended) so the oracle is
+    a genuine transformation ('fi2' || text), not an identity — the
+    corpus itself is NFKC-stable. Arrow-batched, no shuffle."""
+    from evidence_images_etl_airflow_spark.operators.grouped import (
+        normalize_text_nfkc,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        normalize_text_nfkc(
+            F.concat(F.lit("ﬁ²"), F.col("text"))
+        ).alias("normalized"),
     )
 
 
@@ -2056,6 +2192,38 @@ def data_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(
         d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     ).select("doc_id", "split")
+
+
+@register(
+    "data_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5('mix:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 10000 AS b
+      FROM documents)
+    WHERE b < CASE lang WHEN 'en' THEN 5000
+                        WHEN 'zh' THEN 10000
+                        WHEN 'de' THEN 2500
+                        ELSE 1000 END
+    """,
+)
+def data_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample — the training-data
+    mixture dial (keep 50% of en, all of zh, 25% of de, 10% of the
+    rest), membership a pure function of (lang, doc_id)
+    (functions/partitioning.stratified_hash_sample): re-runs, engines,
+    and partitionings agree; raising a fraction yields a superset. A
+    row-local filter, pushed to the scan — no shuffle, no sort."""
+    d = _t(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        d,
+        "doc_id",
+        "lang",
+        {"en": 0.5, "zh": 1.0, "de": 0.25},
+        default_fraction=0.1,
+        salt="mix",
+    ).select("doc_id", "lang")
 
 
 @register("dedup_minhash_clusters", oracle=_cc_oracle())
@@ -2405,6 +2573,11 @@ _VERIFY_FIRST = [
     "dedup_ngram_jaccard_guarded",
     "t2_t3_string_nan_normalization",
     "agg_approx_percentiles",
+    "text_repetition_signals",
+    "text_contamination_check",
+    "text_nfkc_normalize",
+    "data_stratified_sample",
+    "streaming_dedup",
 ]
 
 

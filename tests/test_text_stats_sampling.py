@@ -1,0 +1,76 @@
+"""Unit tests for the corpus-quality stats (repetition, contamination)
+and the deterministic stratified sampler."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from evidence_images_etl_airflow_spark.functions.partitioning import (
+    stratified_hash_sample,
+)
+from evidence_images_etl_airflow_spark.operators.text_stats import (
+    ngram_contamination,
+    repetition_signals,
+)
+
+
+def test_repetition_signals_detects_boilerplate(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),  # one bigram repeated 4x
+            (2, "the quick brown fox jumps"),  # all bigrams distinct
+            (3, "one"),  # < n tokens -> zeros
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r for r in repetition_signals(docs, "doc_id", "text", n=2).collect()}
+    assert out[1]["n_ngrams"] == 4
+    assert out[1]["dup_ngram_fraction"] == 0.75  # 1 distinct of 4
+    assert out[1]["top_ngram_share"] == 1.0
+    assert out[2]["dup_ngram_fraction"] == 0.0
+    assert out[2]["top_ngram_share"] == 0.25
+    assert out[3]["n_ngrams"] == 0
+    assert out[3]["dup_ngram_fraction"] == 0.0
+
+
+def test_ngram_contamination_finds_leaked_spans(spark):
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "unrelated words entirely here now")],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "XX alpha beta gamma delta YY"), (101, "nothing in common at all")],
+        ["doc_id", "text"],
+    )
+    out = ngram_contamination(train, ev, "doc_id", "text", n=3).collect()
+    pairs = {(r["eval_id"], r["train_id"]): r["shared_ngrams"] for r in out}
+    # eval 100 shares exactly the 3-grams "alpha beta gamma" and
+    # "beta gamma delta" with train 1
+    assert pairs == {(100, 1): 2}
+
+
+def test_stratified_sample_superset_and_determinism(spark):
+    df = spark.range(0, 2000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "web").otherwise("books").alias("src"),
+    )
+    small = stratified_hash_sample(df, "id", "src", {"web": 0.2, "books": 1.0})
+    big = stratified_hash_sample(df, "id", "src", {"web": 0.6, "books": 1.0})
+    small_ids = {r["id"] for r in small.collect()}
+    big_ids = {r["id"] for r in big.collect()}
+    assert small_ids <= big_ids  # growing a fraction only adds rows
+    # all of books kept
+    assert len([i for i in big_ids if i % 2 == 1]) == 1000
+    # web fraction lands near its target
+    n_web = len([i for i in small_ids if i % 2 == 0])
+    assert 130 <= n_web <= 270
+    # deterministic across invocations
+    again = {r["id"] for r in
+             stratified_hash_sample(df, "id", "src", {"web": 0.2, "books": 1.0}).collect()}
+    assert again == small_ids
+    # unknown strata fall back to default_fraction (0 -> dropped)
+    none_kept = stratified_hash_sample(df, "id", "src", {"other": 1.0})
+    assert none_kept.count() == 0
+    with pytest.raises(ValueError):
+        stratified_hash_sample(df, "id", "src", {"web": 1.5})
