@@ -1,0 +1,104 @@
+"""Property-based differential tests (hypothesis): the custom operators
+whose semantics mirror a well-defined external reference are checked
+against that reference on generated inputs, not just fixtures —
+asof_join_backward vs pandas.merge_asof, ngram_jaccard_pairs vs a
+brute-force python Jaccard, and the hash sampler/split invariants."""
+
+from __future__ import annotations
+
+import itertools
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from evidence_images_etl_airflow_spark.functions.partitioning import hash_split
+from evidence_images_etl_airflow_spark.operators.asof import asof_join_backward
+from evidence_images_etl_airflow_spark.operators.dedup import ngram_jaccard_pairs
+
+# one shared strategy: small keyed event tables with int timestamps
+_ts = st.integers(min_value=0, max_value=100)
+_key = st.sampled_from(["a", "b"])
+
+_left_rows = st.lists(st.tuples(_key, _ts), min_size=1, max_size=12)
+_right_rows = st.lists(
+    st.tuples(_key, _ts, st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False, width=32))),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(left=_left_rows, right=_right_rows)
+def test_asof_matches_pandas_merge_asof(spark, left, right):
+    # right side must be unique per (key, ts) — documented precondition
+    right = list({(k, t): (k, t, v) for k, t, v in right}.values())
+    ldf = spark.createDataFrame(left, "key string, ts long")
+    rdf = spark.createDataFrame(right, "key string, rts long, px double")
+    out = asof_join_backward(
+        ldf, rdf, keys=["key"], left_ts="ts", right_ts="rts", payload=["px"]
+    ).toPandas()
+
+    lp = pd.DataFrame(left, columns=["key", "ts"]).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(right, columns=["key", "rts", "px"]).sort_values("rts", kind="stable")
+    if len(rp):
+        expected = pd.merge_asof(
+            lp, rp, left_on="ts", right_on="rts", by="key", direction="backward"
+        )
+    else:
+        expected = lp.assign(px=None)
+
+    got = sorted(
+        ((r.key, r.ts, None if pd.isna(r.px) else round(r.px, 6)) for r in out.itertuples()),
+    )
+    want = sorted(
+        ((r.key, r.ts, None if pd.isna(r.px) else round(r.px, 6)) for r in expected.itertuples()),
+    )
+    assert got == want
+
+
+_doc = st.lists(st.sampled_from(["red", "green", "blue", "dog", "cat"]), min_size=0, max_size=8)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(docs=st.lists(_doc, min_size=2, max_size=6))
+def test_ngram_jaccard_matches_bruteforce(spark, docs):
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=2, threshold=0.0, max_doc_freq=None
+        ).collect()
+    }
+
+    def shingles(d):
+        return {" ".join(d[i : i + 2]) for i in range(len(d) - 1)}
+
+    want = {}
+    for (i, a), (j, b) in itertools.combinations(enumerate(docs), 2):
+        sa, sb = shingles(a), shingles(b)
+        inter = len(sa & sb)
+        if inter:  # blocked candidates: pairs exist only on shared shingles
+            want[(i, j)] = round(inter / len(sa | sb), 6)
+    assert out == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=50, unique=True))
+def test_hash_split_partition_invariant(spark, ids):
+    # split assignment is a pure function of the id: any subset of rows,
+    # any partitioning, same verdicts
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    full = {
+        r.doc_id: r.split
+        for r in hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    }
+    sub = {
+        r.doc_id: r.split
+        for r in hash_split(
+            df.repartition(5).limit(len(ids)), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    assert sub == full
