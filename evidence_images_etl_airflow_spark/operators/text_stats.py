@@ -71,6 +71,86 @@ def repetition_signals(
     )
 
 
+def length_percentile_trim(
+    df: DataFrame,
+    id_col: str,
+    measure_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Drop rows whose ``measure_col`` (token count, char count, ...)
+    falls outside the corpus's [lo, hi] percentile band — the standard
+    too-short/too-long curation trim. The cut points are EXACT
+    interpolated percentiles computed in one aggregate and broadcast
+    back (a 1-row build side), so the corpus is scanned twice but never
+    shuffled; at 100 TB swap the percentile for ``approx_percentile``
+    (t-digest) and the plan shape is unchanged. Rows are kept on a
+    closed interval, so both engines agree on boundary values."""
+    cuts = df.agg(
+        F.percentile(measure_col, F.lit(lo)).alias("__lo"),
+        F.percentile(measure_col, F.lit(hi)).alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(cuts))
+        .filter(
+            (F.col(measure_col) >= F.col("__lo"))
+            & (F.col(measure_col) <= F.col("__hi"))
+        )
+        .drop("__lo", "__hi")
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+    shards: int = 64,
+) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget packs
+    for training (pack = the unit a data loader concatenates into one
+    context window). Returns (id, token_count, shard, pack_id).
+
+    Packing is inherently sequential (a running total), so the
+    distributed form shards first — ``md5('pack:' || id) % shards``,
+    the same engine-portable hash idiom as ``hash_split`` — and packs
+    WITHIN each shard by id order: one shuffle on the shard key, each
+    shard's running sum is an in-partition window, and shard count
+    scales with the cluster (the global-order alternative is a
+    single-partition window no 100 TB run survives). Pack ids are
+    ``shard * 2^32 + floor((cumsum - tokens) / budget)`` — deterministic
+    and collision-free across shards. Quotient packing groups documents
+    by which budget window their START offset falls in: a document that
+    crosses a window boundary joins the pack that was open, so a pack's
+    total is bounded by ``budget + (its last document's length) - 1``
+    and documents are never split (split upstream if that's wanted)."""
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    c_id = F.col(id_col)
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("pack:"), c_id.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % shards
+    ).alias("shard")
+    w = Window.partitionBy("shard").orderBy(c_id).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum(token_count_col).over(w)
+    return (
+        df.select(c_id, F.col(token_count_col), shard)
+        .withColumn(
+            "pack_id",
+            F.col("shard").cast("long") * F.lit(1 << 32)
+            + F.floor((cum - F.col(token_count_col)) / F.lit(budget)),
+        )
+    )
+
+
 def ngram_contamination(
     train: DataFrame,
     eval_df: DataFrame,

@@ -74,7 +74,9 @@ from evidence_images_etl_airflow_spark.operators.similarity import (
     lsh_topk,
 )
 from evidence_images_etl_airflow_spark.operators.text_stats import (
+    length_percentile_trim,
     ngram_contamination,
+    pack_documents,
     repetition_signals,
 )
 from evidence_images_etl_airflow_spark.operators.union import concat_dfs
@@ -2226,6 +2228,62 @@ def data_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+@register(
+    "data_length_trim",
+    oracle="""
+    WITH cuts AS (SELECT quantile_cont(n_chars, 0.01) AS lo,
+                         quantile_cont(n_chars, 0.99) AS hi
+                  FROM documents)
+    SELECT doc_id, n_chars FROM documents, cuts
+    WHERE n_chars >= lo AND n_chars <= hi
+    """,
+)
+def data_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation trim: drop documents outside the corpus's [p1, p99]
+    length band (operators/text_stats.length_percentile_trim) — exact
+    interpolated cut points (Spark percentile == DuckDB quantile_cont)
+    broadcast back as a 1-row build side; no corpus shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return length_percentile_trim(d, "doc_id", "n_chars", 0.01, 0.99).select(
+        "doc_id", "n_chars"
+    )
+
+
+@register(
+    "data_pack_documents",
+    oracle=f"""
+    WITH tc AS (
+      SELECT doc_id,
+             len({_TOK}) AS token_count,
+             CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 8 AS shard
+      FROM documents),
+    cum AS (
+      SELECT doc_id, token_count, shard,
+             sum(token_count) OVER (PARTITION BY shard ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cs
+      FROM tc)
+    SELECT doc_id,
+           CAST(token_count AS INTEGER) AS token_count,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(shard * 4294967296 + CAST(floor((cs - token_count) / 512) AS BIGINT)
+                AS BIGINT) AS pack_id
+    FROM cum
+    """,
+)
+def data_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/text_stats.pack_documents): docs
+    assigned to 512-token packs within 8 hash shards — the sharded
+    running-sum form whose window is always in-partition, never global.
+    Pack membership is a pure function of (id, token counts), so both
+    engines agree row-for-row."""
+    d = _t(spark, sf_dir, "documents")
+    with_tc = d.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("token_count")
+    )
+    return pack_documents(with_tc, "doc_id", "token_count", budget=512, shards=8)
+
+
 @register("dedup_minhash_clusters", oracle=_cc_oracle())
 def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs -> clusters: connected components (operators/dedup.py
@@ -2578,6 +2636,8 @@ _VERIFY_FIRST = [
     "text_nfkc_normalize",
     "data_stratified_sample",
     "streaming_dedup",
+    "data_length_trim",
+    "data_pack_documents",
 ]
 
 

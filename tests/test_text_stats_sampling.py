@@ -10,7 +10,9 @@ from evidence_images_etl_airflow_spark.functions.partitioning import (
     stratified_hash_sample,
 )
 from evidence_images_etl_airflow_spark.operators.text_stats import (
+    length_percentile_trim,
     ngram_contamination,
+    pack_documents,
     repetition_signals,
 )
 
@@ -74,3 +76,38 @@ def test_stratified_sample_superset_and_determinism(spark):
     assert none_kept.count() == 0
     with pytest.raises(ValueError):
         stratified_hash_sample(df, "id", "src", {"web": 1.5})
+
+
+def test_length_percentile_trim_closed_interval(spark):
+    df = spark.createDataFrame([(i, i) for i in range(1, 101)], "id long, n long")
+    kept = {r["id"] for r in length_percentile_trim(df, "id", "n", 0.1, 0.9).collect()}
+    # p10 of 1..100 (interpolated) = 10.9, p90 = 90.1 -> keep 11..90
+    assert kept == set(range(11, 91))
+
+
+def test_pack_documents_budget_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(40)] + [(1000, 5000)],  # one oversized doc
+        "doc_id long, tok int",
+    )
+    out = pack_documents(df, "doc_id", "tok", budget=300, shards=4).collect()
+    by_pack = {}
+    for r in out:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    # quotient-packing invariant: all docs in a pack START within one
+    # budget window, so total minus the last doc is under budget
+    for pid, rows in by_pack.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        total = sum(r["tok"] for r in rows)
+        assert total - rows[-1]["tok"] < 300
+    # every doc appears exactly once
+    assert sorted(r["doc_id"] for r in out) == sorted(
+        list(range(40)) + [1000]
+    )
+    # deterministic across partitionings
+    again = pack_documents(df.repartition(7), "doc_id", "tok", budget=300, shards=4).collect()
+    assert {(r["doc_id"], r["pack_id"]) for r in again} == {
+        (r["doc_id"], r["pack_id"]) for r in out
+    }
+    with pytest.raises(ValueError):
+        pack_documents(df, "doc_id", "tok", budget=0)
