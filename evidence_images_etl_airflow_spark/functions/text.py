@@ -147,6 +147,30 @@ def quality_score(col: str | Column) -> Column:
     )
 
 
+# --- PII scrubbing -----------------------------------------------------------
+# Deliberately conservative, deterministic regexes (the curation-pass
+# staples); swap for an NER model via the pandas_udf surface when recall
+# matters more than throughput.
+PII_PATTERNS: list[tuple[str, str]] = [
+    # email first: an address would otherwise partially match the
+    # phone/number patterns once its @ is the only separator left
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def scrub_pii(col: str | Column) -> Column:
+    """Redact email / IPv4 / phone-shaped spans with typed placeholders.
+    A chain of native ``regexp_replace`` calls — codegen'd, order-fixed
+    (email before phone, so a local-part's digits can't half-match),
+    and reproducible in any engine with the same regex dialect."""
+    out = _c(col)
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
 # --- fingerprinting ----------------------------------------------------------
 def fingerprint_md5(col: str | Column) -> Column:
     """Exact-dup fingerprint: md5 of the whitespace-normalized,

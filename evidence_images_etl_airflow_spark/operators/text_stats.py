@@ -151,6 +151,51 @@ def pack_documents(
     )
 
 
+def dictionary_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 100,
+) -> DataFrame:
+    """Tokens -> vocabulary ids (the dictionary-encode step ahead of a
+    trainer): builds a frequency vocabulary over the corpus (top
+    ``vocab_size`` tokens, ties broken alphabetically, ids dense from
+    0) and returns (id, token_ids array<int>) with out-of-vocabulary
+    tokens as -1.
+
+    Plan: posexplode -> count per token -> top-k vocab (ordered
+    limit+row_number over ``vocab_size`` rows, never a global window
+    over the full token table) -> BROADCAST the vocab into a left join
+    on the exploded tokens -> re-assemble per doc by sorting
+    (pos, id) structs. The corpus-side cost is one explode + one
+    groupBy(doc) — the vocab is the only thing that crosses the
+    cluster, which is what makes this shape hold at 100 TB (a real BPE
+    vocab is ~100k rows: still broadcastable)."""
+    toks = spread(df, F.col(id_col)).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__tk")
+    )
+    pos = toks.select("id", F.posexplode("__tk").alias("pos", "tok"))
+    from pyspark.sql import Window
+
+    counts = pos.groupBy("tok").agg(F.count("*").alias("c"))
+    wv = Window.orderBy(F.col("c").desc(), F.col("tok"))
+    vocab = (
+        counts.orderBy(F.col("c").desc(), F.col("tok"))
+        .limit(vocab_size)
+        .withColumn("vid", F.row_number().over(wv) - 1)
+        .select(F.col("tok").alias("vtok"), "vid")
+    )
+    enc = pos.join(F.broadcast(vocab), pos.tok == F.col("vtok"), "left").select(
+        "id", "pos", F.coalesce(F.col("vid"), F.lit(-1)).alias("vid")
+    )
+    return enc.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "vid"))),
+            lambda s: s["vid"],
+        ).alias("token_ids")
+    )
+
+
 def ngram_contamination(
     train: DataFrame,
     eval_df: DataFrame,

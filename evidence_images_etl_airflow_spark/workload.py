@@ -33,6 +33,7 @@ from evidence_images_etl_airflow_spark.functions.text import (
     lang_id,
     quality_score,
     rolling_hash,
+    scrub_pii,
     tokens,
 )
 from evidence_images_etl_airflow_spark.functions.transforms import (
@@ -74,6 +75,7 @@ from evidence_images_etl_airflow_spark.operators.similarity import (
     lsh_topk,
 )
 from evidence_images_etl_airflow_spark.operators.text_stats import (
+    dictionary_encode,
     length_percentile_trim,
     ngram_contamination,
     pack_documents,
@@ -1984,6 +1986,65 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           text || ' contact: <EMAIL> from <IP> call <PHONE>' AS scrubbed
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/text.scrub_pii): email/IPv4/phone spans
+    -> typed placeholders, all native regexp_replace. Spans are
+    INJECTED per doc_id (the corpus itself is PII-free, verified), so
+    the oracle is the exact post-redaction text — proving the regexes
+    match and the surrounding text is untouched."""
+    d = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".5 call +1 555-000-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+    )
+    return d.select("doc_id", scrub_pii(injected).alias("scrubbed"))
+
+
+@register(
+    "text_dictionary_encode",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
+            FROM toks),
+    vocab AS (
+      SELECT tok AS token, row_number() OVER (ORDER BY c DESC, tok) - 1 AS vid
+      FROM (SELECT tok, count(*) AS c FROM tok GROUP BY 1)
+      QUALIFY row_number() OVER (ORDER BY c DESC, tok) <= 100),
+    enc AS (SELECT t.doc_id, t.pos, coalesce(v.vid, -1) AS vid
+            FROM tok t LEFT JOIN vocab v ON t.tok = v.token)
+    SELECT doc_id,
+           array_to_string(list(vid ORDER BY pos), ',') AS token_ids_csv
+    FROM enc GROUP BY doc_id
+    """,
+)
+def text_dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary encoding (operators/text_stats.dictionary_encode):
+    top-100 frequency vocab (deterministic ties), broadcast into the
+    exploded token stream, docs re-assembled as id arrays with -1 for
+    out-of-vocab. The id array is serialized to CSV for the
+    cross-engine compare (array cells don't hash portably)."""
+    d = _t(spark, sf_dir, "documents")
+    return dictionary_encode(d, "doc_id", "text", vocab_size=100).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(F.col("token_ids"), lambda v: v.cast("string")), ","
+        ).alias("token_ids_csv"),
+    )
+
+
+@register(
     "text_nfkc_normalize",
     oracle="""
     SELECT doc_id, 'fi2' || text AS normalized FROM documents
@@ -2638,6 +2699,8 @@ _VERIFY_FIRST = [
     "streaming_dedup",
     "data_length_trim",
     "data_pack_documents",
+    "text_pii_scrub",
+    "text_dictionary_encode",
 ]
 
 

@@ -9,7 +9,9 @@ from pyspark.sql import functions as F
 from evidence_images_etl_airflow_spark.functions.partitioning import (
     stratified_hash_sample,
 )
+from evidence_images_etl_airflow_spark.functions.text import scrub_pii
 from evidence_images_etl_airflow_spark.operators.text_stats import (
+    dictionary_encode,
     length_percentile_trim,
     ngram_contamination,
     pack_documents,
@@ -111,3 +113,32 @@ def test_pack_documents_budget_and_determinism(spark):
     }
     with pytest.raises(ValueError):
         pack_documents(df, "doc_id", "tok", budget=0)
+
+
+def test_scrub_pii_redacts_typed_spans(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@foo.co.uk now"),
+            (2, "server 192.168.1.254 down"),
+            (3, "call +44 20 7946 0958 or 555-123-4567"),
+            (4, "nothing sensitive here v2.0"),
+        ],
+        ["id", "text"],
+    )
+    out = {r["id"]: r["s"] for r in df.select("id", scrub_pii("text").alias("s")).collect()}
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "server <IP> down"
+    assert out[3] == "call <PHONE> or <PHONE>"
+    assert out[4] == "nothing sensitive here v2.0"
+
+
+def test_dictionary_encode_vocab_order_and_unk(spark):
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a rare b")],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r["token_ids"] for r in
+           dictionary_encode(docs, "doc_id", "text", vocab_size=2).collect()}
+    # vocab: b (4) -> 0, a (3) -> 1; c and rare are OOV -> -1
+    assert out[1] == [0, 0, 0, 1, 1, -1]
+    assert out[2] == [1, -1, 0]

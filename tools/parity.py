@@ -36,6 +36,8 @@ def _norm_cell(v):
         return repr(v)
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
+    if hasattr(v, "tolist"):  # numpy arrays from array<> columns
+        return tuple(_norm_cell(x) for x in v.tolist())
     return v
 
 
