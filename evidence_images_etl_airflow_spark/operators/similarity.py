@@ -150,6 +150,90 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cid",
+) -> None:
+    """Materialize the IVF index: the corpus assigned to cells and
+    written PARTITIONED BY cell. This is the 'one full pass' the
+    ``ivf_topk`` docstring defers to production — after it, search
+    never rescans the corpus: the cell directories are partition-pruned
+    at the scan, so a query batch reads only its probed cells' files.
+    Re-run on codebook changes; append new vectors by assigning against
+    the same centroids."""
+    cells = assign_cells(corpus, centroids, id_col, vec_col, centroid_id_col)
+    # one output task per cell -> one file per cell directory, not
+    # tasks × cells small files (same rationale as writers.write_partitioned)
+    cells.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cid",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search over a materialized index (``build_ivf_index``):
+    probe cells are computed from the query batch and pushed into the
+    scan as a static partition filter (``cell IN (...)``), so only the
+    probed cells' files are opened — at 100 TB the scan cost follows
+    probed-cell bytes, not corpus bytes.
+
+    The probed-cell list is collected to the driver: it is bounded by
+    |queries| × nprobe (query batches are small by the operator's
+    contract — they broadcast), which keeps the pruning static and
+    visible in the plan rather than relying on runtime DPP."""
+    cent = F.broadcast(
+        centroids.select(F.col(centroid_id_col).alias("cell"), F.col(vec_col).alias("centv"))
+    )
+    qscored = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).crossJoin(cent).select(
+        "query_id",
+        "qvec",
+        "cell",
+        F.round(cosine(F.col("qvec"), F.col("centv")), 6).alias("__cs"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("__cs").desc(), F.col("cell"))
+    probed = (
+        qscored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "qvec", "cell")
+    )
+    probe_cells = [r["cell"] for r in probed.select("cell").distinct().collect()]
+    index = spark.read.parquet(index_path).filter(F.col("cell").isin(probe_cells))
+    scored = (
+        index.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "cell"
+        )
+        .join(F.broadcast(probed), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -182,6 +182,42 @@ def test_ivf_topk_cells_and_probes(spark, vectors):
     assert {r.neighbor_id for r in got.collect()} == {3}
 
 
+def test_ivf_index_materialized_search_prunes_partitions(spark, tmp_path):
+    from evidence_images_etl_airflow_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter("vec_id < 16").select(F.col("vec_id").alias("cid"), "embedding")
+    queries = emb.filter("vec_id < 5")
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, cents, path)
+
+    direct = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in ivf_topk(emb, queries, cents, k=3, nprobe=2).collect()
+    }
+    indexed_df = ivf_topk_indexed(spark, path, queries, cents, k=3, nprobe=2)
+    indexed = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in indexed_df.collect()
+    }
+    assert indexed == direct
+
+    # the scan must be partition-pruned to the probed cells, and the
+    # index layout is one file per cell directory
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan.replace("#", " #") or "cell IN" in plan
+    import glob as _glob
+
+    cell_dirs = _glob.glob(f"{path}/cell=*")
+    assert len(cell_dirs) >= 2
+    for d in cell_dirs:
+        assert len(_glob.glob(f"{d}/*.parquet")) == 1
+
+
 def test_multimodal_decode_schema_and_determinism(docs):
     out = decode_image_metadata(attach_binary(docs, "text", "payload"), "doc_id", "payload")
     assert [f.name for f in out.schema.fields] == ["doc_id", "n_bytes", "width", "height", "format"]
