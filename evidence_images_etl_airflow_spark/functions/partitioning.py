@@ -71,6 +71,37 @@ def hash_split(
     return df.withColumn("split", expr.otherwise(list(fractions)[-1]))
 
 
+def temperature_fractions(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float,
+    cap: float = 1.0,
+) -> dict[str, float]:
+    """Per-stratum keep-fractions realizing temperature-flattened
+    mixture sampling (the multilingual-corpus reweighting standard):
+    target stratum probability q_i ∝ p_i^alpha, achieved by Bernoulli
+    fraction f_i ∝ p_i^(alpha-1), scaled so the largest fraction equals
+    ``cap``. alpha=1 keeps the natural mixture (all fractions equal);
+    alpha<1 flattens toward uniform by downsampling dominant strata
+    (rare strata can only be upsampled by replication, which a
+    keep-fraction can't express — lower alpha downsamples the head
+    instead). Collects one count per stratum (strata cardinality is
+    languages/sources — driver-tiny); feed the result to
+    ``stratified_hash_sample``."""
+    from pyspark.sql import functions as F
+
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(counts.values())
+    raw = {k: (n / total) ** (alpha - 1.0) for k, n in counts.items()}
+    peak = max(raw.values())
+    return {k: cap * v / peak for k, v in raw.items()}
+
+
 def stratified_hash_sample(
     df: DataFrame,
     id_col: str | Column,

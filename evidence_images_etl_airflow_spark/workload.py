@@ -2345,6 +2345,59 @@ def data_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_documents(with_tc, "doc_id", "token_count", budget=512, shards=8)
 
 
+@register(
+    "ep2_curation_pipeline",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, text, lang,
+             round(CASE WHEN len({_TOK}) > 0 THEN
+               CAST(0.4 AS DOUBLE) * (len(list_distinct({_TOK})) / len({_TOK}))
+               + CAST(0.3 AS DOUBLE) * least(len({_TOK}) / CAST(64.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+               + CAST(0.3 AS DOUBLE) * (CASE WHEN length(text) > 0
+                   THEN length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) / length(text)
+                   ELSE CAST(0.0 AS DOUBLE) END)
+             ELSE CAST(0.0 AS DOUBLE) END, 6) AS quality,
+             len({_TOK}) AS n_tokens
+      FROM documents),
+    filtered AS (
+      SELECT * FROM scored WHERE quality >= 0.65 AND n_tokens >= 20),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+        FROM filtered)
+      QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
+    SELECT doc_id, lang, quality, CAST(n_tokens AS INTEGER) AS n_tokens,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT *,
+                 CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) % 10000 AS b
+          FROM deduped)
+    """,
+)
+def ep2_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The M7 end-to-end: quality-score filter -> token floor -> exact
+    dedup (min-id survivor) -> deterministic train/val/test split, ONE
+    fused lazy plan (the curation analog of ep1_fused_pipeline — no
+    intermediate materialization between stages, Catalyst fuses the
+    scalar stages into the scan and the only shuffles are the dedup
+    window and nothing else; the split is row-local)."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        quality_score(F.col("text")).alias("quality"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
+    filtered = scored.filter((F.col("quality") >= 0.65) & (F.col("n_tokens") >= 20))
+    deduped = dedup_exact(filtered, "doc_id", "text")
+    return hash_split(
+        deduped, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "lang", "quality", "n_tokens", "split")
+
+
 @register("dedup_minhash_clusters", oracle=_cc_oracle())
 def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs -> clusters: connected components (operators/dedup.py
@@ -2701,6 +2754,7 @@ _VERIFY_FIRST = [
     "data_pack_documents",
     "text_pii_scrub",
     "text_dictionary_encode",
+    "ep2_curation_pipeline",
 ]
 
 

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from evidence_images_etl_airflow_spark.functions.partitioning import (
     stratified_hash_sample,
+    temperature_fractions,
 )
 from evidence_images_etl_airflow_spark.functions.text import scrub_pii
 from evidence_images_etl_airflow_spark.operators.text_stats import (
@@ -78,6 +79,28 @@ def test_stratified_sample_superset_and_determinism(spark):
     assert none_kept.count() == 0
     with pytest.raises(ValueError):
         stratified_hash_sample(df, "id", "src", {"web": 1.5})
+
+
+def test_temperature_fractions_flatten_the_head(spark):
+    df = spark.createDataFrame(
+        [("en",)] * 900 + [("sw",)] * 100, "lang string"
+    )
+    # alpha=1: natural mixture, equal keep-fractions
+    f1 = temperature_fractions(df, "lang", alpha=1.0)
+    assert f1 == {"en": 1.0, "sw": 1.0}
+    # alpha<1 downsamples the dominant stratum; rare keeps everything
+    f = temperature_fractions(df, "lang", alpha=0.5)
+    assert f["sw"] == 1.0
+    # f_en / f_sw = (p_en/p_sw)^(alpha-1) = 9^-0.5 = 1/3
+    assert abs(f["en"] - 1 / 3) < 1e-9
+    # realized mixture is flatter than natural: en share drops from 0.9
+    kept = stratified_hash_sample(df.withColumn("id", F.monotonically_increasing_id()),
+                                  "id", "lang", f).groupBy("lang").count().collect()
+    got = {r["lang"]: r["count"] for r in kept}
+    en_share = got["en"] / (got["en"] + got["sw"])
+    assert 0.5 < en_share < 0.9
+    with pytest.raises(ValueError):
+        temperature_fractions(df, "lang", alpha=0)
 
 
 def test_length_percentile_trim_closed_interval(spark):
