@@ -1062,6 +1062,368 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             round(min(l_extendedprice / l_quantity), 6) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    best AS (
+      SELECT l_partkey, min(unit_cost) AS min_cost
+      FROM offers GROUP BY l_partkey)
+    SELECT p.p_partkey, p.p_name, s.s_name, s.s_acctbal, n.n_name, o.unit_cost
+    FROM offers o
+    JOIN best b ON o.l_partkey = b.l_partkey AND o.unit_cost = b.min_cost
+    JOIN part p ON p.p_partkey = o.l_partkey
+    JOIN supplier s ON s.s_suppkey = o.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_type = 'LARGE' AND r.r_name = 'EUROPE'
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp table here, so lineitem plays the
+    supply-offer relation): per-part minimum unit cost, join back to
+    keep only the offering supplier(s), then dim joins with region
+    filter. The correlated MIN subquery is decorrelated into agg +
+    equi-join; both aggs shuffle on l_partkey(+suppkey) so the join
+    back to `best` is co-partitioned (AQE coalesces). unit_cost is a
+    per-row double division (identical in both engines) rounded to 6dp
+    before the min, so the equality join on it is exact. Dims
+    (part/supplier/nation/region) broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias("unit_cost")
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        offers.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .drop("b_partkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name", "unit_cost")
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    WITH rev AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'AMERICA')
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM rev GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's revenue share within a region per
+    order year. Nation joins twice (customer side and supplier side) —
+    both broadcast, like q7. Numerator and denominator are EXACT
+    decimal sums cast to double only for the final division (identical
+    operands -> identical fp quotient in both engines), rounded 6dp."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").alias("n1")
+    n2 = _t(spark, sf_dir, "nation").alias("n2")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r), F.col("n1.n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (_dec("l_extendedprice") * (one - _dec("l_discount"))).alias("volume"),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+    )
+    return rev.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_7", F.col("volume"))).cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS supp_nation, year(o.o_orderdate) AS o_year,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                 - 0.5 * CAST(sum(CAST(p.p_retailprice AS DECIMAL(18,2))
+                                  * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE),
+                 2) AS profit
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit = revenue - cost basis, with
+    p_retailprice standing in for the absent ps_supplycost): big
+    fact-fact join on orderkey plus three broadcast dims, two-level
+    group. Revenue and cost are kept as SEPARATE exact decimal sums
+    combined in double at the end — no fp accumulation order anywhere.
+    The p_name filter prunes `part` before broadcast, which in turn
+    prunes lineitem rows at the join (build-side filter / DPP shape at
+    scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("n_name").alias("supp_nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).cast("double")
+                - F.lit(0.5)
+                * F.sum(_dec("p_retailprice") * _dec("l_quantity")).cast("double"),
+                2,
+            ).alias("profit")
+        )
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH vals AS (
+      SELECT l_partkey AS p_partkey,
+             sum(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT sum(val) AS total, count(*) AS cnt FROM vals)
+    SELECT p_partkey, CAST(val AS DOUBLE) AS stock_value
+    FROM vals, tot
+    WHERE CAST(val AS DOUBLE) > 1.4 * (CAST(total AS DOUBLE) / cnt)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups whose value exceeds a fraction of the
+    GLOBAL average (1.4x, scale-free so the predicate stays live at
+    any SF) — the scalar-subquery-threshold pattern. One shuffle for
+    the per-part agg; the global total re-aggregates the per-part
+    result (tiny) and broadcasts as a 1-row build side, so the fact
+    table is scanned once. Threshold compare in double over exact
+    decimal sums (identical operands both engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    vals = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum(_dec("l_quantity") * _dec("l_extendedprice")).alias("val")
+    )
+    vals = caching.materialize(vals)
+    tot = vals.agg(F.sum("val").alias("total"), F.count("*").alias("cnt"))
+    return (
+        vals.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("val").cast("double")
+            > F.lit(1.4) * (F.col("total").cast("double") / F.col("cnt"))
+        )
+        .select("p_partkey", F.col("val").cast("double").alias("stock_value"))
+    )
+
+
+@register(
+    "q16_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#9' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per part class, with a
+    NOT-IN exclusion list. The pairs-distinct and count-distinct both
+    shuffle on keys (map-side partial dedup first); the exclusion list
+    is a broadcast LEFT ANTI join (NOT IN with non-null keys ==
+    anti-join); `part` is filtered before broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    excluded = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        pairs.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(excluded), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    oracle="""
+    WITH pairs AS (
+      SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS pair_qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+      GROUP BY l_partkey, l_suppkey),
+    part_tot AS (
+      SELECT l_partkey, sum(pair_qty) AS part_qty FROM pairs GROUP BY l_partkey),
+    excess AS (
+      SELECT DISTINCT p.l_suppkey
+      FROM pairs p JOIN part_tot t ON p.l_partkey = t.l_partkey
+      WHERE CAST(p.pair_qty AS DOUBLE) > 0.15 * CAST(t.part_qty AS DOUBLE))
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM excess)
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join chain — suppliers holding an
+    outsized share (>15%) of any filtered part's shipped quantity.
+    pairs/part_tot reuse one shuffle key (l_partkey); the final IN is
+    a LEFT SEMI join with the (tiny) excess set broadcast. All
+    quantity sums exact decimal; the share test is a double compare of
+    identically-derived operands."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    pairs = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("pair_qty"))
+    )
+    pairs = caching.materialize(pairs)
+    part_tot = pairs.groupBy("l_partkey").agg(F.sum("pair_qty").alias("part_qty"))
+    excess = (
+        pairs.join(part_tot, "l_partkey")
+        .filter(
+            F.col("pair_qty").cast("double")
+            > F.lit(0.15) * F.col("part_qty").cast("double")
+        )
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(excess), "s_suppkey", "left_semi")
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_name", "n_name")
+    )
+
+
+@register(
+    "q21_late_supplier_alone",
+    oracle="""
+    WITH fo AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
+    late AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN fo ON l.l_orderkey = fo.o_orderkey
+      WHERE l.l_shipdate > fo.o_orderdate + INTERVAL 60 DAY),
+    allp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM allp l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    """,
+)
+def q21_late_supplier_alone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the EXISTS / NOT-EXISTS dual — suppliers who
+    were the ONLY late supplier on a multi-supplier finalized order
+    ("late" = shipped >60 days after order date; this testdata has no
+    commit/receipt dates). Written as LEFT SEMI then LEFT ANTI self-
+    joins on l_orderkey: late and allp shuffle on the same key, so the
+    semi and anti joins are co-partitioned — three hash joins on one
+    exchange family, no cartesian anywhere. Distinct pair sets are
+    map-side combinable."""
+    li = _t(spark, sf_dir, "lineitem")
+    fo = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        li.join(fo, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    late = caching.materialize(late)
+    allp = li.select("l_orderkey", "l_suppkey").distinct()
+    a, b, c3 = late.alias("a"), allp.alias("b"), late.alias("c")
+    survivors = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+            "left_semi",
+        )
+        .alias("a")
+        .join(
+            c3,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("c.l_suppkey")),
+            "left_anti",
+        )
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        survivors.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@register(
     "setops_intersect_except",
     oracle="""
     SELECT 'both' AS tag, c_custkey FROM (
@@ -2755,6 +3117,13 @@ _VERIFY_FIRST = [
     "text_pii_scrub",
     "text_dictionary_encode",
     "ep2_curation_pipeline",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_supplier_counts",
+    "q20_excess_suppliers",
+    "q21_late_supplier_alone",
 ]
 
 
