@@ -236,3 +236,64 @@ def ngram_contamination(
         .agg(F.count("*").alias("shared_ngrams"))
         .filter(F.col("shared_ngrams") >= min_shared)
     )
+
+
+def source_reputation(
+    docs: DataFrame,
+    source_col: str,
+    quality_col: str,
+    fingerprint_col: str,
+) -> DataFrame:
+    """Per-source (per-domain) corpus reputation: doc count, mean
+    quality, and exact-duplicate rate — the aggregates behind
+    domain-level curation (a web corpus drops whole domains whose
+    quality is low or whose content is mostly boilerplate copies,
+    BEFORE any per-document work).
+
+    One hash-agg shuffle on the source key; the duplicate rate reuses
+    the already-computed content fingerprint (count - distinct count)
+    so no second scan. The mean accumulates EXACT decimals (quality is
+    6dp-rounded upstream, so decimal(18,6) holds it losslessly) — the
+    result is independent of row order, which both keeps the oracle
+    hash-match and makes retries/AQE re-plans bit-stable. At 100 TB the
+    source key is Zipf-skewed (a few giant domains); the agg is all
+    map-side-combinable (sum/count/distinct-merge), so skew lands on
+    the partial-agg side where AQE splits it.
+    """
+    return docs.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.sum(F.col(quality_col).cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_quality"),
+        F.round(
+            (F.count("*") - F.count_distinct(F.col(fingerprint_col))).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+def source_reputation_filter(
+    docs: DataFrame,
+    source_col: str,
+    quality_col: str,
+    fingerprint_col: str,
+    min_mean_quality: float,
+    max_dup_rate: float,
+) -> DataFrame:
+    """Keep documents whose SOURCE passes reputation thresholds:
+    mean quality >= ``min_mean_quality`` and duplicate rate <=
+    ``max_dup_rate``. The survivor-source set is tiny (domains, not
+    documents) — broadcast LEFT SEMI join back onto the corpus, so the
+    only full-data shuffle is the reputation agg itself."""
+    good = (
+        source_reputation(docs, source_col, quality_col, fingerprint_col)
+        .filter(
+            (F.col("mean_quality") >= min_mean_quality)
+            & (F.col("dup_rate") <= max_dup_rate)
+        )
+        .select(source_col)
+    )
+    return docs.join(F.broadcast(good), source_col, "left_semi")

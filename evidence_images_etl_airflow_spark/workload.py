@@ -80,6 +80,8 @@ from evidence_images_etl_airflow_spark.operators.text_stats import (
     ngram_contamination,
     pack_documents,
     repetition_signals,
+    source_reputation,
+    source_reputation_filter,
 )
 from evidence_images_etl_airflow_spark.operators.union import concat_dfs
 from evidence_images_etl_airflow_spark.operators.upsert import (
@@ -2760,6 +2762,74 @@ def ep2_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "quality", "n_tokens", "split")
 
 
+_SOURCE_SCORED = f"""
+    SELECT source, doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+           CAST(round(CASE WHEN len({_TOK}) > 0 THEN
+             CAST(0.4 AS DOUBLE) * (len(list_distinct({_TOK})) / len({_TOK}))
+             + CAST(0.3 AS DOUBLE) * least(len({_TOK}) / CAST(64.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+             + CAST(0.3 AS DOUBLE) * (CASE WHEN length(text) > 0
+                 THEN length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) / length(text)
+                 ELSE CAST(0.0 AS DOUBLE) END)
+           ELSE CAST(0.0 AS DOUBLE) END, 6) AS DECIMAL(18,6)) AS q
+    FROM documents"""
+
+
+@register(
+    "curation_source_reputation",
+    oracle=f"""
+    WITH scored AS ({_SOURCE_SCORED})
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS mean_quality,
+           round(CAST(count(*) - count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS dup_rate
+    FROM scored GROUP BY source
+    """,
+)
+def curation_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation aggregates (operators/text_stats.
+    source_reputation): per-source doc count, decimal-exact mean
+    quality, and exact-duplicate rate — the table a web-corpus pipeline
+    consults before any per-document work."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        quality_score(F.col("text")).alias("quality"),
+        fingerprint_md5(F.col("text")).alias("fp"),
+    )
+    return source_reputation(scored, "source", "quality", "fp")
+
+
+@register(
+    "curation_source_filter",
+    oracle=f"""
+    WITH scored AS ({_SOURCE_SCORED}),
+    rep AS (
+      SELECT source,
+             round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS mean_quality,
+             round(CAST(count(*) - count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS dup_rate
+      FROM scored GROUP BY source)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rep ON d.source = rep.source
+    WHERE rep.mean_quality >= 0.67 AND rep.dup_rate <= 0.1
+    """,
+)
+def curation_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level filter: keep documents whose SOURCE passes
+    reputation thresholds. The survivor-source set broadcasts back as a
+    LEFT SEMI join, so the corpus shuffles once (the reputation agg)
+    and is then filtered in place."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        quality_score(F.col("text")).alias("quality"),
+        fingerprint_md5(F.col("text")).alias("fp"),
+    )
+    return source_reputation_filter(
+        scored, "source", "quality", "fp", min_mean_quality=0.67, max_dup_rate=0.1
+    ).select("doc_id", "source")
+
+
 @register("dedup_minhash_clusters", oracle=_cc_oracle())
 def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs -> clusters: connected components (operators/dedup.py
@@ -3124,6 +3194,8 @@ _VERIFY_FIRST = [
     "q16_supplier_counts",
     "q20_excess_suppliers",
     "q21_late_supplier_alone",
+    "curation_source_reputation",
+    "curation_source_filter",
 ]
 
 

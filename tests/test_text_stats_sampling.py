@@ -165,3 +165,27 @@ def test_dictionary_encode_vocab_order_and_unk(spark):
     # vocab: b (4) -> 0, a (3) -> 1; c and rare are OOV -> -1
     assert out[1] == [0, 0, 0, 1, 1, -1]
     assert out[2] == [1, -1, 0]
+
+
+def test_source_reputation_dup_rate_and_filter(spark):
+    from evidence_images_etl_airflow_spark.operators.text_stats import (
+        source_reputation,
+        source_reputation_filter,
+    )
+
+    rows = (
+        # good: 4 docs, all unique, quality 0.8
+        [(i, "good", 0.8, f"fp{i}") for i in range(4)]
+        # spammy: 4 docs but only 1 distinct fingerprint -> dup_rate 0.75
+        + [(10 + i, "spam", 0.9, "same") for i in range(4)]
+        # lowq: unique but quality 0.2
+        + [(20 + i, "lowq", 0.2, f"lfp{i}") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, quality double, fp string")
+    rep = {r["source"]: r for r in source_reputation(df, "source", "quality", "fp").collect()}
+    assert rep["spam"]["dup_rate"] == 0.75 and rep["good"]["dup_rate"] == 0.0
+    assert rep["lowq"]["mean_quality"] == 0.2
+    kept = source_reputation_filter(
+        df, "source", "quality", "fp", min_mean_quality=0.5, max_dup_rate=0.5
+    )
+    assert {r["source"] for r in kept.collect()} == {"good"}
