@@ -126,3 +126,40 @@ def upsert_stream_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    left_watermark: str,
+    right_watermark: str,
+    upper_bound: str,
+) -> DataFrame:
+    """Stream-stream INNER join with an event-time interval constraint:
+    pair left/right rows sharing ``key`` where ``right_ts`` lands in
+    [left_ts, left_ts + upper_bound] — the attribution / funnel join
+    (view -> purchase within N minutes).
+
+    Both sides carry watermarks so Spark can bound the join state: a
+    buffered left row is dropped once the right watermark passes
+    ``left_ts + upper_bound`` (no match can still arrive), and
+    vice-versa — state is O(rows in the interval window per key), not
+    O(stream). Each micro-batch shuffles both sides by ``key``, so the
+    join is co-partitioned; the time predicate then prunes within the
+    key group. Inner-join emissions are exact and final (no
+    retractions), which is why batch and streaming agree row-for-row
+    once both sides drain."""
+    l = left.withWatermark(left_ts, left_watermark)
+    r = right.withWatermark(right_ts, right_watermark).withColumnRenamed(key, "__rk")
+    joined = l.join(
+        r,
+        F.expr(
+            f"{key} = __rk AND {right_ts} >= {left_ts} "
+            f"AND {right_ts} <= {left_ts} + INTERVAL {upper_bound}"
+        ),
+        "inner",
+    )
+    return joined.drop("__rk")

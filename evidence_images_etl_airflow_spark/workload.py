@@ -2145,6 +2145,75 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_interval_join",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+    FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
+    JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND epoch_us(p.ts) >= epoch_us(v.ts)
+     AND epoch_us(p.ts) <= epoch_us(v.ts) + 14400000000
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: stream-stream event-time interval join
+    (streaming/file_stream.interval_join) — views attributed to
+    purchases by the same user within 4 hours, both sides watermarked
+    so join state stays bounded. Run with availableNow over the events
+    parquet; inner-join emissions are exact, so the drained result
+    equals the batch interval join, which is the oracle. Gap is integer
+    microseconds (event-time math on integer us, never fp)."""
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from evidence_images_etl_airflow_spark.streaming.file_stream import interval_join
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in schema.fields)["ts"]
+
+    def side(event_type: str, ts_name: str, id_name: str) -> DataFrame:
+        s = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parque*")
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) read as long nanos
+            s = s.withColumn(ts_name, F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            s = s.withColumn(ts_name, F.col("ts"))
+        return s.filter(F.col("event_type") == event_type).select(
+            "user_id", F.col("event_id").alias(id_name), ts_name
+        )
+
+    joined = interval_join(
+        side("view", "view_ts", "view_id"),
+        side("purchase", "purchase_ts", "purchase_id"),
+        key="user_id",
+        left_ts="view_ts",
+        right_ts="purchase_ts",
+        left_watermark="2 hours",
+        right_watermark="2 hours",
+        upper_bound="4 HOURS",
+    )
+    name = f"stream_ij_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sgckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        (
+            F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("view_ts"))
+        ).alias("gap_us"),
+    )
+
+
+@register(
     "streaming_dedup",
     oracle="""
     SELECT DISTINCT user_id, event_type FROM events
@@ -3196,6 +3265,7 @@ _VERIFY_FIRST = [
     "q21_late_supplier_alone",
     "curation_source_reputation",
     "curation_source_filter",
+    "streaming_interval_join",
 ]
 
 

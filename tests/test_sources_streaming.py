@@ -289,3 +289,57 @@ def test_upsert_stream_idempotent_across_overlap(spark, tmp_path):
     )
     got = sorted((r.k, r.v) for r in spark.read.parquet(tgt).collect())
     assert got == [(1, "a"), (2, "b"), (3, "c")]  # no dup for keys 1/2
+
+
+def test_interval_join_bounds_and_state(spark, tmp_path):
+    """interval_join: inclusive [0, upper] bounds, keyed isolation, and
+    batch/streaming agreement over a drained file source."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from evidence_images_etl_airflow_spark.streaming.file_stream import interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    views = [(1, 100, ts(0)), (1, 101, ts(60)), (2, 200, ts(0))]
+    buys = [
+        (1, 900, ts(0)),    # exact lower bound of view 100
+        (1, 901, ts(30)),   # inside for view 100 (30m <= 30m upper), before 101
+        (1, 902, ts(95)),   # inside for view 101 (35m > 30m upper for 100? no: 95-60=35 -> outside 101's 30m too)
+        (2, 903, ts(29)),   # user 2, inside
+        (3, 904, ts(5)),    # no view for user 3
+    ]
+    vdir, bdir = str(tmp_path / "v"), str(tmp_path / "b")
+    spark.createDataFrame(views, "user_id long, view_id long, vts timestamp").write.parquet(vdir)
+    spark.createDataFrame(buys, "user_id long, buy_id long, bts timestamp").write.parquet(bdir)
+
+    vschema = spark.read.parquet(vdir).schema
+    bschema = spark.read.parquet(bdir).schema
+    joined = interval_join(
+        spark.readStream.schema(vschema).parquet(vdir),
+        spark.readStream.schema(bschema).parquet(bdir),
+        key="user_id",
+        left_ts="vts",
+        right_ts="bts",
+        left_watermark="10 minutes",
+        right_watermark="10 minutes",
+        upper_bound="30 MINUTES",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["view_id"], r["buy_id"])
+        for r in spark.table("ij_test").collect()
+    }
+    assert got == {(1, 100, 900), (1, 100, 901), (2, 200, 903)}
