@@ -2899,6 +2899,46 @@ def curation_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+@register("dedup_semantic_kmeans", oracle=None)  # KMeans isn't SQL-expressible
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/ml_curation.semantic_dedup_pairs): k-means
+    the embedding space, near-dup pairs only within a cluster. The
+    model-based counterpart of dedup_embedding_cosine's LSH blocking —
+    rows-only check (iterative training has no SQL oracle); pair
+    semantics are pinned by unit tests on separable synthetic data."""
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        semantic_dedup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(
+        emb, "vec_id", "embedding", k=16, threshold=0.35, seed=42
+    )
+
+
+@register("ml_quality_classifier", oracle=None)  # L-BFGS isn't SQL-expressible
+def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (operators/ml_curation): weak-label
+    the corpus with the deterministic heuristic (quality >= 0.67 ->
+    good), train HashingTF->IDF->LogisticRegression on the labels, and
+    score every document -> (doc_id, good_prob, keep). The fastText-
+    style classifier step of an LLM data pipeline; rows-only check,
+    behavior pinned by unit tests."""
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    labeled = d.select(
+        "doc_id",
+        "text",
+        (quality_score(F.col("text")) >= 0.67).cast("double").alias("label"),
+    )
+    model = train_quality_classifier(labeled, "text", "label")
+    return score_quality(model, labeled, "text", "doc_id")
+
+
 @register("dedup_minhash_clusters", oracle=_cc_oracle())
 def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs -> clusters: connected components (operators/dedup.py
@@ -3266,6 +3306,8 @@ _VERIFY_FIRST = [
     "curation_source_reputation",
     "curation_source_filter",
     "streaming_interval_join",
+    "dedup_semantic_kmeans",
+    "ml_quality_classifier",
 ]
 
 

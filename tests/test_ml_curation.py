@@ -1,0 +1,74 @@
+"""MLlib curation operators: semantic dedup pairs and the model-based
+quality classifier, pinned on synthetic separable data."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from evidence_images_etl_airflow_spark.operators.ml_curation import (
+    kmeans_clusters,
+    score_quality,
+    semantic_dedup_pairs,
+    train_quality_classifier,
+)
+
+
+def _unit(v):
+    n = sum(x * x for x in v) ** 0.5
+    return [x / n for x in v]
+
+
+def test_semantic_dedup_finds_within_cluster_pairs(spark):
+    # two tight bundles far apart + one orthogonal outlier
+    rows = [
+        (1, _unit([1.0, 0.01, 0.0, 0.0])),
+        (2, _unit([1.0, 0.02, 0.0, 0.0])),
+        (3, _unit([0.0, 0.0, 1.0, 0.01])),
+        (4, _unit([0.0, 0.0, 1.0, 0.02])),
+        (5, _unit([0.0, 1.0, 0.0, 0.0])),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    pairs = semantic_dedup_pairs(df, "vec_id", "embedding", k=3, threshold=0.95)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 2), (3, 4)}
+    sims = {r["sim"] for r in pairs.collect()}
+    assert all(s >= 0.95 for s in sims)
+
+
+def test_kmeans_clusters_partition_the_ids(spark):
+    rows = [(i, [float(i % 2) * 10, 1.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    out = kmeans_clusters(df, "vec_id", "embedding", k=2).collect()
+    assert len(out) == 20
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"] % 2)
+    # the two parities land in different clusters, each pure
+    assert sorted(len(v) for v in by_cluster.values()) == [1, 1]
+
+
+def test_quality_classifier_separates_clean_from_junk(spark):
+    clean = "the quick brown fox jumps over the lazy dog near the river bank"
+    junk = "zzz $$$ !!! @@@ ### %%% ^^^ &&& *** ((( ))) ___ +++ === ~~~"
+    rows = [(i, f"{clean} variant {i}", 1.0) for i in range(30)] + [
+        (100 + i, f"{junk} {i}", 0.0) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label double")
+    model = train_quality_classifier(df, "text", "label", num_features=1 << 12)
+    scored = {r["doc_id"]: r for r in score_quality(model, df, "text", "doc_id").collect()}
+    assert all(scored[i]["keep"] == 1 for i in range(30))
+    assert all(scored[100 + i]["keep"] == 0 for i in range(30))
+    assert scored[0]["good_prob"] > 0.5 > scored[100]["good_prob"]
+    # held-out shapes score sensibly too
+    held = spark.createDataFrame(
+        [(1000, f"{clean} unseen"), (1001, f"{junk} unseen")],
+        "doc_id long, text string",
+    )
+    hs = {r["doc_id"]: r["keep"] for r in score_quality(model, held, "text", "doc_id").collect()}
+    assert hs[1000] == 1 and hs[1001] == 0
