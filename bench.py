@@ -28,6 +28,10 @@ def main() -> None:
     spark = get_session("bench")
 
     qs = headline_queries()
+    only = os.environ.get("SPARK_GRAFT_QUERIES")
+    if only:
+        want = [q.strip() for q in only.split(",") if q.strip()]
+        qs = {name: qs[name] for name in want if name in qs}
     # warm-up: JVM, codegen, parquet footer caches
     next(iter(qs.values()))(spark, sf_dir).count()
 
