@@ -2899,6 +2899,81 @@ def curation_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+@register(
+    "curation_decontaminate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(t[i:i+5], ' ')
+                                           for i in range(1, len(t) - 4)]) AS g
+           FROM toks WHERE len(t) >= 6),
+    contaminated AS (
+      SELECT DISTINCT tr.doc_id
+      FROM (SELECT doc_id, g FROM sh WHERE doc_id < 250) tr
+      JOIN (SELECT g FROM sh WHERE doc_id >= 250) ev USING (g))
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id < 250
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination as a FILTER (the step after the probe): drop
+    every train document sharing >= 1 six-gram with the eval set, keep
+    the rest. The contaminated-id set is tiny (leaked docs, not the
+    corpus) — broadcast LEFT ANTI back onto train, so the only heavy
+    work is the shingle-blocked overlap join the probe already does."""
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") < 250)
+    eval_df = d.filter(F.col("doc_id") >= 250)
+    pairs = ngram_contamination(train, eval_df, "doc_id", "text", n=6)
+    contaminated = pairs.select(F.col("train_id").alias("doc_id")).distinct()
+    return train.join(F.broadcast(contaminated), "doc_id", "left_anti").select(
+        "doc_id"
+    )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, epoch_us(ts) AS u FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, epoch_us(ts) AS u FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, epoch_us(ts) AS u FROM events WHERE event_type = 'purchase')
+    SELECT v.user_id, CAST(count(*) AS BIGINT) AS n_funnels
+    FROM v
+    JOIN c ON c.user_id = v.user_id AND c.u > v.u
+    JOIN p ON p.user_id = v.user_id AND p.u > c.u
+                                    AND p.u <= v.u + 86400000000
+    GROUP BY v.user_id
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analytics: per user, the number of
+    view -> click -> purchase sequences completing within 24h of the
+    view. All three join legs key on user_id, so the whole cascade is
+    ONE shuffle family (co-partitioned joins; AQE reuses the exchange)
+    and the time predicates prune inside each user group — per-user
+    event counts are bounded in practice, so the within-group triple
+    expansion is too. Event-time math on integer microseconds."""
+    ev = _events(spark, sf_dir)
+
+    def leg(t: str, alias: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).select(
+            F.col("user_id"), F.col("ts_us").alias(alias)
+        )
+
+    v, c, p = leg("view", "v_us"), leg("click", "c_us"), leg("purchase", "p_us")
+    return (
+        v.join(c, "user_id")
+        .filter(F.col("c_us") > F.col("v_us"))
+        .join(p, "user_id")
+        .filter(
+            (F.col("p_us") > F.col("c_us"))
+            & (F.col("p_us") <= F.col("v_us") + F.lit(86400000000))
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_funnels"))
+    )
+
+
 @register("dedup_semantic_kmeans", oracle=None)  # KMeans isn't SQL-expressible
 def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/ml_curation.semantic_dedup_pairs): k-means
@@ -3308,6 +3383,8 @@ _VERIFY_FIRST = [
     "streaming_interval_join",
     "dedup_semantic_kmeans",
     "ml_quality_classifier",
+    "curation_decontaminate",
+    "events_funnel",
 ]
 
 
