@@ -354,17 +354,34 @@ def simhash_near_pairs(
     blocks: int = 4,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, hamming <= max_hamming) over 64-bit
-    SimHashes, blocked by the pigeonhole trick: split the signature
-    into ``blocks`` equal bit-blocks — any pair within Hamming distance
-    blocks-1 agrees exactly on at least one block — and self-join on
-    (block index, block value). Candidate generation shuffles short
-    block keys only; the exact Hamming count (64 codegen'd char
-    compares, no UDF) runs per candidate, never per pair of docs.
-    Requires ``max_hamming < blocks`` for lossless candidate recall."""
+    SimHashes — the pigeonhole block join (see hamming_near_pairs, the
+    generic engine it shares with multimodal perceptual hashing)."""
+    sig = _materialized(simhash64(df, id_col, text_col))
+    return hamming_near_pairs(
+        sig, "id", "simhash", max_hamming=max_hamming, blocks=blocks
+    )
+
+
+def hamming_near_pairs(
+    sig: DataFrame,
+    id_col: str,
+    bits_col: str,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near pairs (id_a < id_b, hamming <= max_hamming) over ANY 64-bit
+    '0'/'1'-string signature column, blocked by the pigeonhole trick:
+    split the signature into ``blocks`` equal bit-blocks — any pair
+    within Hamming distance blocks-1 agrees exactly on at least one
+    block — and self-join on (block index, block value). Candidate
+    generation shuffles short block keys only; the exact Hamming count
+    (64 codegen'd char compares, no UDF) runs per candidate, never per
+    pair of rows. Requires ``max_hamming < blocks`` for lossless
+    candidate recall. Shared by SimHash (text) and pHash (images)."""
     assert max_hamming < blocks, "pigeonhole needs max_hamming < blocks"
     assert 64 % blocks == 0
     blen = 64 // blocks
-    sig = _materialized(simhash64(df, id_col, text_col))
+    sig = sig.select(F.col(id_col).alias("id"), F.col(bits_col).alias("simhash"))
     block_cols = [
         F.struct(
             F.lit(b).alias("blk"),

@@ -163,3 +163,80 @@ def resize_images(
             )
 
     return df.select(id_col, payload_col).mapInPandas(resize_batches, RESIZE_SCHEMA)
+
+
+# --- perceptual hashing (image near-dup) -------------------------------------
+PHASH_SCHEMA = "doc_id long, phash string"
+
+
+def phash64_bytes(payload: bytes) -> str:
+    """64-bit perceptual hash (pHash) of a decoded grayscale image:
+    2D DCT-II of the 32x32 pixel grid, keep the 8x8 low-frequency
+    corner, threshold each coefficient at the median -> 64 '0'/'1'
+    chars (row-major). Here the "pixels" are the payload bytes tiled
+    into the grid (the deterministic stand-in for a real
+    decode+resize, same stub boundary as deterministic_fake_decode);
+    with a real codec, pass the resized grayscale array through the
+    identical DCT/threshold tail. Pure numpy, deterministic."""
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        return "0" * 64
+    size = 32 * 32
+    reps = -(-size // arr.size)
+    img = np.tile(arr, reps)[:size].astype(np.float64).reshape(32, 32)
+    n = 32
+    k = np.arange(n)[:, None]
+    j = np.arange(n)[None, :]
+    basis = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * j + 1) * k / (2 * n))
+    basis[0] /= np.sqrt(2.0)
+    low = (basis @ img @ basis.T)[:8, :8].flatten()
+    med = float(np.median(low))
+    return "".join("1" if v > med else "0" for v in low)
+
+
+def phash_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    phash_fn: Callable[[bytes], str] = phash64_bytes,
+) -> DataFrame:
+    """(id, phash) over binary payloads via ``mapInPandas`` — the same
+    Arrow-batched decode shape as decode_image_metadata; a production
+    pipeline swaps ``phash_fn`` for decode+resize+pHash (or a GPU batch
+    of it). Embarrassingly parallel, no shuffle."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "phash": [phash_fn(bytes(p)) for p in pdf[payload_col]],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(hash_batches, PHASH_SCHEMA)
+
+
+def phash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Image near-duplicate pairs: pHash signatures + the SAME
+    pigeonhole Hamming block join the text SimHash path uses
+    (operators/dedup.hamming_near_pairs) — one signature pass over the
+    bytes, then candidates only where a 16-bit block collides. The
+    multimodal member of the dedup family: exact/Jaccard/MinHash/
+    SimHash for text, cosine for embeddings, pHash for images."""
+    from evidence_images_etl_airflow_spark.operators.dedup import (
+        hamming_near_pairs,
+    )
+
+    sig = phash_images(df, id_col, payload_col)
+    return hamming_near_pairs(
+        sig, "doc_id", "phash", max_hamming=max_hamming, blocks=blocks
+    )

@@ -1649,6 +1649,81 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither pure rollup nor cube): totals by
+    returnflag and, separately, by linestatus — one scan, one expanded
+    aggregate, not two jobs. Catalyst's Expand node duplicates each row
+    once per set, so cost is sets x rows on the map side with the same
+    single shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+    )
+
+
+@register(
+    "agg_pivot_nation_year",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CASE WHEN year(o_orderdate) = 1996 THEN rev END) AS DOUBLE) AS y1996,
+           CAST(sum(CASE WHEN year(o_orderdate) = 1997 THEN rev END) AS DOUBLE) AS y1997,
+           CAST(sum(CASE WHEN year(o_orderdate) = 1998 THEN rev END) AS DOUBLE) AS y1998
+    FROM (
+      SELECT n_name, o_orderdate,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+      FROM lineitem, orders, supplier, nation
+      WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        AND s_nationkey = n_nationkey)
+    GROUP BY n_name
+    """,
+)
+def agg_pivot_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (long->wide reshape): revenue by nation with one column
+    per year. Values are enumerated explicitly — with them, pivot is a
+    single pass (no extra distinct-values job) and compiles to the same
+    CASE-WHEN aggregate the oracle spells out; an unenumerated pivot
+    would first run a distinct scan to discover columns, a hidden job
+    worth avoiding at 100 TB. Decimal-exact sums, double only at
+    output."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(18,2)")
+    base = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.year("o_orderdate").alias("o_year"),
+            (_dec("l_extendedprice") * (one - _dec("l_discount"))).alias("rev"),
+        )
+    )
+    pivoted = (
+        base.groupBy("n_name").pivot("o_year", [1996, 1997, 1998]).sum("rev")
+    )
+    return pivoted.select(
+        "n_name",
+        F.col("1996").cast("double").alias("y1996"),
+        F.col("1997").cast("double").alias("y1997"),
+        F.col("1998").cast("double").alias("y1998"),
+    )
+
+
+@register(
     "agg_distinct_counts",
     oracle="""
     SELECT l_returnflag,
@@ -2974,6 +3049,23 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_phash_near", oracle=None)  # numpy DCT isn't SQL-expressible
+def multimodal_phash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs via 64-bit perceptual hash
+    (operators/multimodal.phash_near_pairs): Arrow-batched pHash over
+    the binary payloads, then the SAME pigeonhole Hamming block join as
+    the text SimHash path (operators/dedup.hamming_near_pairs). The
+    DCT lives in numpy (no SQL oracle), so this takes the rows-only
+    check; signature determinism and near/far behavior are unit-pinned
+    (test_ml_curation.py)."""
+    from evidence_images_etl_airflow_spark.operators.multimodal import (
+        phash_near_pairs,
+    )
+
+    d = attach_binary(_t(spark, sf_dir, "documents"), "text", "payload")
+    return phash_near_pairs(d, "doc_id", "payload", max_hamming=8, blocks=16)
+
+
 @register("dedup_semantic_kmeans", oracle=None)  # KMeans isn't SQL-expressible
 def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/ml_curation.semantic_dedup_pairs): k-means
@@ -3385,6 +3477,9 @@ _VERIFY_FIRST = [
     "ml_quality_classifier",
     "curation_decontaminate",
     "events_funnel",
+    "agg_grouping_sets",
+    "agg_pivot_nation_year",
+    "multimodal_phash_near",
 ]
 
 

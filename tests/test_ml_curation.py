@@ -72,3 +72,32 @@ def test_quality_classifier_separates_clean_from_junk(spark):
     )
     hs = {r["doc_id"]: r["keep"] for r in score_quality(model, held, "text", "doc_id").collect()}
     assert hs[1000] == 1 and hs[1001] == 0
+
+
+def test_phash_near_pairs_finds_perturbed_copies(spark):
+    from evidence_images_etl_airflow_spark.operators.multimodal import (
+        attach_binary,
+        phash64_bytes,
+        phash_near_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    rows = [
+        (1, base),
+        (2, base[:-1] + "?"),          # one byte changed -> near-dup
+        (3, "completely different content with other words " * 18),
+        (4, ""),                        # empty payload must not crash
+    ]
+    df = attach_binary(
+        spark.createDataFrame(rows, "doc_id long, text string"), "text", "payload"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_pairs(df, max_hamming=8, blocks=16).collect()
+    }
+    assert (1, 2) in pairs
+    assert all({a, b} != {1, 3} and {a, b} != {2, 3} for a, b in pairs)
+    # determinism + format of the raw hash
+    h = phash64_bytes(base.encode())
+    assert h == phash64_bytes(base.encode()) and len(h) == 64 and set(h) <= {"0", "1"}
+    assert phash64_bytes(b"") == "0" * 64
