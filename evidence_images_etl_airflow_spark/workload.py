@@ -3049,6 +3049,57 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "curation_lm_perplexity",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS pos
+            FROM toks WHERE len(t) >= 2),
+    bg AS (SELECT doc_id, pos, t[pos] AS w1, t[pos + 1] AS w2 FROM pos),
+    trainbg AS (SELECT * FROM bg WHERE doc_id < 400),
+    counts AS (SELECT w1, w2, count(*) AS c FROM trainbg GROUP BY 1, 2),
+    left_tot AS (SELECT w1, sum(c) AS c1 FROM counts GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT tok) AS V
+              FROM (SELECT unnest(t) AS tok FROM toks WHERE doc_id < 400)),
+    scored AS (
+      SELECT bg.doc_id, bg.pos,
+             round(CASE WHEN c.c IS NOT NULL THEN ln((c.c + 1.0) / (lt.c1 + v.V))
+                        WHEN lt.c1 IS NOT NULL THEN ln(1.0 / (lt.c1 + v.V))
+                        ELSE ln(1.0 / v.V) END, 6) AS logp
+      FROM bg
+      LEFT JOIN counts c ON bg.w1 = c.w1 AND bg.w2 = c.w2
+      LEFT JOIN left_tot lt ON bg.w1 = lt.w1
+      CROSS JOIN vocab v),
+    perdoc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             list_reduce(list_prepend(0.0, list(logp ORDER BY pos)),
+                         (a, b) -> a + b) AS logsum
+      FROM scored GROUP BY doc_id)
+    SELECT doc_id, n_bigrams, round(exp(-logsum / n_bigrams), 4) AS ppl
+    FROM perdoc
+    """,
+)
+def curation_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality signal (operators/lm): bigram LM with add-one
+    smoothing trained on the doc_id<400 slice, every document scored by
+    perplexity. Unseen-bigram and unknown-context branches are both
+    live (scored docs extend past the training slice). The per-doc
+    log-prob fold runs in document order via sort_array + sequential
+    aggregate — the fp-determinism idiom — and each log rounds to 6dp
+    before accumulating so libm ulp differences can't compound."""
+    from evidence_images_etl_airflow_spark.operators.lm import (
+        score_bigram_lm,
+        train_bigram_lm,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    lm, vocab = train_bigram_lm(d.filter(F.col("doc_id") < 400), "doc_id", "text")
+    lm = caching.materialize(lm)
+    return score_bigram_lm(d, lm, vocab, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "n_bigrams", "ppl"
+    )
+
+
 @register("multimodal_phash_near", oracle=None)  # numpy DCT isn't SQL-expressible
 def multimodal_phash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup pairs via 64-bit perceptual hash
@@ -3480,6 +3531,7 @@ _VERIFY_FIRST = [
     "agg_grouping_sets",
     "agg_pivot_nation_year",
     "multimodal_phash_near",
+    "curation_lm_perplexity",
 ]
 
 

@@ -101,3 +101,32 @@ def test_phash_near_pairs_finds_perturbed_copies(spark):
     h = phash64_bytes(base.encode())
     assert h == phash64_bytes(base.encode()) and len(h) == 64 and set(h) <= {"0", "1"}
     assert phash64_bytes(b"") == "0" * 64
+
+
+def test_bigram_lm_ranks_fluent_below_shuffled(spark):
+    from evidence_images_etl_airflow_spark.operators.lm import (
+        score_bigram_lm,
+        train_bigram_lm,
+    )
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    train_rows = [(i, fluent) for i in range(10)]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    lm, vocab = train_bigram_lm(train, "doc_id", "text")
+    score_rows = [
+        (100, fluent),                                  # in-distribution
+        (101, "mat the on sat cat dog the rug and on"),  # shuffled: unseen bigrams
+        (102, "zebra quark flux"),                       # unknown contexts
+        (103, "single"),                                 # <2 tokens -> dropped
+    ]
+    out = {
+        r["id"]: r
+        for r in score_bigram_lm(
+            spark.createDataFrame(score_rows, "doc_id long, text string"),
+            lm, vocab, "doc_id", "text",
+        ).collect()
+    }
+    assert 103 not in out and set(out) == {100, 101, 102}
+    assert out[100]["ppl"] < out[101]["ppl"]
+    assert out[100]["n_bigrams"] == len(fluent.split()) - 1
+    assert out[102]["ppl"] > out[100]["ppl"]
