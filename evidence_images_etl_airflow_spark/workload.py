@@ -1194,6 +1194,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p.p_name LIKE '%red%'
     GROUP BY n.n_name, o_year
     """,
+    headline=True,
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (profit = revenue - cost basis, with
@@ -2883,6 +2884,7 @@ def data_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                       AS BIGINT) % 10000 AS b
           FROM deduped)
     """,
+    headline=True,
 )
 def ep2_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The M7 end-to-end: quality-score filter -> token floor -> exact
@@ -3078,6 +3080,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, n_bigrams, round(exp(-logsum / n_bigrams), 4) AS ppl
     FROM perdoc
     """,
+    headline=True,
 )
 def curation_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM-based quality signal (operators/lm): bigram LM with add-one

@@ -20,15 +20,16 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Bucketing both sides on the join key pre-shuffles at write time;
     the join then runs with zero Exchange — the co-location pattern for
     repeated fact-fact joins at scale."""
+    from evidence_images_etl_airflow_spark.sinks.writers import write_bucketed
+
     o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     # external tables under tmp_path (warehouse.dir is a static conf)
-    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
-        "path", str(tmp_path / "o_b")
-    ).mode("overwrite").saveAsTable("o_b")
-    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
-        "path", str(tmp_path / "li_b")
-    ).mode("overwrite").saveAsTable("li_b")
+    write_bucketed(o, "o_b", str(tmp_path / "o_b"), "o_orderkey", 8)
+    write_bucketed(li, "li_b", str(tmp_path / "li_b"), "l_orderkey", 8)
+    # layout hygiene the helper guarantees: exactly one file per bucket,
+    # so reads get pre-sorted runs and the SMJ skips the Sort too
+    assert len(list((tmp_path / "li_b").glob("*.parquet"))) == 8
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         # force the shuffle-join path (broadcast would trivially win at
