@@ -1782,6 +1782,39 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_sliding_7d",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_7d,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_7d
+    FROM (SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_sliding_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window: per user, the count and exact-decimal
+    value sum over the trailing 7 days — a RANGE frame on integer
+    microseconds, so frame boundaries are value-based (event time), not
+    row-based, and ties in ts_us share a frame (which is what makes the
+    answer ordering-independent and hash-matchable). One shuffle on
+    user_id; frames never cross partitions. The moving-feature shape
+    behind rolling engagement/abuse counters at 100 TB."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-604800000000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_7d"),
+        F.sum(_dec("value")).over(w).cast("double").alias("sum_7d"),
+    )
+
+
+@register(
     "window_topk_per_group",
     oracle="""
     SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
@@ -3535,6 +3568,7 @@ _VERIFY_FIRST = [
     "agg_pivot_nation_year",
     "multimodal_phash_near",
     "curation_lm_perplexity",
+    "window_sliding_7d",
 ]
 
 
