@@ -343,3 +343,52 @@ def test_interval_join_bounds_and_state(spark, tmp_path):
         for r in spark.table("ij_test").collect()
     }
     assert got == {(1, 100, 900), (1, 100, 901), (2, 200, 903)}
+
+
+def test_continuous_rollup_merges_across_runs(spark, tmp_path):
+    """Two availableNow drains over a growing source: the additively
+    merged rollup equals the from-scratch batch aggregate each time."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from evidence_images_etl_airflow_spark.streaming.file_stream import (
+        continuous_rollup_available_now,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    src, tgt, ckpt = str(tmp_path / "src"), str(tmp_path / "tgt"), str(tmp_path / "ck")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+
+    batch1 = [(t0, "view", 1.5), (t0 + dt.timedelta(minutes=30), "view", 2.0),
+              (t0 + dt.timedelta(hours=1), "click", 4.25)]
+    mk(batch1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    continuous_rollup_available_now(spark, src, schema, tgt, ckpt)
+
+    # second wave: same hour as batch1's views (must ADD, not replace)
+    # plus a brand-new hour
+    batch2 = [(t0 + dt.timedelta(minutes=45), "view", 3.0),
+              (t0 + dt.timedelta(hours=2), "view", 7.0)]
+    mk(batch2).write.mode("append").parquet(src)
+    continuous_rollup_available_now(spark, src, schema, tgt, ckpt)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], float(r["total_value"]))
+        for r in spark.read.parquet(tgt).collect()
+    }
+    expect = (
+        mk(batch1 + batch2)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).alias("t"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "t")
+    )
+    want = {
+        (r["ws"], r["event_type"]): (r["n"], float(r["t"]))
+        for r in expect.collect()
+    }
+    assert got == want
+    assert got[(t0, "view")] == (3, 6.5)  # merged across the two drains
