@@ -43,16 +43,25 @@ def _materialized(sh: DataFrame) -> DataFrame:
 
 
 # --- exact -------------------------------------------------------------------
-def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Hash-groupBy exact dedup on the normalized-text fingerprint,
-    keeping the lowest id per group (deterministic survivor choice).
-    One shuffle on the 32-char fingerprint — at 100 TB this is the
-    cheapest possible exact dedup: the shuffle moves (fingerprint, id)
-    pairs only, and map-side partial aggregation collapses local dups
-    before the exchange."""
+def dedup_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    order_by: list[F.Column] | None = None,
+) -> DataFrame:
+    """Hash-groupBy exact dedup on the normalized-text fingerprint.
+    ``order_by`` picks the survivor per duplicate group (default:
+    lowest id; pass e.g. [length desc, id] for the keep-longest policy
+    — end the ordering with a unique key so the choice is
+    deterministic). One shuffle on the 32-char fingerprint — at 100 TB
+    this is the cheapest possible exact dedup: the shuffle moves
+    (fingerprint, id) pairs only, and map-side partial aggregation
+    collapses local dups before the exchange."""
     fp = fingerprint_md5(F.col(text_col))
     keyed = spread(df, F.col(id_col)).withColumn("fingerprint", fp)
-    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+    w = Window.partitionBy("fingerprint").orderBy(
+        *(order_by if order_by is not None else [F.col(id_col)])
+    )
     return (
         keyed.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -2630,6 +2630,65 @@ def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(d, "doc_id", "text").select("doc_id", "fingerprint")
 
 
+@register(
+    "dedup_exact_keep_longest",
+    oracle="""
+    SELECT doc_id, fingerprint, n_chars
+    FROM (SELECT doc_id, n_chars,
+                 md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+          FROM documents)
+    QUALIFY row_number() OVER (PARTITION BY fingerprint
+                               ORDER BY n_chars DESC, doc_id) = 1
+    """,
+)
+def dedup_exact_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with the keep-longest survivor policy (the standard
+    curation choice: among byte-identical-after-normalization copies,
+    keep the one with the most raw content — e.g. the un-truncated
+    crawl). Same single fingerprint shuffle as dedup_exact; only the
+    window ordering changes, tie-broken by doc_id so the survivor is
+    deterministic."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup_exact(
+        d,
+        "doc_id",
+        "text",
+        order_by=[F.col("n_chars").desc(), F.col("doc_id")],
+    ).select("doc_id", "fingerprint", "n_chars")
+
+
+@register(
+    "text_top_tokens",
+    oracle="""
+    SELECT tok, n FROM (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+      FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents)
+      GROUP BY tok)
+    WHERE rn <= 50
+    """,
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token frequencies, top 50 (count desc, token asc
+    tie-break) — the stop-word/hot-shingle discovery step that feeds
+    the dedup operators' ``max_doc_freq`` guards. Explode + hash-agg
+    (map-side combined) + a global top-k that moves only per-partition
+    survivors (WindowGroupLimit), never the full token table."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("tok"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .drop("rn")
+    )
+
+
 _SHINGLES = (
     "[array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]"
 )  # 3-token shingles from token list t
@@ -3569,6 +3628,8 @@ _VERIFY_FIRST = [
     "multimodal_phash_near",
     "curation_lm_perplexity",
     "window_sliding_7d",
+    "dedup_exact_keep_longest",
+    "text_top_tokens",
 ]
 
 
