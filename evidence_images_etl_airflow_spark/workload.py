@@ -820,6 +820,39 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_api_revenue_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o_orderstatus
+    """,
+)
+def sql_api_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front-end surface: the same engine queried through
+    ``spark.sql`` over a registered temp view instead of the DataFrame
+    API. Both front-ends hand Catalyst the identical logical plan, so
+    pushdown/pruning/codegen behave the same — this query exists to
+    prove a reference user who writes SQL strings (their whole load
+    side is SQL) gets first-class treatment. View name is suffixed per
+    sf_dir so concurrent scales don't collide in the shared catalog."""
+    view = f"orders_v_{abs(hash(sf_dir)) % 100000}"
+    _t(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM {view}
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+@register(
     "agg_exact_percentiles",
     oracle="""
     SELECT l_returnflag,
@@ -3630,6 +3663,7 @@ _VERIFY_FIRST = [
     "window_sliding_7d",
     "dedup_exact_keep_longest",
     "text_top_tokens",
+    "sql_api_revenue_by_status",
 ]
 
 

@@ -392,3 +392,53 @@ def test_continuous_rollup_merges_across_runs(spark, tmp_path):
     }
     assert got == want
     assert got[(t0, "view")] == (3, 6.5)  # merged across the two drains
+
+
+def test_format_roundtrips_and_guards(spark, tmp_path):
+    """CSV/JSON/ORC roundtrips preserve data + schema; text formats
+    refuse schema inference; csv FAILFAST surfaces corruption."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from evidence_images_etl_airflow_spark.sources.formats import (
+        convert_table,
+        read_table,
+        write_table,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").limit(200)
+    # timestamps roundtrip through text formats as strings unless cast;
+    # keep the exercise honest with a date column included
+    src = src.withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    want = {tuple(r) for r in src.collect()}
+    schema = src.schema
+
+    for fmt in ("orc", "csv", "json"):
+        p = str(tmp_path / fmt)
+        write_table(src, p, fmt)
+        got = read_table(spark, p, fmt, schema=schema if fmt != "orc" else None)
+        assert got.schema == schema
+        assert {tuple(r) for r in got.collect()} == want
+
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_table(spark, str(tmp_path / "csv"), "csv")
+    with pytest.raises(ValueError, match="unsupported format"):
+        read_table(spark, "x", "avro")
+
+    n = convert_table(
+        spark, str(tmp_path / "csv"), "csv", str(tmp_path / "conv"), "parquet",
+        schema=schema,
+    )
+    assert n == 200
+    assert spark.read.parquet(str(tmp_path / "conv")).count() == 200
+
+    # FAILFAST: malformed row must raise, not silently null
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part.csv").write_text(
+        "o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderdate,o_orderpriority\n"
+        "notanint,2,O,1.5,2024-01-01 00:00:00,1-URGENT\n"
+    )
+    with pytest.raises(Exception):
+        read_table(spark, str(bad), "csv", schema=schema).collect()
