@@ -820,6 +820,38 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udtf_token_chunks",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                  FROM documents),
+    starts AS (SELECT doc_id, t, unnest(generate_series(1, len(t), 12)) AS p
+               FROM toks)
+    SELECT doc_id,
+           CAST((p - 1) / 12 + 1 AS INTEGER) AS chunk_idx,
+           array_to_string(t[p:least(p + 15, len(t))], ' ') AS chunk,
+           CAST(least(p + 15, len(t)) - p + 1 AS INTEGER) AS n_tokens
+    FROM starts
+    """,
+)
+def udtf_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (operators/udtfs.ChunkTokens): overlapping
+    16-token context-window chunks every 12 tokens via a LATERAL table
+    function — one doc row in, one row per chunk out. Row-at-a-time by
+    mechanism; the HOT-PATH equivalent is native
+    posexplode(sequence(...)) + slice + array_join (zero Python), which
+    the oracle SQL effectively is — this query proves the UDTF
+    mechanism agrees with that declarative formulation row-for-row."""
+    from evidence_images_etl_airflow_spark.operators.udtfs import ChunkTokens
+
+    spark.udtf.register("chunk_tokens", ChunkTokens)
+    view = f"docs_v_{abs(hash(sf_dir)) % 100000}"
+    _t(spark, sf_dir, "documents").createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT c.* FROM {view}, LATERAL chunk_tokens(doc_id, text) c"
+    )
+
+
+@register(
     "sql_api_revenue_by_status",
     oracle="""
     SELECT o_orderstatus,
@@ -3664,6 +3696,7 @@ _VERIFY_FIRST = [
     "dedup_exact_keep_longest",
     "text_top_tokens",
     "sql_api_revenue_by_status",
+    "udtf_token_chunks",
 ]
 
 
