@@ -148,10 +148,9 @@ def session_length_seconds(end_col: str | Column, start_col: str | Column) -> Co
     SURVEY §7 hard-part 3)."""
     e = F.col(end_col) if isinstance(end_col, str) else end_col
     s = F.col(start_col) if isinstance(start_col, str) else start_col
-    # TIMESTAMP_NTZ refuses a direct double cast in Spark 4; route via
-    # exact integer microseconds (session tz is UTC, so NTZ == instant)
-    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
-    return ((us(e) - us(s)) / F.lit(1_000_000.0)).cast("double")
+    # timestampdiff works for TIMESTAMP and TIMESTAMP_NTZ alike and is
+    # session-timezone-independent (a start→end difference, no epoch)
+    return (F.timestamp_diff("MICROSECOND", s, e) / F.lit(1_000_000.0)).cast("double")
 
 
 # --- T9: string fold ---------------------------------------------------------
