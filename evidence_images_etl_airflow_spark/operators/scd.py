@@ -1,0 +1,84 @@
+"""Slowly-changing-dimension (type 2) maintenance.
+
+The reference's load side overwrites dimension attributes in place
+(keyed UPDATE, add_image_data.py:65-84 — J4), losing history. The
+warehouse-grade alternative is SCD2: an update closes the current
+version of a row (sets its ``valid_to``) and appends a new version,
+so every historical state stays queryable with an as-of predicate.
+
+Scale design: the dimension is the big side and is scanned exactly
+once, never shuffled — the update batch (a day's changes, small by
+construction) is broadcast to both the close-matching join and the
+append. No window functions, no global sort. At 100 TB the cost is
+one pass over the dimension plus a broadcast; on a table format
+(Delta/Iceberg) the same frame feeds MERGE directly.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    effective_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Apply an update batch to an SCD2 dimension.
+
+    ``dim`` carries ``keys + tracked + [valid_from, valid_to]`` with
+    ``valid_to IS NULL`` marking current rows; ``updates`` carries
+    ``keys + tracked + [effective_col]``. A current row whose tracked
+    attributes differ (null-safely) from its update is closed at the
+    update's effective date and a new current version is appended;
+    unmatched or unchanged rows pass through untouched. Historical
+    (already-closed) rows are never revisited.
+    """
+    out_cols = keys + tracked + [valid_from, valid_to]
+    hist = dim.filter(F.col(valid_to).isNotNull()).select(*out_cols)
+    cur = dim.filter(F.col(valid_to).isNull())
+
+    u = F.broadcast(
+        updates.select(
+            *[F.col(k).alias(f"__u_{k}") for k in keys],
+            *[F.col(t).alias(f"__u_{t}") for t in tracked],
+            F.col(effective_col).alias("__u_eff"),
+        )
+    )
+    cond = reduce(
+        lambda a, b: a & b, [cur[k] == F.col(f"__u_{k}") for k in keys]
+    )
+    j = cur.join(u, cond, "left")
+
+    def _changed() -> Column:
+        diffs = [~F.col(t).eqNullSafe(F.col(f"__u_{t}")) for t in tracked]
+        return F.col("__u_eff").isNotNull() & reduce(lambda a, b: a | b, diffs)
+
+    # current rows: closed at the effective date when an update changes
+    # them, passed through otherwise — one projection, no second scan
+    kept = j.select(
+        *keys,
+        *tracked,
+        F.col(valid_from),
+        F.when(_changed(), F.col("__u_eff")).otherwise(F.col(valid_to)).alias(valid_to),
+    )
+    # new current versions for the changed keys (semi-join back to the
+    # dimension so an update for an unknown key is ignored, matching
+    # UPDATE semantics; swap for an upsert policy if inserts belong)
+    fresh = (
+        j.filter(_changed())
+        .select(
+            *[F.col(f"__u_{k}").alias(k) for k in keys],
+            *[F.col(f"__u_{t}").alias(t) for t in tracked],
+            F.col("__u_eff").alias(valid_from),
+            F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
+        )
+    )
+    return hist.unionByName(kept).unionByName(fresh)

@@ -147,6 +147,30 @@ def merge_into_parquet(
     fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
 
 
+def cluster_by_range(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    num_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered layout: repartitionByRange + sortWithinPartitions
+    on the clustering columns, one file per range. Each output file then
+    covers a NARROW, non-overlapping slice of the clustering key — which
+    is what makes file-level min/max skipping (`sources/manifest.py`)
+    actually prune: on a randomly-laid-out table every file's [min,max]
+    spans the whole domain and nothing can be skipped. The multi-column
+    form is lexicographic (z-order-lite); true z-order interleaving only
+    pays when queries filter the later columns alone."""
+    cols = [F.col(c) for c in cluster_cols]
+    (
+        df.repartitionByRange(num_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

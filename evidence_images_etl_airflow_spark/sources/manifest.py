@@ -1,0 +1,88 @@
+"""File-level statistics manifest + data-skipping scans.
+
+At 100 TB a predicate's cost is dominated by how many FILES it has to
+open, not how many rows it keeps: parquet row-group stats only help
+after the footer is fetched, and on object storage every footer is a
+round trip. Table formats (Delta/Iceberg) solve this by keeping
+per-file min/max stats in a manifest and pruning files before any I/O.
+This module is that pattern on plain parquet directories:
+
+- ``build_manifest``  — one pass over the data collects per-file
+  min/max/count for chosen columns (the pass a table format does at
+  write time; here it's explicit and incremental-friendly — rebuild
+  only new files by globbing).
+- ``prune_files``     — interval-overlap filter over the manifest
+  (driver-side; the manifest has one row per FILE, so even a
+  100 TB / 128 MB table is ~800k rows — trivially collectable).
+- ``scan_pruned``     — reads only surviving files and re-applies the
+  exact predicate (stats prune conservatively; the filter is still
+  authoritative).
+
+Skipping only pays when file ranges are TIGHT: ``cluster_by_range``
+(writers) lays files out by repartitionByRange + sortWithinPartitions
+so each file covers a narrow slice of the stat column — the
+z-order-lite layout that turns a point/range query into touching
+1-2 files instead of all of them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_manifest(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
+    """Per-file stats manifest: one row per parquet file with
+    ``n_rows`` and ``<col>_min`` / ``<col>_max`` per tracked column.
+    One full scan, all stats in a single hash-agg keyed on the file
+    name (map-side combined: each task sees few distinct files)."""
+    df = spark.read.parquet(path)
+    aggs: list[Column] = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    return (
+        df.select(F.input_file_name().alias("file"), *cols)
+        .groupBy("file")
+        .agg(*aggs)
+    )
+
+
+def prune_files(manifest: DataFrame, intervals: dict[str, tuple]) -> list[str]:
+    """Files whose [min, max] range overlaps EVERY queried interval
+    (closed ranges; ``None`` bound = unbounded). Conservative: a file
+    is kept unless its stats prove it cannot match. NULL stats (a file
+    with all-NULL values for the column) keep the file, matching table
+    formats' null-safe skipping."""
+    cond = F.lit(True)
+    for c, (lo, hi) in intervals.items():
+        if lo is not None:
+            cond &= F.col(f"{c}_max").isNull() | (F.col(f"{c}_max") >= F.lit(lo))
+        if hi is not None:
+            cond &= F.col(f"{c}_min").isNull() | (F.col(f"{c}_min") <= F.lit(hi))
+    return [r.file for r in manifest.filter(cond).select("file").collect()]
+
+
+def scan_pruned(
+    spark: SparkSession,
+    manifest: DataFrame,
+    intervals: dict[str, tuple],
+) -> DataFrame:
+    """Data-skipping scan: open only the files the manifest can't rule
+    out, then re-apply the exact range predicate (stats are a superset
+    filter, never the answer). Returns an empty frame with the right
+    schema when everything is pruned."""
+    files = prune_files(manifest, intervals)
+    if not files:
+        any_file = [r.file for r in manifest.select("file").limit(1).collect()]
+        empty = spark.read.parquet(*any_file).limit(0)
+        return _apply_intervals(empty, intervals)
+    return _apply_intervals(spark.read.parquet(*files), intervals)
+
+
+def _apply_intervals(df: DataFrame, intervals: dict[str, tuple]) -> DataFrame:
+    for c, (lo, hi) in intervals.items():
+        if lo is not None:
+            df = df.filter(F.col(c) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(c) <= F.lit(hi))
+    return df

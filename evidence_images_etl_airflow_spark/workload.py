@@ -3639,6 +3639,184 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Warehouse maintenance + retrieval (round 4): SCD2, BM25, rank windows
+# ===========================================================================
+
+@register(
+    "scd2_customer_history",
+    oracle="""
+    WITH cur AS (
+      SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+             DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+      FROM customer),
+    upd AS (
+      SELECT c_custkey, round(round(c_acctbal, 2) + 100.00, 2) AS acctbal,
+             DATE '2024-06-01' AS eff
+      FROM customer WHERE c_custkey % 7 = 0)
+    SELECT c_custkey, acctbal, valid_from,
+           coalesce(valid_to, DATE '9999-12-31') AS valid_to,
+           valid_to IS NULL AS is_current
+    FROM (
+      SELECT c.c_custkey, c.acctbal, c.valid_from,
+             CASE WHEN u.c_custkey IS NOT NULL THEN u.eff END AS valid_to
+      FROM cur c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+      UNION ALL
+      SELECT c_custkey, acctbal, eff AS valid_from, CAST(NULL AS DATE)
+      FROM upd)
+    """,
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension maintenance (operators/scd.scd2_apply):
+    an update batch (every 7th customer's balance moves by +100)
+    closes the current version at its effective date and appends a new
+    one, keeping full history. The reference's keyed UPDATE
+    (add_image_data.py:65-84) is the history-destroying special case
+    of this. Dimension scanned once, update batch broadcast — no
+    shuffle of the big side."""
+    from evidence_images_etl_airflow_spark.operators.scd import scd2_apply
+
+    c = _t(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    updates = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            F.round(F.round(F.col("c_acctbal"), 2) + F.lit(100.00), 2).alias("acctbal"),
+            F.lit("2024-06-01").cast("date").alias("eff"),
+        )
+    )
+    out = scd2_apply(
+        dim, updates, keys=["c_custkey"], tracked=["acctbal"], effective_col="eff"
+    )
+    # open-ended rows surface as the conventional high date (stable
+    # cross-engine hashing; NULL-vs-NaT date normalization differs)
+    return out.select(
+        "c_custkey",
+        "acctbal",
+        "valid_from",
+        F.coalesce(F.col("valid_to"), F.lit("9999-12-31").cast("date")).alias("valid_to"),
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
+_BM25_TERMS = ["vector", "stream", "merge"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, tok AS term FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) AS tok
+        FROM documents) WHERE tok <> ''),
+    dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+           WHERE term IN ('vector','stream','merge') GROUP BY doc_id, term),
+    idf AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM toks
+            WHERE term IN ('vector','stream','merge') GROUP BY term)
+    SELECT doc_id, score FROM (
+      SELECT tf.doc_id,
+             round(sum(ln((stats.n_docs - idf.df + 0.5) / (idf.df + 0.5) + 1)
+                       * tf.tf * ({_BM25_K1} + 1)
+                       / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))),
+                   4) AS score
+      FROM tf
+      JOIN idf ON tf.term = idf.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id)
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval over the corpus: top-20 documents for a
+    fixed query term set — the lexical-retrieval leg of a curation /
+    RAG pipeline. All corpus statistics (doc length, avgdl, per-term
+    document frequency) computed in one explode + two hash-aggs; the
+    per-term idf table (|terms| rows) and the global stats (1 row) are
+    broadcast, so the only shuffle keyed on doc volume is the tf agg.
+    Ranking compares ROUNDED scores (4 dp) with a doc_id tie-break so
+    the top-k boundary is engine-independent; top-k itself is
+    TakeOrderedAndProject (per-partition survivors only). 100 TB: a
+    corpus-sized shuffle for tf, nothing else grows."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), "[^a-z0-9]+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    toks = caching.materialize(toks)
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qt = toks.filter(F.col("term").isin(_BM25_TERMS))
+    tf = qt.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
+    idf = (
+        qt.groupBy("term")
+        .agg(F.count_distinct("doc_id").cast("double").alias("df"))
+    )
+    k1, b = _BM25_K1, _BM25_B
+    contrib = (
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+        * F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(20)
+
+
+@register(
+    "window_distribution_ranks",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume_dist
+    FROM (SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS bal
+          FROM customer)
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY bal, c_custkey)
+    """,
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window surface: ntile / percent_rank /
+    cume_dist per market segment — quartile bucketing and relative
+    standing, the feature-engineering companions to row_number/rank.
+    One window spec → one hash partitioning on the segment key; the
+    ordering tie-breaks on c_custkey so ranks are deterministic.
+    Skew note: a window partition = one task; segments are ~uniform
+    here, and a skewed partition key would call for pre-bucketed
+    two-pass ranks instead."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.round(F.col("c_acctbal"), 2).alias("bal")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("bal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+
+
+# ===========================================================================
 # public accessors
 # ===========================================================================
 
@@ -3654,7 +3832,10 @@ _VERIFY_FIRST = [
     "window_sliding_7d",
     "streaming_dedup",
     "streaming_interval_join",
-    # NEW_R4_MARKER
+    # new in round 4 — no prior rows
+    "scd2_customer_history",
+    "text_bm25_search",
+    "window_distribution_ranks",
     # rotated out of r03's 50-row cap — last verified under the old
     # nanos-typed testdata; event-time queries first (type-sensitive)
     "events_sessionization",

@@ -1,0 +1,91 @@
+"""SCD2 dimension maintenance + BM25 retrieval (round-4 surface)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from evidence_images_etl_airflow_spark.operators.scd import scd2_apply
+
+D = dt.date
+
+
+@pytest.fixture()
+def dim(spark):
+    return spark.createDataFrame(
+        [
+            # closed historical version — must pass through untouched
+            Row(k=1, v="old", valid_from=D(2023, 1, 1), valid_to=D(2024, 1, 1)),
+            Row(k=1, v="a", valid_from=D(2024, 1, 1), valid_to=None),
+            Row(k=2, v="b", valid_from=D(2024, 1, 1), valid_to=None),
+            Row(k=3, v=None, valid_from=D(2024, 1, 1), valid_to=None),
+        ]
+    )
+
+
+def _apply(dim, updates):
+    return scd2_apply(
+        dim, updates, keys=["k"], tracked=["v"], effective_col="eff"
+    )
+
+
+def test_scd2_change_closes_and_appends(spark, dim):
+    upd = spark.createDataFrame([Row(k=1, v="a2", eff=D(2024, 6, 1))])
+    out = _apply(dim, upd).orderBy("k", "valid_from").collect()
+    k1 = [r for r in out if r.k == 1]
+    assert [(r.v, r.valid_from, r.valid_to) for r in k1] == [
+        ("old", D(2023, 1, 1), D(2024, 1, 1)),
+        ("a", D(2024, 1, 1), D(2024, 6, 1)),  # closed at effective date
+        ("a2", D(2024, 6, 1), None),  # new current version
+    ]
+    # untouched keys keep exactly one open row
+    assert [(r.v, r.valid_to) for r in out if r.k == 2] == [("b", None)]
+
+
+def test_scd2_unchanged_and_unknown_updates_are_noops(spark, dim):
+    upd = spark.createDataFrame(
+        [
+            Row(k=2, v="b", eff=D(2024, 6, 1)),  # same value — no-op
+            Row(k=99, v="x", eff=D(2024, 6, 1)),  # unknown key — ignored
+        ]
+    )
+    out = _apply(dim, upd)
+    assert out.count() == dim.count()
+    assert out.filter(F.col("k") == 99).count() == 0
+    assert out.filter((F.col("k") == 2) & F.col("valid_to").isNull()).count() == 1
+
+
+def test_scd2_null_to_value_is_a_change(spark, dim):
+    upd = spark.createDataFrame([Row(k=3, v="now-set", eff=D(2024, 6, 1))])
+    out = _apply(dim, upd)
+    k3 = out.filter(F.col("k") == 3).orderBy("valid_from").collect()
+    assert [(r.v, r.valid_to) for r in k3] == [
+        (None, D(2024, 6, 1)),
+        ("now-set", None),
+    ]
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    from evidence_images_etl_airflow_spark.workload import REGISTRY
+
+    rows = REGISTRY["text_bm25_search"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_distribution_ranks_are_well_formed(spark):
+    from evidence_images_etl_airflow_spark.workload import REGISTRY
+
+    rows = REGISTRY["window_distribution_ranks"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "expected customers"
+    assert {r.quartile for r in rows} <= {1, 2, 3, 4}
+    for r in rows:
+        assert 0.0 <= r.pct_rank <= 1.0
+        assert 0.0 < r.cume_dist <= 1.0
