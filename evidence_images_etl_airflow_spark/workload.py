@@ -3816,6 +3816,155 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH acts AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+    coh AS (SELECT user_id, wk,
+                   min(wk) OVER (PARTITION BY user_id) AS cohort_week
+            FROM acts)
+    SELECT cohort_week, wk - cohort_week AS age_weeks,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM coh GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active week,
+    counted in each subsequent week they return — the
+    product-analytics staple. Week index is exact integer µs
+    arithmetic (epoch-µs div week-µs), no date-function drift between
+    engines. Plan: one distinct on (user, week), a per-user window min
+    (co-partitioned on user_id — no join back), one final agg. Three
+    exchanges total, each keyed on columns with full cardinality —
+    no skew, no driver-side work, scales with distinct user-weeks."""
+    e = _events(spark, sf_dir)
+    acts = e.select(
+        "user_id", F.expr("ts_us div 604800000000").alias("wk")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    coh = acts.withColumn("cohort_week", F.min("wk").over(w))
+    return (
+        coh.groupBy(
+            "cohort_week", (F.col("wk") - F.col("cohort_week")).alias("age_weeks")
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "profile_table_stats",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count({c}) AS BIGINT) AS n_non_null,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           round(min({c}), 6) AS min_val, round(max({c}), 6) AS max_val
+    FROM lineitem"""
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiling (the ANALYZE TABLE / data-quality
+    dashboard primitive): row count, null count, exact distinct count,
+    min and max for every tracked column — computed in a SINGLE
+    aggregate over a single scan, then unpivoted driver-free with
+    ``stack``. The naive per-column loop is C full scans; at 100 TB
+    the difference is C× the I/O bill. Exact distincts share one
+    expand-style aggregate; swap in approx_count_distinct when 2%
+    error is acceptable and the expand shuffle isn't."""
+    li = _t(spark, sf_dir, "lineitem").select(*_PROFILE_COLS)
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.count_distinct(c).alias(f"{c}__nd"),
+            F.round(F.min(c), 6).alias(f"{c}__min"),
+            F.round(F.max(c), 6).alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__min, {c}__max" for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(column, n_non_null, n_distinct, min_val, max_val)",
+        "n_rows",
+    ).select("column", "n_rows", "n_non_null", "n_distinct", "min_val", "max_val")
+
+
+@register(
+    "profile_price_histogram",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 600000 THEN 25
+                ELSE CAST(floor(o_totalprice / 25000) AS BIGINT) + 1 END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(min(o_totalprice), 2) AS bucket_min,
+           round(max(o_totalprice), 2) AS bucket_max
+    FROM orders GROUP BY 1
+    """,
+)
+def profile_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value (fixed literal bounds so
+    the bucketing is engine-independent): width_bucket + one hash-agg.
+    24 buckets over [0, 600000); under/overflow land in buckets 0/25
+    by the shared Postgres semantics. Map-side combine reduces each
+    partition to ≤26 rows before the exchange — profiling cost is one
+    scan regardless of table size."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket(F.col("o_totalprice"), F.lit(0), F.lit(600000), F.lit(24)).alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
+        )
+    )
+
+
+@register(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment, e.event_type
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the streaming leg of the
+    reference's dim-lookup pattern: an unbounded event stream joined
+    per-micro-batch to a slowly-changing static dimension. The static
+    side is broadcast (re-resolved each micro-batch, so a dim refresh
+    is picked up without restarting the query); the stream side never
+    shuffles. Drained with availableNow into a memory sink; the result
+    equals the batch join, which is the oracle."""
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parque*")
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = (
+        stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+        .select("event_id", "user_id", "c_mktsegment", "event_type")
+    )
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================
@@ -3836,6 +3985,10 @@ _VERIFY_FIRST = [
     "scd2_customer_history",
     "text_bm25_search",
     "window_distribution_ranks",
+    "events_cohort_retention",
+    "profile_table_stats",
+    "profile_price_histogram",
+    "streaming_static_enrich",
     # rotated out of r03's 50-row cap — last verified under the old
     # nanos-typed testdata; event-time queries first (type-sensitive)
     "events_sessionization",
