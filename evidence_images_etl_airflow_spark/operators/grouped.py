@@ -74,3 +74,26 @@ def fit_group_trend(
         return pd.DataFrame([{**keys, "slope": slope, "intercept": intercept, "r2": r2, "n": n}])
 
     return df.select(*key_cols, x_col, y_col).groupBy(*key_cols).applyInPandas(fit, out_schema)
+
+
+# --- grouped-agg pandas UDFs (Series -> scalar) ------------------------------
+@pandas_udf("double")
+def trimmed_mean_10(v: pd.Series) -> float:
+    """10%-trimmed mean (GROUPED_AGG pandas UDF): drop the k smallest
+    and k largest VALUES, k = floor(0.1 n), then average. Trimming a
+    multiset by sorted position is tie- and order-independent, so the
+    result is deterministic under any Spark partitioning. Each group
+    materializes in one executor — use for bounded-cardinality groups;
+    an unbounded group calls for the rank-window formulation."""
+    import numpy as np
+
+    s = np.sort(v.to_numpy(dtype="float64"))
+    k = int(len(s) * 0.1)
+    return float(s[k : len(s) - k].mean())
+
+
+@pandas_udf("long")
+def trimmed_count_10(v: pd.Series) -> int:
+    """Rows surviving the 10% trim — n - 2*floor(0.1 n)."""
+    n = len(v)
+    return n - 2 * int(n * 0.1)

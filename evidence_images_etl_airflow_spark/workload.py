@@ -3965,6 +3965,109 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@register(
+    "scd2_asof_lookup",
+    oracle="""
+    WITH hist AS (
+      SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+             DATE '1995-01-01' AS valid_from,
+             CASE WHEN c_custkey % 7 = 0 THEN DATE '1998-01-01'
+                  ELSE DATE '9999-12-31' END AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, round(round(c_acctbal, 2) + 100.00, 2),
+             DATE '1998-01-01', DATE '9999-12-31'
+      FROM customer WHERE c_custkey % 7 = 0)
+    SELECT o_orderkey, o_custkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           h.acctbal AS acctbal_at_order
+    FROM orders o
+    JOIN hist h ON o.o_custkey = h.c_custkey
+     AND CAST(o_orderdate AS DATE) >= h.valid_from
+     AND CAST(o_orderdate AS DATE) < h.valid_to
+    """,
+)
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel lookup against an SCD2 dimension: each fact row
+    joins the dimension VERSION that was valid on its event date
+    (valid_from <= date < valid_to) — the query pattern SCD2 history
+    exists to serve, composed from the same operators/scd.scd2_apply
+    output. Physical shape: hash equi-join on the customer key with
+    the validity range as a residual filter; the dimension (even with
+    history, |dim| x avg versions) broadcasts, the fact table never
+    shuffles. One fact pass at any scale."""
+    from evidence_images_etl_airflow_spark.operators.scd import scd2_apply
+
+    c = _t(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+        F.lit("1995-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    updates = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.round(F.round(F.col("c_acctbal"), 2) + F.lit(100.00), 2).alias("acctbal"),
+        F.lit("1998-01-01").cast("date").alias("eff"),
+    )
+    hist = scd2_apply(
+        dim, updates, keys=["c_custkey"], tracked=["acctbal"], effective_col="eff"
+    ).withColumn(
+        "valid_to", F.coalesce(F.col("valid_to"), F.lit("9999-12-31").cast("date"))
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("date").alias("order_date")
+    )
+    return (
+        o.join(
+            F.broadcast(hist),
+            (o.o_custkey == hist.c_custkey)
+            & (o.order_date >= hist.valid_from)
+            & (o.order_date < hist.valid_to),
+        )
+        .select("o_orderkey", "o_custkey", "order_date", F.col("acctbal").alias("acctbal_at_order"))
+    )
+
+
+@register(
+    "agg_trimmed_mean",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem)
+    SELECT l_returnflag, round(avg(l_extendedprice), 2) AS trimmed_mean,
+           CAST(count(*) AS BIGINT) AS n_kept
+    FROM r
+    WHERE rn > floor(n * 0.1) AND rn <= n - floor(n * 0.1)
+    GROUP BY l_returnflag
+    """,
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean per return flag via a GROUPED_AGG pandas UDF —
+    the robust-statistics aggregate Spark has no native form for, and
+    the last cell of the sanctioned-Python matrix (scalar pandas_udf,
+    grouped map, mapInPandas, applyInPandasWithState, UDTF — §2.9).
+    Trimming drops the k smallest/largest VALUES (k = floor(0.1 n)),
+    which is order- and tie-independent as a multiset operation, so
+    the Arrow-batched numpy path and the oracle's rank-window SQL
+    agree exactly. Scale note: a grouped-agg UDF materializes each
+    group in one executor's memory — right for bounded groups like
+    flags; for unbounded groups use the rank-window form instead."""
+    from evidence_images_etl_airflow_spark.operators.grouped import (
+        trimmed_count_10,
+        trimmed_mean_10,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(trimmed_mean_10("l_extendedprice"), 2).alias("trimmed_mean"),
+        trimmed_count_10("l_extendedprice").alias("n_kept"),
+    )
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================
@@ -3989,6 +4092,8 @@ _VERIFY_FIRST = [
     "profile_table_stats",
     "profile_price_histogram",
     "streaming_static_enrich",
+    "scd2_asof_lookup",
+    "agg_trimmed_mean",
     # rotated out of r03's 50-row cap — last verified under the old
     # nanos-typed testdata; event-time queries first (type-sensitive)
     "events_sessionization",

@@ -89,3 +89,22 @@ def test_distribution_ranks_are_well_formed(spark):
     for r in rows:
         assert 0.0 <= r.pct_rank <= 1.0
         assert 0.0 < r.cume_dist <= 1.0
+
+
+def test_trimmed_mean_grouped_agg(spark):
+    """GROUPED_AGG pandas UDF: known 10-value group — trim drops the
+    min and max (k=1), mean of the middle 8."""
+    from evidence_images_etl_airflow_spark.operators.grouped import (
+        trimmed_count_10,
+        trimmed_mean_10,
+    )
+
+    vals = [(1, float(v)) for v in [100, 1, 2, 3, 4, 5, 6, 7, 8, 9]]
+    df = spark.createDataFrame(vals, "g int, v double")
+    row = (
+        df.groupBy("g")
+        .agg(trimmed_mean_10("v").alias("m"), trimmed_count_10("v").alias("n"))
+        .first()
+    )
+    assert row.n == 8
+    assert row.m == pytest.approx(sum([2, 3, 4, 5, 6, 7, 8, 9]) / 8)

@@ -442,3 +442,27 @@ def test_format_roundtrips_and_guards(spark, tmp_path):
     )
     with pytest.raises(Exception):
         read_table(spark, str(bad), "csv", schema=schema).collect()
+
+
+def test_scan_parquet_merges_drifted_schemas(spark, tmp_path):
+    """Schema evolution across batches: a later batch adds a column;
+    the default mergeSchema scan unions the schemas and null-fills
+    the files written before the column existed."""
+    from evidence_images_etl_airflow_spark.sources.parquet_source import scan_parquet
+
+    base = str(tmp_path / "drift")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(f"{base}/b1")
+    spark.createDataFrame(
+        [(2, "b", 0.5)], "id long, name string, score double"
+    ).write.parquet(f"{base}/b2")
+    df = scan_parquet(spark, [f"{base}/b1", f"{base}/b2"])
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows == {1: None, 2: 0.5}
+    # an explicit schema narrows instead of merging (the scale default:
+    # metastore-declared schema, no footer-reading inference pass)
+    narrowed = scan_parquet(
+        spark, [f"{base}/b1", f"{base}/b2"], schema="id long, name string"
+    )
+    assert set(narrowed.columns) == {"id", "name"}
+    assert narrowed.count() == 2
