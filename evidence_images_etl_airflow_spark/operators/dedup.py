@@ -473,3 +473,32 @@ def embedding_near_dups(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# --- cross-batch dedup -------------------------------------------------------
+def dedup_against_store(
+    new_docs: DataFrame,
+    store: DataFrame,
+    id_col: str,
+    text_col: str,
+    order_by: list[F.Column] | None = None,
+) -> DataFrame:
+    """Incremental-ingest exact dedup: the training-pipeline core loop
+    where each new crawl batch is deduplicated (a) within itself and
+    (b) against everything already ingested, represented by ``store``
+    — a frame with a ``fingerprint`` column (e.g. the accumulated
+    output of this function). Survivors carry their fingerprint so the
+    caller appends them straight back to the store.
+
+    Scale shape: in-batch dedup is the usual single (fingerprint, id)
+    shuffle; the store check is a LEFT ANTI join on the fingerprint —
+    Spark broadcasts it while the store is small and falls back to a
+    shuffled anti-join beyond the threshold, both correct. At 100 TB
+    of history the store side is the 32-char fingerprint column only
+    (pruned scan), never the corpus itself; a Bloom-filter
+    pre-screen in front of the anti-join is the next dial if the
+    store's fingerprint column itself becomes the bottleneck."""
+    in_batch = dedup_exact(new_docs, id_col, text_col, order_by=order_by)
+    return in_batch.join(
+        store.select("fingerprint").distinct(), "fingerprint", "left_anti"
+    )

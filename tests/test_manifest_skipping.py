@@ -77,3 +77,64 @@ def test_unbounded_and_null_safe_pruning(spark, clustered):
         "o_orderkey_min", F.lit(None).cast("long")
     ).withColumn("o_orderkey_max", F.lit(None).cast("long"))
     assert len(prune_files(withnull, {"o_orderkey": (0, 1)})) == N_FILES
+
+
+def test_zorder_prunes_on_either_dimension(spark, tmp_path_factory):
+    """Z-order layout: a narrow predicate on EITHER clustering column
+    skips files; lexicographic clustering only skips on the leading
+    column."""
+    from evidence_images_etl_airflow_spark.sinks.writers import cluster_by_zorder
+
+    base = tmp_path_factory.mktemp("zorder")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    n_files = 16
+    zpath, lpath = str(base / "z"), str(base / "lex")
+    cluster_by_zorder(orders, zpath, "o_custkey", "o_totalprice", num_files=n_files)
+    cluster_by_range(orders, lpath, ["o_custkey", "o_totalprice"], num_files=n_files)
+    zman = build_manifest(spark, zpath, ["o_custkey", "o_totalprice"])
+    lman = build_manifest(spark, lpath, ["o_custkey", "o_totalprice"])
+
+    # narrow band on the SECOND column (price): z-order must skip,
+    # lexicographic spans the whole price domain in every file
+    price = {"o_totalprice": (100000.0, 120000.0)}
+    z_kept, l_kept = len(prune_files(zman, price)), len(prune_files(lman, price))
+    assert z_kept < n_files / 2, f"zorder kept {z_kept}/{n_files} on price band"
+    assert z_kept < l_kept, f"zorder ({z_kept}) should beat lexicographic ({l_kept})"
+
+    # the leading column still prunes under z-order too (custkey spans
+    # 0-149 at sf0.001, so (0, 20) is a ~13% band)
+    cust = {"o_custkey": (0, 20)}
+    assert len(prune_files(zman, cust)) < n_files / 2
+
+    # correctness: pruned scan == full filter on the z layout
+    got = scan_pruned(spark, zman, price).count()
+    want = orders.filter(
+        (F.col("o_totalprice") >= 100000.0) & (F.col("o_totalprice") <= 120000.0)
+    ).count()
+    assert got == want
+
+
+def test_dedup_against_store_incremental_ingest(spark):
+    """Cross-batch exact dedup: batch 2 drops rows whose fingerprint
+    was already ingested in batch 1, plus its own in-batch dups."""
+    from evidence_images_etl_airflow_spark.operators.dedup import dedup_against_store
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha  beta ")],  # 3 dups 1
+        "doc_id long, text string",
+    )
+    empty_store = spark.createDataFrame([], "fingerprint string")
+    s1 = dedup_against_store(b1, empty_store, "doc_id", "text")
+    assert sorted(r.doc_id for r in s1.collect()) == [1, 2]
+
+    store = s1.select("fingerprint")
+    b2 = spark.createDataFrame(
+        [(10, "ALPHA BETA"), (11, "epsilon"), (12, "epsilon"), (13, "gamma delta")],
+        "doc_id long, text string",
+    )
+    s2 = dedup_against_store(b2, store, "doc_id", "text")
+    # 10 dups batch-1's "alpha beta" (case-insensitive fingerprint),
+    # 13 dups batch-1's "gamma delta", 12 dups 11 in-batch
+    assert sorted(r.doc_id for r in s2.collect()) == [11]
