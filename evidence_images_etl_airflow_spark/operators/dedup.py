@@ -193,6 +193,23 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*_sig_aggs(num_hashes))
 
 
+def _band_keys(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, key) rows from a signature table: each band's key is
+    the concatenation of its rows/band signature slots. One explode —
+    O(docs x bands) rows, the compact LSH index of a corpus."""
+    rows = num_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -223,16 +240,7 @@ def minhash_lsh_pairs(
     # the band self-join reads the signature table from BOTH sides;
     # materializing the O(docs)-row table caps the k-hash agg at one pass
     sig = _materialized(sh.groupBy("id").agg(*_sig_aggs(num_hashes)))
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]).alias("key"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    banded = _band_keys(sig, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
@@ -502,3 +510,67 @@ def dedup_against_store(
     return in_batch.join(
         store.select("fingerprint").distinct(), "fingerprint", "left_anti"
     )
+
+
+def minhash_band_store(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The persistent LSH index of a corpus: (id, band, key) rows —
+    O(docs × bands), independent of document length. This is what the
+    incremental near-dup gate keeps between crawl batches instead of
+    the corpus itself."""
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    sh = _doc_shingles(df, id_col, text_col, shingle_n).withColumn(
+        "hp", _base_hash(F.col("shingle"))
+    )
+    sig = sh.groupBy("id").agg(*_sig_aggs(num_hashes))
+    return _band_keys(sig, num_hashes, bands)
+
+
+def minhash_lsh_against_store(
+    new_docs: DataFrame,
+    band_store: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental NEAR-dup gate — the fuzzy sibling of
+    ``dedup_against_store``: a new crawl batch is checked against the
+    accumulated ``minhash_band_store`` index; any new doc sharing a
+    full LSH band with history is dropped as a probable near-dup.
+    Returns ``(survivors, survivor_band_rows)`` — append the latter to
+    the store to keep the index current. Signature params MUST match
+    the ones the store was built with.
+
+    Trade documented: band collision is treated as duplicate without
+    an exact-Jaccard verify, because verification would need the
+    historical TEXT — exactly what a 100 TB pipeline cannot afford to
+    rejoin per batch. With 8 hashes / 4 bands the false-positive rate
+    at Jaccard 0.3 is ~9% per pair; tighten with more hashes/rows per
+    band if precision matters more than recall. In-batch near-dups are
+    a separate concern — run ``minhash_lsh_pairs`` on the survivors.
+
+    Scale shape: the join shuffles band KEYS (strings), never shingles
+    or text; the store side is the compact index. Both sides prune to
+    (band, key, id)."""
+    nb = minhash_band_store(
+        new_docs, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    nb = _materialized(nb)
+    collided = (
+        nb.join(band_store.select("band", "key").distinct(), ["band", "key"], "leftsemi")
+        .select("id")
+        .distinct()
+    )
+    survivors = new_docs.join(
+        collided.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
+    survivor_bands = nb.join(collided, "id", "left_anti")
+    return survivors, survivor_bands

@@ -325,3 +325,45 @@ def test_fit_group_trend_matches_numpy(spark):
     assert abs(got["b"].intercept - exp_int) < 1e-9
     assert 0 < got["b"].r2 < 1
     assert got["c"].slope is None and got["c"].n == 1
+
+
+def test_minhash_lsh_against_store_incremental(spark):
+    """Incremental near-dup gate: an exact copy of a historical doc
+    (all bands collide) is dropped; a distinct doc survives and its
+    band rows come back for the store append."""
+    from evidence_images_etl_airflow_spark.operators.dedup import (
+        minhash_band_store,
+        minhash_lsh_against_store,
+    )
+
+    hist = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "completely different content about spark shuffles and partitions"),
+        ],
+        "doc_id long, text string",
+    )
+    store = minhash_band_store(hist, "doc_id", "text")
+    batch = spark.createDataFrame(
+        [
+            # identical to doc 1 -> identical signature -> every band collides
+            (10, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (11, "entirely novel text mentioning catalyst optimizer rules and codegen stages"),
+        ],
+        "doc_id long, text string",
+    )
+    survivors, new_bands = minhash_lsh_against_store(batch, store, "doc_id", "text")
+    assert [r.doc_id for r in survivors.collect()] == [11]
+    assert {r.id for r in new_bands.collect()} == {11}
+    # appending keeps the gate closed for a re-crawl of the same doc
+    store2 = store.unionByName(new_bands)
+    again, _ = minhash_lsh_against_store(
+        spark.createDataFrame(
+            [(20, "entirely novel text mentioning catalyst optimizer rules and codegen stages")],
+            "doc_id long, text string",
+        ),
+        store2,
+        "doc_id",
+        "text",
+    )
+    assert again.count() == 0
