@@ -4068,6 +4068,43 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_rolling_users_7d",
+    oracle="""
+    WITH acts AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+    days AS (SELECT DISTINCT day FROM acts)
+    SELECT d.day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_7d
+    FROM days d JOIN acts a ON a.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+)
+def events_rolling_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day ACTIVE USERS per day — the rolling DISTINCT
+    metric, which unlike rolling count/sum (window_sliding_7d) is not
+    frame-decomposable: a user active on 3 of the 7 days must count
+    once. Implemented by bounded fan-out instead of a band self-join:
+    each (user, day) activity emits the ≤7 window-end days it belongs
+    to (``sequence`` + explode), then one distinct-agg per day. Cost
+    is 7×|user-days| rows into a single exchange — linear, no
+    O(days × acts) join, no window over an unpartitioned frame. The
+    1000-executor version is identical; for 90-day windows switch to
+    per-day HLL sketch union (agg_approx_distinct shows the path)."""
+    e = _events(spark, sf_dir)
+    acts = e.select(
+        "user_id", F.expr("ts_us div 86400000000").alias("day")
+    ).distinct()
+    days = acts.select("day").distinct()
+    windows = acts.select(
+        "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day")
+    )
+    return (
+        windows.join(days, "day", "leftsemi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("active_7d"))
+    )
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================
@@ -4094,6 +4131,7 @@ _VERIFY_FIRST = [
     "streaming_static_enrich",
     "scd2_asof_lookup",
     "agg_trimmed_mean",
+    "events_rolling_users_7d",
     # rotated out of r03's 50-row cap — last verified under the old
     # nanos-typed testdata; event-time queries first (type-sensitive)
     "events_sessionization",
