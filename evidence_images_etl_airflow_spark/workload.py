@@ -4105,6 +4105,36 @@ def events_rolling_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_variant_shred",
+    oracle="""
+    SELECT event_type,
+           CAST(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT)
+             AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through the VARIANT type (Spark 4):
+    ``parse_json`` shreds the JSON string once into Variant's binary
+    encoding, then ``variant_get`` path extraction is a typed binary
+    read — no per-access string re-parse, which is the point of
+    Variant vs get_json_object at 100 TB (measurably cheaper when a
+    query touches several paths of the same column). Oracle is the
+    equivalent string-path extraction in DuckDB."""
+    e = _events(spark, sf_dir).withColumn("v", F.parse_json("props"))
+    k = F.try_variant_get(F.col("v"), "$.k", "bigint")
+    return e.groupBy(
+        "event_type", (k % 10).alias("k_bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+    )
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================
@@ -4132,6 +4162,7 @@ _VERIFY_FIRST = [
     "scd2_asof_lookup",
     "agg_trimmed_mean",
     "events_rolling_users_7d",
+    "events_variant_shred",
     # rotated out of r03's 50-row cap — last verified under the old
     # nanos-typed testdata; event-time queries first (type-sensitive)
     "events_sessionization",

@@ -466,3 +466,34 @@ def test_scan_parquet_merges_drifted_schemas(spark, tmp_path):
     )
     assert set(narrowed.columns) == {"id", "name"}
     assert narrowed.count() == 2
+
+
+def test_python_datasource_synthetic_events(spark):
+    """Spark 4 Python DataSource API: partition-parallel generator —
+    content is a pure function of global row id, so any partitioning
+    yields the same dataset; partitions option controls parallelism."""
+    from evidence_images_etl_airflow_spark.sources import pyds
+
+    pyds.register(spark)
+    df4 = (
+        spark.read.format("synthetic_events")
+        .option("rows", 1000)
+        .option("partitions", 4)
+        .option("users", 50)
+        .load()
+    )
+    assert df4.count() == 1000
+    assert df4.rdd.getNumPartitions() == 4
+    assert set(df4.columns) == {"event_id", "user_id", "event_type", "value"}
+    assert df4.agg({"user_id": "max"}).first()[0] < 50
+
+    # same rows under a different parallelism
+    df7 = (
+        spark.read.format("synthetic_events")
+        .option("rows", 1000)
+        .option("partitions", 7)
+        .option("users", 50)
+        .load()
+    )
+    assert df7.exceptAll(df4).count() == 0
+    assert df4.exceptAll(df7).count() == 0
