@@ -51,3 +51,17 @@ def test_image_urls_view(irmq_raw, irsession_raw):
     assert r.first_image_url == "http://img/a.jpg"
     # midnight-spanning session keeps its start date
     assert by_scene[("s3", "c5", "Front")].session_date == dt.date(2023, 8, 16)
+
+
+def test_verify_first_rotation_is_well_formed():
+    """The correctness-sweep emission order: every listed name exists,
+    no duplicates, and the driver's 50-row window is spent on queries,
+    not typos."""
+    from evidence_images_etl_airflow_spark import workload
+
+    names = workload._VERIFY_FIRST
+    assert len(names) == len(set(names)), "duplicate in _VERIFY_FIRST"
+    missing = [n for n in names if n not in workload.REGISTRY]
+    assert not missing, f"unknown queries in _VERIFY_FIRST: {missing}"
+    ordered = list(workload.queries())
+    assert ordered[: len(names)] == [n for n in names if n in workload.REGISTRY]
