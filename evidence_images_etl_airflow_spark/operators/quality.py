@@ -1,0 +1,131 @@
+"""Data-quality constraint checking (data contracts).
+
+The reference's only "validation" is catching varchar-overflow errors
+AFTER a failed insert (evidence_images_processing.py:221-228 — K2).
+The engine-grade version validates declaratively BEFORE the write: a
+constraint list compiles into as few Spark jobs as the constraint mix
+allows, and the output is a small report frame (one row per
+constraint) a pipeline can gate on.
+
+Scale design: all ROW-LOCAL constraints (not-null, in-set, range,
+regex) compile into a SINGLE conditional aggregate over ONE scan —
+adding a constraint adds a codegen'd sum(case when ...), not a pass.
+Uniqueness is one groupBy on the key (map-side combined); a foreign-key
+check is one anti-join with the dimension side broadcast when small.
+Nothing collects the data; the report is O(#constraints) rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Check:
+    name: str
+    kind: str  # "rowlocal" | "unique" | "fk"
+    # rowlocal: a boolean Column that is True when the row VIOLATES
+    violation: Column | None = None
+    cols: list[str] = field(default_factory=list)
+    dim: DataFrame | None = None
+    dim_col: str | None = None
+
+
+def check_not_null(col: str) -> Check:
+    return Check(f"not_null({col})", "rowlocal", F.col(col).isNull())
+
+
+def check_in_set(col: str, values: list) -> Check:
+    return Check(
+        f"in_set({col})", "rowlocal", ~F.col(col).isin(values) | F.col(col).isNull()
+    )
+
+
+def check_range(col: str, lo=None, hi=None) -> Check:
+    cond = F.lit(False)
+    if lo is not None:
+        cond = cond | (F.col(col) < F.lit(lo))
+    if hi is not None:
+        cond = cond | (F.col(col) > F.lit(hi))
+    return Check(f"range({col})", "rowlocal", cond | F.col(col).isNull())
+
+
+def check_regex(col: str, pattern: str) -> Check:
+    return Check(
+        f"regex({col})",
+        "rowlocal",
+        ~F.col(col).rlike(pattern) | F.col(col).isNull(),
+    )
+
+
+def check_unique(cols: list[str]) -> Check:
+    return Check(f"unique({','.join(cols)})", "unique", cols=cols)
+
+
+def check_fk(col: str, dim: DataFrame, dim_col: str) -> Check:
+    return Check(f"fk({col})", "fk", cols=[col], dim=dim, dim_col=dim_col)
+
+
+def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Report frame ``(check_name, violations, n_rows)`` — one row per
+    constraint, all counts over the same input snapshot."""
+    reports: list[DataFrame] = []
+
+    rowlocal = [c for c in checks if c.kind == "rowlocal"]
+    if rowlocal:
+        aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+            F.sum(F.when(c.violation, 1).otherwise(0)).alias(f"v{i}")
+            for i, c in enumerate(rowlocal)
+        ]
+        one = df.agg(*aggs)
+        stack = ", ".join(f"'{c.name}', v{i}" for i, c in enumerate(rowlocal))
+        reports.append(
+            one.selectExpr(
+                f"stack({len(rowlocal)}, {stack}) AS (check_name, violations)",
+                "n_rows",
+            )
+        )
+
+    n_rows_lit = None
+    for c in checks:
+        if c.kind == "unique":
+            if n_rows_lit is None:
+                n_rows_lit = df.count()
+            dups = (
+                df.groupBy(*c.cols)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .agg(F.coalesce(F.sum("__n"), F.lit(0)).alias("violations"))
+            )
+            reports.append(
+                dups.select(
+                    F.lit(c.name).alias("check_name"),
+                    F.col("violations").cast("long"),
+                    F.lit(n_rows_lit).cast("long").alias("n_rows"),
+                )
+            )
+        elif c.kind == "fk":
+            if n_rows_lit is None:
+                n_rows_lit = df.count()
+            orphans = df.select(c.cols[0]).join(
+                F.broadcast(c.dim.select(F.col(c.dim_col).alias(c.cols[0]))),
+                c.cols[0],
+                "left_anti",
+            )
+            reports.append(
+                orphans.agg(F.count(F.lit(1)).alias("violations")).select(
+                    F.lit(c.name).alias("check_name"),
+                    F.col("violations").cast("long"),
+                    F.lit(n_rows_lit).cast("long").alias("n_rows"),
+                )
+            )
+
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "check_name", F.col("violations").cast("long").alias("violations"), "n_rows"
+    )

@@ -4135,6 +4135,70 @@ def events_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq_constraint_report",
+    oracle="""
+    SELECT 'not_null(o_custkey)' AS check_name,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders
+    UNION ALL
+    SELECT 'in_set(o_orderstatus)',
+           CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F') OR o_orderstatus IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'range(o_totalprice)',
+           CAST(sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 400000
+                         OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           CAST(coalesce((SELECT sum(n) FROM (SELECT count(*) AS n FROM orders
+                          GROUP BY o_orderkey HAVING count(*) > 1)), 0) AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'fk(o_custkey)',
+           CAST((SELECT count(*) FROM orders o
+                 LEFT JOIN (SELECT c_custkey FROM customer WHERE c_custkey < 1000) c
+                   ON o.o_custkey = c.c_custkey
+                 WHERE c.c_custkey IS NULL) AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT)
+    """,
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract validation (operators/quality.py) —
+    the engine-grade replacement for the reference's catch-the-insert-
+    error pattern (K2): five constraints over orders, compiled into
+    one conditional aggregate (all row-local checks share a single
+    scan), one key groupBy (uniqueness), and one broadcast anti-join
+    (FK into a deliberately restricted customer dim so the check has
+    real violations to count). Report is O(#constraints) rows."""
+    from evidence_images_etl_airflow_spark.operators.quality import (
+        check_fk,
+        check_in_set,
+        check_not_null,
+        check_range,
+        check_unique,
+        run_checks,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    dim = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 1000)
+    return run_checks(
+        o,
+        [
+            check_not_null("o_custkey"),
+            check_in_set("o_orderstatus", ["O", "F"]),
+            check_range("o_totalprice", 0, 400000),
+            check_unique(["o_orderkey"]),
+            check_fk("o_custkey", dim, "c_custkey"),
+        ],
+    )
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================
@@ -4163,6 +4227,7 @@ _VERIFY_FIRST = [
     "agg_trimmed_mean",
     "events_rolling_users_7d",
     "events_variant_shred",
+    "dq_constraint_report",
     # rotated out of r03's 50-row cap — last verified under the old
     # nanos-typed testdata; event-time queries first (type-sensitive)
     "events_sessionization",

@@ -1,0 +1,61 @@
+"""Data-contract constraint engine (operators/quality.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from evidence_images_etl_airflow_spark.operators.quality import (
+    check_fk,
+    check_in_set,
+    check_not_null,
+    check_range,
+    check_regex,
+    check_unique,
+    run_checks,
+)
+
+
+@pytest.fixture()
+def dirty(spark):
+    return spark.createDataFrame(
+        [
+            Row(id=1, status="ok", score=5.0, email="a@b.com"),
+            Row(id=1, status="ok", score=50.0, email="nope"),  # dup id, high score
+            Row(id=2, status="bad", score=-1.0, email=None),  # bad status, low score
+            Row(id=3, status=None, score=None, email="c@d.io"),  # nulls
+        ]
+    )
+
+
+def test_all_constraint_kinds_count_violations(spark, dirty):
+    dim = spark.createDataFrame([Row(k=1), Row(k=2)])
+    report = {
+        r.check_name: (r.violations, r.n_rows)
+        for r in run_checks(
+            dirty,
+            [
+                check_not_null("status"),
+                check_in_set("status", ["ok"]),
+                check_range("score", 0, 10),
+                check_regex("email", r"^[^@]+@[^@]+$"),
+                check_unique(["id"]),
+                check_fk("id", dim, "k"),
+            ],
+        ).collect()
+    }
+    assert report["not_null(status)"] == (1, 4)
+    assert report["in_set(status)"] == (2, 4)  # 'bad' + NULL
+    assert report["range(score)"] == (3, 4)  # 50, -1, NULL
+    assert report["regex(email)"] == (2, 4)  # 'nope' + NULL
+    assert report["unique(id)"] == (2, 4)  # both id=1 rows count
+    assert report["fk(id)"] == (1, 4)  # id=3 has no dim row
+
+
+def test_clean_data_reports_zero(spark):
+    df = spark.createDataFrame([Row(id=1, v=1.0), Row(id=2, v=2.0)])
+    report = run_checks(
+        df, [check_not_null("v"), check_range("v", 0, 10), check_unique(["id"])]
+    ).collect()
+    assert all(r.violations == 0 for r in report)
+    assert all(r.n_rows == 2 for r in report)
