@@ -4199,6 +4199,68 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_keyword_extract",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, tok AS term FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) AS tok
+        FROM documents) WHERE tok <> ''),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM toks GROUP BY doc_id, term),
+    docfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                FROM toks GROUP BY term),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM toks),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(n.n_docs / docfreq.df), 4) AS score
+      FROM tf JOIN docfreq ON tf.term = docfreq.term CROSS JOIN n)
+    SELECT doc_id, term, score, CAST(rnk AS INT) AS rnk FROM (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rnk
+      FROM scored)
+    WHERE rnk <= 3
+    """,
+)
+def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by TF-IDF — the
+    doc→terms leg of lexical retrieval (text_bm25_search is the
+    query→docs leg). One explode feeds both the tf agg (shuffle on
+    doc+term) and the document-frequency agg (shuffle on term); the
+    df table re-joins on term, the 1-row corpus count broadcasts, and
+    the final top-3 is a per-doc window (WindowGroupLimit keeps 3 rows
+    per partition before the rank). Ranking on ROUNDED scores with a
+    term tie-break keeps the cut engine-independent."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    toks = caching.materialize(toks)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
+    docfreq = toks.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("double").alias("df")
+    )
+    n = toks.agg(F.count_distinct("doc_id").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "score", "rnk")
+    )
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================
@@ -4228,6 +4290,7 @@ _VERIFY_FIRST = [
     "events_rolling_users_7d",
     "events_variant_shred",
     "dq_constraint_report",
+    "text_keyword_extract",
     # rotated out of r03's 50-row cap — last verified under the old
     # nanos-typed testdata; event-time queries first (type-sensitive)
     "events_sessionization",
