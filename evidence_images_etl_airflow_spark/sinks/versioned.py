@@ -1,0 +1,131 @@
+"""Versioned table publishing on plain parquet — atomic publish,
+time travel, rollback.
+
+The reference "publishes" by inserting into live Postgres tables
+mid-DAG, so a half-failed run leaves readers seeing partial state
+(the 15-day lookback + conflict-skip is the workaround, SURVEY §3).
+Table formats solve this with a version pointer; this module is that
+pattern reduced to its core, on any Hadoop-compatible filesystem:
+
+    table/
+      v=1/part-*.parquet
+      v=2/part-*.parquet
+      _LATEST            <- one line: "2"
+
+Writers stage a full new version directory (never touching prior
+versions), then flip ``_LATEST`` with a create-temp + rename — the
+one atomic primitive object stores and HDFS both give. Readers
+resolve the pointer first, so they see version N or N+1, never a mix.
+Old versions stay readable (time travel) until vacuumed; rollback is
+a pointer flip, no data movement.
+
+At 100 TB this is exactly the Delta/Iceberg commit protocol minus
+manifests/schema evolution — pair with `sources/manifest.py` for
+file skipping within a version.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+
+
+def list_versions(spark: SparkSession, table: str) -> list[int]:
+    jvm, fs = _fs(spark, table)
+    root = jvm.org.apache.hadoop.fs.Path(table)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("v="):
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def current_version(spark: SparkSession, table: str) -> int | None:
+    jvm, fs = _fs(spark, table)
+    ptr = jvm.org.apache.hadoop.fs.Path(f"{table}/_LATEST")
+    if not fs.exists(ptr):
+        return None
+    stream = fs.open(ptr)
+    try:
+        if hasattr(stream, "readAllBytes"):
+            data = bytes(stream.readAllBytes())
+        else:  # byte-at-a-time fallback; pointer files are tiny
+            buf = []
+            while True:
+                b = stream.read()
+                if b < 0:
+                    break
+                buf.append(b)
+            data = bytes(buf)
+    finally:
+        stream.close()
+    return int(data.decode("utf-8").strip())
+
+
+def publish(spark: SparkSession, df: DataFrame, table: str) -> int:
+    """Write ``df`` as the next version and atomically flip the
+    pointer. Returns the published version number. A crash before the
+    final rename leaves the previous version live and the staged data
+    inert — re-running publishes cleanly."""
+    versions = list_versions(spark, table)
+    v = (versions[-1] if versions else 0) + 1
+    df.write.mode("overwrite").parquet(f"{table}/v={v}")
+    jvm, fs = _fs(spark, table)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{table}/_LATEST.tmp.{v}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(str(v).encode("utf-8")))
+    finally:
+        out.close()
+    ptr = jvm.org.apache.hadoop.fs.Path(f"{table}/_LATEST")
+    fs.delete(ptr, False)
+    fs.rename(tmp, ptr)
+    return v
+
+
+def read_version(spark: SparkSession, table: str, version: int) -> DataFrame:
+    return spark.read.parquet(f"{table}/v={version}")
+
+
+def read_latest(spark: SparkSession, table: str) -> DataFrame:
+    v = current_version(spark, table)
+    if v is None:
+        raise FileNotFoundError(f"no published version under {table}")
+    return read_version(spark, table, v)
+
+
+def rollback(spark: SparkSession, table: str, version: int) -> None:
+    """Point ``_LATEST`` at an existing older version — no data moves."""
+    if version not in list_versions(spark, table):
+        raise ValueError(f"version {version} does not exist under {table}")
+    jvm, fs = _fs(spark, table)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{table}/_LATEST.tmp.rb{version}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(str(version).encode("utf-8")))
+    finally:
+        out.close()
+    ptr = jvm.org.apache.hadoop.fs.Path(f"{table}/_LATEST")
+    fs.delete(ptr, False)
+    fs.rename(tmp, ptr)
+
+
+def vacuum(spark: SparkSession, table: str, keep_last: int = 2) -> list[int]:
+    """Delete version directories older than the newest ``keep_last``,
+    never deleting the currently-pointed version. Returns removed
+    version numbers."""
+    versions = list_versions(spark, table)
+    cur = current_version(spark, table)
+    candidates = [v for v in versions[:-keep_last] if v != cur] if keep_last else []
+    jvm, fs = _fs(spark, table)
+    for v in candidates:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{table}/v={v}"), True)
+    return candidates

@@ -1,0 +1,54 @@
+"""Atomic versioned publish / time travel / rollback (sinks/versioned.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from evidence_images_etl_airflow_spark.sinks import versioned as V
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _df(spark, tag):
+    return spark.createDataFrame([(i, tag) for i in range(5)], "id long, tag string")
+
+
+def test_publish_read_latest_and_time_travel(spark, table):
+    assert V.list_versions(spark, table) == []
+    assert V.current_version(spark, table) is None
+
+    v1 = V.publish(spark, _df(spark, "a"), table)
+    v2 = V.publish(spark, _df(spark, "b"), table)
+    assert (v1, v2) == (1, 2)
+    assert V.current_version(spark, table) == 2
+    assert {r.tag for r in V.read_latest(spark, table).collect()} == {"b"}
+    # old version stays readable
+    assert {r.tag for r in V.read_version(spark, table, 1).collect()} == {"a"}
+
+
+def test_rollback_is_a_pointer_flip(spark, table):
+    V.publish(spark, _df(spark, "a"), table)
+    V.publish(spark, _df(spark, "b"), table)
+    V.rollback(spark, table, 1)
+    assert V.current_version(spark, table) == 1
+    assert {r.tag for r in V.read_latest(spark, table).collect()} == {"a"}
+    # next publish continues the version sequence past the rollback
+    v3 = V.publish(spark, _df(spark, "c"), table)
+    assert v3 == 3
+    assert {r.tag for r in V.read_latest(spark, table).collect()} == {"c"}
+    with pytest.raises(ValueError):
+        V.rollback(spark, table, 99)
+
+
+def test_vacuum_keeps_current_and_recent(spark, table):
+    for tag in ["a", "b", "c", "d"]:
+        V.publish(spark, _df(spark, tag), table)
+    V.rollback(spark, table, 1)  # current = 1, an OLD version
+    removed = V.vacuum(spark, table, keep_last=2)
+    # 1 survives (current), 3 and 4 survive (newest two); only 2 goes
+    assert removed == [2]
+    assert V.list_versions(spark, table) == [1, 3, 4]
+    assert {r.tag for r in V.read_latest(spark, table).collect()} == {"a"}
