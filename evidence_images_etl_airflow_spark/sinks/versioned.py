@@ -129,3 +129,25 @@ def vacuum(spark: SparkSession, table: str, keep_last: int = 2) -> list[int]:
     for v in candidates:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{table}/v={v}"), True)
     return candidates
+
+
+def merge_publish(
+    spark: SparkSession,
+    updates: DataFrame,
+    table: str,
+    keys: list[str],
+    update_cols: list[str] | None = None,
+) -> int:
+    """Transactional MERGE: read the current version, apply the
+    upsert batch (operators/upsert.merge_upsert — matched rows
+    updated, new keys inserted), publish the result as the next
+    version. Readers see the pre-merge or post-merge table, never an
+    intermediate — the reference's staging+MERGE (K5) with the commit
+    made atomic by the version pointer instead of a live-table swap.
+    First call on an empty table publishes the batch as v1."""
+    from evidence_images_etl_airflow_spark.operators.upsert import merge_upsert
+
+    if current_version(spark, table) is None:
+        return publish(spark, updates, table)
+    merged = merge_upsert(read_latest(spark, table), updates, keys, update_cols)
+    return publish(spark, merged, table)

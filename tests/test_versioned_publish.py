@@ -52,3 +52,19 @@ def test_vacuum_keeps_current_and_recent(spark, table):
     assert removed == [2]
     assert V.list_versions(spark, table) == [1, 3, 4]
     assert {r.tag for r in V.read_latest(spark, table).collect()} == {"a"}
+
+
+def test_merge_publish_upserts_atomically(spark, table):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id long, name string, val double"
+    )
+    batch = spark.createDataFrame(
+        [(2, "b2", 25.0), (3, "c", 30.0)], "id long, name string, val double"
+    )
+    assert V.merge_publish(spark, base, table, keys=["id"]) == 1
+    assert V.merge_publish(spark, batch, table, keys=["id"]) == 2
+    latest = {r.id: (r.name, r.val) for r in V.read_latest(spark, table).collect()}
+    assert latest == {1: ("a", 10.0), 2: ("b2", 25.0), 3: ("c", 30.0)}
+    # pre-merge state still queryable
+    v1 = {r.id for r in V.read_version(spark, table, 1).collect()}
+    assert v1 == {1, 2}
