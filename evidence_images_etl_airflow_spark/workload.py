@@ -4261,6 +4261,81 @@ def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "window_topk_salted",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders)
+    WHERE rnk <= 3
+    """,
+)
+def window_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME top-3-per-customer answer as window_topk_per_group,
+    computed hot-key-safely (operators/topk.topk_per_group_salted):
+    rank within (group, content-salt) first, then rank the ≤ k·salts
+    survivors. A group with 10^9 rows costs num_salts parallel tasks
+    instead of one straggler; phase 1 can never discard a true top-k
+    row, so the oracle is the plain one-window SQL — identical output
+    proves the rewrite."""
+    from evidence_images_etl_airflow_spark.operators.topk import topk_per_group_salted
+
+    o = _t(spark, sf_dir, "orders")
+    return topk_per_group_salted(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        group_cols=["o_custkey"],
+        order_cols=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+
+
+@register(
+    "orders_open_interval_count",
+    oracle="""
+    WITH iv AS (
+      SELECT CAST(o.o_orderdate AS DATE) AS s, CAST(l.l_shipdate AS DATE) AS e
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    deltas AS (
+      SELECT s AS day, CAST(count(*) AS BIGINT) AS d FROM iv GROUP BY s
+      UNION ALL
+      SELECT e AS day, -CAST(count(*) AS BIGINT) FROM iv GROUP BY e),
+    agg AS (SELECT day, CAST(sum(d) AS BIGINT) AS delta FROM deltas GROUP BY day)
+    SELECT day,
+           CAST(sum(delta) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_open
+    FROM agg
+    """,
+)
+def orders_open_interval_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval aggregation: how many lineitems are OPEN
+    (ordered but not yet shipped) on each day — the concurrency-count
+    problem (open orders, active sessions, concurrent jobs). The
+    naive form joins every day to every overlapping interval
+    (O(days × intervals)); the sweep-line form emits +1/−1 deltas at
+    interval endpoints, pre-aggregates per day (one shuffle of 2
+    rows per interval, map-side combined), then takes a running sum
+    over the per-day deltas. The only window runs over the DAY table
+    (~2.5k rows here; calendar-bounded at any data scale), so the
+    single-partition window is a non-issue by construction."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    iv = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.col("l_shipdate").cast("date").alias("e"),
+    )
+    deltas = iv.groupBy(F.col("s").alias("day")).agg(
+        F.count("*").alias("d")
+    ).unionByName(
+        iv.groupBy(F.col("e").alias("day")).agg((-F.count("*")).alias("d"))
+    )
+    agg = deltas.groupBy("day").agg(F.sum("d").alias("delta"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return agg.select("day", F.sum("delta").over(w).alias("n_open"))
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================
@@ -4291,6 +4366,8 @@ _VERIFY_FIRST = [
     "events_variant_shred",
     "dq_constraint_report",
     "text_keyword_extract",
+    "window_topk_salted",
+    "orders_open_interval_count",
     # rotated out of r03's 50-row cap — last verified under the old
     # nanos-typed testdata; event-time queries first (type-sensitive)
     "events_sessionization",

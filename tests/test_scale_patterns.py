@@ -139,3 +139,27 @@ def test_hash_split_deterministic_and_proportional(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         hash_split(df, "doc_id", {"train": 0.5, "val": 0.1})
+
+
+def test_topk_salted_matches_plain_on_hot_group(spark):
+    """A 10k-row hot group + tiny groups: the two-phase salted top-k
+    returns exactly the one-window answer."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from evidence_images_etl_airflow_spark.operators.topk import topk_per_group_salted
+
+    hot = spark.range(10_000).select(
+        F.lit("hot").alias("g"), F.col("id").alias("v")
+    )
+    cold = spark.range(5).select(
+        F.concat(F.lit("c"), F.col("id")).alias("g"), (F.col("id") * 100).alias("v")
+    )
+    df = hot.unionByName(cold)
+    got = topk_per_group_salted(
+        df, ["g"], [F.col("v").desc(), F.col("v")], k=3, num_salts=4
+    )
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("v"))
+    want = df.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
