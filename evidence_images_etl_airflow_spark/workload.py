@@ -4336,6 +4336,87 @@ def orders_open_interval_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("day", F.sum("delta").over(w).alias("n_open"))
 
 
+@register(
+    "graph_pagerank_bipartite",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      UNION
+      SELECT DISTINCT 's' || l_suppkey, 'c' || o_custkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src),
+    nn AS (SELECT CAST(count(DISTINCT src) AS DOUBLE) AS n FROM edges),
+    pr0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS rank
+            FROM (SELECT DISTINCT src FROM edges)),
+    pr1 AS (
+      SELECT e.dst AS node,
+             0.15 / (SELECT n FROM nn)
+               + 0.85 * sum(p.rank / d.d) AS rank
+      FROM pr0 p
+      JOIN edges e ON p.node = e.src
+      JOIN deg d ON d.src = p.node
+      GROUP BY e.dst),
+    pr2 AS (
+      SELECT e.dst AS node,
+             0.15 / (SELECT n FROM nn)
+               + 0.85 * sum(p.rank / d.d) AS rank
+      FROM pr1 p
+      JOIN edges e ON p.node = e.src
+      JOIN deg d ON d.src = p.node
+      GROUP BY e.dst),
+    pr3 AS (
+      SELECT e.dst AS node,
+             0.15 / (SELECT n FROM nn)
+               + 0.85 * sum(p.rank / d.d) AS rank
+      FROM pr2 p
+      JOIN edges e ON p.node = e.src
+      JOIN deg d ON d.src = p.node
+      GROUP BY e.dst),
+    pr4 AS (
+      SELECT e.dst AS node,
+             0.15 / (SELECT n FROM nn)
+               + 0.85 * sum(p.rank / d.d) AS rank
+      FROM pr3 p
+      JOIN edges e ON p.node = e.src
+      JOIN deg d ON d.src = p.node
+      GROUP BY e.dst),
+    pr5 AS (
+      SELECT e.dst AS node,
+             0.15 / (SELECT n FROM nn)
+               + 0.85 * sum(p.rank / d.d) AS rank
+      FROM pr4 p
+      JOIN edges e ON p.node = e.src
+      JOIN deg d ON d.src = p.node
+      GROUP BY e.dst)
+    SELECT node, round(rank, 6) AS rank FROM pr5
+    """,
+)
+def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.py, 5 fixed power iterations, d=0.85)
+    over the customer↔supplier bipartite trade graph — who are the
+    central customers/suppliers by random-walk mass, the iterative-
+    algorithm family member beyond connected components. The oracle
+    unrolls the same 5 iterations as chained CTEs, so the engine's
+    loop (join rank vector to edges + agg onto destinations, state
+    materialized per round) is verified step-for-step. Per-iteration
+    cost is one edge-list join + one agg; lineage is cut every round."""
+    from evidence_images_etl_airflow_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, iterations=5, damping=0.85).select(
+        "node", F.round("rank", 6).alias("rank")
+    )
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================
@@ -4368,6 +4449,7 @@ _VERIFY_FIRST = [
     "text_keyword_extract",
     "window_topk_salted",
     "orders_open_interval_count",
+    "graph_pagerank_bipartite",
     # rotated out of r03's 50-row cap — last verified under the old
     # nanos-typed testdata; event-time queries first (type-sensitive)
     "events_sessionization",

@@ -163,3 +163,18 @@ def test_topk_salted_matches_plain_on_hot_group(spark):
     want = df.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_pagerank_on_known_graph(spark):
+    """Undirected path a-b-c: the center accumulates more random-walk
+    mass than the leaves; total mass stays ~1."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from evidence_images_etl_airflow_spark.operators.graph import pagerank
+
+    und = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")]
+    edges = spark.createDataFrame(und, "src string, dst string")
+    ranks = {r.node: r.rank for r in pagerank(edges, iterations=10).collect()}
+    assert set(ranks) == {"a", "b", "c"}
+    assert ranks["b"] > ranks["a"] == pytest.approx(ranks["c"], abs=1e-9)
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-6)
