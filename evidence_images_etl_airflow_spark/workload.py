@@ -4417,6 +4417,66 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "basket_type_affinity",
+    oracle="""
+    WITH ol AS (SELECT DISTINCT l_orderkey, p.p_type AS t
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    pairs AS (SELECT a.t AS type_a, b.t AS type_b,
+                     CAST(count(*) AS BIGINT) AS support
+              FROM ol a JOIN ol b ON a.l_orderkey = b.l_orderkey AND a.t < b.t
+              GROUP BY 1, 2),
+    singles AS (SELECT t, CAST(count(*) AS DOUBLE) AS n FROM ol GROUP BY t),
+    no AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM ol)
+    SELECT type_a, type_b, support,
+           round(support * (SELECT n_orders FROM no) / (sa.n * sb.n), 4) AS lift
+    FROM pairs
+    JOIN singles sa ON sa.t = type_a
+    JOIN singles sb ON sb.t = type_b
+    """,
+)
+def basket_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: co-occurrence support and lift for part
+    types ordered together — association mining's first mile. The pair
+    join is BLOCKED on the order key (the same candidate-blocking
+    discipline as the dedup family): fan-out is bounded by per-order
+    line count squared, never |types|² across orders. Lift normalizes
+    by marginal frequencies with the 1-row order count broadcast."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    ol = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", F.col("p_type").alias("t"))
+        .distinct()
+    )
+    ol = caching.materialize(ol)
+    a, b = ol.alias("a"), ol.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.t") < F.col("b.t")),
+        )
+        .groupBy(F.col("a.t").alias("type_a"), F.col("b.t").alias("type_b"))
+        .agg(F.count("*").alias("support"))
+    )
+    singles = ol.groupBy("t").agg(F.count("*").cast("double").alias("n"))
+    n_orders = ol.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    return (
+        pairs.join(F.broadcast(singles.select(F.col("t").alias("type_a"), F.col("n").alias("na"))), "type_a")
+        .join(F.broadcast(singles.select(F.col("t").alias("type_b"), F.col("n").alias("nb"))), "type_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "type_a",
+            "type_b",
+            "support",
+            F.round(F.col("support") * F.col("n_orders") / (F.col("na") * F.col("nb")), 4).alias("lift"),
+        )
+    )
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================
@@ -4450,6 +4510,7 @@ _VERIFY_FIRST = [
     "window_topk_salted",
     "orders_open_interval_count",
     "graph_pagerank_bipartite",
+    "basket_type_affinity",
     # rotated out of r03's 50-row cap — last verified under the old
     # nanos-typed testdata; event-time queries first (type-sensitive)
     "events_sessionization",
