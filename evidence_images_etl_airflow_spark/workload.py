@@ -4477,6 +4477,63 @@ def basket_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, day, n,
+             avg(n) OVER w AS mu,
+             stddev_samp(n) OVER w AS sd
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, day, CAST(n AS BIGINT) AS n,
+           round((n - mu) / sd, 4) AS z,
+           abs((n - mu) / sd) > 2 AS is_anomaly
+    FROM stats WHERE sd IS NOT NULL AND sd > 0
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score anomaly detection on daily event volumes: each
+    (type, day) count scored against the mean/stddev of its own
+    PRECEDING 7 days (current day excluded — no self-contamination).
+    One shuffle to daily counts (map-side combined), one window per
+    type over the tiny day series; integer counts keep the moment
+    sums exact, so the score is engine-stable at 4 dp. The volume
+    monitor a 100 TB ingest pipeline runs on every source."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.expr("ts_us div 86400000000").alias("day")
+    ).agg(F.count("*").cast("double").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    stats = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sd"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (
+        stats.filter(F.col("sd").isNotNull() & (F.col("sd") > 0))
+        .select(
+            "event_type",
+            "day",
+            F.col("n").cast("long").alias("n"),
+            F.round(z, 4).alias("z"),
+            (F.abs(z) > 2).alias("is_anomaly"),
+        )
+    )
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================
@@ -4511,6 +4568,7 @@ _VERIFY_FIRST = [
     "orders_open_interval_count",
     "graph_pagerank_bipartite",
     "basket_type_affinity",
+    "events_anomaly_zscore",
     # rotated out of r03's 50-row cap — last verified under the old
     # nanos-typed testdata; event-time queries first (type-sensitive)
     "events_sessionization",
