@@ -4534,6 +4534,55 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "data_negative_sampling",
+    oracle="""
+    WITH nn AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n FROM documents),
+    raw AS (
+      SELECT doc_id, j,
+             (doc_id * 2654435761 + j * 40503) % (SELECT n FROM nn) AS neg0
+      FROM documents CROSS JOIN (SELECT unnest([1, 2]) AS j))
+    SELECT doc_id, CAST(j AS INT) AS neg_rank,
+           CASE WHEN neg0 = doc_id THEN (neg0 + 1) % (SELECT n FROM nn)
+                ELSE neg0 END AS neg_doc_id
+    FROM raw
+    """,
+)
+def data_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    each anchor doc gets k=2 pseudo-random negatives via Knuth
+    multiplicative hashing over the id space (collision with the
+    anchor deflects to the next id). Entirely ROW-LOCAL — the only
+    non-local step is the 1-row max-id aggregate (broadcast); no
+    shuffle touches the corpus, so the op costs one scan at any
+    scale, and re-runs (or corpus growth with stable ids) reproduce
+    the same pairs — the property that makes training runs
+    resumable. Assumes dense ids; for sparse id spaces compose with
+    a precomputed (rank → id) dimension instead."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    nn = d.agg((F.max("doc_id") + 1).cast("long").alias("n"))
+    raw = (
+        d.crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "n",
+            F.explode(F.array(F.lit(1), F.lit(2))).alias("j"),
+        )
+        .withColumn(
+            "neg0",
+            (F.col("doc_id") * F.lit(2654435761) + F.col("j") * F.lit(40503))
+            % F.col("n"),
+        )
+    )
+    return raw.select(
+        "doc_id",
+        F.col("j").cast("int").alias("neg_rank"),
+        F.when(F.col("neg0") == F.col("doc_id"), (F.col("neg0") + 1) % F.col("n"))
+        .otherwise(F.col("neg0"))
+        .alias("neg_doc_id"),
+    )
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================
@@ -4569,6 +4618,7 @@ _VERIFY_FIRST = [
     "graph_pagerank_bipartite",
     "basket_type_affinity",
     "events_anomaly_zscore",
+    "data_negative_sampling",
     # rotated out of r03's 50-row cap — last verified under the old
     # nanos-typed testdata; event-time queries first (type-sensitive)
     "events_sessionization",
