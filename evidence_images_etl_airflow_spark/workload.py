@@ -4583,6 +4583,114 @@ def data_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS nxt
+      FROM events)
+    SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY cur), 6) AS p
+    FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user journeys:
+    P(next event type | current), from per-user lead() sequences —
+    the user-flow analysis behind funnel design. One window shuffle
+    on user_id (full key cardinality), one pair agg, and a tiny
+    window over the |types|² matrix for row-normalization. Event
+    order ties broken by event_id so sequences are deterministic;
+    probabilities are exact integer-count ratios rounded at 6 dp."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    counts = seq.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    wrow = Window.partitionBy("cur")
+    return counts.select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wrow), 6).alias("p"),
+    )
+
+
+@register(
+    "customers_rfm_segments",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             CAST(max(epoch_us(o_orderdate)) AS DOUBLE) AS rec,
+             CAST(count(*) AS DOUBLE) AS freq,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS mon
+      FROM orders GROUP BY o_custkey),
+    q AS (SELECT quantile_cont(rec, [0.25, 0.5, 0.75]) AS qr,
+                 quantile_cont(freq, [0.25, 0.5, 0.75]) AS qf,
+                 quantile_cont(mon, [0.25, 0.5, 0.75]) AS qm
+          FROM m)
+    SELECT o_custkey,
+           CAST(1 + (rec > qr[1])::INT + (rec > qr[2])::INT + (rec > qr[3])::INT AS INT) AS r_score,
+           CAST(1 + (freq > qf[1])::INT + (freq > qf[2])::INT + (freq > qf[3])::INT AS INT) AS f_score,
+           CAST(1 + (mon > qm[1])::INT + (mon > qm[2])::INT + (mon > qm[3])::INT AS INT) AS m_score
+    FROM m CROSS JOIN q
+    """,
+)
+def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the warehouse-analytics staple — done SCALE-CORRECTLY: scores come
+    from comparing each customer's metrics against broadcast exact
+    quartile THRESHOLDS (one 1-row percentile aggregate), not from a
+    global ntile window, which would move every customer through one
+    partition. Value-based bucketing is also stable as data grows:
+    a customer's score changes only when the distribution does, not
+    when a neighbor's rank shifts. Swap percentile → approx_percentile
+    at 100 TB for a sketch-mergeable threshold pass."""
+    o = _t(spark, sf_dir, "orders")
+    m = (
+        o.select(
+            "o_custkey",
+            _event_micros(o, "o_orderdate").alias("od_us"),
+            "o_totalprice",
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.max("od_us").cast("double").alias("rec"),
+            F.count("*").cast("double").alias("freq"),
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("mon"),
+        )
+    )
+    pct = [0.25, 0.5, 0.75]
+    q = m.agg(
+        F.percentile("rec", F.array(*[F.lit(p) for p in pct])).alias("qr"),
+        F.percentile("freq", F.array(*[F.lit(p) for p in pct])).alias("qf"),
+        F.percentile("mon", F.array(*[F.lit(p) for p in pct])).alias("qm"),
+    )
+
+    def score(col, th):
+        return (
+            F.lit(1)
+            + (F.col(col) > F.col(th)[0]).cast("int")
+            + (F.col(col) > F.col(th)[1]).cast("int")
+            + (F.col(col) > F.col(th)[2]).cast("int")
+        ).cast("int")
+
+    return (
+        m.crossJoin(F.broadcast(q))
+        .select(
+            "o_custkey",
+            score("rec", "qr").alias("r_score"),
+            score("freq", "qf").alias("f_score"),
+            score("mon", "qm").alias("m_score"),
+        )
+    )
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================
@@ -4619,6 +4727,8 @@ _VERIFY_FIRST = [
     "basket_type_affinity",
     "events_anomaly_zscore",
     "data_negative_sampling",
+    "events_markov_transitions",
+    "customers_rfm_segments",
     # rotated out of r03's 50-row cap — last verified under the old
     # nanos-typed testdata; event-time queries first (type-sensitive)
     "events_sessionization",
