@@ -4691,6 +4691,62 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "supplier_reliability_wilson",
+    oracle="""
+    WITH s AS (
+      SELECT l_suppkey,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CASE WHEN epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
+                            <= 90 * 86400000000 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS ontime
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY l_suppkey)
+    SELECT l_suppkey, CAST(n AS BIGINT) AS n_lines,
+           round(ontime / n, 6) AS ontime_rate,
+           round(((ontime / n) + 3.8416 / (2 * n)
+                  - 1.96 * sqrt(((ontime / n) * (1 - ontime / n)
+                                 + 3.8416 / (4 * n)) / n))
+                 / (1 + 3.8416 / n), 6) AS wilson_lb
+    FROM s
+    """,
+)
+def supplier_reliability_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier on-time rate (shipped ≤ 90 days after order) with the
+    Wilson-score LOWER BOUND — the statistically honest way to rank
+    rates when sample sizes differ: a 10/10 supplier no longer beats
+    a 990/1000 one. Fact-fact join co-keyed on the order key (bucket
+    both sides for a zero-exchange SMJ at scale), one supplier agg,
+    then row-local arithmetic — the interval math adds no pass. The
+    same pattern ranks domains by quality-pass rate in a curation
+    pipeline, which is why it earns a place here."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey",
+        (
+            (_event_micros(li, "l_shipdate") - _event_micros(o, "o_orderdate"))
+            <= F.lit(90 * 86_400_000_000)
+        ).alias("ontime"),
+    )
+    s = j.groupBy("l_suppkey").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("ontime").cast("int")).cast("double").alias("ontime"),
+    )
+    p = F.col("ontime") / F.col("n")
+    z2 = 3.8416
+    wilson = (
+        p + z2 / (2 * F.col("n"))
+        - 1.96 * F.sqrt((p * (1 - p) + z2 / (4 * F.col("n"))) / F.col("n"))
+    ) / (1 + z2 / F.col("n"))
+    return s.select(
+        "l_suppkey",
+        F.col("n").cast("long").alias("n_lines"),
+        F.round(p, 6).alias("ontime_rate"),
+        F.round(wilson, 6).alias("wilson_lb"),
+    )
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================
@@ -4729,6 +4785,7 @@ _VERIFY_FIRST = [
     "data_negative_sampling",
     "events_markov_transitions",
     "customers_rfm_segments",
+    "supplier_reliability_wilson",
     # rotated out of r03's 50-row cap — last verified under the old
     # nanos-typed testdata; event-time queries first (type-sensitive)
     "events_sessionization",
