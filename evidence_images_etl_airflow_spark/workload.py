@@ -4747,6 +4747,69 @@ def supplier_reliability_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "curation_report_card",
+    oracle="""
+    WITH fp AS (
+      SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+      FROM documents),
+    dup AS (SELECT 1.0 - count(DISTINCT f) * 1.0 / count(*) AS dup_rate FROM fp),
+    langs AS (SELECT lang, count(*) * 1.0 AS n FROM documents GROUP BY lang),
+    tot AS (SELECT sum(n) AS t FROM langs),
+    ent AS (SELECT -sum((n / (SELECT t FROM tot))
+                        * ln(n / (SELECT t FROM tot))) AS lang_entropy
+            FROM langs),
+    toks AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+                      AS total_tokens,
+                    round(avg(n_chars), 2) AS avg_chars
+             FROM documents)
+    SELECT n_docs, total_tokens, avg_chars,
+           round(dup_rate, 6) AS dup_rate,
+           round(lang_entropy, 6) AS lang_entropy
+    FROM toks CROSS JOIN dup CROSS JOIN ent
+    """,
+)
+def curation_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health dashboard: document count, total tokens,
+    mean length, exact-duplicate rate (same normalization+md5
+    fingerprint as the dedup family), and language-distribution
+    entropy — the numbers a dataset owner checks before and after
+    every curation pass. Three independent aggregates (token stats,
+    fingerprint distinct, language histogram) each collapse map-side
+    to ≤ a handful of rows before their exchange; the final assembly
+    is 1-row × 1-row crossJoins. Entropy over exact integer counts,
+    rounded at 6 dp."""
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select(fingerprint_md5(F.col("text")).alias("f"))
+    dup = fp.agg(
+        (1.0 - F.count_distinct("f") / F.count("*")).alias("dup_rate")
+    )
+    langs = d.groupBy("lang").agg(F.count("*").cast("double").alias("n"))
+    tot = langs.agg(F.sum("n").alias("t"))
+    ent = (
+        langs.crossJoin(F.broadcast(tot))
+        .select((F.col("n") / F.col("t")).alias("p"))
+        .agg((-F.sum(F.col("p") * F.log(F.col("p")))).alias("lang_entropy"))
+    )
+    toks = d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+    return (
+        toks.crossJoin(F.broadcast(dup))
+        .crossJoin(F.broadcast(ent))
+        .select(
+            "n_docs",
+            "total_tokens",
+            "avg_chars",
+            F.round("dup_rate", 6).alias("dup_rate"),
+            F.round("lang_entropy", 6).alias("lang_entropy"),
+        )
+    )
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================
@@ -4786,6 +4849,7 @@ _VERIFY_FIRST = [
     "events_markov_transitions",
     "customers_rfm_segments",
     "supplier_reliability_wilson",
+    "curation_report_card",
     # rotated out of r03's 50-row cap — last verified under the old
     # nanos-typed testdata; event-time queries first (type-sensitive)
     "events_sessionization",
