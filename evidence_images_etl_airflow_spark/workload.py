@@ -4810,6 +4810,65 @@ def curation_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH tf AS (
+      SELECT tok, CAST(count(*) AS DOUBLE) AS n
+      FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents)
+      GROUP BY tok),
+    ranked AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS r FROM tf),
+    pts AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(n) AS y FROM ranked),
+    s AS (SELECT CAST(count(*) AS DOUBLE) AS m, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy
+          FROM pts)
+    SELECT CAST(m AS BIGINT) AS vocab_size,
+           round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m, 6)
+             AS zipf_intercept
+    FROM s
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token distribution: OLS slope of
+    ln(frequency) on ln(rank) — natural text sits near −1, and a
+    corpus whose slope drifts (template spam flattens it, dedup
+    failures steepen it) fails the linguistic sanity check. Closed-
+    form normal equations over five sums, so the whole fit is one
+    hash-agg after the rank. The ranking window is global but runs
+    over the VOCABULARY (not the corpus), which grows sub-linearly
+    (Heaps' law) — at web scale cap it to the top-k tokens by an
+    orderBy/limit first; the tail doesn't move the fit."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("tok"))
+    pts = tf.withColumn("r", F.row_number().over(w)).select(
+        F.log(F.col("r").cast("double")).alias("x"), F.log("n").alias("y")
+    )
+    s = pts.agg(
+        F.count("*").cast("double").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("m").cast("long").alias("vocab_size"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("m"), 6).alias(
+            "zipf_intercept"
+        ),
+    )
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================
@@ -4850,6 +4909,7 @@ _VERIFY_FIRST = [
     "customers_rfm_segments",
     "supplier_reliability_wilson",
     "curation_report_card",
+    "text_zipf_fit",
     # rotated out of r03's 50-row cap — last verified under the old
     # nanos-typed testdata; event-time queries first (type-sensitive)
     "events_sessionization",
