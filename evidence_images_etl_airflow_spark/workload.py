@@ -4869,6 +4869,42 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_seasonality_profile",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(month(o_orderdate) AS INT) AS month,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY 1),
+    tot AS (SELECT sum(revenue) / count(*) AS avg_rev FROM m)
+    SELECT month, revenue,
+           round(revenue / (SELECT avg_rev FROM tot), 6) AS seasonal_index
+    FROM m
+    """,
+)
+def orders_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year revenue seasonality: each month's revenue and its
+    seasonal index (month revenue / mean monthly revenue — 1.0 means
+    no seasonal effect), the input to any demand-planning or
+    seasonal-adjustment step. One decimal-exact aggregate to 12 rows,
+    the mean broadcast back — nothing here grows with the data beyond
+    the single scan."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(F.month("o_orderdate").cast("int").alias("month")).agg(
+        F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("revenue")
+    )
+    tot = m.agg((F.sum("revenue") / F.count("*")).alias("avg_rev"))
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .select(
+            "month",
+            "revenue",
+            F.round(F.col("revenue") / F.col("avg_rev"), 6).alias("seasonal_index"),
+        )
+    )
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================
@@ -4910,6 +4946,7 @@ _VERIFY_FIRST = [
     "supplier_reliability_wilson",
     "curation_report_card",
     "text_zipf_fit",
+    "orders_seasonality_profile",
     # rotated out of r03's 50-row cap — last verified under the old
     # nanos-typed testdata; event-time queries first (type-sensitive)
     "events_sessionization",
