@@ -908,24 +908,48 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_percentiles", oracle=None)  # t-digest estimates differ per engine
+@register(
+    "agg_approx_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+           TRUE AS approx_median_ok,
+           TRUE AS approx_p90_ok,
+           TRUE AS approx_disc_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (t-digest-style sketch, accuracy knob 10000):
+    """approx_percentile (Greenwald-Khanna sketch, accuracy knob 10000):
     the 100 TB percentile path — map-side mergeable partial sketches, no
     per-group value materialization (agg_exact_percentiles documents the
-    trade). Rows-only check, like agg_approx_distinct: sketch estimates
-    are engine-specific by construction."""
+    trade). Sketch estimates are engine-specific, so the query emits
+    tolerance-band verdicts (sketch within 1.0 qty-unit / 0.02
+    discount-unit of the exact percentile; rank error at accuracy=10000
+    is ~n/10000 rows, far inside the band) pinned TRUE by the oracle,
+    plus the exact interpolated percentiles which must match DuckDB's
+    quantile_cont exactly."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(
-            F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)), 6
-        ).alias("median_qty_approx"),
-        F.round(
-            F.approx_percentile("l_quantity", F.lit(0.9), F.lit(10000)), 6
-        ).alias("p90_qty_approx"),
-        F.round(
-            F.approx_percentile("l_discount", F.lit(0.5), F.lit(10000)), 6
-        ).alias("median_disc_approx"),
+    g = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
+        F.round(F.percentile("l_discount", F.lit(0.5)), 6).alias("__disc_exact"),
+        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)).alias("__amed"),
+        F.approx_percentile("l_quantity", F.lit(0.9), F.lit(10000)).alias("__ap90"),
+        F.approx_percentile("l_discount", F.lit(0.5), F.lit(10000)).alias("__adisc"),
+    )
+    return g.select(
+        "l_returnflag",
+        "median_qty",
+        "p90_qty",
+        (F.abs(F.col("__amed") - F.col("median_qty")) <= 1.0).alias(
+            "approx_median_ok"
+        ),
+        (F.abs(F.col("__ap90") - F.col("p90_qty")) <= 1.0).alias("approx_p90_ok"),
+        (F.abs(F.col("__adisc") - F.col("__disc_exact")) <= 0.02).alias(
+            "approx_disc_ok"
+        ),
     )
 
 
@@ -1809,15 +1833,36 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", oracle=None)  # HLL sketches differ per engine
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the constant-memory
-    cardinality path for 100 TB scans. No oracle — sketch estimates are
-    engine-specific; the driver records the rows-only check."""
+    cardinality path for 100 TB scans. HLL estimates are engine-specific
+    so the sketch itself can't be value-matched; instead the query emits
+    a tolerance-band verdict — |HLL - exact| within 5% (rsd is 1%, so a
+    correct sketch passes with 5x margin) — which the oracle pins TRUE,
+    alongside the exact count which must match DuckDB bit-for-bit. A
+    broken HLL (or a broken exact path) flips a value and fails the
+    hash compare."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+    g = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("__approx"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    return g.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("__approx") - F.col("exact_parts"))
+            <= F.greatest((F.col("exact_parts") * 0.05), F.lit(1.0))
+        ).alias("approx_within_5pct"),
     )
 
 
@@ -2468,17 +2513,21 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_quality_score",
-    oracle=f"""
-    SELECT doc_id,
-           round(CASE WHEN len({_TOK}) > 0 THEN
+# DuckDB rendering of functions/text.quality_score — shared by the
+# text_quality_score oracle and the ml_quality_classifier label count.
+_QUALITY_SQL = f"""round(CASE WHEN len({_TOK}) > 0 THEN
              CAST(0.4 AS DOUBLE) * (len(list_distinct({_TOK})) / len({_TOK}))
              + CAST(0.3 AS DOUBLE) * least(len({_TOK}) / CAST(64.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
              + CAST(0.3 AS DOUBLE) * (CASE WHEN length(text) > 0
                  THEN length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) / length(text)
                  ELSE CAST(0.0 AS DOUBLE) END)
-           ELSE CAST(0.0 AS DOUBLE) END, 6) AS quality
+           ELSE CAST(0.0 AS DOUBLE) END, 6)"""
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id, {_QUALITY_SQL} AS quality
     FROM documents
     """,
 )
@@ -3260,48 +3309,170 @@ def curation_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_phash_near", oracle=None)  # numpy DCT isn't SQL-expressible
+@register(
+    "multimodal_phash_near",
+    oracle="""
+    WITH dup AS (
+      SELECT count(*) AS n
+      FROM documents a JOIN documents b
+        ON a.text = b.text AND a.doc_id < b.doc_id
+    )
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT n FROM dup) AS exact_dup_pairs,
+           (SELECT n FROM dup) AS found_exact_dups,
+           TRUE AS pairs_ordered,
+           TRUE AS pairs_within_hamming,
+           TRUE AS pairs_distinct
+    """,
+)
 def multimodal_phash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup pairs via 64-bit perceptual hash
     (operators/multimodal.phash_near_pairs): Arrow-batched pHash over
     the binary payloads, then the SAME pigeonhole Hamming block join as
-    the text SimHash path (operators/dedup.hamming_near_pairs). The
-    DCT lives in numpy (no SQL oracle), so this takes the rows-only
-    check; signature determinism and near/far behavior are unit-pinned
-    (test_ml_curation.py)."""
+    the text SimHash path (operators/dedup.hamming_near_pairs). The DCT
+    lives in numpy (not SQL-expressible), so the oracle checks
+    invariants instead of hashes: identical payloads hash identically
+    (Hamming 0), so every exact-duplicate text pair MUST appear in the
+    output — `found_exact_dups` is the engine's recall of that
+    SQL-computable truth set, and the ordering / distance-bound /
+    distinctness verdicts are pinned TRUE. Signature determinism and
+    near/far behavior stay unit-pinned (test_multimodal.py)."""
     from evidence_images_etl_airflow_spark.operators.multimodal import (
         phash_near_pairs,
     )
 
-    d = attach_binary(_t(spark, sf_dir, "documents"), "text", "payload")
-    return phash_near_pairs(d, "doc_id", "payload", max_hamming=8, blocks=16)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = attach_binary(docs, "text", "payload")
+    pairs = phash_near_pairs(d, "doc_id", "payload", max_hamming=8, blocks=16)
+    withtext = pairs.join(
+        docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta")),
+        "id_a",
+    ).join(
+        docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("__tb")),
+        "id_b",
+    )
+    pair_stats = withtext.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__ta") == F.col("__tb"), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("found_exact_dups"),
+        F.coalesce(F.min(F.col("id_a") < F.col("id_b")), F.lit(True)).alias(
+            "pairs_ordered"
+        ),
+        F.coalesce(F.min(F.col("hamming") <= 8), F.lit(True)).alias(
+            "pairs_within_hamming"
+        ),
+        (F.count(F.lit(1)) == F.count_distinct(F.col("id_a"), F.col("id_b"))).alias(
+            "pairs_distinct"
+        ),
+    )
+    doc_stats = docs.groupBy("text").agg(F.count(F.lit(1)).alias("__n")).agg(
+        F.sum(F.lit(1) * F.col("__n")).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum(F.col("__n") * (F.col("__n") - 1) / 2), F.lit(0))
+        .cast("bigint")
+        .alias("exact_dup_pairs"),
+    )
+    return doc_stats.crossJoin(F.broadcast(pair_stats)).select(
+        "n_docs",
+        "exact_dup_pairs",
+        "found_exact_dups",
+        "pairs_ordered",
+        "pairs_within_hamming",
+        "pairs_distinct",
+    )
 
 
-@register("dedup_semantic_kmeans", oracle=None)  # KMeans isn't SQL-expressible
+@register(
+    "dedup_semantic_kmeans",
+    oracle="""
+    SELECT count(*) AS n_vectors,
+           TRUE AS pairs_ordered,
+           TRUE AS pairs_above_threshold,
+           TRUE AS pairs_distinct,
+           TRUE AS pairs_subset_bruteforce
+    FROM embeddings
+    """,
+)
 def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/ml_curation.semantic_dedup_pairs): k-means
     the embedding space, near-dup pairs only within a cluster. The
-    model-based counterpart of dedup_embedding_cosine's LSH blocking —
-    rows-only check (iterative training has no SQL oracle); pair
-    semantics are pinned by unit tests on separable synthetic data."""
+    model-based counterpart of dedup_embedding_cosine's LSH blocking.
+    Iterative training has no SQL oracle, so the oracle pins the
+    operator's INVARIANTS: every emitted pair is ordered, distinct,
+    carries sim >= threshold, and — recomputing cosine from the raw
+    embeddings, independently of the operator's own sim column — really
+    is a member of the brute-force within-threshold truth set
+    (precision = 1 by construction; recall is SemDeDup's documented
+    cluster-boundary trade, so it is deliberately NOT asserted).
+    Clustering quality itself stays unit-pinned on separable data
+    (test_ml_curation.py)."""
+    from evidence_images_etl_airflow_spark.functions.vectors import cosine
     from evidence_images_etl_airflow_spark.operators.ml_curation import (
         semantic_dedup_pairs,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup_pairs(
+    pairs = semantic_dedup_pairs(
         emb, "vec_id", "embedding", k=16, threshold=0.35, seed=42
+    )
+    recomputed = pairs.join(
+        emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va")),
+        "id_a",
+    ).join(
+        emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb")),
+        "id_b",
+    ).withColumn("__sim2", F.round(cosine("__va", "__vb"), 6))
+    pair_stats = recomputed.agg(
+        F.coalesce(F.min(F.col("id_a") < F.col("id_b")), F.lit(True)).alias(
+            "pairs_ordered"
+        ),
+        F.coalesce(F.min(F.col("sim") >= 0.35), F.lit(True)).alias(
+            "pairs_above_threshold"
+        ),
+        (F.count(F.lit(1)) == F.count_distinct(F.col("id_a"), F.col("id_b"))).alias(
+            "pairs_distinct"
+        ),
+        F.coalesce(F.min(F.col("__sim2") >= 0.35), F.lit(True)).alias(
+            "pairs_subset_bruteforce"
+        ),
+    )
+    return (
+        emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+        .crossJoin(F.broadcast(pair_stats))
+        .select(
+            "n_vectors",
+            "pairs_ordered",
+            "pairs_above_threshold",
+            "pairs_distinct",
+            "pairs_subset_bruteforce",
+        )
     )
 
 
-@register("ml_quality_classifier", oracle=None)  # L-BFGS isn't SQL-expressible
+@register(
+    "ml_quality_classifier",
+    oracle=f"""
+    SELECT count(*) AS n_scored,
+           count(*) FILTER (WHERE {_QUALITY_SQL} >= 0.67) AS n_good_labels,
+           TRUE AS probs_in_range,
+           TRUE AS train_accuracy_ok
+    FROM documents
+    """,
+)
 def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filter (operators/ml_curation): weak-label
     the corpus with the deterministic heuristic (quality >= 0.67 ->
     good), train HashingTF->IDF->LogisticRegression on the labels, and
-    score every document -> (doc_id, good_prob, keep). The fastText-
-    style classifier step of an LLM data pipeline; rows-only check,
-    behavior pinned by unit tests."""
+    score every document. L-BFGS has no SQL oracle, so the query emits
+    a verdict row the oracle CAN check: the corpus size and the
+    weak-label count (both recomputed by DuckDB from the shared
+    quality-score formula — a broken labeler fails the value compare),
+    plus TRUE-pinned tolerance verdicts that every probability lies in
+    [0,1] and the classifier reproduces its own training labels with
+    accuracy >= 0.8 (the data is heuristic-separable; a broken trainer
+    or scorer collapses to ~the base rate and flips the bit).
+    Coefficient behavior stays unit-pinned (test_ml_curation.py)."""
     from evidence_images_etl_airflow_spark.operators.ml_curation import (
         score_quality,
         train_quality_classifier,
@@ -3314,7 +3485,22 @@ def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (quality_score(F.col("text")) >= 0.67).cast("double").alias("label"),
     )
     model = train_quality_classifier(labeled, "text", "label")
-    return score_quality(model, labeled, "text", "doc_id")
+    scored = score_quality(model, labeled, "text", "doc_id")
+    joined = scored.join(labeled.select("doc_id", "label"), "doc_id")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum("label").cast("bigint").alias("n_good_labels"),
+        F.coalesce(
+            F.min((F.col("good_prob") >= 0.0) & (F.col("good_prob") <= 1.0)),
+            F.lit(True),
+        ).alias("probs_in_range"),
+        (
+            F.avg(
+                (F.col("keep").cast("double") == F.col("label")).cast("double")
+            )
+            >= 0.8
+        ).alias("train_accuracy_ok"),
+    )
 
 
 @register("dedup_minhash_clusters", oracle=_cc_oracle())
@@ -4915,61 +5101,10 @@ def orders_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # already-multiply-verified trivia trail past the cap. Everything not
 # listed follows in registration order.
 _VERIFY_FIRST = [
-    # r03 errored on the TIMESTAMP_NTZ testdata change — fixed
-    # (_event_micros), need green rows to prove it
-    "events_funnel",
-    "window_sliding_7d",
-    "streaming_dedup",
-    "streaming_interval_join",
-    # new in round 4 — no prior rows
-    "scd2_customer_history",
-    "text_bm25_search",
-    "window_distribution_ranks",
-    "events_cohort_retention",
-    "profile_table_stats",
-    "profile_price_histogram",
-    "streaming_static_enrich",
-    "scd2_asof_lookup",
-    "agg_trimmed_mean",
-    "events_rolling_users_7d",
-    "events_variant_shred",
-    "dq_constraint_report",
-    "text_keyword_extract",
-    "window_topk_salted",
-    "orders_open_interval_count",
-    "graph_pagerank_bipartite",
-    "basket_type_affinity",
-    "events_anomaly_zscore",
-    "data_negative_sampling",
-    "events_markov_transitions",
-    "customers_rfm_segments",
-    "supplier_reliability_wilson",
-    "curation_report_card",
-    "text_zipf_fit",
-    "orders_seasonality_profile",
-    # rotated out of r03's 50-row cap — last verified under the old
-    # nanos-typed testdata; event-time queries first (type-sensitive)
-    "events_sessionization",
-    "events_session_window",
-    "events_hourly_rollup",
-    "events_rollup_cascade",
-    "events_json_extract",
-    "asof_join_last_view",
-    "range_join_error_context",
-    "streaming_stateful_sessions",
-    "streaming_windowed_counts",
-    "t8_interval_ship_delay",
-    "agg_exact_percentiles",
-    "window_running_total",
-    "window_topk_per_group",
-    "sort_limit_topk",
-    "setops_intersect_except",
-    "agg_rollup",
-    "agg_cube",
-    "agg_distinct_counts",
-    "agg_approx_distinct",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
+    # ---- round-5 head: the 28 queries whose only green rows date to
+    # round 1, i.e. BEFORE the round-3 testdata regeneration changed
+    # physical timestamp types — the only cohort never re-proven on
+    # current fixtures (VERDICT r04 item 1).
     "q4_semi_join",
     "q5_nation_revenue",
     "q6_forecast_revenue",
@@ -4989,8 +5124,6 @@ _VERIFY_FIRST = [
     "text_fingerprint",
     "dedup_exact",
     "ep1_fused_pipeline",
-    # twice-verified trivial transforms — the sacrificial tail past
-    # the driver's 50-row cap (green in both r01 and r02)
     "j2_conflict_skip",
     "j3_merge_upsert",
     "p4_like_predicate",
@@ -5000,6 +5133,44 @@ _VERIFY_FIRST = [
     "u1_union_by_name",
     "p1_projection",
     "p2_nonempty_filter",
+    # ---- formerly no_oracle, reformulated this round with
+    # tolerance-band / deterministic oracles (VERDICT r04 item 3)
+    "agg_approx_distinct",
+    "agg_approx_percentiles",
+    "dedup_semantic_kmeans",
+    "ml_quality_classifier",
+    "multimodal_phash_near",
+    # ---- new in round 5 — no prior rows
+    "dedup_clusters_twophase",
+    "dedup_store_bloom_survivors",
+    # ---- fill the 50-row cap with the oldest r03-verified,
+    # type-sensitive queries (events / streaming time semantics)
+    "events_sessionization",
+    "events_session_window",
+    "events_hourly_rollup",
+    "events_rollup_cascade",
+    "events_json_extract",
+    "asof_join_last_view",
+    "range_join_error_context",
+    "streaming_stateful_sessions",
+    "streaming_windowed_counts",
+    "dedup_minhash_lsh",
+    "dedup_minhash_clusters",
+    "curation_lm_perplexity",
+    "ann_brute_force_topk",
+    "agg_exact_percentiles",
+    "q1_pricing_summary",
+    # ---- past the driver's 50-row cap: everything below was
+    # hash-verified in r03/r04 on current fixtures
+    "q3_top_revenue_orders",
+    "sort_limit_topk",
+    "setops_intersect_except",
+    "agg_rollup",
+    "agg_cube",
+    "agg_distinct_counts",
+    "window_running_total",
+    "window_topk_per_group",
+    "t8_interval_ship_delay",
 ]
 
 
