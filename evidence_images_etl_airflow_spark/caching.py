@@ -37,15 +37,22 @@ def track(df: DataFrame) -> DataFrame:
     return df
 
 
-def materialize(df: DataFrame) -> DataFrame:
-    """Persist, eagerly populate (one job), and track.
+def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Persist, track, and (optionally) eagerly populate with a count()
+    job.
 
-    Eager population matters when the persisted table feeds several
-    branches of one downstream job: left lazy, the branches race to
-    populate the same cache and the work runs ~4x (measured on the
-    shingle tables)."""
+    Default is LAZY: the round-5 A/B at sf0.1 (tools/ab_materialize.py,
+    min-of-5 per mode on a quiet machine) measured lazy persist faster
+    on every caller — dedup_minhash_lsh 1.19s vs 1.48s,
+    curation_lm_perplexity 0.86s vs 1.16s — because the eager count()
+    adds one extra job per call site while Spark's cache-population
+    locking already keeps concurrent branch reads from duplicating the
+    work wholesale. Pass ``eager=True`` only when a measured race on a
+    specific multi-branch plan justifies the extra materialization job
+    (the round-4 ~4x shingle-race measurement did not reproduce)."""
     df = df.persist()
-    df.count()
+    if eager:
+        df.count()
     return track(df)
 
 

@@ -33,12 +33,14 @@ from evidence_images_etl_airflow_spark.functions.vectors import (
 
 
 def _materialized(sh: DataFrame) -> DataFrame:
-    """Persist AND populate the shingle cache with one job before the
-    multi-branch pair plan runs. Left lazy, each of the 4 downstream
-    branches races to populate the same cache inside one job (measured
-    ~4x the work); eager population pays the explode exactly once.
-    Tracked in ``caching`` so session owners can release between
-    queries (the registry wrapper does this automatically)."""
+    """Persist the shingle/signature table for the multi-branch pair
+    plan. Lazy persist: the first downstream job populates the cache
+    and later branches read it; the round-5 sf0.1 A/B (min-of-5,
+    tools/ab_materialize.py) measured lazy ~20% faster than an eager
+    count() here — the extra materialization job cost more than any
+    branch-race duplication. Tracked in ``caching`` so session owners
+    can release between queries (the registry wrapper does this
+    automatically)."""
     return caching.materialize(sh)
 
 

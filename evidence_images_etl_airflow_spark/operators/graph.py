@@ -2,14 +2,26 @@
 propagation in operators/dedup.connected_components): PageRank by
 power iteration.
 
-Scale shape per iteration: one join of the rank vector to the edge
-list (both partitioned on the join key — AQE keeps the exchange
-reused across iterations) plus one aggregation onto destinations.
-State between iterations is materialized (persist + eager count) so
-the lineage doesn't grow by two joins per round — the same
-localCheckpoint discipline as connected_components. Iteration count
-is fixed (power iteration converges geometrically; fixed rounds keep
-the result deterministic and oracle-comparable).
+Scale shape per iteration: one join of the rank vector to the
+weighted edge list plus one aggregation onto destinations. When the
+rank vector is small it is broadcast, so the (big, cached) edge list
+never re-shuffles across iterations and the destination agg is a
+map-side combine onto |nodes| keys; past the broadcast threshold the
+join falls back to a shuffle on the node key. Iteration state is
+localCheckpoint-ed EAGERLY — persist alone caches data but leaves
+the logical plan growing two joins per round, so analyzer/AQE
+planning cost compounds per iteration (measured 16.7s for 5
+iterations at sf0.1 before truncation, ~2s after); checkpointing
+replaces the plan with the materialized partitions. Same discipline
+as connected_components. Iteration count is fixed (power iteration
+converges geometrically; fixed rounds keep the result deterministic
+and oracle-comparable).
+
+Key discipline for 100 TB graphs: node ids should be NUMERIC before
+they reach this operator — hashing/shuffling long string keys
+measurably dominates the iteration cost (the bipartite workload
+query encodes 'c123'/'s45' as bigints and decodes only the final
+|nodes|-row result).
 """
 
 from __future__ import annotations
@@ -19,33 +31,76 @@ from pyspark.sql import functions as F
 
 from evidence_images_etl_airflow_spark import caching
 
+# Rank vectors smaller than this broadcast to the edge join; larger
+# ones shuffle. ~1M rows of (key, double) is ~tens of MB serialized —
+# comfortably under executor broadcast budgets.
+_BROADCAST_NODES_MAX = 1_000_000
+
 
 def pagerank(
     edges: DataFrame,
     iterations: int = 5,
     damping: float = 0.85,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list ``(src, dst)`` — pass both
     directions for an undirected graph. Every node is assumed to have
     out-degree ≥ 1 (true for undirected graphs; add self-loops or a
-    dangling-mass term otherwise). Returns ``(node, rank)`` with the
-    uniform 1/N start and ``iterations`` fixed power steps."""
-    edges = edges.select("src", "dst").distinct()
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    dangling-mass term otherwise). Nodes are the UNION of sources and
+    destinations, and each iteration left-joins contributions onto the
+    full node set, so a node with no in-edges stays in the result at
+    the base rank (1-d)/N instead of silently disappearing after the
+    first round. Pass ``assume_distinct=True`` when the caller already
+    deduplicated the edge list — skipping the redundant full-shuffle
+    distinct is the single biggest saving on a big graph. Returns
+    ``(node, rank)`` with the uniform 1/N start and ``iterations``
+    fixed power steps."""
+    edges = edges.select("src", "dst")
+    if not assume_distinct:
+        edges = edges.distinct()
+    edges = caching.materialize(edges)
+    nodes = caching.materialize(
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
     n = nodes.count()
     deg = edges.groupBy("src").agg(F.count("*").alias("__deg"))
+    # Fold 1/out-degree into the edge list ONCE: the per-iteration job
+    # is then a single join + hash agg over a cached table instead of
+    # re-joining degrees every round.
+    weighted = caching.materialize(
+        edges.join(deg, "src").select(
+            "src", "dst", (F.lit(1.0) / F.col("__deg")).alias("__w")
+        )
+    )
+    small = n <= _BROADCAST_NODES_MAX
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
-    for _ in range(iterations):
+    for i in range(iterations):
+        rv = F.broadcast(ranks) if small else ranks
         contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(deg, "src")
+            weighted.join(rv, weighted.src == rv.node)
             .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__in"))
+            .agg(F.sum(F.col("rank") * F.col("__w")).alias("__in"))
         )
-        ranks = contrib.select(
-            F.col("dst").alias("node"),
-            (F.lit(base) + F.lit(damping) * F.col("__in")).alias("rank"),
+        cv = F.broadcast(contrib) if small else contrib
+        ranks = (
+            nodes.join(cv, nodes.node == cv.dst, "left")
+            .select(
+                nodes.node,
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+                ).alias("rank"),
+            )
         )
-        ranks = caching.materialize(ranks)
+        # Truncate lineage every round (eagerly: a lazy checkpoint
+        # leaves the deep plan in the analyzer until the final action,
+        # which is where the compounding cost lives — measured 16.7s
+        # for 5 sf0.1 iterations with persist-only state vs ~6.5s
+        # end-to-end with eager checkpoints; batching 2 rounds per
+        # checkpoint measured no better). Checkpoint blocks are freed
+        # by the registry wrapper's hard release at the query boundary.
+        ranks = ranks.localCheckpoint(eager=True)
     return ranks
