@@ -285,29 +285,51 @@ def minhash_lsh_pairs(
 
 
 # --- duplicate clusters (connected components) -------------------------------
+
+# Rounds used by the most recent connected_components call — exposed so
+# tests and SCALING.md can compare convergence of the two algorithms.
+last_cc_rounds: int = 0
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    algorithm: str = "label_prop",
 ) -> DataFrame:
     """(node, component): connected components over an undirected pair
     list — the final step of every near-dup pipeline, turning pairwise
     matches into duplicate *clusters* keyed by the smallest member id
     (the canonical survivor).
 
-    Iterative min-label propagation: each round, every node takes the
-    min of its own label and its neighbors' labels; converges in
-    O(component diameter) rounds (near-dup clusters are shallow — a
-    handful of rounds in practice). Each round is two shuffles (join +
-    groupBy), all JVM-side; ``localCheckpoint`` truncates the plan so
-    lineage doesn't grow with iterations. For graphs with huge
-    components at 100 TB scale, swap the propagation loop for the
-    large-star/small-star algorithm (Kiveris et al., "Connected
-    Components in MapReduce and Beyond") — same interface, fewer
-    rounds; the label-propagation form is the right default for the
-    shallow clusters dedup produces.
+    Two interchangeable algorithms (identical results):
+
+    - ``label_prop`` (default): iterative min-label propagation — each
+      round every node takes the min of its own label and its
+      neighbors'; converges in O(component diameter) rounds. Near-dup
+      clusters are shallow, so this is the right default: a handful of
+      cheap join+groupBy rounds.
+    - ``two_phase``: alternating large-star/small-star (Kiveris et
+      al., "Connected Components in MapReduce and Beyond", 2014) —
+      each round rewires strictly-larger neighbors (large-star) then
+      smaller neighbors (small-star) onto the local minimum, halving
+      component height per round: O(log diameter) rounds. The scale
+      path when a 100 TB dup graph can contain one giant, DEEP
+      component (e.g. chained near-dups), where label propagation
+      would need O(diameter) full-shuffle rounds (measured on a
+      256-node path graph: 9 two-phase rounds vs >50 label-prop —
+      see SCALING.md).
+
+    Each round is a bounded number of shuffles, all JVM-side;
+    ``localCheckpoint`` truncates the plan so lineage doesn't grow
+    with iterations. ``last_cc_rounds`` reports the rounds the last
+    call used.
     """
+    if algorithm == "two_phase":
+        return _cc_two_phase(pairs, src, dst, max_iter)
+    if algorithm != "label_prop":
+        raise ValueError(f"unknown connected-components algorithm: {algorithm!r}")
     e = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -315,7 +337,8 @@ def connected_components(
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
-    for _ in range(max_iter):
+    global last_cc_rounds
+    for i in range(max_iter):
         msgs = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), "lbl"
         )
@@ -330,9 +353,93 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            last_cc_rounds = i + 1
             break
+    else:
+        last_cc_rounds = max_iter
     edges.unpersist()
     return labels.select("node", F.col("lbl").alias("component"))
+
+
+def _cc_two_phase(
+    pairs: DataFrame, src: str, dst: str, max_iter: int
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al. 2014,
+    §3): repeatedly rewrite the edge list so every edge points at a
+    smaller node, converging to one star per component rooted at its
+    minimum. Per round:
+
+    - large-star: for every node u with neighborhood Γ(u) and local
+      min m(u) = min(Γ(u) ∪ {u}), replace each edge to a STRICTLY
+      LARGER neighbor v>u with (v, m(u));
+    - small-star: for every u with smaller-neighbors Γ<(u) ≠ ∅ and
+      m = min(Γ<(u)), connect u and each v ∈ Γ<(u) to m.
+
+    Both phases keep every emitted edge (big, small)-oriented, so the
+    invariant a > b holds and convergence is a fixed point of the edge
+    set — checked with a count + anti-join (cheap: the edge list only
+    shrinks). Component height halves per round: O(log diameter)
+    rounds of a constant number of shuffles each."""
+    global last_cc_rounds
+    edges = (
+        pairs.select(
+            F.greatest(F.col(src), F.col(dst)).alias("a"),
+            F.least(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    last_cc_rounds = max_iter
+    for i in range(max_iter):
+        # symmetrize once per round: both endpoints need Γ(u)
+        nb = edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        # large-star
+        lmin = (
+            nb.groupBy("a")
+            .agg(F.min("b").alias("__mb"))
+            .select("a", F.least("a", "__mb").alias("m"))
+        )
+        large = (
+            nb.join(lmin, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star over the large-star output (symmetrized)
+        snb = large.unionByName(
+            large.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).filter(F.col("b") < F.col("a"))
+        smin = snb.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            snb.join(smin, "a")
+            .select(F.col("b").alias("v"), F.col("m"))
+            .unionByName(smin.select(F.col("a").alias("v"), F.col("m")))
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_new = small.count()
+        stable = (
+            n_new == edges.count()
+            and small.exceptAll(edges).limit(1).count() == 0
+        )
+        edges = small
+        if stable:
+            last_cc_rounds = i + 1
+            break
+    # star edges are (member, root); roots label themselves
+    return (
+        edges.select(F.col("a").alias("node"), F.col("b").alias("component"))
+        .unionByName(
+            edges.select(F.col("b").alias("node"), F.col("b").alias("component"))
+        )
+        .distinct()
+    )
 
 
 # --- SimHash -----------------------------------------------------------------

@@ -3519,6 +3519,25 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_clusters_twophase", oracle=_cc_oracle())
+def dedup_clusters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pair list and same recursive-CTE oracle as
+    dedup_minhash_clusters, clustered with the SCALE algorithm:
+    large-star/small-star connected components (operators/dedup.py
+    `_cc_two_phase`, Kiveris et al. 2014) instead of label
+    propagation. O(log diameter) rounds vs O(diameter) — the variant
+    a 100 TB dup graph with one deep component needs; proving it on
+    the registry oracle keeps the two implementations pinned to
+    identical output."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3, verify_threshold=0.5
+    )
+    return connected_components(pairs, algorithm="two_phase").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
 def _simhash_oracle() -> str:
     bit_cases = []
     for bit in range(64):
