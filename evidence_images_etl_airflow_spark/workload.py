@@ -53,6 +53,7 @@ from evidence_images_etl_airflow_spark.functions.vectors import random_hyperplan
 from evidence_images_etl_airflow_spark.operators.dedup import (
     MINHASH_P,
     connected_components,
+    dedup_against_store,
     dedup_exact,
     embedding_near_dups,
     minhash_lsh_pairs,
@@ -2742,6 +2743,39 @@ def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup survivors (lowest doc_id per normalized-text hash)."""
     d = _t(spark, sf_dir, "documents")
     return dedup_exact(d, "doc_id", "text").select("doc_id", "fingerprint")
+
+
+@register(
+    "dedup_store_bloom_survivors",
+    oracle="""
+    WITH store AS (
+      SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents WHERE doc_id < 250
+    ), batch AS (
+      SELECT min(doc_id) AS doc_id,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents WHERE doc_id >= 250 GROUP BY 2
+    )
+    SELECT doc_id, fingerprint FROM batch
+    WHERE fingerprint NOT IN (SELECT fingerprint FROM store)
+    """,
+)
+def dedup_store_bloom_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-ingest loop with the Bloom pre-screen armed
+    (operators/dedup.bloom_build + bloom_might_contain +
+    dedup_against_store(bloom_bits=...)): docs < 250 play the
+    already-ingested store, the rest arrive as the new crawl batch.
+    The oracle computes the ground-truth survivors with a plain
+    NOT IN, so the whole Bloom path — k xxhash64 positions, bit_or
+    bitmap, broadcast word-joins, candidates-only anti-join — is
+    value-checked end-to-end (Bloom negatives must be definitive or
+    rows go missing here)."""
+    d = _t(spark, sf_dir, "documents")
+    store = dedup_exact(d.filter(F.col("doc_id") < 250), "doc_id", "text")
+    batch = d.filter(F.col("doc_id") >= 250)
+    return dedup_against_store(
+        batch, store, "doc_id", "text", bloom_bits=1 << 20
+    ).select("doc_id", "fingerprint")
 
 
 @register(

@@ -367,3 +367,65 @@ def test_minhash_lsh_against_store_incremental(spark):
         "text",
     )
     assert again.count() == 0
+
+
+def test_bloom_prescreen_identical_survivors_and_candidate_drop(spark):
+    """The Bloom pre-screen must not change survivors (no false
+    negatives) and must shrink the set reaching the anti-join."""
+    from evidence_images_etl_airflow_spark.operators.dedup import (
+        bloom_build,
+        bloom_might_contain,
+        dedup_against_store,
+        dedup_exact,
+    )
+
+    hist = spark.createDataFrame(
+        [(i, f"historical document number {i} body") for i in range(200)],
+        "doc_id long, text string",
+    )
+    store = dedup_exact(hist, "doc_id", "text")
+    batch = spark.createDataFrame(
+        # 5 re-crawls of history + 245 novel docs
+        [(1000 + i, f"historical document number {i} body") for i in range(5)]
+        + [(2000 + i, f"fresh crawl text {i} about something new") for i in range(245)],
+        "doc_id long, text string",
+    )
+    plain = dedup_against_store(batch, store, "doc_id", "text")
+    bloomed = dedup_against_store(
+        batch, store, "doc_id", "text", bloom_bits=1 << 20
+    )
+    assert sorted(r.doc_id for r in plain.collect()) == sorted(
+        r.doc_id for r in bloomed.collect()
+    )
+    # the filter itself: every store member flags True (no false
+    # negatives), and nearly all novel fingerprints are ruled out
+    bloom = bloom_build(store.select("fingerprint"), num_bits=1 << 20)
+    in_batch = dedup_exact(batch, "doc_id", "text")
+    flagged = bloom_might_contain(in_batch, "fingerprint", bloom, 1 << 20)
+    n_batch = in_batch.count()
+    n_cand = flagged.filter("__might_contain").count()
+    assert n_cand >= 5  # the 5 true dups MUST be candidates
+    assert n_cand <= 10  # fpp at 1M bits / 200 entries is ~0
+    assert n_batch == 250
+
+
+def test_bloom_bitmaps_merge_with_bit_or(spark):
+    """Incremental maintenance: union + bit_or of two batch bitmaps
+    equals the bitmap of the union — the property a 100 TB ingest
+    loop relies on to avoid rebuilding the filter."""
+    from pyspark.sql import functions as F
+
+    from evidence_images_etl_airflow_spark.operators.dedup import bloom_build
+
+    a = spark.createDataFrame([(f"fp_a_{i}",) for i in range(50)], ["fingerprint"])
+    b = spark.createDataFrame([(f"fp_b_{i}",) for i in range(50)], ["fingerprint"])
+    merged = (
+        bloom_build(a, num_bits=1 << 12)
+        .unionByName(bloom_build(b, num_bits=1 << 12))
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    direct = bloom_build(a.unionByName(b), num_bits=1 << 12)
+    assert {(r.word, r.bits) for r in merged.collect()} == {
+        (r.word, r.bits) for r in direct.collect()
+    }
