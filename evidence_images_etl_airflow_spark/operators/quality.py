@@ -65,6 +65,13 @@ def check_unique(cols: list[str]) -> Check:
     return Check(f"unique({','.join(cols)})", "unique", cols=cols)
 
 
+# Dimensions with at most this many rows get an explicit broadcast
+# hint on the FK anti-join; bigger ones are left to AQE/planner choice
+# (a blanket hint would force-broadcast an arbitrarily large dimension
+# and OOM executors — round-4 ADVICE).
+FK_BROADCAST_MAX_ROWS = 10_000_000
+
+
 def check_fk(col: str, dim: DataFrame, dim_col: str) -> Check:
     return Check(f"fk({col})", "fk", cols=[col], dim=dim, dim_col=dim_col)
 
@@ -110,11 +117,14 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
         elif c.kind == "fk":
             if n_rows_lit is None:
                 n_rows_lit = df.count()
-            orphans = df.select(c.cols[0]).join(
-                F.broadcast(c.dim.select(F.col(c.dim_col).alias(c.cols[0]))),
-                c.cols[0],
-                "left_anti",
-            )
+            side = c.dim.select(F.col(c.dim_col).alias(c.cols[0]))
+            # hint broadcast only for genuinely small dimensions (one
+            # pruned-scan count decides); larger ones go to the planner
+            # — AQE still converts to broadcast at runtime if the
+            # shuffle stats come in small
+            if side.count() <= FK_BROADCAST_MAX_ROWS:
+                side = F.broadcast(side)
+            orphans = df.select(c.cols[0]).join(side, c.cols[0], "left_anti")
             reports.append(
                 orphans.agg(F.count(F.lit(1)).alias("violations")).select(
                     F.lit(c.name).alias("check_name"),
@@ -123,6 +133,12 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
                 )
             )
 
+    if not reports:
+        # empty check list -> empty report with the right schema, not
+        # an IndexError (round-4 ADVICE)
+        return df.sparkSession.createDataFrame(
+            [], "check_name string, violations long, n_rows long"
+        )
     out = reports[0]
     for r in reports[1:]:
         out = out.unionByName(r)

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -40,13 +40,30 @@ def scd2_apply(
     update's effective date and a new current version is appended;
     unmatched or unchanged rows pass through untouched. Historical
     (already-closed) rows are never revisited.
+
+    PRECONDITION: one update row per key per batch — this operator
+    applies a single transition. Duplicate keys in ``updates`` are
+    collapsed here (latest ``effective_col`` wins, ties broken on the
+    tracked values for determinism) BEFORE the join, because a fanned
+    left join would silently emit duplicate closed/current rows
+    (round-4 ADVICE). A batch carrying a key's full intra-batch
+    history needs the multi-transition form: apply batches in
+    effective order, or pre-split per effective date.
     """
     out_cols = keys + tracked + [valid_from, valid_to]
     hist = dim.filter(F.col(valid_to).isNotNull()).select(*out_cols)
     cur = dim.filter(F.col(valid_to).isNull())
 
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col(effective_col).desc(), *[F.col(t).desc_nulls_last() for t in tracked]
+    )
+    latest = (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     u = F.broadcast(
-        updates.select(
+        latest.select(
             *[F.col(k).alias(f"__u_{k}") for k in keys],
             *[F.col(t).alias(f"__u_{t}") for t in tracked],
             F.col(effective_col).alias("__u_eff"),

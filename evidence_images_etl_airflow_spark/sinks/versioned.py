@@ -35,6 +35,37 @@ def _fs(spark: SparkSession, path: str):
     return jvm, hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
 
 
+def _flip_pointer(spark: SparkSession, table: str, tmp_suffix: str, value: int) -> None:
+    """Stage the pointer bytes in a temp file, then rename ONTO
+    ``_LATEST`` with ``Options.Rename.OVERWRITE`` (FileContext) — a
+    single atomic replace, so there is never a moment where the
+    pointer doesn't exist (round-4 ADVICE: the old delete-then-rename
+    had a visible gap that contradicted the reader contract). Falls
+    back to delete+rename only if the filesystem exposes no
+    FileContext (readers are still covered by the current_version
+    max-version fallback)."""
+    jvm, fs = _fs(spark, table)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{table}/_LATEST.tmp.{tmp_suffix}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(str(value).encode("utf-8")))
+    finally:
+        out.close()
+    ptr = jvm.org.apache.hadoop.fs.Path(f"{table}/_LATEST")
+    try:
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            jvm.org.apache.hadoop.fs.Path(table).toUri(), conf
+        )
+        gw = spark.sparkContext._gateway
+        opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(tmp, ptr, opts)
+    except Exception:
+        fs.delete(ptr, False)
+        fs.rename(tmp, ptr)
+
+
 def list_versions(spark: SparkSession, table: str) -> list[int]:
     jvm, fs = _fs(spark, table)
     root = jvm.org.apache.hadoop.fs.Path(table)
@@ -49,10 +80,17 @@ def list_versions(spark: SparkSession, table: str) -> list[int]:
 
 
 def current_version(spark: SparkSession, table: str) -> int | None:
+    """Resolve the published version. Primary source is the ``_LATEST``
+    pointer; if the pointer is momentarily absent (legacy
+    delete-then-rename writers, or a crash between the fallback's
+    delete and rename), fall back to the newest staged version
+    directory — for a single writer the newest complete ``v=N`` is
+    exactly what the missing pointer was about to say."""
     jvm, fs = _fs(spark, table)
     ptr = jvm.org.apache.hadoop.fs.Path(f"{table}/_LATEST")
     if not fs.exists(ptr):
-        return None
+        versions = list_versions(spark, table)
+        return versions[-1] if versions else None
     stream = fs.open(ptr)
     try:
         if hasattr(stream, "readAllBytes"):
@@ -72,22 +110,19 @@ def current_version(spark: SparkSession, table: str) -> int | None:
 
 def publish(spark: SparkSession, df: DataFrame, table: str) -> int:
     """Write ``df`` as the next version and atomically flip the
-    pointer. Returns the published version number. A crash before the
-    final rename leaves the previous version live and the staged data
-    inert — re-running publishes cleanly."""
+    pointer (overwriting rename — readers always see SOME pointer).
+    Returns the published version number. A crash before the final
+    rename leaves the previous version live and the staged data inert
+    — re-running publishes cleanly. Single-writer protocol: two
+    concurrent publishers can compute the same next version and race
+    the flip (last rename wins, the loser's data directory is
+    clobbered by neither but its version is skipped over); serialize
+    publishers externally, as Delta/Iceberg do with their commit
+    lock/CAS."""
     versions = list_versions(spark, table)
     v = (versions[-1] if versions else 0) + 1
     df.write.mode("overwrite").parquet(f"{table}/v={v}")
-    jvm, fs = _fs(spark, table)
-    tmp = jvm.org.apache.hadoop.fs.Path(f"{table}/_LATEST.tmp.{v}")
-    out = fs.create(tmp, True)
-    try:
-        out.write(bytearray(str(v).encode("utf-8")))
-    finally:
-        out.close()
-    ptr = jvm.org.apache.hadoop.fs.Path(f"{table}/_LATEST")
-    fs.delete(ptr, False)
-    fs.rename(tmp, ptr)
+    _flip_pointer(spark, table, str(v), v)
     return v
 
 
@@ -103,19 +138,11 @@ def read_latest(spark: SparkSession, table: str) -> DataFrame:
 
 
 def rollback(spark: SparkSession, table: str, version: int) -> None:
-    """Point ``_LATEST`` at an existing older version — no data moves."""
+    """Point ``_LATEST`` at an existing older version — no data moves,
+    same atomic overwriting rename as publish."""
     if version not in list_versions(spark, table):
         raise ValueError(f"version {version} does not exist under {table}")
-    jvm, fs = _fs(spark, table)
-    tmp = jvm.org.apache.hadoop.fs.Path(f"{table}/_LATEST.tmp.rb{version}")
-    out = fs.create(tmp, True)
-    try:
-        out.write(bytearray(str(version).encode("utf-8")))
-    finally:
-        out.close()
-    ptr = jvm.org.apache.hadoop.fs.Path(f"{table}/_LATEST")
-    fs.delete(ptr, False)
-    fs.rename(tmp, ptr)
+    _flip_pointer(spark, table, f"rb{version}", version)
 
 
 def vacuum(spark: SparkSession, table: str, keep_last: int = 2) -> list[int]:

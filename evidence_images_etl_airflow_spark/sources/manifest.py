@@ -66,15 +66,28 @@ def scan_pruned(
     spark: SparkSession,
     manifest: DataFrame,
     intervals: dict[str, tuple],
+    schema=None,
 ) -> DataFrame:
     """Data-skipping scan: open only the files the manifest can't rule
     out, then re-apply the exact range predicate (stats are a superset
     filter, never the answer). Returns an empty frame with the right
-    schema when everything is pruned."""
+    schema when everything is pruned — derived from any manifest file,
+    or from ``schema`` when the manifest itself is EMPTY (zero files
+    listed); with neither available there is nothing to describe the
+    table, so raise a clear error instead of the bare
+    ``spark.read.parquet()`` crash (round-4 ADVICE)."""
     files = prune_files(manifest, intervals)
     if not files:
         any_file = [r.file for r in manifest.select("file").limit(1).collect()]
-        empty = spark.read.parquet(*any_file).limit(0)
+        if any_file:
+            empty = spark.read.parquet(*any_file).limit(0)
+        elif schema is not None:
+            empty = spark.createDataFrame([], schema)
+        else:
+            raise ValueError(
+                "scan_pruned: manifest lists no files and no schema was "
+                "given — pass schema= to get an empty typed frame"
+            )
         return _apply_intervals(empty, intervals)
     return _apply_intervals(spark.read.parquet(*files), intervals)
 

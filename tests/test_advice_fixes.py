@@ -125,3 +125,97 @@ def test_registry_sweep_releases_caches(spark):
     qs["events_hourly_rollup"](spark, SF_DIR).count()  # releases q15's persist
     assert caching.live_count() <= 1
     caching.release_all(spark, hard=True)
+
+
+# --- round-4/5 ADVICE fixes --------------------------------------------------
+
+
+def test_versioned_pointer_never_absent_and_fallback(spark, tmp_path):
+    from evidence_images_etl_airflow_spark.sinks import versioned
+
+    table = str(tmp_path / "vt")
+    df1 = spark.createDataFrame([(1, "a")], ["id", "v"])
+    df2 = spark.createDataFrame([(2, "b")], ["id", "v"])
+    assert versioned.publish(spark, df1, table) == 1
+    assert versioned.publish(spark, df2, table) == 2
+    assert versioned.current_version(spark, table) == 2
+    assert [r.id for r in versioned.read_latest(spark, table).collect()] == [2]
+    versioned.rollback(spark, table, 1)
+    assert versioned.current_version(spark, table) == 1
+    # a momentarily-missing pointer (legacy writer crash window) must
+    # not look like "no published table": fall back to newest version
+    import os
+
+    os.remove(os.path.join(table, "_LATEST"))
+    assert versioned.current_version(spark, table) == 2
+    assert [r.id for r in versioned.read_latest(spark, table).collect()] == [2]
+
+
+def test_run_checks_empty_list_returns_empty_report(spark):
+    from evidence_images_etl_airflow_spark.operators.quality import run_checks
+
+    df = spark.createDataFrame([(1,)], ["x"])
+    rep = run_checks(df, [])
+    assert rep.columns == ["check_name", "violations", "n_rows"]
+    assert rep.count() == 0
+
+
+def test_check_fk_large_dim_not_force_broadcast(spark):
+    from evidence_images_etl_airflow_spark.operators import quality
+    from evidence_images_etl_airflow_spark.operators.quality import (
+        check_fk,
+        run_checks,
+    )
+
+    facts = spark.createDataFrame([(1,), (2,), (5000,)], ["k"])
+    dim = spark.range(1000).select(F.col("id").alias("k"))
+    # force the "large dimension" branch by dropping the threshold
+    old = quality.FK_BROADCAST_MAX_ROWS
+    quality.FK_BROADCAST_MAX_ROWS = 10
+    try:
+        rep = run_checks(facts, [check_fk("k", dim, "k")])
+        rows = {r.check_name: r.violations for r in rep.collect()}
+        assert rows["fk(k)"] == 1  # 5000 is an orphan either way
+    finally:
+        quality.FK_BROADCAST_MAX_ROWS = old
+
+
+def test_scan_pruned_empty_manifest(spark):
+    from evidence_images_etl_airflow_spark.sources.manifest import scan_pruned
+
+    empty_manifest = spark.createDataFrame(
+        [], "file string, n_rows long, x_min long, x_max long"
+    )
+    out = scan_pruned(spark, empty_manifest, {"x": (0, 10)}, schema="x long, y string")
+    assert out.columns == ["x", "y"]
+    assert out.count() == 0
+    try:
+        scan_pruned(spark, empty_manifest, {"x": (0, 10)})
+        raised = False
+    except ValueError as e:
+        raised = "no files" in str(e)
+    assert raised
+
+
+def test_scd2_apply_collapses_duplicate_update_keys(spark):
+    import datetime
+
+    from evidence_images_etl_airflow_spark.operators.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "old", datetime.date(2020, 1, 1), None)],
+        "k long, attr string, valid_from date, valid_to date",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "mid", datetime.date(2021, 1, 1)),
+            (1, "new", datetime.date(2022, 1, 1)),  # latest wins
+        ],
+        "k long, attr string, eff date",
+    )
+    out = scd2_apply(dim, updates, keys=["k"], tracked=["attr"], effective_col="eff")
+    rows = sorted(out.collect(), key=lambda r: (r.valid_from,))
+    # exactly ONE closed row and ONE new current row — no fan-out
+    assert len(rows) == 2
+    assert rows[0].attr == "old" and rows[0].valid_to == datetime.date(2022, 1, 1)
+    assert rows[1].attr == "new" and rows[1].valid_to is None
