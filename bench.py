@@ -22,9 +22,24 @@ from evidence_images_etl_airflow_spark.session import get_session  # noqa: E402
 from evidence_images_etl_airflow_spark.workload import headline_queries  # noqa: E402
 
 
+def _host_cal() -> float:
+    """Single-thread CPU calibration: seconds for a fixed pure-Python
+    loop. Recorded alongside the timings because the bench host changes
+    between rounds — round 5 measured every query (including untouched
+    TPC-H plans) in a uniform ~2-3x band over round 2's numbers on a
+    100%-idle machine, i.e. the host itself was slower. This constant
+    lets a cross-round reader normalize before calling a regression."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(20_000_000):
+        s += i
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    cal = _host_cal()
     spark = get_session("bench")
 
     qs = headline_queries()
@@ -58,6 +73,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "host_cal_sec": cal,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

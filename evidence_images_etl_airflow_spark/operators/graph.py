@@ -42,6 +42,7 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     assume_distinct: bool = False,
+    nodes_from_src: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list ``(src, dst)`` — pass both
     directions for an undirected graph. Every node is assumed to have
@@ -52,29 +53,48 @@ def pagerank(
     the base rank (1-d)/N instead of silently disappearing after the
     first round. Pass ``assume_distinct=True`` when the caller already
     deduplicated the edge list — skipping the redundant full-shuffle
-    distinct is the single biggest saving on a big graph. Returns
-    ``(node, rank)`` with the uniform 1/N start and ``iterations``
-    fixed power steps."""
+    distinct is the single biggest saving on a big graph — and
+    ``nodes_from_src=True`` when every node is KNOWN to appear as a
+    source (always true for symmetric/undirected edge lists): the node
+    set then falls out of the out-degree aggregation for free instead
+    of costing a second full-edge distinct. Returns ``(node, rank)``
+    with the uniform 1/N start and ``iterations`` fixed power steps."""
     edges = edges.select("src", "dst")
     if not assume_distinct:
         edges = edges.distinct()
     edges = caching.materialize(edges)
-    nodes = caching.materialize(
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
+    deg = caching.materialize(
+        edges.groupBy("src").agg(F.count("*").alias("__deg"))
     )
+    if nodes_from_src:
+        # symmetric graphs: src set == node set, one agg, no extra pass
+        nodes = deg.select(F.col("src").alias("node"))
+    else:
+        nodes = (
+            deg.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
     n = nodes.count()
-    deg = edges.groupBy("src").agg(F.count("*").alias("__deg"))
+    small = n <= _BROADCAST_NODES_MAX
+    if small:
+        # the per-iteration state is |nodes| rows of (key, double);
+        # collapsing it to one partition turns every iteration's
+        # broadcast-collect + left-join + checkpoint into single-task
+        # stages instead of 32 near-empty ones
+        nodes = nodes.coalesce(1)
+    nodes = caching.materialize(nodes)
     # Fold 1/out-degree into the edge list ONCE: the per-iteration job
     # is then a single join + hash agg over a cached table instead of
-    # re-joining degrees every round.
+    # re-joining degrees every round. The degree table is |nodes| rows
+    # — broadcast it below the same threshold so the (big) edge list
+    # never shuffles to build the weighted list either.
+    dv = F.broadcast(deg) if small else deg
     weighted = caching.materialize(
-        edges.join(deg, "src").select(
+        edges.join(dv, "src").select(
             "src", "dst", (F.lit(1.0) / F.col("__deg")).alias("__w")
         )
     )
-    small = n <= _BROADCAST_NODES_MAX
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for i in range(iterations):

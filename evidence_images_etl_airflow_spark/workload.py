@@ -3503,9 +3503,11 @@ def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     weak-label count (both recomputed by DuckDB from the shared
     quality-score formula — a broken labeler fails the value compare),
     plus TRUE-pinned tolerance verdicts that every probability lies in
-    [0,1] and the classifier reproduces its own training labels with
-    accuracy >= 0.8 (the data is heuristic-separable; a broken trainer
-    or scorer collapses to ~the base rate and flips the bit).
+    [0,1] and the classifier beats the majority-class base rate on its
+    own training labels by >= 0.1 (a broken trainer or scorer collapses
+    TO the base rate — predicting one class everywhere — and flips the
+    bit; an absolute accuracy bar was scale-sensitive: L-BFGS converges
+    to 0.76 on the 500-doc sf0.001 corpus and 0.8+ at sf0.01).
     Coefficient behavior stays unit-pinned (test_ml_curation.py)."""
     from evidence_images_etl_airflow_spark.operators.ml_curation import (
         score_quality,
@@ -3532,7 +3534,7 @@ def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(
                 (F.col("keep").cast("double") == F.col("label")).cast("double")
             )
-            >= 0.8
+            >= F.greatest(F.avg("label"), 1 - F.avg("label")) + 0.1
         ).alias("train_accuracy_ok"),
     )
 
@@ -4660,12 +4662,24 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # both directions of a distinct pair set are distinct (the c/s
-    # namespaces are disjoint), so pagerank can skip its own distinct
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    # Symmetrize with ONE explode pass over the distinct pair set — a
+    # union of two selects would compute the 6M-row join + distinct
+    # subtree twice when the edge cache populates. Both directions of
+    # a distinct pair set stay distinct (the c/s namespaces are
+    # disjoint), so pagerank can skip its own distinct; and since
+    # every node appears as a source in a symmetric list, the node
+    # set falls out of the degree agg (nodes_from_src).
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    pr = pagerank(
+        edges, iterations=5, damping=0.85, assume_distinct=True, nodes_from_src=True
     )
-    pr = pagerank(edges, iterations=5, damping=0.85, assume_distinct=True)
     return pr.select(
         F.when(
             F.col("node") % 2 == 0,
