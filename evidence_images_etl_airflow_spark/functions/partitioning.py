@@ -153,3 +153,43 @@ def stratified_hash_sample(
         else F.lit(int(round(default_fraction * 10000)))
     )
     return df.filter(bucket < thresh)
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    id_col: str | Column,
+    prob_col: str | Column,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic per-row Bernoulli sample with a ROW-VARYING keep
+    probability — curation's soft filter ('keep documents with
+    probability equal to their quality score' instead of a hard
+    threshold, so mid-quality text is downweighted, not erased). A row
+    survives iff ``md5(salt:id) % 10000 < round(prob * 10000)``:
+    membership is a pure function of (id, prob), so re-runs, engines,
+    and partitionings agree, and raising a row's probability can only
+    ADD it (monotone supersets — the debuggability property sampling
+    by rand() lacks). Row-local filter: no shuffle, and when ``prob``
+    is a column of the scanned table the whole predicate pushes into
+    the scan. ``prob`` outside [0,1] clamps.
+
+    Cross-engine note: both engines compute the SAME double product
+    and round half-up on positives, so the integer thresholds agree;
+    keep ``prob`` low-precision (the callers pass 6dp-rounded scores)
+    so the product stays far from .5 ties."""
+    from pyspark.sql import functions as F
+
+    c_id = F.col(id_col) if isinstance(id_col, str) else id_col
+    c_p = F.col(prob_col) if isinstance(prob_col, str) else prob_col
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.lit(":"), c_id.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    clamped = F.least(F.greatest(c_p, F.lit(0.0)), F.lit(1.0))
+    return df.filter(bucket < F.round(clamped * 10000, 0).cast("long"))

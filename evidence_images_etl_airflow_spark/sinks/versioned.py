@@ -27,6 +27,7 @@ file skipping within a version.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _fs(spark: SparkSession, path: str):
@@ -156,6 +157,99 @@ def vacuum(spark: SparkSession, table: str, keep_last: int = 2) -> list[int]:
     for v in candidates:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{table}/v={v}"), True)
     return candidates
+
+
+def delete_where(
+    spark: SparkSession,
+    table: str,
+    condition,
+    prune_intervals: dict[str, tuple] | None = None,
+) -> dict:
+    """Targeted row deletion (GDPR / takedown / retention path) as a
+    new atomic version: rows where ``condition`` is TRUE disappear,
+    everything else survives byte-identically. The 100 TB discipline
+    is *touch only the files that contain matches*:
+
+    1. one detection scan finds the files with >=1 matching row
+       (``input_file_name`` distinct — with ``prune_intervals`` the
+       scan itself opens only stat-overlapping files, the
+       `sources/manifest.py` skip applied to a write);
+    2. ONLY those files are decoded and rewritten without their
+       matching rows;
+    3. every untouched file is copied into the next version dir as raw
+       bytes — no parquet decode/encode, no shuffle, object-store
+       server-side copy where the FS supports it;
+    4. the ``_LATEST`` pointer flips atomically (publish protocol) —
+       readers see the pre-delete or post-delete table, never a mix,
+       and the old version stays readable until vacuumed (audit trail:
+       WHAT was deleted is the version diff).
+
+    On a clustered layout (``writers.cluster_by_range`` on the delete
+    key) a key-scoped delete rewrites 1-2 files out of thousands.
+    NULL ``condition`` rows are kept (delete-on-TRUE, the SQL DELETE
+    rule). Returns ``{version, files_rewritten, files_copied,
+    rows_deleted}``; a no-match delete publishes nothing and returns
+    the current version with zero counts."""
+    from evidence_images_etl_airflow_spark.sources.manifest import (
+        build_manifest,
+        prune_files,
+    )
+
+    v = current_version(spark, table)
+    if v is None:
+        raise FileNotFoundError(f"no published version under {table}")
+    vdir = f"{table}/v={v}"
+    jvm, fs = _fs(spark, table)
+    all_files = [
+        st.getPath().toString()
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(vdir))
+        if st.getPath().getName().endswith(".parquet")
+    ]
+    candidates = all_files
+    if prune_intervals:
+        manifest = build_manifest(spark, vdir, list(prune_intervals))
+        candidates = prune_files(manifest, prune_intervals)
+    cond = F.coalesce(condition, F.lit(False))
+    touched = (
+        [
+            r.f
+            for r in spark.read.parquet(*candidates)
+            .filter(cond)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        ]
+        if candidates
+        else []
+    )
+    if not touched:
+        return {
+            "version": v,
+            "files_rewritten": 0,
+            "files_copied": 0,
+            "rows_deleted": 0,
+        }
+    # input_file_name URI-encodes; normalize both sides for the set diff
+    touched_names = {t.rsplit("/", 1)[-1] for t in touched}
+    untouched = [f for f in all_files if f.rsplit("/", 1)[-1] not in touched_names]
+    new_v = v + 1
+    new_dir = f"{table}/v={new_v}"
+    kept = spark.read.parquet(*touched).filter(~cond)
+    n_before = spark.read.parquet(*touched).count()
+    n_kept = kept.count()
+    kept.write.mode("overwrite").parquet(new_dir)
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    for f in untouched:
+        src = jvm.org.apache.hadoop.fs.Path(f)
+        dst = jvm.org.apache.hadoop.fs.Path(f"{new_dir}/{src.getName()}")
+        jvm.org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, False, True, conf)
+    _flip_pointer(spark, table, f"del{new_v}", new_v)
+    return {
+        "version": new_v,
+        "files_rewritten": len(touched),
+        "files_copied": len(untouched),
+        "rows_deleted": n_before - n_kept,
+    }
 
 
 def merge_publish(

@@ -48,6 +48,7 @@ from evidence_images_etl_airflow_spark.functions.transforms import (
 from evidence_images_etl_airflow_spark.functions.partitioning import (
     hash_split,
     stratified_hash_sample,
+    weighted_hash_sample,
 )
 from evidence_images_etl_airflow_spark.functions.vectors import random_hyperplanes
 from evidence_images_etl_airflow_spark.operators.dedup import (
@@ -3039,6 +3040,35 @@ def data_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "data_quality_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, q AS quality FROM (
+      SELECT doc_id, {_QUALITY_SQL} AS q,
+             CAST('0x' || substr(md5('qsample:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 10000 AS b
+      FROM documents)
+    WHERE b < CAST(round(q * 10000, 0) AS BIGINT)
+    """,
+)
+def data_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft quality curation: each document kept with probability equal
+    to its deterministic quality score
+    (functions/partitioning.weighted_hash_sample over
+    functions/text.quality_score) — the middle ground between keeping
+    everything and a hard threshold: low-quality text is downweighted
+    in expectation instead of erased, and because membership is
+    md5(id)-deterministic the exact survivor set is engine-reproducible
+    (the oracle recomputes score, hash, and threshold from scratch).
+    Row-local filter over one scan — no shuffle; at 100 TB this is a
+    map-only pass whose predicate evaluates inline with the read."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+    return weighted_hash_sample(scored, "doc_id", "quality", salt="qsample")
+
+
+@register(
     "data_length_trim",
     oracle="""
     WITH cuts AS (SELECT quantile_cont(n_chars, 0.01) AS lo,
@@ -5231,6 +5261,7 @@ _VERIFY_FIRST = [
     # ---- new in round 5 — no prior rows
     "dedup_clusters_twophase",
     "dedup_store_bloom_survivors",
+    "data_quality_weighted_sample",
     # ---- fill the 50-row cap with the oldest r03-verified,
     # type-sensitive queries (events / streaming time semantics)
     "events_sessionization",
