@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from evidence_images_etl_airflow_spark.functions.partitioning import spread
 from evidence_images_etl_airflow_spark.functions.vectors import (
     cosine,
+    dot,
     hyperplane_signature,
 )
 
@@ -232,6 +233,149 @@ def ivf_topk_indexed(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def pq_codebooks_from_rows(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    n_codes: int = 8,
+) -> DataFrame:
+    """Deterministic PQ codebooks: the sub-slices of the first
+    ``n_codes`` corpus vectors (by id) become each subspace's
+    codewords -> (sub, code, subvec). Same contract as ``ivf_topk``'s
+    centroids: production swaps in per-subspace k-means offline; a
+    deterministic source keeps the operator engine-reproducible and
+    oracle-checkable. One tiny driver-free plan — |m·n_codes| rows."""
+    base = corpus.filter(F.col(id_col) < n_codes).select(
+        F.col(id_col).alias("code"), F.col(vec_col).alias("__v")
+    )
+    subs = F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("sub")
+    return base.select("code", "__v", subs).withColumn(
+        "subvec",
+        F.slice(
+            F.col("__v"),
+            (F.col("sub") * (F.size("__v") / m).cast("int") + 1).cast("int"),
+            (F.size("__v") / m).cast("int"),
+        ),
+    ).select("sub", "code", "subvec")
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+) -> DataFrame:
+    """Product-quantization encoding: each vector becomes ``m`` small
+    integer codes -> (id, code_0..code_{m-1}), its nearest codeword
+    per subspace by inner product (6dp-rounded, ties -> smallest
+    code). THE compression step that makes web-scale ANN affordable:
+    a 64-float (256 B) embedding collapses to m codes (~m bytes with
+    byte-range codebooks), so the scoring pass touches ~1/64th the
+    bytes and the full-precision vectors stay on disk for optional
+    re-ranking. One corpus pass + one |m·n_codes|-row broadcast join +
+    one groupBy(id) shuffle of (id, sub, code) triples; materialize
+    the result like ``build_ivf_index`` so search never re-encodes."""
+    cb = F.broadcast(codebooks)
+    sliced = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("sub"),
+        F.col(vec_col).alias("__v"),
+    ).withColumn(
+        "__slice",
+        F.slice(
+            F.col("__v"),
+            (F.col("sub") * (F.size("__v") / m).cast("int") + 1).cast("int"),
+            (F.size("__v") / m).cast("int"),
+        ),
+    )
+    scored = sliced.join(cb, "sub").select(
+        "id",
+        "sub",
+        "code",
+        F.round(dot(F.col("__slice"), F.col("subvec")), 6).alias("__ip"),
+    )
+    w = Window.partitionBy("id", "sub").orderBy(F.col("__ip").desc(), F.col("code"))
+    best = scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return best.groupBy("id").agg(
+        *[
+            F.max(F.when(F.col("sub") == s, F.col("code"))).alias(f"code_{s}")
+            for s in range(m)
+        ]
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query builds
+    an |m × n_codes| inner-product lookup table against the codebooks,
+    and every corpus vector's approximate similarity is m table
+    lookups summed in FIXED subspace order (engine-deterministic) —
+    never a touch of the original vectors. Returns (query_id,
+    neighbor_id, approx_ip, rank). At 100 TB: the codes table is the
+    only per-corpus-row input, each per-sub lookup is a broadcast hash
+    join on a tiny table, and the only shuffle is the per-query top-k
+    window. Compose with IVF cells to prune candidates first; re-rank
+    the survivors with exact cosine against the full vectors when
+    recall matters."""
+    cb = F.broadcast(codebooks)
+    dt = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+        .select(
+            "query_id",
+            F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("sub"),
+            F.col("__qv"),
+        )
+        .withColumn(
+            "__qslice",
+            F.slice(
+                F.col("__qv"),
+                (F.col("sub") * (F.size("__qv") / m).cast("int") + 1).cast("int"),
+                (F.size("__qv") / m).cast("int"),
+            ),
+        )
+        .join(cb, "sub")
+        .select(
+            "query_id",
+            "sub",
+            "code",
+            F.round(dot(F.col("__qslice"), F.col("subvec")), 6).alias("__t"),
+        )
+    )
+    out = codes
+    total = None
+    for s in range(m):
+        dts = F.broadcast(
+            dt.filter(F.col("sub") == s).select(
+                "query_id", F.col("code").alias(f"code_{s}"), F.col("__t").alias(f"__t{s}")
+            )
+        )
+        # first lookup fans corpus codes out per query; later lookups
+        # must stay within the same query's table
+        keys = [f"code_{s}"] if s == 0 else ["query_id", f"code_{s}"]
+        out = out.join(dts, keys)
+        total = F.col(f"__t{s}") if total is None else total + F.col(f"__t{s}")
+    scored = out.filter(F.col("id") != F.col("query_id")).select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(total, 6).alias("approx_ip"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_ip").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def lsh_topk(

@@ -3829,6 +3829,85 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_oracle(m: int = 4, subdim: int = 16, n_codes: int = 8, nq: int = 5) -> str:
+    """DuckDB rendering of PQ encode + ADC search: per-sub codeword
+    argmax, per-query lookup tables, fixed-order sum — mirrors
+    operators/similarity.pq_encode / pq_adc_topk term-for-term (same
+    6dp rounds, same tie-breaks, same left-to-right addition)."""
+
+    def subdot(a: str, b: str, s: int) -> str:
+        return " + ".join(
+            f"CAST({a}.embedding[{s * subdim + i}] AS DOUBLE)"
+            f" * CAST({b}.embedding[{s * subdim + i}] AS DOUBLE)"
+            for i in range(1, subdim + 1)
+        )
+
+    parts = [
+        f"cb AS (SELECT vec_id AS code, embedding FROM embeddings WHERE vec_id < {n_codes})",
+        f"q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {nq})",
+    ]
+    for s in range(m):
+        parts.append(
+            f"a{s} AS (SELECT e.vec_id, cb.code,"
+            f" round({subdot('e', 'cb', s)}, 6) AS ip"
+            f" FROM embeddings e CROSS JOIN cb)"
+        )
+        parts.append(
+            f"c{s} AS (SELECT vec_id, code AS code_{s} FROM ("
+            f"SELECT vec_id, code, row_number() OVER (PARTITION BY vec_id"
+            f" ORDER BY ip DESC, code) AS rn FROM a{s}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"dt{s} AS (SELECT q.vec_id AS query_id, cb.code AS code_{s},"
+            f" round({subdot('q', 'cb', s)}, 6) AS t{s}"
+            f" FROM q CROSS JOIN cb)"
+        )
+    code_join = "c0" + "".join(f" JOIN c{s} USING (vec_id)" for s in range(1, m))
+    dt_join = "JOIN dt0 USING (code_0)" + "".join(
+        f" JOIN dt{s} USING (query_id, code_{s})" for s in range(1, m)
+    )
+    total = " + ".join(f"t{s}" for s in range(m))
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes},
+    codes AS (SELECT * FROM {code_join}),
+    scored AS (
+      SELECT query_id, vec_id AS neighbor_id, round({total}, 6) AS approx_ip
+      FROM codes {dt_join}
+      WHERE vec_id <> query_id)
+    SELECT query_id, neighbor_id, approx_ip,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_ip DESC, neighbor_id) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    """
+
+
+@register("ann_pq_topk", oracle=_pq_oracle())
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-3 (operators/similarity.pq_encode +
+    pq_adc_topk, deterministic codebooks via pq_codebooks_from_rows) —
+    the compressed-domain ANN tier that completes the family: brute
+    force is the exact baseline, LSH and IVF prune CANDIDATES, PQ
+    shrinks the BYTES — 64 floats per vector become m=4 codes, so
+    100 TB of embeddings score from ~1/64th the data with the original
+    vectors left on disk. Corpus pass encodes once (materialize like
+    the IVF index in production); search is m broadcast lookups + one
+    per-query top-k window. The oracle replays encode + lookup-table
+    search end-to-end in SQL."""
+    from evidence_images_etl_airflow_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks_from_rows,
+        pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = caching.materialize(pq_codebooks_from_rows(emb, m=4, n_codes=8))
+    codes = pq_encode(emb, cbs, m=4)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return pq_adc_topk(codes, queries, cbs, m=4, k=3)
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -5262,6 +5341,7 @@ _VERIFY_FIRST = [
     "dedup_clusters_twophase",
     "dedup_store_bloom_survivors",
     "data_quality_weighted_sample",
+    "ann_pq_topk",
     # ---- fill the 50-row cap with the oldest r03-verified,
     # type-sensitive queries (events / streaming time semantics)
     "events_sessionization",

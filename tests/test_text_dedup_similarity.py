@@ -429,3 +429,39 @@ def test_bloom_bitmaps_merge_with_bit_or(spark):
     assert {(r.word, r.bits) for r in merged.collect()} == {
         (r.word, r.bits) for r in direct.collect()
     }
+
+
+def test_pq_encode_and_adc_search(spark):
+    from evidence_images_etl_airflow_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks_from_rows,
+        pq_encode,
+    )
+
+    # 8-dim vectors, m=2 subspaces of 4; codebook = vecs 0 and 1:
+    # sub-axes x and y per subspace
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0, 0.9, 0.1, 0.0, 0.0]),  # ~vec 0
+        (3, [0.1, 0.9, 0.0, 0.0, 0.1, 0.9, 0.0, 0.0]),  # ~vec 1
+        (4, [1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0]),  # mixed subs
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cbs = pq_codebooks_from_rows(vecs, m=2, n_codes=2)
+    assert cbs.count() == 4  # 2 subs x 2 codes
+    codes = {r.id: (r.code_0, r.code_1) for r in pq_encode(vecs, cbs, m=2).collect()}
+    # each vector snaps to its nearest codeword per subspace
+    assert codes[0] == (0, 0)
+    assert codes[1] == (1, 1)
+    assert codes[2] == (0, 0)
+    assert codes[3] == (1, 1)
+    assert codes[4] == (0, 1)  # first sub ~code0, second sub ~code1
+
+    res = pq_adc_topk(
+        pq_encode(vecs, cbs, m=2), vecs.filter("vec_id = 0"), cbs, m=2, k=2
+    ).collect()
+    got = [r.neighbor_id for r in sorted(res, key=lambda r: r.rank)]
+    # vec 2 shares vec 0's codes -> top neighbor; vec 4 shares one sub
+    assert got[0] == 2
+    assert got[1] == 4
