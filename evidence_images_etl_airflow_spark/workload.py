@@ -2540,6 +2540,69 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
+_BPE_MERGES = 12
+
+
+def _bpe_oracle(n_merges: int = _BPE_MERGES) -> str:
+    """DuckDB replay of operators/bpe.bpe_train: the merge loop
+    unrolled as chained CTEs (one pair-count + argmax + rewrite stage
+    per merge — the same unrolled-iteration idiom as the pagerank
+    oracle). Both engines share the scan-forward non-overlapping
+    replace rule and the (count DESC, pair ASC) tie-break, so the
+    learned merge table is value-identical."""
+    parts = [
+        r"""w0 AS (SELECT ' ' || regexp_replace(t, '(.)', '\1 ', 'g') || '</w> ' AS seq,
+               CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+              FROM documents) GROUP BY 1)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"p{r} AS (SELECT l[i] AS pa, l[i+1] AS pb, sum(freq) AS c"
+            f" FROM (SELECT string_split(trim(seq), ' ') AS l, freq FROM w{r - 1}),"
+            f" UNNEST(generate_series(1, len(l)-1)) AS u(i)"
+            f" GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"b{r} AS (SELECT pa, pb, c FROM p{r} ORDER BY c DESC, pa, pb LIMIT 1)"
+        )
+        parts.append(
+            f"w{r} AS (SELECT replace(seq, ' '||b.pa||' '||b.pb||' ',"
+            f" ' '||b.pa||b.pb||' ') AS seq, freq FROM w{r - 1}, b{r} b)"
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS rank, pa AS pair_a, pb AS pair_b,"
+        f" pa||pb AS merged, CAST(c AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    {rows}
+    """
+
+
+@register("text_bpe_vocab", oracle=_bpe_oracle())
+def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE subword-vocabulary training (operators/bpe.bpe_train,
+    Sennrich et al. 2016) over the documents corpus — the step a
+    training-data pipeline runs between token counting and
+    tokenization. One distributed corpus pass builds the (word, freq)
+    table; each of the {n} merge rounds is a pair explode + weighted
+    hash-agg over the VOCABULARY with a 1-row argmax collect (the only
+    driver traffic), so iteration cost follows |vocab|, not corpus
+    bytes. The oracle unrolls all rounds as chained CTEs and the merge
+    tables must match value-for-value."""
+    from evidence_images_etl_airflow_spark.operators.bpe import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(d, "text", n_merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        merges,
+        "rank int, pair_a string, pair_b string, merged string, pair_count bigint",
+    )
+
+
 def _lang_oracle() -> str:
     score_cols = []
     for lang, words in LANG_STOPWORDS.items():
@@ -5342,6 +5405,7 @@ _VERIFY_FIRST = [
     "dedup_store_bloom_survivors",
     "data_quality_weighted_sample",
     "ann_pq_topk",
+    "text_bpe_vocab",
     # ---- fill the 50-row cap with the oldest r03-verified,
     # type-sensitive queries (events / streaming time semantics)
     "events_sessionization",

@@ -189,3 +189,33 @@ def test_source_reputation_dup_rate_and_filter(spark):
         df, "source", "quality", "fp", min_mean_quality=0.5, max_dup_rate=0.5
     )
     assert {r["source"] for r in kept.collect()} == {"good"}
+
+
+def test_bpe_train_and_segment(spark):
+    from evidence_images_etl_airflow_spark.operators.bpe import (
+        bpe_segment,
+        bpe_train,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest low low") for i in range(4)],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, "text", n_merges=3)
+    assert [m[0] for m in merges] == [1, 2, 3]
+    # 'l o' and 'o w' both appear in every word (weighted count 20);
+    # tie breaks to the lexicographically smaller pair ('l', 'o')
+    assert (merges[0][1], merges[0][2]) == ("l", "o")
+    assert merges[0][4] == 20
+    # merged symbol of round 1 feeds round 2: 'lo w' -> 'low'
+    assert merges[1][3] == "low"
+    # training is deterministic across reruns
+    assert bpe_train(docs, "text", n_merges=3) == merges
+
+    seg = docs.limit(1).select(
+        bpe_segment(F.lit("lowest"), merges).alias("s")
+    ).first()["s"]
+    # after 3 merges ('l o', 'lo w', 'low</w>'): lowest -> low + chars
+    assert seg[0] == "low"
+    assert "".join(seg).replace("</w>", "") == "lowest"
