@@ -95,6 +95,38 @@ def assign_cells(
     )
 
 
+def _probe_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_id_col: str,
+    nprobe: int,
+) -> DataFrame:
+    """(query_id, qvec, cell): each query's ``nprobe`` nearest cells by
+    6dp-rounded cosine (ties -> smallest cell). Queries are small by
+    contract; the result broadcasts into candidate generation."""
+    cent = F.broadcast(
+        centroids.select(
+            F.col(centroid_id_col).alias("cell"), F.col(vec_col).alias("centv")
+        )
+    )
+    qscored = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).crossJoin(cent).select(
+        "query_id",
+        "qvec",
+        "cell",
+        F.round(cosine(F.col("qvec"), F.col("centv")), 6).alias("__cs"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("__cs").desc(), F.col("cell"))
+    return (
+        qscored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "qvec", "cell")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -113,23 +145,7 @@ def ivf_topk(
     offline k-means, or a seeded sample); passing it in keeps the
     operator itself fully deterministic and engine-reproducible."""
     cells = assign_cells(corpus, centroids, id_col, vec_col, centroid_id_col)
-    cent = F.broadcast(
-        centroids.select(F.col(centroid_id_col).alias("cell"), F.col(vec_col).alias("centv"))
-    )
-    qscored = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    ).crossJoin(cent).select(
-        "query_id",
-        "qvec",
-        "cell",
-        F.round(cosine(F.col("qvec"), F.col("centv")), 6).alias("__cs"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("__cs").desc(), F.col("cell"))
-    probed = (
-        qscored.withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "qvec", "cell")
-    )
+    probed = _probe_cells(queries, centroids, id_col, vec_col, centroid_id_col, nprobe)
     scored = (
         cells.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "cell"
@@ -195,23 +211,7 @@ def ivf_topk_indexed(
     |queries| × nprobe (query batches are small by the operator's
     contract — they broadcast), which keeps the pruning static and
     visible in the plan rather than relying on runtime DPP."""
-    cent = F.broadcast(
-        centroids.select(F.col(centroid_id_col).alias("cell"), F.col(vec_col).alias("centv"))
-    )
-    qscored = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    ).crossJoin(cent).select(
-        "query_id",
-        "qvec",
-        "cell",
-        F.round(cosine(F.col("qvec"), F.col("centv")), 6).alias("__cs"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("__cs").desc(), F.col("cell"))
-    probed = (
-        qscored.withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "qvec", "cell")
-    )
+    probed = _probe_cells(queries, centroids, id_col, vec_col, centroid_id_col, nprobe)
     probe_cells = [r["cell"] for r in probed.select("cell").distinct().collect()]
     index = spark.read.parquet(index_path).filter(F.col("cell").isin(probe_cells))
     scored = (
@@ -368,6 +368,84 @@ def pq_adc_topk(
         out = out.join(dts, keys)
         total = F.col(f"__t{s}") if total is None else total + F.col(f"__t{s}")
     scored = out.filter(F.col("id") != F.col("query_id")).select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(total, 6).alias("approx_ip"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_ip").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cid",
+    m: int = 4,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-PQ: the web-scale ANN composition — IVF cells bound WHICH
+    vectors are scored (candidates = the query's ``nprobe`` cells),
+    product quantization bounds the BYTES each score touches (m codes,
+    not the vector). Corpus cost is the two one-time passes (cell
+    assignment + PQ encode — materialize both in production, the codes
+    join the cell layout); per query-batch cost is |probed cells'
+    rows| × m broadcast lookups + one top-k window. Same output shape
+    as the other tiers with ``approx_ip`` as the score; recall is the
+    nprobe × codebook-resolution dial pair, re-rank survivors with
+    exact cosine when it matters."""
+    cells = assign_cells(corpus, centroids, id_col, vec_col, centroid_id_col)
+    codes = pq_encode(corpus, codebooks, id_col, vec_col, m)
+    probed = _probe_cells(queries, centroids, id_col, vec_col, centroid_id_col, nprobe)
+    cand = (
+        cells.select(F.col(id_col).alias("id"), "cell")
+        .join(F.broadcast(probed.select("query_id", "cell")), "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", "id")
+    )
+    cb = F.broadcast(codebooks)
+    dt = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+        .select(
+            "query_id",
+            F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("sub"),
+            F.col("__qv"),
+        )
+        .withColumn(
+            "__qslice",
+            F.slice(
+                F.col("__qv"),
+                (F.col("sub") * (F.size("__qv") / m).cast("int") + 1).cast("int"),
+                (F.size("__qv") / m).cast("int"),
+            ),
+        )
+        .join(cb, "sub")
+        .select(
+            "query_id",
+            "sub",
+            "code",
+            F.round(dot(F.col("__qslice"), F.col("subvec")), 6).alias("__t"),
+        )
+    )
+    out = cand.join(codes, "id")
+    total = None
+    for s in range(m):
+        dts = F.broadcast(
+            dt.filter(F.col("sub") == s).select(
+                "query_id", F.col("code").alias(f"code_{s}"), F.col("__t").alias(f"__t{s}")
+            )
+        )
+        out = out.join(dts, ["query_id", f"code_{s}"])
+        total = F.col(f"__t{s}") if total is None else total + F.col(f"__t{s}")
+    scored = out.select(
         "query_id",
         F.col("id").alias("neighbor_id"),
         F.round(total, 6).alias("approx_ip"),

@@ -3971,6 +3971,113 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(codes, queries, cbs, m=4, k=3)
 
 
+def _ivf_pq_oracle(
+    m: int = 4,
+    subdim: int = 16,
+    n_codes: int = 8,
+    n_cells: int = 16,
+    nq: int = 5,
+    nprobe: int = 2,
+) -> str:
+    """IVF cells bound the candidates, PQ lookup tables score them —
+    the ann_ivf_topk and ann_pq_topk oracles composed into one CTE
+    chain (shared `e`/`q` CTEs, candidate join on probed cells, ADC
+    sum in fixed subspace order)."""
+
+    def subdot(a: str, b: str, s: int) -> str:
+        return " + ".join(
+            f"CAST({a}.embedding[{s * subdim + i}] AS DOUBLE)"
+            f" * CAST({b}.embedding[{s * subdim + i}] AS DOUBLE)"
+            for i in range(1, subdim + 1)
+        )
+
+    parts = [
+        f"e AS (SELECT vec_id, embedding, {_norm_expr_sql()} AS nrm FROM embeddings)",
+        f"cent AS (SELECT vec_id AS cell, embedding, nrm FROM e WHERE vec_id < {n_cells})",
+        "ascore AS (SELECT c.vec_id, c.cell, c.cs FROM (SELECT c.vec_id, cent.cell,"
+        f" round({_cos_nrm_sql('c', 'cent')}, 6) AS cs"
+        " FROM e c CROSS JOIN cent) c)",
+        "cells AS (SELECT vec_id, cell FROM ("
+        "SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id"
+        " ORDER BY cs DESC, cell) AS rn FROM ascore) WHERE rn = 1)",
+        f"q AS (SELECT vec_id, embedding, nrm FROM e WHERE vec_id < {nq})",
+        "qscore AS (SELECT q.vec_id AS query_id, cent.cell,"
+        f" round({_cos_nrm_sql('q', 'cent')}, 6) AS cs"
+        " FROM q CROSS JOIN cent)",
+        "p AS (SELECT query_id, cell FROM ("
+        "SELECT query_id, cell, row_number() OVER (PARTITION BY query_id"
+        f" ORDER BY cs DESC, cell) AS prn FROM qscore) WHERE prn <= {nprobe})",
+        "cand AS (SELECT p.query_id, cells.vec_id AS id"
+        " FROM cells JOIN p ON cells.cell = p.cell"
+        " WHERE cells.vec_id <> p.query_id)",
+        f"cb AS (SELECT vec_id AS code, embedding FROM embeddings WHERE vec_id < {n_codes})",
+    ]
+    for s in range(m):
+        parts.append(
+            f"a{s} AS (SELECT e2.vec_id, cb.code,"
+            f" round({subdot('e2', 'cb', s)}, 6) AS ip"
+            f" FROM embeddings e2 CROSS JOIN cb)"
+        )
+        parts.append(
+            f"c{s} AS (SELECT vec_id, code AS code_{s} FROM ("
+            f"SELECT vec_id, code, row_number() OVER (PARTITION BY vec_id"
+            f" ORDER BY ip DESC, code) AS rn FROM a{s}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"dt{s} AS (SELECT q.vec_id AS query_id, cb.code AS code_{s},"
+            f" round({subdot('q', 'cb', s)}, 6) AS t{s}"
+            f" FROM q CROSS JOIN cb)"
+        )
+    code_join = "c0" + "".join(f" JOIN c{s} USING (vec_id)" for s in range(1, m))
+    dt_join = "".join(
+        f" JOIN dt{s} ON dt{s}.query_id = cand.query_id"
+        f" AND dt{s}.code_{s} = codes.code_{s}"
+        for s in range(m)
+    )
+    total = " + ".join(f"t{s}" for s in range(m))
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes},
+    codes AS (SELECT * FROM {code_join}),
+    scored AS (
+      SELECT cand.query_id, cand.id AS neighbor_id, round({total}, 6) AS approx_ip
+      FROM cand JOIN codes ON codes.vec_id = cand.id{dt_join})
+    SELECT query_id, neighbor_id, approx_ip,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_ip DESC, neighbor_id) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    """
+
+
+@register("ann_ivf_pq_topk", oracle=_ivf_pq_oracle())
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (operators/similarity.ivf_pq_topk): the web-scale ANN
+    composition — IVF cells bound WHICH vectors are scored (nprobe=2
+    of 16 cells), PQ bounds the BYTES each score reads (m=4 codes per
+    vector, ~64× smaller than the embedding). This is the
+    FAISS-style architecture a 100 TB vector corpus actually runs:
+    two one-time corpus passes (cell assignment, code encoding) that
+    production materializes, then per-batch search cost follows
+    probed-cell rows × m broadcast lookups. Oracle = the IVF and PQ
+    oracles composed into one CTE chain, value-matched end-to-end."""
+    from evidence_images_etl_airflow_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_codebooks_from_rows,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    cbs = caching.materialize(pq_codebooks_from_rows(emb, m=4, n_codes=8))
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_pq_topk(
+        emb, queries, centroids, cbs, "vec_id", "embedding", "cid",
+        m=4, k=3, nprobe=2,
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -5406,6 +5513,7 @@ _VERIFY_FIRST = [
     "data_quality_weighted_sample",
     "ann_pq_topk",
     "text_bpe_vocab",
+    "ann_ivf_pq_topk",
     # ---- fill the 50-row cap with the oldest r03-verified,
     # type-sensitive queries (events / streaming time semantics)
     "events_sessionization",
