@@ -31,12 +31,17 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def build_manifest(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
+def build_manifest(
+    spark: SparkSession, path: str | list[str], cols: list[str]
+) -> DataFrame:
     """Per-file stats manifest: one row per parquet file with
     ``n_rows`` and ``<col>_min`` / ``<col>_max`` per tracked column.
     One full scan, all stats in a single hash-agg keyed on the file
-    name (map-side combined: each task sees few distinct files)."""
-    df = spark.read.parquet(path)
+    name (map-side combined: each task sees few distinct files).
+    ``path`` may be a directory/glob or an explicit file list (the
+    incremental path `update_manifest` stats only new files)."""
+    paths = [path] if isinstance(path, str) else list(path)
+    df = spark.read.parquet(*paths)
     aggs: list[Column] = [F.count("*").alias("n_rows")]
     for c in cols:
         aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
@@ -45,6 +50,44 @@ def build_manifest(spark: SparkSession, path: str, cols: list[str]) -> DataFrame
         .groupBy("file")
         .agg(*aggs)
     )
+
+
+def update_manifest(
+    spark: SparkSession,
+    path: str,
+    manifest: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Incremental manifest maintenance: stat ONLY the files that
+    appeared in the directory since ``manifest`` was built and union
+    them in; rows for files that vanished (compaction, vacuum) drop
+    out. A table format updates its manifest transactionally at write
+    time — on plain parquet directories the equivalent is this
+    append-only refresh, which at 100 TB stats the day's new files
+    instead of re-scanning ~800k existing ones. Listing is a pure
+    filesystem operation (no data read); matching is by file NAME
+    (`input_file_name` URI-encodes, FS listings don't). The stat
+    columns must match the original manifest's."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    listed = {
+        st.getPath().getName(): st.getPath().toString()
+        for st in fs.listStatus(hpath)
+        if st.getPath().getName().endswith(".parquet")
+    }
+    # one row per file by construction — driver-collectable even at
+    # 100 TB (module docstring), so the set diff is a local operation
+    known = {
+        r.file.rsplit("/", 1)[-1] for r in manifest.select("file").collect()
+    }
+    new_files = [full for name, full in sorted(listed.items()) if name not in known]
+    kept = manifest.filter(
+        F.element_at(F.split("file", "/"), -1).isin(list(listed))
+    )
+    if not new_files:
+        return kept
+    return kept.unionByName(build_manifest(spark, new_files, cols))
 
 
 def prune_files(manifest: DataFrame, intervals: dict[str, tuple]) -> list[str]:

@@ -138,3 +138,39 @@ def test_dedup_against_store_incremental_ingest(spark):
     # 10 dups batch-1's "alpha beta" (case-insensitive fingerprint),
     # 13 dups batch-1's "gamma delta", 12 dups 11 in-batch
     assert sorted(r.doc_id for r in s2.collect()) == [11]
+
+
+def test_update_manifest_stats_only_new_files(spark, tmp_path_factory):
+    from evidence_images_etl_airflow_spark.sources.manifest import update_manifest
+
+    path = str(tmp_path_factory.mktemp("incr") / "tbl")
+    spark.range(100).select(
+        F.col("id"), (F.col("id") * 2).alias("val")
+    ).coalesce(2).write.parquet(path)
+    m1 = update_manifest(
+        spark, path, build_manifest(spark, path, ["id"]).limit(0), ["id"]
+    )
+    base = build_manifest(spark, path, ["id"])
+    assert sorted(r.file for r in m1.collect()) == sorted(
+        r.file for r in base.collect()
+    )
+
+    # append new files; refresh stats only them and keeps old rows
+    spark.range(100, 150).select(
+        F.col("id"), (F.col("id") * 2).alias("val")
+    ).coalesce(1).write.mode("append").parquet(path)
+    m2 = update_manifest(spark, path, m1, ["id"])
+    assert m2.count() == m1.count() + 1
+    new_rows = {r.file: (r.id_min, r.id_max) for r in m2.collect()}
+    full = {r.file: (r.id_min, r.id_max) for r in build_manifest(spark, path, ["id"]).collect()}
+    # same basenames and same stats as a from-scratch rebuild
+    assert {f.rsplit("/", 1)[-1] for f in new_rows} == {
+        f.rsplit("/", 1)[-1] for f in full
+    }
+    assert sorted(new_rows.values()) == sorted(full.values())
+
+    # no new files -> unchanged; and pruning still works off the result
+    m3 = update_manifest(spark, path, m2, ["id"])
+    assert m3.count() == m2.count()
+    hit = prune_files(m3, {"id": (120, 130)})
+    assert len(hit) == 1
