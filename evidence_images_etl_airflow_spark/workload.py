@@ -2582,6 +2582,49 @@ def _bpe_oracle(n_merges: int = _BPE_MERGES) -> str:
     """
 
 
+def _bpe_encode_oracle(n_merges: int = _BPE_MERGES) -> str:
+    """Subword frequencies under the learned merges: reuse the
+    training CTE chain's final word table (w{n}) — each word's symbol
+    sequence after every merge — and unnest it weighted by word
+    frequency."""
+    train = _bpe_oracle(n_merges)
+    # the training oracle ends with the b1..bN UNION ALL select; keep
+    # only its WITH chain by rebuilding here with a different tail
+    head, _, _ = train.partition("SELECT 1 AS rank")
+    return f"""{head}
+    SELECT t AS subword, CAST(sum(freq) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(trim(seq), ' ')) AS t, freq FROM w{n_merges})
+    GROUP BY t
+    """
+
+
+@register("text_bpe_encode", oracle=_bpe_encode_oracle())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encode side of BPE: segment the corpus with the learned
+    merge list (operators/bpe.bpe_segment — a row-local replace chain,
+    no vocab join) and count subword frequencies. Together with
+    text_bpe_vocab this is the full train→apply tokenizer loop; at
+    100 TB the merge list is a driver-side constant folded into the
+    expression, so encoding is a map-only pass over the corpus."""
+    from evidence_images_etl_airflow_spark.operators.bpe import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(d, "text", n_merges=_BPE_MERGES)
+    words = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        words.select(F.explode(bpe_segment(F.col("w"), merges)).alias("subword"), "freq")
+        .groupBy("subword")
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
 @register("text_bpe_vocab", oracle=_bpe_oracle())
 def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE subword-vocabulary training (operators/bpe.bpe_train,
@@ -5514,6 +5557,7 @@ _VERIFY_FIRST = [
     "ann_pq_topk",
     "text_bpe_vocab",
     "ann_ivf_pq_topk",
+    "text_bpe_encode",
     # ---- fill the 50-row cap with the oldest r03-verified,
     # type-sensitive queries (events / streaming time semantics)
     "events_sessionization",
