@@ -219,3 +219,43 @@ def test_bpe_train_and_segment(spark):
     # after 3 merges ('l o', 'lo w', 'low</w>'): lowest -> low + chars
     assert seg[0] == "low"
     assert "".join(seg).replace("</w>", "") == "lowest"
+
+
+def test_weighted_sample_monotone_and_deterministic(spark):
+    from evidence_images_etl_airflow_spark.functions.partitioning import (
+        weighted_hash_sample,
+    )
+    from pyspark.sql import functions as F
+
+    base = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 100 / 100.0).alias("p")
+    )
+    lo = {r.id for r in weighted_hash_sample(base, "id", "p").collect()}
+    # determinism across reruns and partitionings
+    lo2 = {
+        r.id
+        for r in weighted_hash_sample(base.repartition(7), "id", "p").collect()
+    }
+    assert lo == lo2
+    # raising every probability only ADDs rows (monotone supersets)
+    hi = {
+        r.id
+        for r in weighted_hash_sample(
+            base.withColumn("p", F.least(F.col("p") * 2, F.lit(1.0))), "id", "p"
+        ).collect()
+    }
+    assert lo <= hi
+    # boundary semantics: p=0 keeps nothing, p=1 keeps everything
+    zero_p = {r.id for r in base.collect() if r.p == 0.0}
+    assert not (lo & zero_p)
+    all_in = weighted_hash_sample(
+        base.withColumn("p", F.lit(1.0)), "id", "p"
+    ).count()
+    assert all_in == 2000
+    # out-of-range probabilities clamp instead of erroring
+    assert (
+        weighted_hash_sample(
+            base.withColumn("p", F.lit(5.0)), "id", "p"
+        ).count()
+        == 2000
+    )
