@@ -456,6 +456,44 @@ def ivf_pq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def rerank_exact(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """The re-rank stage every compressed/approximate retrieval recipe
+    ends with: take a shortlist of (query_id, neighbor_id) candidates
+    (from ADC, LSH, or IVF) and score ONLY those with exact cosine
+    against the full-precision vectors, then cut to top-k. Cost
+    follows |candidates| — the full vectors are fetched for the
+    shortlist alone (a keyed join against the corpus, which at 100 TB
+    is a point-lookup-shaped probe of the vector store, not a scan).
+    Queries broadcast as everywhere in this module."""
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        candidates.select("query_id", "neighbor_id")
+        .join(c, "neighbor_id")
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

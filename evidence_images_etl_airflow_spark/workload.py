@@ -3989,6 +3989,58 @@ def _pq_oracle(m: int = 4, subdim: int = 16, n_codes: int = 8, nq: int = 5) -> s
     """
 
 
+def _pq_rerank_oracle(shortlist: int = 10, k: int = 3) -> str:
+    """ADC shortlist (the PQ oracle with rank <= shortlist) re-scored
+    with exact cosine over the full vectors, top-k per query."""
+    pq = _pq_oracle()
+    head, _, _ = pq.partition("SELECT query_id, neighbor_id, approx_ip,")
+    return f"""{head.rstrip()},
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx_ip DESC, neighbor_id) AS arn
+        FROM scored)
+      WHERE arn <= {shortlist}),
+    e2 AS (SELECT vec_id, embedding, {_norm_expr_sql()} AS nrm FROM embeddings),
+    rescored AS (
+      SELECT s.query_id, s.neighbor_id,
+             round({_cos_nrm_sql('qe', 'ne')}, 6) AS cos_sim
+      FROM shortlist s
+      JOIN e2 qe ON qe.vec_id = s.query_id
+      JOIN e2 ne ON ne.vec_id = s.neighbor_id)
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM rescored
+    QUALIFY rank <= {k}
+    """
+
+
+@register("ann_pq_rerank_topk", oracle=_pq_rerank_oracle())
+def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full compressed-retrieval recipe: PQ/ADC produces a cheap
+    shortlist (top-10 by approximate inner product, compressed-domain
+    only), then operators/similarity.rerank_exact re-scores JUST the
+    shortlist with exact cosine against the full vectors and cuts to
+    top-3 — recall recovered where it matters, at |shortlist| cost
+    instead of corpus cost. Oracle = the PQ chain extended with the
+    re-rank join, value-matched end-to-end."""
+    from evidence_images_etl_airflow_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks_from_rows,
+        pq_encode,
+        rerank_exact,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = caching.materialize(pq_codebooks_from_rows(emb, m=4, n_codes=8))
+    codes = pq_encode(emb, cbs, m=4)
+    queries = emb.filter(F.col("vec_id") < 5)
+    shortlist = pq_adc_topk(codes, queries, cbs, m=4, k=10)
+    return rerank_exact(shortlist, emb, queries, k=3)
+
+
 @register("ann_pq_topk", oracle=_pq_oracle())
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-3 (operators/similarity.pq_encode +
@@ -5558,6 +5610,7 @@ _VERIFY_FIRST = [
     "text_bpe_vocab",
     "ann_ivf_pq_topk",
     "text_bpe_encode",
+    "ann_pq_rerank_topk",
     # ---- fill the 50-row cap with the oldest r03-verified,
     # type-sensitive queries (events / streaming time semantics)
     "events_sessionization",
