@@ -785,3 +785,57 @@ def minhash_lsh_against_store(
     )
     survivor_bands = nb.join(collided, "id", "left_anti")
     return survivors, survivor_bands
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 16,
+) -> DataFrame:
+    """Exact SPAN dedup at fixed token-window granularity — the
+    within-and-across-document variant of exact dedup (the C4 /
+    "Deduplicating Training Data Makes Language Models Better"
+    [Lee et al. 2022] recipe, at chunk resolution instead of suffix
+    resolution): each document is cut into consecutive
+    ``span_tokens``-token chunks, the FIRST occurrence of each
+    distinct chunk corpus-wide survives (order: smallest doc id, then
+    position), all later occurrences are dropped, and documents are
+    reassembled from their surviving chunks. Returns
+    (id, clean_text, n_kept, n_dropped).
+
+    Scale shape: one explode to (doc, idx, chunk) — corpus-token
+    sized; one window keyed on the chunk text (hash-partitioned by
+    chunk, no global ordering); one groupBy(doc) reassembly. At
+    100 TB, key the window on a chunk HASH and keep the text only on
+    the surviving row."""
+    toks = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+    chunked = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.slice(toks, i * span_tokens + 1, span_tokens),
+            )
+        ).alias("idx", "chunk"),
+    ).select("id", "idx", F.array_join("chunk", " ").alias("ctext"))
+    w = Window.partitionBy("ctext").orderBy("id", "idx")
+    ranked = chunked.withColumn("__rn", F.row_number().over(w))
+    return ranked.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__rn") == 1, F.struct("idx", "ctext")
+                        )
+                    )
+                ),
+                lambda s: s.ctext,
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum((F.col("__rn") == 1).cast("int")).cast("bigint").alias("n_kept"),
+        F.sum((F.col("__rn") > 1).cast("int")).cast("bigint").alias("n_dropped"),
+    )

@@ -2886,6 +2886,43 @@ def dedup_store_bloom_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_span_exact",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+               FROM documents),
+    c AS (SELECT doc_id, i AS idx,
+                 array_to_string(l[(i*16+1):(i*16+16)], ' ') AS ctext
+          FROM t, UNNEST(generate_series(0,
+                 CAST(ceil(len(l) / 16.0) AS BIGINT) - 1)) AS u(i)),
+    k AS (SELECT doc_id, idx, ctext,
+                 row_number() OVER (PARTITION BY ctext
+                                    ORDER BY doc_id, idx) AS rn
+          FROM c)
+    SELECT doc_id,
+           coalesce(string_agg(ctext, ' ' ORDER BY idx)
+                      FILTER (WHERE rn = 1), '') AS clean_text,
+           CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
+    FROM k GROUP BY doc_id
+    """,
+)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact span dedup (operators/dedup.span_dedup, the C4 /
+    Lee-et-al-2022 within-and-across-document recipe at 16-token
+    chunk resolution): the first corpus-wide occurrence of each chunk
+    survives, later copies are cut, documents reassemble from their
+    surviving chunks — the dedup that document-level fingerprints
+    can't do (boilerplate repeated INSIDE otherwise-unique pages).
+    One explode + one chunk-keyed window + one per-doc reassembly."""
+    from evidence_images_etl_airflow_spark.operators.dedup import span_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return span_dedup(d, "doc_id", "text", span_tokens=16).select(
+        F.col("id").alias("doc_id"), "clean_text", "n_kept", "n_dropped"
+    )
+
+
+@register(
     "dedup_exact_keep_longest",
     oracle="""
     SELECT doc_id, fingerprint, n_chars
@@ -5611,6 +5648,7 @@ _VERIFY_FIRST = [
     "ann_ivf_pq_topk",
     "text_bpe_encode",
     "ann_pq_rerank_topk",
+    "dedup_span_exact",
     # ---- fill the 50-row cap with the oldest r03-verified,
     # type-sensitive queries (events / streaming time semantics)
     "events_sessionization",

@@ -465,3 +465,23 @@ def test_pq_encode_and_adc_search(spark):
     # vec 2 shares vec 0's codes -> top neighbor; vec 4 shares one sub
     assert got[0] == 2
     assert got[1] == 4
+
+
+def test_span_dedup_first_occurrence_wins(spark):
+    from evidence_images_etl_airflow_spark.operators.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # chunks (span=2): "a b", "c d"
+            (2, "a b x y"),      # "a b" duplicates doc 1 -> dropped
+            (3, "c d"),          # whole doc is a dup chunk
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.id: (r.clean_text, r.n_kept, r.n_dropped)
+        for r in span_dedup(docs, "doc_id", "text", span_tokens=2).collect()
+    }
+    assert out[1] == ("a b c d", 2, 0)
+    assert out[2] == ("x y", 1, 1)
+    assert out[3] == ("", 0, 1)
