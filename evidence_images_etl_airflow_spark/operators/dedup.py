@@ -810,7 +810,12 @@ def span_dedup(
     100 TB, key the window on a chunk HASH and keep the text only on
     the surviving row."""
     toks = tokens(F.col(text_col))
-    n_chunks = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+    # greatest(1, ...): F.sequence(0, -1) would generate a DESCENDING
+    # [0, -1] on a zero-token doc (Spark's auto-negative step), not an
+    # empty range — pin empty docs to one empty chunk instead
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+    )
     chunked = docs.select(
         F.col(id_col).alias("id"),
         F.posexplode(
