@@ -69,6 +69,36 @@ def windowed_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked SLIDING-window aggregate — the overlapping-window
+    counterpart of ``windowed_counts`` (trailing-hour metrics refreshed
+    every half hour, the monitoring-dashboard staple). Each event lands
+    in window/slide windows (2 here), which is the state-size cost of
+    overlap; watermark eviction bounds it the same way as tumbling."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window, slide), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame,
     keys: list[str],

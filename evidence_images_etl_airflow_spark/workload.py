@@ -2374,6 +2374,60 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sliding_counts",
+    oracle="""
+    SELECT CAST(k * 1800 AS BIGINT) AS win_start_epoch,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM (SELECT epoch_us(ts) // 1800000000 AS slot, event_type, value
+          FROM events),
+         UNNEST([slot - 1, slot]) AS u(k)
+    GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: trailing-hour metrics refreshed every 30 minutes — the
+    SLIDING window the tumbling rollup can't express, run by the
+    Structured Streaming engine (streaming/file_stream.sliding_counts,
+    availableNow drain to a memory sink). The oracle derives each
+    event's two covering windows arithmetically (slot explode on
+    integer µs), the same unified-engine contract as
+    streaming_windowed_counts: batch SQL and the streaming state
+    machine must agree on every (window, key) row."""
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from evidence_images_etl_airflow_spark.streaming.file_stream import (
+        sliding_counts,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parque*")
+    stream = stream.withColumn("ts_utc", F.timestamp_micros(_event_micros(stream)))
+    agg = sliding_counts(
+        stream, "ts_utc", "event_type", "1 hour", "30 minutes", "2 hours"
+    )
+    name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sgckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").alias("win_start_epoch"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
     "streaming_interval_join",
     oracle="""
     SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
@@ -5649,6 +5703,7 @@ _VERIFY_FIRST = [
     "text_bpe_encode",
     "ann_pq_rerank_topk",
     "dedup_span_exact",
+    "streaming_sliding_counts",
     # ---- fill the 50-row cap with the oldest r03-verified,
     # type-sensitive queries (events / streaming time semantics)
     "events_sessionization",
