@@ -2959,6 +2959,7 @@ def dedup_store_bloom_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
     FROM k GROUP BY doc_id
     """,
+    headline=True,
 )
 def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact span dedup (operators/dedup.span_dedup, the C4 /
@@ -4132,7 +4133,7 @@ def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rerank_exact(shortlist, emb, queries, k=3)
 
 
-@register("ann_pq_topk", oracle=_pq_oracle())
+@register("ann_pq_topk", oracle=_pq_oracle(), headline=True)
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-3 (operators/similarity.pq_encode +
     pq_adc_topk, deterministic codebooks via pq_codebooks_from_rows) —
