@@ -71,6 +71,11 @@ from evidence_images_etl_airflow_spark.operators.multimodal import (
     decode_image_metadata,
 )
 from evidence_images_etl_airflow_spark.operators.projection import filter_columns
+from evidence_images_etl_airflow_spark.operators.er import blocked_levenshtein_pairs
+from evidence_images_etl_airflow_spark.operators.sketches import (
+    rollup_sketches,
+    sketch_at_grain,
+)
 from evidence_images_etl_airflow_spark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
@@ -5645,6 +5650,91 @@ def orders_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sketch_hll_rollup",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS union_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (DataSketches HLL): sketch distinct users
+    once per (event_type, day) at the finest grain, then answer the
+    per-type question by UNIONING the daily sketches — the raw events
+    are scanned exactly once, and every coarser grain (weekly, monthly,
+    all-time) is a re-aggregation of the sketch table, not of 100 TB of
+    raw rows. This is the reaggregation pattern approx_count_distinct
+    alone can't give you: its estimate is terminal, while a stored
+    sketch column stays unionable forever. Sketch estimates are
+    engine-specific, so the query emits a tolerance verdict (union
+    estimate within 5% of exact; lgK=14 -> ~0.8% rsd, 6x margin) pinned
+    TRUE by the oracle, alongside the exact count which must match
+    DuckDB bit-for-bit. Scale: shuffle carries one ~16 KiB sketch per
+    (type, day) instead of per-row user ids; hll_union_agg is
+    associative, so AQE re-plans the rollup freely."""
+    ev = _t(spark, sf_dir, "events")
+    daily = sketch_at_grain(
+        ev.withColumn("day", F.to_date("ts")), ["event_type", "day"], "user_id"
+    )
+    rolled = rollup_sketches(daily, ["event_type"], estimate_col="__est")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(F.broadcast(rolled), "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("__est") - F.col("exact_users"))
+            <= F.greatest(F.col("exact_users") * 0.05, F.lit(1.0))
+        ).alias("union_within_5pct"),
+    )
+
+
+@register(
+    "er_fuzzy_part_pairs",
+    oracle="""
+    WITH names AS (
+      SELECT p_name, count(*) AS n_rows
+      FROM part GROUP BY p_name),
+    blk AS (
+      SELECT p_name, n_rows, regexp_extract(p_name, '(\\S+)$', 1) AS b
+      FROM names)
+    SELECT a.p_name AS name_a, c.p_name AS name_b,
+           CAST(levenshtein(a.p_name, c.p_name) AS INT) AS dist,
+           a.n_rows AS rows_a, c.n_rows AS rows_b
+    FROM blk a JOIN blk c ON a.b = c.b AND a.p_name < c.p_name
+    WHERE levenshtein(a.p_name, c.p_name) BETWEEN 1 AND 3
+    """,
+)
+def er_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution over part names: canonicalize to
+    distinct names with row counts first (exact duplicates are the n^2
+    explosion — match each distinct string once, not each row), block
+    on the head noun (last token), and verify with codegen
+    `levenshtein` capped at distance 3 — candidates only ever form
+    inside a block, the same discipline as the MinHash/SimHash dedup
+    family. The threshold argument bands the DP so far-apart names
+    exit early. Scale: pair space is sum of block_size^2, bounded by
+    the blocking key's selectivity; a skewed block gets the same
+    cap/salt treatment as a hot shingle (operators/dedup.py)."""
+    p = _t(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(F.count("*").alias("n_rows"))
+    pairs = blocked_levenshtein_pairs(names, "p_name", min_dist=1, max_dist=3)
+    counts = names.withColumnRenamed("p_name", "__n")
+    return (
+        pairs.join(
+            F.broadcast(counts), pairs.name_a == counts["__n"]
+        )
+        .withColumnRenamed("n_rows", "rows_a")
+        .drop("__n")
+        .join(F.broadcast(counts), pairs.name_b == counts["__n"])
+        .withColumnRenamed("n_rows", "rows_b")
+        .select("name_a", "name_b", "dist", "rows_a", "rows_b")
+    )
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================
@@ -5705,6 +5795,8 @@ _VERIFY_FIRST = [
     "ann_pq_rerank_topk",
     "dedup_span_exact",
     "streaming_sliding_counts",
+    "sketch_hll_rollup",
+    "er_fuzzy_part_pairs",
     # ---- fill the 50-row cap with the oldest r03-verified,
     # type-sensitive queries (events / streaming time semantics)
     "events_sessionization",
