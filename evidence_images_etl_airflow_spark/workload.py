@@ -51,6 +51,11 @@ from evidence_images_etl_airflow_spark.functions.partitioning import (
     weighted_hash_sample,
 )
 from evidence_images_etl_airflow_spark.functions.vectors import random_hyperplanes
+from evidence_images_etl_airflow_spark.functions.zorder import (
+    interleave_bits,
+    interleave_bits_sql,
+    minmax_scale,
+)
 from evidence_images_etl_airflow_spark.operators.dedup import (
     MINHASH_P,
     connected_components,
@@ -5692,6 +5697,76 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Z_SQL = interleave_bits_sql("cs", "ds")
+
+
+@register(
+    "zorder_locality_stats",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(o_custkey AS BIGINT) AS ck,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1990-01-01' AS BIGINT) AS d
+      FROM orders),
+    st AS (SELECT min(ck) AS cmn, max(ck) AS cmx,
+                  min(d) AS dmn, max(d) AS dmx FROM base),
+    sc AS (
+      SELECT ck, d,
+             CAST(floor((ck - cmn) * (65535.0 / (cmx - cmn))) AS BIGINT) AS cs,
+             CAST(floor((d - dmn) * (65535.0 / (dmx - dmn))) AS BIGINT) AS ds
+      FROM base, st),
+    z AS (SELECT CAST({_Z_SQL} >> 26 AS BIGINT) AS bucket, ck, d FROM sc)
+    SELECT bucket,
+           count(*) AS n_orders,
+           max(ck) - min(ck) AS custkey_span,
+           max(d) - min(d) AS day_span
+    FROM z GROUP BY bucket
+    """,
+)
+def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order locality profile (functions/zorder.py): min-max scale
+    (customer, order-day) onto a shared 16-bit budget — without the
+    normalization the wider dimension owns every high z-bit and the
+    curve degenerates to a 1-D sort — then interleave, bucket rows by
+    z-prefix (each bucket is one curve segment, i.e. one would-be file
+    under zorder_layout), and measure how tight each bucket's bounding
+    box is in BOTH dimensions. The spans here are exactly the manifest
+    ranges a min/max pruner would see. The interleave is 2x16 unrolled
+    shift/and/or codegen expressions (no UDF) and the scaling is one
+    IEEE multiply in a pinned order; the oracle runs the bit-identical
+    SQL expansion, so the curve math is differentially verified.
+    Scale: the dimension stats are a 1-row aggregate broadcast back
+    (the seasonality-profile pattern), one projection + one hash-agg;
+    the real layout adds only the repartitionByRange shuffle the 1-D
+    cluster_by_range already pays."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.datediff("o_orderdate", F.lit("1990-01-01")).cast("long").alias("d"),
+    )
+    st = base.agg(
+        F.min("ck").alias("cmn"),
+        F.max("ck").alias("cmx"),
+        F.min("d").alias("dmn"),
+        F.max("d").alias("dmx"),
+    )
+    sc = base.crossJoin(F.broadcast(st)).select(
+        "ck",
+        "d",
+        minmax_scale(F.col("ck"), F.col("cmn"), F.col("cmx")).alias("cs"),
+        minmax_scale(F.col("d"), F.col("dmn"), F.col("dmx")).alias("ds"),
+    )
+    z = interleave_bits(F.col("cs"), F.col("ds"), 16)
+    return (
+        sc.select(F.shiftright(z, 26).cast("long").alias("bucket"), "ck", "d")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.max("ck") - F.min("ck")).alias("custkey_span"),
+            (F.max("d") - F.min("d")).alias("day_span"),
+        )
+    )
+
+
 @register(
     "er_fuzzy_part_pairs",
     oracle="""
@@ -5797,6 +5872,7 @@ _VERIFY_FIRST = [
     "streaming_sliding_counts",
     "sketch_hll_rollup",
     "er_fuzzy_part_pairs",
+    "zorder_locality_stats",
     # ---- fill the 50-row cap with the oldest r03-verified,
     # type-sensitive queries (events / streaming time semantics)
     "events_sessionization",
