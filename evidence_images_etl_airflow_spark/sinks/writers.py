@@ -172,19 +172,14 @@ def cluster_by_range(
 
 
 def zorder_value(c1, c2, bits: int = 12):
-    """Morton (z-order) interleave of two pre-scaled integer columns in
-    [0, 2^bits): bit i of each input lands at output bits 2i/2i+1, so
-    nearby (x, y) pairs get nearby z-values along a space-filling
-    curve. Pure Catalyst bit arithmetic (2*bits shift/mask/or terms,
-    all codegen'd) — no UDF."""
-    z = F.lit(0).cast("long")
-    for i in range(bits):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(c1.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(c2.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
-        )
-    return z
+    """Morton (z-order) interleave of two pre-scaled integer columns —
+    delegates to the shared curve in `functions/zorder.py`
+    (`interleave_bits`), which also carries the bit-identical SQL
+    expansion used by the differential oracle. Pure Catalyst bit
+    arithmetic, no UDF."""
+    from evidence_images_etl_airflow_spark.functions.zorder import interleave_bits
+
+    return interleave_bits(c1, c2, bits)
 
 
 def cluster_by_zorder(
@@ -197,36 +192,23 @@ def cluster_by_zorder(
     mode: str = "overwrite",
 ) -> None:
     """Two-dimensional z-order clustering: min-max scale both columns
-    to ``bits``-bit ranks, interleave them into a Morton code, and
-    range-partition + sort the write on it. Unlike lexicographic
-    clustering (``cluster_by_range`` on [a, b] — perfect on ``a``,
-    useless on ``b`` alone), every file then covers a SMALL RECTANGLE
-    of the (col1, col2) domain, so file-level min/max skipping
-    (`sources/manifest.py`) prunes on EITHER column alone — the
-    Delta/Iceberg OPTIMIZE ZORDER layout on plain parquet.
+    onto the shared ``bits``-bit budget, interleave them into a Morton
+    code, and range-partition + sort the write on it (all via
+    `functions/zorder.zorder_layout` — one implementation of the
+    curve). Unlike lexicographic clustering (``cluster_by_range`` on
+    [a, b] — perfect on ``a``, useless on ``b`` alone), every file then
+    covers a SMALL RECTANGLE of the (col1, col2) domain, so file-level
+    min/max skipping (`sources/manifest.py`) prunes on EITHER column
+    alone — the Delta/Iceberg OPTIMIZE ZORDER layout on plain parquet.
 
-    The min/max stats pass collects two rows on the driver — the same
-    pass a table format runs at write time. Min-max ranking assumes
-    roughly uniform value spread; heavily skewed columns want a
+    The min/max stats pass collects four scalars on the driver — the
+    same pass a table format runs at write time. Min-max ranking
+    assumes roughly uniform value spread; heavily skewed columns want a
     rank-based scaling (percent_rank) at the cost of one extra sort."""
-    c1, c2 = F.col(col1), F.col(col2)
-    lo1, hi1, lo2, hi2 = df.agg(
-        F.min(c1), F.max(c1), F.min(c2), F.max(c2)
-    ).first()
-    top = (1 << bits) - 1
+    from evidence_images_etl_airflow_spark.functions.zorder import zorder_layout
 
-    def scaled(c, lo, hi):
-        span = float(hi - lo) if hi != lo else 1.0
-        return F.least(
-            F.lit(top),
-            ((c.cast("double") - F.lit(float(lo))) * (top / span)).cast("long"),
-        )
-
-    z = zorder_value(scaled(c1, lo1, hi1), scaled(c2, lo2, hi2), bits)
     (
-        df.withColumn("__z", z)
-        .repartitionByRange(num_files, "__z")
-        .sortWithinPartitions("__z")
+        zorder_layout(df, col1, col2, num_files, bits=bits)
         .drop("__z")
         .write.mode(mode)
         .parquet(path)
