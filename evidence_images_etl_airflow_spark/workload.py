@@ -5810,6 +5810,96 @@ def er_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "data_group_split",
+    oracle="""
+    SELECT doc_id, source,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, source,
+                 CAST('0x' || substr(md5('gsplit:' || source), 1, 15)
+                      AS BIGINT) % 10000 AS b
+          FROM documents)
+    """,
+)
+def data_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: hash the GROUP (source
+    domain), not the row id — every document from one source lands in
+    one split, so near-duplicate pages within a crawl domain can never
+    straddle the train/test boundary and leak evaluation data into
+    training. Same md5 determinism as data_hash_split (stable across
+    runs, engines, and corpus growth), same row-local no-shuffle
+    expression — the only change is WHAT is hashed, which is exactly
+    the leakage-prevention design decision."""
+    d = _t(spark, sf_dir, "documents")
+    return hash_split(
+        d, "source", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="gsplit"
+    ).select("doc_id", "source", "split")
+
+
+@register(
+    "profile_key_candidates",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           count(*) - count(o_orderkey) AS n_nulls,
+           count(DISTINCT o_orderkey) = count(*)
+             AND count(o_orderkey) = count(*) AS is_unique_key
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(DISTINCT o_custkey),
+           count(*) - count(o_custkey),
+           count(DISTINCT o_custkey) = count(*)
+             AND count(o_custkey) = count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(DISTINCT o_orderstatus),
+           count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus) = count(*)
+             AND count(o_orderstatus) = count(*)
+    FROM orders
+    """,
+)
+def profile_key_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery (the profiling step before any upsert/
+    SCD2/dedup configuration): per column — row count, exact distinct
+    count, null count, and the unique-key verdict (distinct == rows,
+    no nulls). ONE pass over the table: all three distinct aggregates
+    share a single scan via Spark's Expand-based multi-distinct
+    rewrite, then the wide 1-row result unpivots to one row per column
+    with a stack() — no per-column rescans, which is what makes the
+    profile affordable on a 100 TB table (swap countDistinct for
+    approx_count_distinct there; the exact form is what DuckDB can
+    verify)."""
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    aggs = [F.count("*").alias("__n")]
+    for c in cols:
+        aggs += [
+            F.countDistinct(c).alias(f"__d_{c}"),
+            (F.count("*") - F.count(c)).alias(f"__z_{c}"),
+        ]
+    g = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __d_{c}, __z_{c}" for c in cols
+    )
+    return g.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (column_name, n_distinct, n_nulls)"
+        ),
+    ).select(
+        "column_name",
+        "n_rows",
+        "n_distinct",
+        "n_nulls",
+        (
+            (F.col("n_distinct") == F.col("n_rows")) & (F.col("n_nulls") == 0)
+        ).alias("is_unique_key"),
+    )
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================
@@ -5873,6 +5963,8 @@ _VERIFY_FIRST = [
     "sketch_hll_rollup",
     "er_fuzzy_part_pairs",
     "zorder_locality_stats",
+    "data_group_split",
+    "profile_key_candidates",
     # ---- fill the 50-row cap with the oldest r03-verified,
     # type-sensitive queries (events / streaming time semantics)
     "events_sessionization",

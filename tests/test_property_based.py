@@ -102,3 +102,21 @@ def test_hash_split_partition_invariant(spark, ids):
         ).collect()
     }
     assert sub == full
+
+
+def test_group_split_no_leakage(spark):
+    """Hashing the GROUP column means a group never straddles splits:
+    every doc from one source gets that source's split — the property
+    that keeps near-duplicate pages within a domain out of both train
+    and test at once."""
+    rows = [(i, f"src{i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = hash_split(
+        df, "source", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="gsplit"
+    )
+    per_source = (
+        out.groupBy("source")
+        .agg(F.countDistinct("split").alias("k"))
+        .collect()
+    )
+    assert all(r.k == 1 for r in per_source)
