@@ -1,0 +1,93 @@
+"""Cross-engine / cross-version table reconciliation by bucket checksums.
+
+The reference's idempotent daily reload (`ON CONFLICT DO NOTHING`,
+`dags/evidence_images_processing.py:169-171`) never answers "did the
+Postgres table actually end up equal to what the pipeline computed?" —
+at 100 TB you cannot answer it by shipping rows to one side either.
+The distributed-systems answer is Merkle-style reconciliation:
+
+1. Each side hashes every row to an integer (md5 of a canonical string
+   encoding — deterministic across engines), buckets rows by a key
+   hash, and aggregates ONE (count, checksum) pair per bucket.
+2. The per-bucket summaries (a few KB regardless of table size) are
+   joined; equal buckets are proven equal without any row ever moving.
+3. Only mismatched buckets are drilled into — the expensive row-level
+   diff runs on ~1/n_buckets of the data per bad bucket.
+
+Checksum = sum of (row_hash % 2^30) — associative/commutative, so the
+aggregation is map-side combinable and partitioning-insensitive; the
+modulus keeps a billion-row bucket's sum far inside int64. (An xor
+fold would also work but Spark has no bit_xor aggregate; sum keeps
+both engines on built-ins.)
+
+Scale notes (100 TB):
+- Each side's pass is one scan + one hash-agg onto n_buckets keys; the
+  join is n_buckets rows — broadcastable at any table size.
+- Canonical encoding matters more than the hash: decimals must carry a
+  fixed scale and dates a fixed format on both engines, or honest
+  equality reads as drift. `row_signature` pins `concat_ws('|')` over
+  explicitly-cast columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_CHECKSUM_MOD = 1 << 30
+
+
+def md5_long(col: Column) -> Column:
+    """First 15 md5 hex chars as a non-negative bigint — identical in
+    any engine with md5 + base conversion (the repo-wide idiom)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def row_signature(cols: list[Column]) -> Column:
+    """Canonical row encoding: '|'-joined explicitly-cast columns.
+    Callers must cast floats/decimals to a fixed scale first."""
+    return F.concat_ws("|", *[c.cast("string") for c in cols])
+
+
+def bucket_checksums(
+    df: DataFrame,
+    key: Column,
+    sig_cols: list[Column],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """One (bucket, n_rows, checksum) row per bucket: bucket by key
+    hash, checksum = sum of bounded row hashes. Map-side combinable;
+    output size is n_buckets rows regardless of input size."""
+    sig = row_signature(sig_cols)
+    return (
+        df.select(
+            (md5_long(key.cast("string")) % n_buckets).alias("bucket"),
+            (md5_long(sig) % _CHECKSUM_MOD).alias("__h"),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_rows"), F.sum("__h").alias("checksum"))
+    )
+
+
+def diff_buckets(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Join two bucket-checksum tables and report per-bucket equality.
+    Input frames are n_buckets rows — the join is trivially broadcast.
+    Returns: bucket, n_a, n_b, match (false ⇒ drill into that bucket)."""
+    an = a.select(
+        "bucket", F.col("n_rows").alias("n_a"), F.col("checksum").alias("__ca")
+    )
+    bn = b.select(
+        "bucket", F.col("n_rows").alias("n_b"), F.col("checksum").alias("__cb")
+    )
+    return (
+        an.join(bn, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+            (
+                (F.coalesce("n_a", F.lit(0)) == F.coalesce("n_b", F.lit(0)))
+                & (F.coalesce("__ca", F.lit(-1)) == F.coalesce("__cb", F.lit(-1)))
+            ).alias("match"),
+        )
+    )

@@ -77,6 +77,11 @@ from evidence_images_etl_airflow_spark.operators.multimodal import (
 )
 from evidence_images_etl_airflow_spark.operators.projection import filter_columns
 from evidence_images_etl_airflow_spark.operators.er import blocked_levenshtein_pairs
+from evidence_images_etl_airflow_spark.operators.recon import (
+    bucket_checksums,
+    diff_buckets,
+    md5_long,
+)
 from evidence_images_etl_airflow_spark.operators.sketches import (
     rollup_sketches,
     sketch_at_grain,
@@ -5900,6 +5905,94 @@ def profile_key_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "recon_table_diff",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_custkey AS c,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+             o_orderstatus AS s
+      FROM orders),
+    a AS (
+      SELECT CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT) % 64
+               AS bucket,
+             CAST('0x' || substr(md5(
+               CAST(k AS VARCHAR) || '|' || CAST(c AS VARCHAR) || '|'
+               || CAST(p AS VARCHAR) || '|' || s), 1, 15) AS BIGINT)
+               % 1073741824 AS h
+      FROM base),
+    bm AS (
+      SELECT k, c, s,
+             CAST(CASE WHEN CAST('0x' || substr(md5('upd:' || CAST(k AS VARCHAR)), 1, 15)
+                            AS BIGINT) % 100 = 1
+                  THEN p + CAST(1.00 AS DECIMAL(18,2)) ELSE p END
+                  AS DECIMAL(19,2)) AS p
+      FROM base
+      WHERE CAST('0x' || substr(md5('del:' || CAST(k AS VARCHAR)), 1, 15)
+                 AS BIGINT) % 100 <> 0),
+    b AS (
+      SELECT CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT) % 64
+               AS bucket,
+             CAST('0x' || substr(md5(
+               CAST(k AS VARCHAR) || '|' || CAST(c AS VARCHAR) || '|'
+               || CAST(p AS VARCHAR) || '|' || s), 1, 15) AS BIGINT)
+               % 1073741824 AS h
+      FROM bm),
+    ga AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_a,
+                  CAST(sum(h) AS BIGINT) AS ca FROM a GROUP BY bucket),
+    gb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_b,
+                  CAST(sum(h) AS BIGINT) AS cb FROM b GROUP BY bucket)
+    SELECT COALESCE(ga.bucket, gb.bucket) AS bucket,
+           COALESCE(n_a, 0) AS n_a,
+           COALESCE(n_b, 0) AS n_b,
+           COALESCE(n_a, 0) = COALESCE(n_b, 0)
+             AND COALESCE(ca, -1) = COALESCE(cb, -1) AS match
+    FROM ga FULL OUTER JOIN gb ON ga.bucket = gb.bucket
+    """,
+)
+def recon_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style table reconciliation (operators/recon.py): prove
+    two table versions equal — or localize their differences — by
+    comparing ONE (count, checksum) pair per key-hash bucket instead
+    of shipping rows. Side A is orders as-is; side B is a
+    deterministic drift twin (1% of keys deleted, 1% price-bumped via
+    the md5 idiom), standing in for the cross-engine copy the
+    reference never verifies after its conflict-skip reload. Each side
+    is one scan + one map-side-combinable hash-agg onto 64 keys; the
+    bucket join is 64 rows at ANY table size, and only false-match
+    buckets would be drilled row-level. Canonical row encoding (fixed
+    decimal scale, '|' joins) is what makes the checksums engine-
+    portable — the oracle rebuilds both sides and must agree bucket
+    for bucket."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        _dec("o_totalprice").alias("p"),
+        F.col("o_orderstatus").alias("s"),
+    )
+    key = F.col("k")
+    one = F.lit("1.00").cast("decimal(18,2)")
+    drifted = base.where(
+        md5_long(F.concat(F.lit("del:"), key.cast("string"))) % 100 != 0
+    ).select(
+        "k",
+        "c",
+        F.when(
+            md5_long(F.concat(F.lit("upd:"), key.cast("string"))) % 100 == 1,
+            F.col("p") + one,
+        )
+        .otherwise(F.col("p"))
+        .cast("decimal(19,2)")
+        .alias("p"),
+        "s",
+    )
+    sig = lambda d: [d["k"], d["c"], d["p"], d["s"]]  # noqa: E731
+    a = bucket_checksums(base, key, sig(base), n_buckets=64)
+    b = bucket_checksums(drifted, key, sig(drifted), n_buckets=64)
+    return diff_buckets(a, b)
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================
@@ -5965,6 +6058,7 @@ _VERIFY_FIRST = [
     "zorder_locality_stats",
     "data_group_split",
     "profile_key_candidates",
+    "recon_table_diff",
     # ---- fill the 50-row cap with the oldest r03-verified,
     # type-sensitive queries (events / streaming time semantics)
     "events_sessionization",
