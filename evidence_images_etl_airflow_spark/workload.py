@@ -5993,6 +5993,77 @@ def recon_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_buckets(a, b)
 
 
+@register(
+    "timeseries_gapfill",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS priority,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1990-01-01' AS INT) AS day,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS rev,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2),
+    bounds AS (SELECT priority, min(day) AS mn, max(day) AS mx
+               FROM base GROUP BY 1),
+    spine AS (SELECT priority, unnest(generate_series(mn, mx)) AS day
+              FROM bounds),
+    j AS (
+      SELECT s.priority, s.day, b.rev, COALESCE(b.n, 0) AS n_orders
+      FROM spine s LEFT JOIN base b ON s.priority = b.priority AND s.day = b.day)
+    SELECT priority, day,
+           COALESCE(rev, 0.0) AS revenue,
+           n_orders,
+           last_value(rev IGNORE NULLS) OVER (
+             PARTITION BY priority ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_seen_revenue
+    FROM j
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: build a dense per-key date spine
+    (sequence + explode between each key's first and last active day),
+    zero-fill the gaps, and forward-fill the last observed value with
+    `last(ignorenulls)` — the step that turns sparse event data into
+    the regular grid every resampler/forecaster/as-of consumer
+    assumes. Scale: the spine is |keys| x days rows (explode of one
+    bounded sequence per key — no cross join with a calendar table);
+    the fill window is hash-partitioned per key, never global; day
+    arithmetic is integer day-indexes, the repo's exact-time idiom.
+    Revenue is decimal-summed and rounded BEFORE the window so the
+    forward-filled values hash identically cross-engine."""
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff("o_orderdate", F.lit("1990-01-01")).cast("int")
+    base = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"), day.alias("day")
+        )
+        .agg(
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("rev"),
+            F.count("*").alias("n"),
+        )
+    )
+    bounds = base.groupBy("priority").agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    spine = bounds.select(
+        "priority", F.explode(F.sequence("mn", "mx")).alias("day")
+    )
+    j = spine.join(base, ["priority", "day"], "left")
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "priority",
+        "day",
+        F.coalesce("rev", F.lit(0.0)).alias("revenue"),
+        F.coalesce("n", F.lit(0)).alias("n_orders"),
+        F.last("rev", ignorenulls=True).over(w).alias("last_seen_revenue"),
+    )
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================
@@ -6059,6 +6130,7 @@ _VERIFY_FIRST = [
     "data_group_split",
     "profile_key_candidates",
     "recon_table_diff",
+    "timeseries_gapfill",
     # ---- fill the 50-row cap with the oldest r03-verified,
     # type-sensitive queries (events / streaming time semantics)
     "events_sessionization",
