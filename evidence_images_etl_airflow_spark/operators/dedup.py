@@ -844,3 +844,98 @@ def span_dedup(
         F.sum((F.col("__rn") == 1).cast("int")).cast("bigint").alias("n_kept"),
         F.sum((F.col("__rn") > 1).cast("int")).cast("bigint").alias("n_dropped"),
     )
+
+
+def span_dedup_sliding(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 16,
+    stride: int = 8,
+) -> DataFrame:
+    """Sliding-window span dedup — the suffix-resolution refinement of
+    ``span_dedup`` (VERDICT r05 item 6). Fixed non-overlapping chunks
+    miss boilerplate that STRADDLES a chunk boundary; Lee et al. 2022
+    remove *variable-position* duplicate substrings. This gets within
+    ``stride`` tokens of that: candidate windows of ``span_tokens``
+    tokens start every ``stride`` tokens (stride < span => overlap), a
+    window is a duplicate when its exact text occurred earlier
+    corpus-wide (first occurrence ordered by smallest doc id, then
+    position — span_dedup's rule), and every TOKEN covered by some
+    duplicate window is dropped, so a repeated passage is removed
+    wherever it sits, not only when it aligns to a chunk grid. Tokens
+    survive unless a duplicate window covers them; each document's
+    survivors reassemble in order. Returns
+    (id, clean_text, n_tokens_kept, n_tokens_dropped).
+
+    Scale shape (100 TB): the windows explode is corpus-token-sized ×
+    the span/stride overlap factor (2× at the defaults — the fidelity
+    dial: stride=1 IS token-resolution suffix matching at span/1 cost);
+    the first-occurrence window is hash-partitioned on the window TEXT
+    (key it on a hash and drop the text early at scale, as span_dedup
+    documents); covered positions explode only from DUPLICATE windows
+    (boilerplate-sized, not corpus-sized); the final reassembly is one
+    groupBy(doc). No self-join, no global order.
+    """
+    toks = tokens(F.col(text_col))
+    # full-length windows only: starts 0, stride, ... <= n - span. A
+    # doc shorter than one span emits no windows (nothing long enough
+    # to count as a duplicated span) but its tokens still flow through
+    # the kept side below.
+    starts = F.when(
+        F.size(toks) >= span_tokens,
+        F.sequence(F.lit(0), F.size(toks) - span_tokens, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+    wins = base.select(
+        "id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda s: F.struct(
+                    s.alias("start"),
+                    F.array_join(
+                        F.slice(F.col("__toks"), s + 1, span_tokens), " "
+                    ).alias("wtext"),
+                ),
+            )
+        ).alias("w"),
+    ).select("id", F.col("w.start").alias("start"), F.col("w.wtext").alias("wtext"))
+    w = Window.partitionBy("wtext").orderBy("id", "start")
+    dup_wins = (
+        wins.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select("id", "start")
+    )
+    covered = dup_wins.select(
+        "id",
+        F.explode(
+            F.sequence(F.col("start") + 1, F.col("start") + span_tokens)
+        ).alias("pos"),
+    ).distinct()
+    toks_pos = base.select(
+        "id", F.posexplode("__toks").alias("pos0", "tok")
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = toks_pos.join(covered, ["id", "pos"], "left_anti")
+    reassembled = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.tok,
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens_kept"),
+    )
+    totals = base.select("id", F.size("__toks").cast("bigint").alias("__n"))
+    return (
+        totals.join(reassembled, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_tokens_kept", F.lit(0)).cast("bigint").alias("n_tokens_kept"),
+            (F.col("__n") - F.coalesce("n_tokens_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_tokens_dropped"),
+        )
+    )

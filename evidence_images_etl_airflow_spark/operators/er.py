@@ -31,8 +31,14 @@ from pyspark.sql import functions as F
 
 
 def last_token_block(col: str | Column) -> Column:
-    """Blocking key: the final whitespace-delimited token of the name."""
-    return F.element_at(F.split(col, " "), -1)
+    """Blocking key: the final whitespace-delimited token of the name.
+
+    regexp_extract('(\\S+)$') rather than split-on-' ': a name with
+    trailing or repeated whitespace would block to '' under a literal
+    single-space split while the DuckDB oracle (same regex) extracts
+    the last word — identical key derivation on both engines (round-5
+    ADVICE)."""
+    return F.regexp_extract(col, r"(\S+)$", 1)
 
 
 def blocked_levenshtein_pairs(

@@ -308,28 +308,22 @@ def pq_encode(
     )
 
 
-def pq_adc_topk(
-    codes: DataFrame,
+def _adc_lookup_tables(
     queries: DataFrame,
     codebooks: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    m: int = 4,
-    k: int = 5,
+    id_col: str,
+    vec_col: str,
+    m: int,
 ) -> DataFrame:
-    """Asymmetric-distance (ADC) top-k over PQ codes: the query builds
-    an |m × n_codes| inner-product lookup table against the codebooks,
-    and every corpus vector's approximate similarity is m table
-    lookups summed in FIXED subspace order (engine-deterministic) —
-    never a touch of the original vectors. Returns (query_id,
-    neighbor_id, approx_ip, rank). At 100 TB: the codes table is the
-    only per-corpus-row input, each per-sub lookup is a broadcast hash
-    join on a tiny table, and the only shuffle is the per-query top-k
-    window. Compose with IVF cells to prune candidates first; re-rank
-    the survivors with exact cosine against the full vectors when
-    recall matters."""
+    """Per-query ADC lookup tables: (query_id, sub, code, __t) where
+    ``__t`` is the 6dp-rounded inner product of the query's subspace
+    slice with that codeword. |queries| × m × n_codes rows —
+    broadcast-small by the query-batch contract. Shared by
+    pq_adc_topk / ivf_pq_topk / ivf_pq_topk_indexed so the table
+    derivation (slice bounds, rounding, tie order) cannot drift
+    between the direct and indexed paths."""
     cb = F.broadcast(codebooks)
-    dt = (
+    return (
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
         )
@@ -354,6 +348,29 @@ def pq_adc_topk(
             F.round(dot(F.col("__qslice"), F.col("subvec")), 6).alias("__t"),
         )
     )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query builds
+    an |m × n_codes| inner-product lookup table against the codebooks,
+    and every corpus vector's approximate similarity is m table
+    lookups summed in FIXED subspace order (engine-deterministic) —
+    never a touch of the original vectors. Returns (query_id,
+    neighbor_id, approx_ip, rank). At 100 TB: the codes table is the
+    only per-corpus-row input, each per-sub lookup is a broadcast hash
+    join on a tiny table, and the only shuffle is the per-query top-k
+    window. Compose with IVF cells to prune candidates first; re-rank
+    the survivors with exact cosine against the full vectors when
+    recall matters."""
+    dt = _adc_lookup_tables(queries, codebooks, id_col, vec_col, m)
     out = codes
     total = None
     for s in range(m):
@@ -409,33 +426,93 @@ def ivf_pq_topk(
         .filter(F.col("id") != F.col("query_id"))
         .select("query_id", "id")
     )
-    cb = F.broadcast(codebooks)
-    dt = (
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-        )
-        .select(
-            "query_id",
-            F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("sub"),
-            F.col("__qv"),
-        )
-        .withColumn(
-            "__qslice",
-            F.slice(
-                F.col("__qv"),
-                (F.col("sub") * (F.size("__qv") / m).cast("int") + 1).cast("int"),
-                (F.size("__qv") / m).cast("int"),
-            ),
-        )
-        .join(cb, "sub")
-        .select(
-            "query_id",
-            "sub",
-            "code",
-            F.round(dot(F.col("__qslice"), F.col("subvec")), 6).alias("__t"),
-        )
-    )
+    dt = _adc_lookup_tables(queries, codebooks, id_col, vec_col, m)
     out = cand.join(codes, "id")
+    total = None
+    for s in range(m):
+        dts = F.broadcast(
+            dt.filter(F.col("sub") == s).select(
+                "query_id", F.col("code").alias(f"code_{s}"), F.col("__t").alias(f"__t{s}")
+            )
+        )
+        out = out.join(dts, ["query_id", f"code_{s}"])
+        total = F.col(f"__t{s}") if total is None else total + F.col(f"__t{s}")
+    scored = out.select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(total, 6).alias("approx_ip"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_ip").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cid",
+    m: int = 4,
+) -> None:
+    """Materialize the IVF-PQ index: PQ codes co-laid-out with their
+    IVF cells — one row per corpus vector (id, code_0..code_{m-1})
+    written PARTITIONED BY cell, one file per cell directory. This is
+    the materialization ``pq_encode``'s docstring promises: after the
+    two one-time corpus passes (cell assignment + encode) run HERE,
+    search never re-encodes and never rescans — a query batch reads
+    only its probed cells' code files (partition-pruned at the scan),
+    each ~m bytes/vector instead of the full embedding. Re-run on
+    codebook/centroid changes; append new vectors by assigning +
+    encoding against the same frozen codebooks (PQ codes are only
+    comparable within one codebook generation)."""
+    cells = assign_cells(corpus, centroids, id_col, vec_col, centroid_id_col)
+    codes = pq_encode(corpus, codebooks, id_col, vec_col, m)
+    laid_out = cells.select(F.col(id_col).alias("id"), "cell").join(codes, "id")
+    # one output task per cell -> one file per cell directory (the
+    # build_ivf_index rationale; codes are tiny, so tiny-file risk is
+    # the failure mode, not file size)
+    laid_out.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+
+
+def ivf_pq_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cid",
+    m: int = 4,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-PQ search over a materialized index (``build_ivf_pq_index``)
+    — value-identical to ``ivf_pq_topk`` with both corpus passes
+    amortized away: probe cells become a static partition filter on
+    the codes scan (``cell IN (...)`` — same driver-side bounded
+    collect as ``ivf_topk_indexed``, |queries| × nprobe cells), then
+    the ADC lookup joins score only the surviving code rows. At
+    100 TB the per-batch cost is probed-cell code bytes × m broadcast
+    lookups + one top-k window; the embeddings table is never
+    touched (re-rank survivors via ``rerank_exact`` when recall
+    matters)."""
+    probed = _probe_cells(queries, centroids, id_col, vec_col, centroid_id_col, nprobe)
+    probe_cells = [r["cell"] for r in probed.select("cell").distinct().collect()]
+    index = spark.read.parquet(index_path).filter(F.col("cell").isin(probe_cells))
+    cand = (
+        index.join(F.broadcast(probed.select("query_id", "cell")), "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .drop("cell", "qvec")
+    )
+    dt = _adc_lookup_tables(queries, codebooks, id_col, vec_col, m)
+    out = cand
     total = None
     for s in range(m):
         dts = F.broadcast(

@@ -26,6 +26,8 @@ file skipping within a version.
 
 from __future__ import annotations
 
+from urllib.parse import unquote
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -164,6 +166,8 @@ def delete_where(
     table: str,
     condition,
     prune_intervals: dict[str, tuple] | None = None,
+    manifest: DataFrame | None = None,
+    verify_pruned: bool = False,
 ) -> dict:
     """Targeted row deletion (GDPR / takedown / retention path) as a
     new atomic version: rows where ``condition`` is TRUE disappear,
@@ -172,8 +176,11 @@ def delete_where(
 
     1. one detection scan finds the files with >=1 matching row
        (``input_file_name`` distinct — with ``prune_intervals`` the
-       scan itself opens only stat-overlapping files, the
-       `sources/manifest.py` skip applied to a write);
+       scan opens only stat-overlapping files, the
+       `sources/manifest.py` skip applied to a write. Pass the
+       table's persisted ``manifest`` to skip for free; without one
+       the manifest is rebuilt, which itself full-scans the version,
+       so pruning then only saves the rewrite, not the read);
     2. ONLY those files are decoded and rewritten without their
        matching rows;
     3. every untouched file is copied into the next version dir as raw
@@ -187,9 +194,14 @@ def delete_where(
     On a clustered layout (``writers.cluster_by_range`` on the delete
     key) a key-scoped delete rewrites 1-2 files out of thousands.
     NULL ``condition`` rows are kept (delete-on-TRUE, the SQL DELETE
-    rule). Returns ``{version, files_rewritten, files_copied,
-    rows_deleted}``; a no-match delete publishes nothing and returns
-    the current version with zero counts."""
+    rule). Pruning is only sound when ``prune_intervals`` bounds
+    ``condition``; ``verify_pruned=True`` re-scans the pruned-OUT
+    files for matches and raises before publishing anything if the
+    intervals missed rows — one extra read of the skipped files,
+    worth it on a compliance path. Returns ``{version,
+    files_rewritten, files_copied, rows_deleted}``; a no-match delete
+    publishes nothing and returns the current version with zero
+    counts."""
     from evidence_images_etl_airflow_spark.sources.manifest import (
         build_manifest,
         prune_files,
@@ -207,9 +219,23 @@ def delete_where(
     ]
     candidates = all_files
     if prune_intervals:
-        manifest = build_manifest(spark, vdir, list(prune_intervals))
+        if manifest is None:
+            manifest = build_manifest(spark, vdir, list(prune_intervals))
         candidates = prune_files(manifest, prune_intervals)
     cond = F.coalesce(condition, F.lit(False))
+    if prune_intervals and verify_pruned:
+        cand_names = {unquote(c.rsplit("/", 1)[-1]) for c in candidates}
+        pruned_out = [
+            f for f in all_files if f.rsplit("/", 1)[-1] not in cand_names
+        ]
+        if pruned_out:
+            missed = spark.read.parquet(*pruned_out).filter(cond).count()
+            if missed:
+                raise ValueError(
+                    f"prune_intervals do not bound the delete condition: "
+                    f"{missed} matching row(s) in pruned-out files; "
+                    f"delete aborted before publishing"
+                )
     touched = (
         [
             r.f
@@ -229,8 +255,12 @@ def delete_where(
             "files_copied": 0,
             "rows_deleted": 0,
         }
-    # input_file_name URI-encodes; normalize both sides for the set diff
-    touched_names = {t.rsplit("/", 1)[-1] for t in touched}
+    # input_file_name URI-encodes its path while FS listings return raw
+    # names — decode before the set diff, or a file whose name contains
+    # an escapable char (space, %, +, non-ASCII) lands in BOTH sets:
+    # rewritten without its matching rows AND raw-copied with them
+    # (duplicated survivors + undeleted rows on a GDPR path).
+    touched_names = {unquote(t.rsplit("/", 1)[-1]) for t in touched}
     untouched = [f for f in all_files if f.rsplit("/", 1)[-1] not in touched_names]
     new_v = v + 1
     new_dir = f"{table}/v={new_v}"

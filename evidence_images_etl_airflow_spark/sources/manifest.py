@@ -27,6 +27,8 @@ z-order-lite layout that turns a point/range query into touching
 
 from __future__ import annotations
 
+from urllib.parse import unquote
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -77,13 +79,18 @@ def update_manifest(
         if st.getPath().getName().endswith(".parquet")
     }
     # one row per file by construction — driver-collectable even at
-    # 100 TB (module docstring), so the set diff is a local operation
-    known = {
-        r.file.rsplit("/", 1)[-1] for r in manifest.select("file").collect()
+    # 100 TB (module docstring), so the set diff is a local operation.
+    # Manifest `file` values are input_file_name URIs (percent-encoded);
+    # decode their basenames before diffing against the raw FS names or
+    # a file with an escapable char re-stats as "new" on every call.
+    decoded = {
+        r.file: unquote(r.file.rsplit("/", 1)[-1])
+        for r in manifest.select("file").collect()
     }
+    known = set(decoded.values())
     new_files = [full for name, full in sorted(listed.items()) if name not in known]
     kept = manifest.filter(
-        F.element_at(F.split("file", "/"), -1).isin(list(listed))
+        F.col("file").isin([f for f, name in decoded.items() if name in listed])
     )
     if not new_files:
         return kept

@@ -218,6 +218,47 @@ def test_ivf_index_materialized_search_prunes_partitions(spark, tmp_path):
         assert len(_glob.glob(f"{d}/*.parquet")) == 1
 
 
+def test_ivf_pq_index_materialized_search_prunes_partitions(spark, tmp_path):
+    from evidence_images_etl_airflow_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk,
+        ivf_pq_topk_indexed,
+        pq_codebooks_from_rows,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter("vec_id < 16").select(F.col("vec_id").alias("cid"), "embedding")
+    cbs = pq_codebooks_from_rows(emb, m=4, n_codes=8)
+    queries = emb.filter("vec_id < 5")
+    path = str(tmp_path / "ivf_pq_index")
+    build_ivf_pq_index(emb, cents, cbs, path, m=4)
+
+    direct = {
+        (r.query_id, r.rank): (r.neighbor_id, r.approx_ip)
+        for r in ivf_pq_topk(emb, queries, cents, cbs, k=3, nprobe=2).collect()
+    }
+    indexed_df = ivf_pq_topk_indexed(spark, path, queries, cents, cbs, k=3, nprobe=2)
+    indexed = {
+        (r.query_id, r.rank): (r.neighbor_id, r.approx_ip)
+        for r in indexed_df.collect()
+    }
+    assert indexed == direct
+
+    # probed cells must reach the codes scan as a partition filter, the
+    # layout is one code file per cell directory, and the index rows
+    # carry only (id, codes) — the embeddings never re-read at search
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan.replace("#", " #") or "cell IN" in plan
+    import glob as _glob
+
+    cell_dirs = _glob.glob(f"{path}/cell=*")
+    assert len(cell_dirs) >= 2
+    for d in cell_dirs:
+        assert len(_glob.glob(f"{d}/*.parquet")) == 1
+    cols = set(spark.read.parquet(path).columns)
+    assert cols == {"id", "code_0", "code_1", "code_2", "code_3", "cell"}
+
+
 def test_multimodal_decode_schema_and_determinism(docs):
     out = decode_image_metadata(attach_binary(docs, "text", "payload"), "doc_id", "payload")
     assert [f.name for f in out.schema.fields] == ["doc_id", "n_bytes", "width", "height", "format"]
