@@ -877,16 +877,19 @@ def span_dedup_sliding(
     (boilerplate-sized, not corpus-sized); the final reassembly is one
     groupBy(doc). No self-join, no global order.
     """
-    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
+    )
     # full-length windows only: starts 0, stride, ... <= n - span. A
     # doc shorter than one span emits no windows (nothing long enough
     # to count as a duplicated span) but its tokens still flow through
-    # the kept side below.
+    # the kept side below. Derived from the projected __toks array —
+    # text_col no longer exists past the `base` projection.
+    n = F.size("__toks")
     starts = F.when(
-        F.size(toks) >= span_tokens,
-        F.sequence(F.lit(0), F.size(toks) - span_tokens, F.lit(stride)),
+        n >= span_tokens,
+        F.sequence(F.lit(0), n - span_tokens, F.lit(stride)),
     ).otherwise(F.array().cast("array<int>"))
-    base = docs.select(F.col(id_col).alias("id"), toks.alias("__toks"))
     wins = base.select(
         "id",
         F.explode(

@@ -83,6 +83,8 @@ from evidence_images_etl_airflow_spark.operators.recon import (
     md5_long,
 )
 from evidence_images_etl_airflow_spark.operators.sketches import (
+    merge_mg_summaries,
+    misra_gries_summaries,
     rollup_sketches,
     sketch_at_grain,
 )
@@ -120,6 +122,13 @@ REGISTRY: dict[str, QueryDef] = {}
 
 
 def register(name: str, oracle: str | None, headline: bool = False):
+    """Register a workload query. RULE (VERDICT r06 item 8): a query
+    may only be ``headline=True`` once a COMMITTED CORRECTNESS_r*.json
+    records it green — a brand-new operator entering the bench sweep
+    in the same round it first executes crashed BENCH_r06 outright.
+    Enforced by tests/test_pipeline.py::
+    test_headline_queries_have_green_correctness_rows."""
+
     def deco(fn):
         # Each registry invocation hard-releases the PREVIOUS query's
         # tracked persists and localCheckpoint blocks (caching module),
@@ -3031,7 +3040,10 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_tokens_dropped
     FROM t LEFT JOIN agg USING (doc_id)
     """,
-    headline=True,
+    # headline=False until a committed CORRECTNESS round records this
+    # query green (bench-hygiene rule, VERDICT r06 item 8: its r06
+    # headline registration crashed the whole bench sweep). Promote in
+    # round 8 once CORRECTNESS_r07 lands.
 )
 def dedup_span_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window span dedup (operators/dedup.span_dedup_sliding):
@@ -5812,6 +5824,64 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sketch_topk_heavy_hitters",
+    oracle=r"""
+    SELECT tok, n AS exact_n,
+           TRUE AS est_le_exact, TRUE AS within_err_bound
+    FROM (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+      FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents)
+      GROUP BY tok)
+    WHERE rn <= 20
+    """,
+)
+def sketch_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter top-k via per-partition Misra-Gries summaries
+    (operators/sketches.misra_gries_summaries / merge_mg_summaries —
+    VERDICT r05 item 7): the "top tokens/URLs without an exact global
+    agg" sketch. text_top_tokens shuffles every distinct token; this
+    path reduces each partition to <= capacity counter rows map-side,
+    so the merge shuffle is O(partitions x capacity) regardless of
+    corpus size — the daily-report shape at 100 TB. Sketch estimates
+    are partitioning-dependent, so (hll_rollup pattern) the emitted
+    rows are the EXACT top-20 tokens — bit-for-bit against DuckDB —
+    plus two tolerance verdicts pinned TRUE by MG theorems, not by
+    luck: est <= exact (counters only ever subtract) and
+    exact - est <= err_bound (summed compression error bounds every
+    undercount, including items compressed out entirely, whose true
+    count is <= err_bound). capacity=24 < the corpus's distinct-token
+    count, so the compression path genuinely executes."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    ests, err = merge_mg_summaries(misra_gries_summaries(toks, "tok", capacity=24))
+    w = Window.orderBy(F.col("exact_n").desc(), F.col("tok"))
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("exact_n"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    return (
+        exact.join(
+            F.broadcast(ests.withColumnRenamed("item", "tok")), "tok", "left"
+        )
+        .crossJoin(F.broadcast(err))
+        .select(
+            "tok",
+            "exact_n",
+            (F.coalesce("est", F.lit(0)) <= F.col("exact_n")).alias("est_le_exact"),
+            (
+                F.col("exact_n") - F.coalesce("est", F.lit(0))
+                <= F.col("err_bound")
+            ).alias("within_err_bound"),
+        )
+    )
+
+
 _Z_SQL = interleave_bits_sql("cs", "ds")
 
 
@@ -6184,81 +6254,82 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # already-multiply-verified trivia trail past the cap. Everything not
 # listed follows in registration order.
 _VERIFY_FIRST = [
-    # ---- round-6 head: the 42 queries whose latest green row dates to
-    # round 3 — now the oldest cohort (two rounds unverified; VERDICT
-    # r05 item 1). All were hash-verified on current (post-regeneration)
-    # fixtures, so this is ordinary rotation debt, not drift repair.
-    "agg_grouping_sets",
-    "agg_pivot_nation_year",
-    "ann_brute_force_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "curation_decontaminate",
-    "curation_lm_perplexity",
-    "curation_source_filter",
-    "curation_source_reputation",
-    "data_hash_split",
-    "data_length_trim",
-    "data_pack_documents",
-    "data_stratified_sample",
-    "dedup_embedding_cosine",
-    "dedup_exact_keep_longest",
-    "dedup_minhash_clusters",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_guarded",
-    "dedup_simhash",
-    "dedup_simhash_near",
-    "ep2_curation_pipeline",
-    "flagship_image_urls",
-    "j4_keyed_update",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "q11_important_stock",
-    "q16_supplier_counts",
-    "q20_excess_suppliers",
-    "q21_late_supplier_alone",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "sql_api_revenue_by_status",
-    "t2_t3_string_nan_normalization",
-    "text_contamination_check",
-    "text_dictionary_encode",
-    "text_nfkc_normalize",
-    "text_pii_scrub",
-    "text_repetition_signals",
-    "text_top_tokens",
-    "udtf_token_chunks",
-    # ---- new in round 6 — no prior rows
-    "ann_ivf_pq_indexed",
+    # ---- round-7 head: least-proven first. dedup_span_sliding FAILED
+    # r06 (AnalysisException, now fixed + unit-tested);
+    # sketch_topk_heavy_hitters is new this round (implemented for
+    # real — VERDICT r06 item 2) with no prior rows.
     "dedup_span_sliding",
     "sketch_topk_heavy_hitters",
-    # ---- fill the 50-row cap with r04-verified type-sensitive queries
-    # (events / streaming / as-of time semantics)
-    "events_sessionization",
-    "events_json_extract",
-    "asof_join_last_view",
-    "streaming_stateful_sessions",
-    "scd2_asof_lookup",
-    # ---- past the driver's 50-row cap: r04/r05-verified on current
-    # fixtures, next in line for round-7 rotation
-    "events_session_window",
-    "events_hourly_rollup",
-    "events_rollup_cascade",
-    "range_join_error_context",
-    "streaming_windowed_counts",
-    "agg_exact_percentiles",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "sort_limit_topk",
-    "setops_intersect_except",
-    "agg_rollup",
+    # ---- the 43-query cohort whose latest green row dates to round 4
+    # — now the oldest (VERDICT r06 item 5). All hash-verified r04 on
+    # current fixtures; ordinary rotation debt.
     "agg_cube",
     "agg_distinct_counts",
-    "window_running_total",
-    "window_topk_per_group",
+    "agg_exact_percentiles",
+    "agg_rollup",
+    "agg_trimmed_mean",
+    "basket_type_affinity",
+    "curation_report_card",
+    "customers_rfm_segments",
+    "data_negative_sampling",
+    "dq_constraint_report",
+    "events_anomaly_zscore",
+    "events_cohort_retention",
+    "events_funnel",
+    "events_hourly_rollup",
+    "events_markov_transitions",
+    "events_rolling_users_7d",
+    "events_rollup_cascade",
+    "events_variant_shred",
+    "graph_pagerank_bipartite",
+    "orders_open_interval_count",
+    "orders_seasonality_profile",
+    "profile_price_histogram",
+    "profile_table_stats",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "range_join_error_context",
+    "scd2_customer_history",
+    "setops_intersect_except",
+    "sort_limit_topk",
+    "streaming_dedup",
+    "streaming_interval_join",
+    "streaming_static_enrich",
+    "streaming_windowed_counts",
+    "supplier_reliability_wilson",
     "t8_interval_ship_delay",
+    "text_bm25_search",
+    "text_keyword_extract",
+    "text_zipf_fit",
+    "window_distribution_ranks",
+    "window_running_total",
+    "window_sliding_7d",
+    "window_topk_per_group",
+    "window_topk_salted",
+    # ---- fill the 50-row cap with the oldest r05-verified queries,
+    # type-sensitive ones first
+    "t1_bool_coercion",
+    "t4_t5_arrays",
+    "timeseries_gapfill",
+    "dedup_span_exact",
+    "zorder_locality_stats",
+    # ---- past the driver's 50-row cap: r05-verified on current
+    # fixtures, next in line for round-8 rotation
+    "agg_approx_distinct",
+    "agg_approx_percentiles",
+    "ann_pq_topk",
+    "ann_pq_rerank_topk",
+    "ann_ivf_pq_topk",
+    "dedup_exact",
+    "dedup_clusters_twophase",
+    "dedup_store_bloom_survivors",
+    "ep1_fused_pipeline",
+    "er_fuzzy_part_pairs",
+    "sketch_hll_rollup",
+    "recon_table_diff",
+    "streaming_sliding_counts",
+    "text_bpe_vocab",
+    "text_bpe_encode",
 ]
 
 

@@ -65,3 +65,32 @@ def test_verify_first_rotation_is_well_formed():
     assert not missing, f"unknown queries in _VERIFY_FIRST: {missing}"
     ordered = list(workload.queries())
     assert ordered[: len(names)] == [n for n in names if n in workload.REGISTRY]
+
+
+def test_headline_queries_have_green_correctness_rows():
+    """Bench-hygiene rule (VERDICT r06 item 8): a query enters the
+    headline bench set only AFTER a committed CORRECTNESS_r*.json
+    records it green — a never-executed operator registered
+    headline=True crashed the entire BENCH_r06 sweep. New operators
+    ship headline=False, earn a green row, then get promoted."""
+    import glob
+    import json
+    import pathlib
+
+    from evidence_images_etl_airflow_spark import workload
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    green: set[str] = set()
+    for path in glob.glob(str(repo / "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            if row.get("err") is None and row.get("rows_match") is not False:
+                green.add(name)
+    assert green, "no committed CORRECTNESS files found"
+    unproven = [
+        n for n, q in workload.REGISTRY.items() if q.headline and n not in green
+    ]
+    assert not unproven, (
+        f"headline queries without a committed green CORRECTNESS row: {unproven}"
+    )

@@ -40,6 +40,55 @@ def test_sketch_rollup_per_group(spark):
     assert round(got["a"]) == 2 and round(got["b"]) == 1
 
 
+def test_mg_exact_when_capacity_covers_distincts(spark):
+    """With capacity >= distinct values no compression ever fires:
+    estimates are exact and the error bound is zero."""
+    from evidence_images_etl_airflow_spark.operators.sketches import (
+        topk_heavy_hitters,
+    )
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 7
+    df = spark.createDataFrame(rows, "v string").repartition(4)
+    got = {r["item"]: r for r in topk_heavy_hitters(df, "v", k=3, capacity=8).collect()}
+    assert got["a"]["est"] == 50 and got["a"]["rank"] == 1
+    assert got["b"]["est"] == 30 and got["b"]["rank"] == 2
+    assert got["c"]["est"] == 7 and got["c"]["rank"] == 3
+    assert all(r["err_bound"] == 0 for r in got.values())
+
+
+def test_mg_underestimates_within_error_bound(spark):
+    """Capacity < distincts forces real compression; the MG theorems
+    must still hold: est <= true, true - est <= err_bound, and any
+    item with true count > err_bound survives — so the heavy hitter
+    ranks first."""
+    from evidence_images_etl_airflow_spark.operators.sketches import (
+        merge_mg_summaries,
+        misra_gries_summaries,
+        topk_heavy_hitters,
+    )
+
+    # one dominant value + a long tail of singletons, spread over
+    # partitions so the cross-partition merge leg is exercised too
+    rows = [("hot",)] * 400 + [(f"tail{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "v string").repartition(6)
+    true = {"hot": 400, **{f"tail{i}": 1 for i in range(200)}}
+
+    ests, err = merge_mg_summaries(misra_gries_summaries(df, "v", capacity=10))
+    err_bound = err.collect()[0]["err_bound"]
+    assert err_bound > 0  # compression genuinely fired
+    for r in ests.collect():
+        assert r["est"] <= true[r["item"]]
+        assert true[r["item"]] - r["est"] <= err_bound
+    # absent items must satisfy true <= err_bound
+    present = {r["item"] for r in ests.collect()}
+    for item, t in true.items():
+        if item not in present:
+            assert t <= err_bound
+
+    top = topk_heavy_hitters(df, "v", k=1, capacity=10).collect()
+    assert top[0]["item"] == "hot"
+
+
 def test_blocked_pairs_find_known_neighbors(spark):
     names = spark.createDataFrame(
         [("cold widget",), ("old widget",), ("red widget",), ("cold bolt",)],

@@ -526,3 +526,40 @@ def test_span_dedup_first_occurrence_wins(spark):
     assert out[1] == ("a b c d", 2, 0)
     assert out[2] == ("x y", 1, 1)
     assert out[3] == ("", 0, 1)
+
+
+def test_span_dedup_sliding_hand_computed(spark):
+    """ADVICE r06: hand-computed expectations for span_dedup_sliding —
+    a boundary-straddling duplicate is removed (which fixed-grid
+    span_dedup would miss), a sub-span-length doc passes through
+    intact, and a whole-doc duplicate yields empty clean_text."""
+    from evidence_images_etl_airflow_spark.operators.dedup import span_dedup_sliding
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1: source of the repeated passage; windows (span=4,
+            # stride=2) start at 0,2,4 — all first occurrences.
+            (1, "w1 w2 w3 w4 w5 w6 w7 w8"),
+            # doc 2: repeats doc 1's "w3 w4 w5 w6" at offset 2 — NOT on
+            # the fixed 4-token chunk grid (chunks would be "p q w3 w4"
+            # / "w5 w6 r s", neither a doc-1 chunk), but the sliding
+            # window at start=2 matches doc 1's start=2 window exactly.
+            (2, "p q w3 w4 w5 w6 r s"),
+            # doc 3: shorter than one span -> no windows, intact.
+            (3, "a b"),
+            # doc 4: exact duplicate of doc 1 -> every window is a dup,
+            # every token covered.
+            (4, "w1 w2 w3 w4 w5 w6 w7 w8"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.id: (r.clean_text, r.n_tokens_kept, r.n_tokens_dropped)
+        for r in span_dedup_sliding(
+            docs, "doc_id", "text", span_tokens=4, stride=2
+        ).collect()
+    }
+    assert out[1] == ("w1 w2 w3 w4 w5 w6 w7 w8", 8, 0)
+    assert out[2] == ("p q r s", 4, 4)
+    assert out[3] == ("a b", 2, 0)
+    assert out[4] == ("", 0, 8)
