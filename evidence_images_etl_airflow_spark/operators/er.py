@@ -33,12 +33,18 @@ from pyspark.sql import functions as F
 def last_token_block(col: str | Column) -> Column:
     """Blocking key: the final whitespace-delimited token of the name.
 
-    regexp_extract('(\\S+)$') rather than split-on-' ': a name with
-    trailing or repeated whitespace would block to '' under a literal
-    single-space split while the DuckDB oracle (same regex) extracts
-    the last word — identical key derivation on both engines (round-5
-    ADVICE)."""
-    return F.regexp_extract(col, r"(\S+)$", 1)
+    regexp_extract('(\\S+)\\z') rather than split-on-' ': a name with
+    repeated internal whitespace would block to '' under a literal
+    single-space split, while this extracts the last word on both
+    engines (round-5/6 ADVICE). ``\\z`` (Java's true end-of-input),
+    not ``$``: Java ``$`` also matches BEFORE a final line terminator,
+    so 'ann smith\\n' would block to 'smith' on Spark but '' under
+    DuckDB's RE2, where ``$`` is end-of-text only. Note the anchor
+    buys cross-engine parity, not trailing-whitespace tolerance: for
+    a name with trailing whitespace BOTH engines agree on the ''
+    block (no pair generation), which canonicalization upstream is
+    expected to prevent."""
+    return F.regexp_extract(col, r"(\S+)\z", 1)
 
 
 def blocked_levenshtein_pairs(

@@ -178,9 +178,11 @@ def delete_where(
        (``input_file_name`` distinct — with ``prune_intervals`` the
        scan opens only stat-overlapping files, the
        `sources/manifest.py` skip applied to a write. Pass the
-       table's persisted ``manifest`` to skip for free; without one
-       the manifest is rebuilt, which itself full-scans the version,
-       so pruning then only saves the rewrite, not the read);
+       table's persisted ``manifest`` to skip for free — it is
+       validated file-by-file against the current version dir and a
+       stale one raises; without one the manifest is rebuilt, which
+       itself full-scans the version, so pruning then only saves the
+       rewrite, not the read);
     2. ONLY those files are decoded and rewritten without their
        matching rows;
     3. every untouched file is copied into the next version dir as raw
@@ -221,6 +223,29 @@ def delete_where(
     if prune_intervals:
         if manifest is None:
             manifest = build_manifest(spark, vdir, list(prune_intervals))
+        else:
+            # A caller-supplied manifest must describe the CURRENT
+            # version dir. A stale one (built on v=N-1, or missing
+            # recently added files) silently mis-scopes the delete:
+            # candidates point at prior-version paths, so a
+            # same-basename file can be "rewritten" from old contents
+            # while matching rows in unlisted files survive. Require
+            # an exact basename match in both directions (decoded —
+            # input_file_name URI-encodes, FS listings don't) and
+            # refuse otherwise. Bounded collect: one row per file.
+            man_names = {
+                unquote(r["file"].rsplit("/", 1)[-1])
+                for r in manifest.select("file").distinct().collect()
+            }
+            cur_names = {f.rsplit("/", 1)[-1] for f in all_files}
+            if man_names != cur_names:
+                raise ValueError(
+                    "manifest does not match the current version dir "
+                    f"{vdir}: files only in manifest="
+                    f"{sorted(man_names - cur_names)}, only on disk="
+                    f"{sorted(cur_names - man_names)}; rebuild the "
+                    "manifest (or pass manifest=None) before delete_where"
+                )
         candidates = prune_files(manifest, prune_intervals)
     cond = F.coalesce(condition, F.lit(False))
     if prune_intervals and verify_pruned:

@@ -120,6 +120,11 @@ class QueryDef:
 
 REGISTRY: dict[str, QueryDef] = {}
 
+# sf_dir -> built index path for ann_ivf_pq_indexed: the one-time
+# build runs once per process per sf_dir (deterministic path,
+# overwrite), repeated bench/verify invocations reuse it.
+_IVF_PQ_INDEX_BUILT: dict[str, str] = {}
+
 
 def register(name: str, oracle: str | None, headline: bool = False):
     """Register a workload query. RULE (VERDICT r06 item 8): a query
@@ -4379,7 +4384,17 @@ def ann_ivf_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     touching the embeddings table (VERDICT r05 item 3; the
     materialization pq_encode's docstring promises). Value-identical
     to ann_ivf_pq_topk, so it shares that oracle: the differential
-    check proves build-then-search == compute-inline."""
+    check proves build-then-search == compute-inline.
+
+    The index is built ONCE per (process, sf_dir) under a
+    deterministic temp path with overwrite semantics and reused on
+    later invocations (ADVICE r06: mkdtemp-per-call leaked a dir and
+    re-charged the one-time build to every 'search' measurement).
+    BENCH reads: a cold first run still includes the build; bench.py's
+    best-of-2 makes the reported number the warm, search-only cost —
+    the amortization the docstring claims."""
+    import hashlib
+    import os
     import tempfile
 
     from evidence_images_etl_airflow_spark.operators.similarity import (
@@ -4394,8 +4409,13 @@ def ann_ivf_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cbs = caching.materialize(pq_codebooks_from_rows(emb, m=4, n_codes=8))
     queries = emb.filter(F.col("vec_id") < 5)
-    path = tempfile.mkdtemp(prefix="sgivfpq_")
-    build_ivf_pq_index(emb, centroids, cbs, path, m=4)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"sgivfpq_{hashlib.sha1(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    if _IVF_PQ_INDEX_BUILT.get(sf_dir) != path:
+        build_ivf_pq_index(emb, centroids, cbs, path, m=4)
+        _IVF_PQ_INDEX_BUILT[sf_dir] = path
     return ivf_pq_topk_indexed(
         spark, path, queries, centroids, cbs, "vec_id", "embedding", "cid",
         m=4, k=3, nprobe=2,

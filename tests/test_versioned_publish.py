@@ -135,6 +135,49 @@ def test_delete_where_no_match_publishes_nothing(spark, table):
     assert V.current_version(spark, table) == 1
 
 
+def test_delete_where_rejects_stale_manifest(spark, table):
+    """ADVICE r06 (medium): a caller-supplied manifest built on a
+    PRIOR version must be refused — its candidate paths point at old
+    files, so pruning with it would rewrite prior-version contents
+    and let matching rows in unlisted files survive."""
+    from pyspark.sql import functions as F
+
+    from evidence_images_etl_airflow_spark.sources.manifest import build_manifest
+
+    _range_clustered(spark, table)
+    stale = build_manifest(spark, f"{table}/v=1", ["id"]).localCheckpoint()
+    # publish v2 (different layout: 2 files instead of 4)
+    df2 = (
+        spark.range(100)
+        .select(F.col("id"), (F.col("id") * 3).alias("val"))
+        .repartitionByRange(2, "id")
+        .sortWithinPartitions("id")
+    )
+    V.publish(spark, df2, table)
+    with pytest.raises(ValueError, match="does not match the current version"):
+        V.delete_where(
+            spark,
+            table,
+            F.col("id").between(10, 15),
+            prune_intervals={"id": (10, 15)},
+            manifest=stale,
+        )
+    # nothing published, nothing deleted
+    assert V.current_version(spark, table) == 2
+    assert V.read_latest(spark, table).count() == 100
+    # a CURRENT manifest passes validation and prunes as before
+    fresh = build_manifest(spark, f"{table}/v=2", ["id"])
+    res = V.delete_where(
+        spark,
+        table,
+        F.col("id").between(10, 15),
+        prune_intervals={"id": (10, 15)},
+        manifest=fresh,
+    )
+    assert res["rows_deleted"] == 6
+    assert res["files_rewritten"] == 1
+
+
 def test_delete_where_null_condition_rows_survive(spark, table):
     from pyspark.sql import functions as F
 

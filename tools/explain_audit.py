@@ -25,6 +25,8 @@ EXPECTED_CROSS = {
     "ann_brute_force_topk",
     "ann_ivf_topk",
     "ann_ivf_pq_topk",  # query batch x centroid codebook broadcasts
+    "ann_ivf_pq_indexed",  # same broadcasts over the materialized index
+    "sketch_topk_heavy_hitters",  # 1-row MG error-bound aggregate broadcast
     "q22_idle_rich_customers",
     "data_length_trim",  # 1-row percentile-cuts aggregate broadcast
     "q11_important_stock",  # 1-row global-total aggregate broadcast
