@@ -7,8 +7,11 @@ the reader a subquery projects/filters on the remote server, and
 ``partitionColumn/lowerBound/upperBound/numPartitions`` split the read
 across executors (the reference reads single-threaded into one worker).
 
-No JDBC driver jars ship in this environment, so these helpers build
-the reader config; tests cover the config shape, not a live database.
+Executed end-to-end in `tests/test_spark_jdbc_duckdb.py` (a real
+`spark.read.jdbc` with subquery pushdown + partitioned scan through
+the DuckDB JDBC driver, plus the `df.write.jdbc` append leg); the
+Postgres-specific array wire dialect stays jar-gated in
+`tests/test_spark_jdbc_live.py` until a postgresql jar is available.
 """
 
 from __future__ import annotations
