@@ -171,3 +171,144 @@ def topk_heavy_hitters(
         .crossJoin(F.broadcast(err))
         .select("item", "est", "err_bound", "rank")
     )
+
+
+def quantile_summaries(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    max_points: int = 64,
+) -> DataFrame:
+    """Per-partition, per-key MERGEABLE quantile summaries — the
+    order-statistics counterpart of ``misra_gries_summaries``: raw
+    values never shuffle; each partition reduces every key it holds to
+    <= ~max_points (value, weight) rows plus bookkeeping, and any
+    coarser-grain quantile question is answered from the summary table
+    alone (``rollup_quantile_summaries``), the HLL-rollup pattern for
+    percentiles.
+
+    Construction (per partition p, per key): sort the partition's
+    values, keep every ``step``-th order statistic (step =
+    ceil(n_p / max_points), last value always kept), give each kept
+    point the weight of the rank interval it closes. Cumulative weight
+    at a kept point then equals its EXACT rank in the partition, which
+    yields the one-sided theorem this module pins as verdicts:
+
+        est_rank(x) <= true_rank(x) <= est_rank(x) + step_p
+
+    for every x, where est_rank(x) = sum of weights of points <= x
+    (ranks are count(value <= x)). Summing across partitions the
+    slack adds: true - est <= sum_p step_p. NULL values are ignored.
+
+    Output: one row per kept point — ``keys..., value double,
+    weight bigint, step bigint, pid int`` (pid = Spark partition id,
+    so the merge can reconstruct sum_p step_p exactly).
+
+    Scale shape (100 TB): the raw scan is one pass with NO shuffle;
+    the summary table is O(partitions x keys_per_partition x
+    max_points) rows. max_points is the accuracy dial (slack ~
+    n_p / max_points per partition). The per-partition sort happens in
+    pandas inside one Arrow batch stream — partitions sized by
+    maxPartitionBytes bound its memory, not the table size.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark import TaskContext
+
+    key_list = list(keys)
+    mp = int(max_points)
+
+    def summarize(batches):
+        frames = [pdf for pdf in batches]
+        pid = TaskContext.get().partitionId()
+        cols = key_list + ["value", "weight", "step", "pid"]
+        if not frames:
+            yield pd.DataFrame({c: [] for c in cols})
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        rows = []
+        for kv, g in pdf.groupby(key_list, dropna=False, sort=False):
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            vals = g[value_col].dropna().sort_values().to_numpy()
+            n = len(vals)
+            if n == 0:
+                continue
+            step = max(1, math.ceil(n / mp))
+            idx = list(range(step - 1, n, step))
+            if idx[-1] != n - 1:
+                idx.append(n - 1)
+            prev = 0
+            for i in idx:
+                rows.append((*kv, float(vals[i]), i + 1 - prev, step, pid))
+                prev = i + 1
+        yield pd.DataFrame(rows, columns=cols)
+
+    key_schema = ", ".join(
+        f"{k} {df.schema[k].dataType.simpleString()}" for k in key_list
+    )
+    return df.select(
+        *key_list, F.col(value_col).cast("double").alias(value_col)
+    ).mapInPandas(
+        summarize,
+        schema=f"{key_schema}, value double, weight bigint, step bigint, pid int",
+    )
+
+
+def rollup_quantile_summaries(
+    summaries: DataFrame,
+    keys: list[str],
+    prob: float = 0.5,
+) -> DataFrame:
+    """Answer a quantile question from the summary table alone — no
+    raw data. For each group of ``keys`` (any subset of the summary's
+    keys, including coarser grains: summaries from different
+    partitions/days/batches merge by simple union), picks the smallest
+    summary value whose cumulative weight reaches the target rank
+    ``t = max(1, ceil(prob * n))``. Returns per group:
+
+    - ``est_value`` — the estimate,
+    - ``n`` — exact total rows (weights partition the rank space),
+    - ``target_rank`` — t,
+    - ``rank_slack`` — sum_p step_p + max_p step_p, the certified
+      bound: true count(value <= est_value) lies in
+      [target_rank, target_rank + rank_slack] (one-sided theorem in
+      quantile_summaries + the pick's own overshoot < max step).
+
+    Everything is window/agg over the tiny summary table."""
+    from pyspark.sql import Window
+
+    cum = Window.partitionBy(*keys).orderBy("value", "pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    grp = Window.partitionBy(*keys)
+    slack = (
+        summaries.groupBy(*keys, "pid")
+        .agg(F.max("step").alias("__step"))
+        .groupBy(*keys)
+        .agg(
+            (F.sum("__step") + F.max("__step")).cast("bigint").alias("rank_slack")
+        )
+    )
+    ranked = (
+        summaries.withColumn("__cum", F.sum("weight").over(cum))
+        .withColumn("__n", F.sum("weight").over(grp))
+        .withColumn(
+            "__t",
+            F.greatest(F.lit(1), F.ceil(F.lit(prob) * F.col("__n"))).cast("bigint"),
+        )
+        .filter(F.col("__cum") >= F.col("__t"))
+    )
+    pick = Window.partitionBy(*keys).orderBy("value", "pid")
+    return (
+        ranked.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *keys,
+            F.col("value").alias("est_value"),
+            F.col("__n").cast("bigint").alias("n"),
+            F.col("__t").alias("target_rank"),
+        )
+        .join(slack, list(keys))
+    )

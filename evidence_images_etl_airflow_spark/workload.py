@@ -85,6 +85,8 @@ from evidence_images_etl_airflow_spark.operators.recon import (
 from evidence_images_etl_airflow_spark.operators.sketches import (
     merge_mg_summaries,
     misra_gries_summaries,
+    quantile_summaries,
+    rollup_quantile_summaries,
     rollup_sketches,
     sketch_at_grain,
 )
@@ -4068,10 +4070,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, _ANN_PLANES, "vec_id", "embedding", k=3)
 
 
-@register(
-    "ann_ivf_topk",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, embedding, {_norm_expr_sql()} AS nrm FROM embeddings),
+def _ivf_scored_ctes() -> str:
+    """The IVF search chain (cells, probe set, candidate scores) up to
+    the ``scored`` CTE — shared by the ann_ivf_topk oracle and the
+    recall report's approximate leg."""
+    return f"""
+    e AS (SELECT vec_id, embedding, {_norm_expr_sql()} AS nrm FROM embeddings),
     cent AS (SELECT vec_id AS cell, embedding, nrm FROM e WHERE vec_id < 16),
     ascore AS (
       SELECT c.vec_id, c.embedding, c.nrm, cent.cell,
@@ -4098,7 +4102,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT p.query_id, c.vec_id AS neighbor_id,
              round({_cos_nrm_sql('p', 'c')}, 6) AS cos_sim
       FROM cells c JOIN p ON c.cell = p.cell
-      WHERE c.vec_id <> p.query_id)
+      WHERE c.vec_id <> p.query_id)"""
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {_ivf_scored_ctes()}
     SELECT query_id, neighbor_id, cos_sim,
            row_number() OVER (PARTITION BY query_id
                               ORDER BY cos_sim DESC, neighbor_id) AS rank
@@ -4120,6 +4130,76 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5)
     return ivf_topk(
         emb, queries, centroids, "vec_id", "embedding", "cid", k=3, nprobe=2
+    )
+
+
+@register(
+    "ann_recall_report",
+    oracle=f"""
+    WITH {_ivf_scored_ctes()},
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored)
+      WHERE rank <= 3),
+    bf_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_cos_nrm_sql('q', 'c')}, 6) AS cos_sim
+      FROM e c CROSS JOIN q
+      WHERE c.vec_id <> q.vec_id),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM bf_scored)
+      WHERE rank <= 3)
+    SELECT b.query_id,
+           CAST(count(*) AS BIGINT) AS n_true,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_hit,
+           round(count(i.neighbor_id) / (count(*) * 1.0), 6) AS recall_at_3
+    FROM bf b LEFT JOIN ivf i
+      ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: per-query recall@3 of the IVF search
+    (nprobe=2 of 16 cells) against the exact brute-force ground truth
+    — the harness that decides the nprobe/cell-count dial before an
+    approximate index serves 100 TB. Both legs are the existing
+    operators (ivf_topk / brute_force_topk, identical tie-breaks);
+    the comparison join is |queries| x k rows. Scale shape: ground
+    truth is the expensive leg by design — at scale you run this on a
+    sampled query panel (the queries-broadcast shape both legs share),
+    never the full query log, and the report cost is the sample's
+    brute-force scan, not the corpus index."""
+    from evidence_images_etl_airflow_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    ivf = ivf_topk(
+        emb, queries, centroids, "vec_id", "embedding", "cid", k=3, nprobe=2
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    bf = brute_force_topk(emb, queries, "vec_id", "embedding", k=3).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        bf.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_true"),
+            F.count("__hit").cast("bigint").alias("n_hit"),
+            F.round(F.count("__hit") / F.count("*"), 6).alias("recall_at_3"),
+        )
     )
 
 
@@ -5902,6 +5982,143 @@ def sketch_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sketch_mg_incremental",
+    oracle=r"""
+    SELECT tok, n AS exact_n,
+           TRUE AS est_le_exact, TRUE AS within_err_bound
+    FROM (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+      FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents)
+      GROUP BY tok)
+    WHERE rn <= 20
+    """,
+)
+def sketch_mg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch heavy-hitter accumulation: the corpus arrives as TWO
+    disjoint batches (doc_id parity stands in for day N / day N+1),
+    each batch is MG-summarized independently, and the per-batch
+    summary tables simply UNION before the merge — proving the
+    re-aggregation property that makes a stored daily summary table
+    sufficient for any window's top-k (the HLL-rollup story for
+    frequencies; compare dedup's cross-batch store). The MG theorems
+    survive because summation never saw batch boundaries: the same
+    est <= exact and exact - est <= total-err verdicts stay
+    theorem-TRUE with err summed across BOTH batches' partitions.
+    Scale: each day sketches its own arrivals once; the merge reads
+    only summary rows — no raw-data re-scan, ever."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("doc_id") % 2).alias("__batch"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    batch_summaries = [
+        misra_gries_summaries(
+            toks.filter(F.col("__batch") == b).select("tok"), "tok", capacity=24
+        )
+        for b in (0, 1)
+    ]
+    ests, err = merge_mg_summaries(batch_summaries[0].unionAll(batch_summaries[1]))
+    w = Window.orderBy(F.col("exact_n").desc(), F.col("tok"))
+    exact = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("exact_n"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    return (
+        exact.join(
+            F.broadcast(ests.withColumnRenamed("item", "tok")), "tok", "left"
+        )
+        .crossJoin(F.broadcast(err))
+        .select(
+            "tok",
+            "exact_n",
+            (F.coalesce("est", F.lit(0)) <= F.col("exact_n")).alias("est_le_exact"),
+            (
+                F.col("exact_n") - F.coalesce("est", F.lit(0))
+                <= F.col("err_bound")
+            ).alias("within_err_bound"),
+        )
+    )
+
+
+@register(
+    "sketch_quantile_rollup",
+    oracle="""
+    WITH v AS (SELECT o_orderstatus, CAST(o_totalprice AS DOUBLE) AS val
+               FROM orders),
+    r AS (SELECT o_orderstatus, val,
+                 row_number() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY val) AS rn,
+                 count(*) OVER (PARTITION BY o_orderstatus) AS n
+          FROM v)
+    SELECT o_orderstatus, CAST(n AS BIGINT) AS n,
+           round(val, 2) AS exact_median, TRUE AS within_rank_band
+    FROM r WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+    """,
+)
+def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE summaries (operators/sketches.
+    quantile_summaries / rollup_quantile_summaries): per-partition
+    order-statistic compaction answers the per-status median without
+    ever shuffling raw prices — the percentile counterpart of
+    sketch_hll_rollup, for the daily-latency/price dashboards that
+    cannot re-scan 100 TB per question. approx_percentile is terminal;
+    a stored summary table stays re-aggregable to ANY coarser grain by
+    union. Summary estimates are partitioning-dependent, so (the HLL
+    pattern) the emitted rows are the exact rank-based median —
+    bit-for-bit vs DuckDB — plus a tolerance verdict pinned TRUE by
+    the one-sided rank theorem: count(val <= est) must land in
+    [target_rank, target_rank + rank_slack], where rank_slack = sum of
+    per-partition compaction steps + the pick's own overshoot."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", F.col("o_totalprice").cast("double").alias("val")
+    )
+    summ = quantile_summaries(o, ["o_orderstatus"], "val", max_points=16)
+    est = rollup_quantile_summaries(summ, ["o_orderstatus"], prob=0.5)
+    true_le = (
+        o.join(
+            F.broadcast(est.select("o_orderstatus", "est_value")), "o_orderstatus"
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum((F.col("val") <= F.col("est_value")).cast("long")).alias("__le")
+        )
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy("val")
+    exact = (
+        o.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("o_orderstatus")))
+        .filter(F.col("rn") == F.ceil(F.col("n") / 2.0).cast("bigint"))
+        .select(
+            "o_orderstatus",
+            F.col("n").cast("bigint").alias("n"),
+            F.round("val", 2).alias("exact_median"),
+        )
+    )
+    return (
+        exact.join(
+            F.broadcast(est.select("o_orderstatus", "target_rank", "rank_slack")),
+            "o_orderstatus",
+        )
+        .join(F.broadcast(true_le), "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "n",
+            "exact_median",
+            (
+                (F.col("__le") >= F.col("target_rank"))
+                & (F.col("__le") <= F.col("target_rank") + F.col("rank_slack"))
+            ).alias("within_rank_band"),
+        )
+    )
+
+
 _Z_SQL = interleave_bits_sql("cs", "ds")
 
 
@@ -6277,9 +6494,14 @@ _VERIFY_FIRST = [
     # ---- round-7 head: least-proven first. dedup_span_sliding FAILED
     # r06 (AnalysisException, now fixed + unit-tested);
     # sketch_topk_heavy_hitters is new this round (implemented for
-    # real — VERDICT r06 item 2) with no prior rows.
+    # real — VERDICT r06 item 2) with no prior rows; the next three
+    # are round-7 additions (ANN recall eval, cross-batch MG merge,
+    # mergeable quantile rollup), also without prior rows.
     "dedup_span_sliding",
     "sketch_topk_heavy_hitters",
+    "ann_recall_report",
+    "sketch_mg_incremental",
+    "sketch_quantile_rollup",
     # ---- the 43-query cohort whose latest green row dates to round 4
     # — now the oldest (VERDICT r06 item 5). All hash-verified r04 on
     # current fixtures; ordinary rotation debt.

@@ -89,6 +89,50 @@ def test_mg_underestimates_within_error_bound(spark):
     assert top[0]["item"] == "hot"
 
 
+def test_quantile_summary_exact_when_uncompressed(spark):
+    """max_points >= partition rows -> step=1 everywhere: the rollup
+    returns the exact order statistic at the target rank."""
+    from evidence_images_etl_airflow_spark.operators.sketches import (
+        quantile_summaries,
+        rollup_quantile_summaries,
+    )
+
+    rows = [("g", float(v)) for v in range(1, 101)]  # 1..100
+    df = spark.createDataFrame(rows, "k string, v double").repartition(4)
+    summ = quantile_summaries(df, ["k"], "v", max_points=100)
+    got = rollup_quantile_summaries(summ, ["k"], prob=0.5).collect()[0]
+    assert got["n"] == 100 and got["target_rank"] == 50
+    assert got["est_value"] == 50.0  # exact median position
+    # step=1 per partition -> slack = n_partitions_with_data + 1 max
+    assert got["rank_slack"] <= 5
+
+
+def test_quantile_summary_rank_theorem_under_compression(spark):
+    """max_points << partition rows forces compression; the certified
+    band must hold: count(v <= est) in [target, target + slack]. Also
+    exercises the coarser-grain merge (two fine keys -> one group)."""
+    from evidence_images_etl_airflow_spark.operators.sketches import (
+        quantile_summaries,
+        rollup_quantile_summaries,
+    )
+
+    # deterministic, unevenly distributed values over two "days"
+    rows = [("d1", float((i * 37) % 1000)) for i in range(2000)] + [
+        ("d2", float((i * 91) % 500)) for i in range(1500)
+    ]
+    df = spark.createDataFrame(rows, "day string, v double").repartition(8)
+    summ = quantile_summaries(df, ["day"], "v", max_points=8)
+    # coarser grain: merge both days' summaries into one global group
+    merged = summ.withColumn("all", F.lit("all"))
+    for prob in (0.1, 0.5, 0.9):
+        got = rollup_quantile_summaries(merged, ["all"], prob=prob).collect()[0]
+        est, t, slack = got["est_value"], got["target_rank"], got["rank_slack"]
+        assert got["n"] == 3500
+        true_le = sum(1 for _, v in rows if v <= est)
+        assert t <= true_le <= t + slack, (prob, est, t, slack, true_le)
+        assert slack > 0  # compression genuinely fired
+
+
 def test_blocked_pairs_find_known_neighbors(spark):
     names = spark.createDataFrame(
         [("cold widget",), ("old widget",), ("red widget",), ("cold bolt",)],
