@@ -6119,6 +6119,108 @@ def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN (SELECT s_suppkey, s_name FROM supplier WHERE s_nationkey = 7) s
+      ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered join (operators/joins.bloom_prefiltered_join):
+    revenue per nation-7 supplier, with the lineitem side pre-screened
+    map-side against a Bloom bitmap of the supplier key set BEFORE any
+    join — the shuffle-reduction pattern for when the build side is
+    too big to broadcast but its key-set bitmap (~num_bits/64 rows)
+    is not, or when the filter is persisted and reused across a day of
+    probe queries (what AQE's runtime bloom filters cannot do). The
+    exact join removes Bloom false positives, so the result is
+    bit-for-bit the plain join (this oracle). At this SF Spark would
+    broadcast the supplier side anyway; the measured payoff arrives
+    when both sides shuffle — ~96% of lineitem rows (other nations'
+    suppliers) drop before the exchange."""
+    from evidence_images_etl_airflow_spark.operators.joins import (
+        bloom_prefiltered_join,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_extendedprice", "l_discount"
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 7)
+        .select("s_suppkey", "s_name")
+    )
+    joined = bloom_prefiltered_join(li, sup, "s_suppkey")
+    return joined.groupBy("s_suppkey", "s_name").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.round(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))), 2
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
+    "incremental_rollup_equivalence",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(o_orderkey) AS BIGINT) AS count_o_orderkey,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS sum_o_totalprice,
+           CAST(min(o_orderdate) AS DATE) AS min_o_orderdate,
+           CAST(max(o_custkey) AS BIGINT) AS max_o_custkey
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def incremental_rollup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/incremental): the
+    orders table arrives as two batches (orderkey parity = day N /
+    day N+1); each batch is aggregated to per-status partials and
+    folded into the state with the merge functions (counts/sums add,
+    mins min, maxes max). The emitted state must equal the direct
+    aggregate over ALL orders — the exactness proof that lets the
+    daily-report loop stop re-scanning history (the reference re-reads
+    and re-groups the full table every DAG run,
+    evidence_images_processing.py:120-140). Sums run on DECIMAL so the
+    fold is associative bit-for-bit; per batch the shuffle carries
+    |state| + |batch groups| summary rows, never historical raw data."""
+    from evidence_images_etl_airflow_spark.operators.incremental import (
+        incremental_rollup,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderkey",
+        _dec("o_totalprice").alias("o_totalprice"),
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+    )
+    specs = {
+        "o_orderkey": "count",
+        "o_totalprice": "sum",
+        "o_orderdate": "min",
+        "o_custkey": "max",
+    }
+    batches = [o.filter(F.col("o_orderkey") % 2 == b) for b in (0, 1)]
+    state = incremental_rollup(batches, ["o_orderstatus"], specs)
+    return state.select(
+        "o_orderstatus",
+        F.col("count_o_orderkey").cast("bigint").alias("count_o_orderkey"),
+        F.round("sum_o_totalprice", 2).cast("double").alias("sum_o_totalprice"),
+        "min_o_orderdate",
+        "max_o_custkey",
+    )
+
+
 _Z_SQL = interleave_bits_sql("cs", "ds")
 
 
@@ -6502,6 +6604,8 @@ _VERIFY_FIRST = [
     "ann_recall_report",
     "sketch_mg_incremental",
     "sketch_quantile_rollup",
+    "join_bloom_prefilter",
+    "incremental_rollup_equivalence",
     # ---- the 43-query cohort whose latest green row dates to round 4
     # — now the oldest (VERDICT r06 item 5). All hash-verified r04 on
     # current fixtures; ordinary rotation debt.

@@ -1,0 +1,130 @@
+"""Bloom-prefiltered joins (operators/joins) and incremental aggregate
+maintenance (operators/incremental)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from evidence_images_etl_airflow_spark.operators.incremental import (
+    batch_partials,
+    incremental_rollup,
+    merge_state,
+)
+from evidence_images_etl_airflow_spark.operators.joins import (
+    bloom_prefiltered_join,
+    build_key_bloom,
+)
+
+
+def _big(spark):
+    return spark.createDataFrame(
+        [(i, i * 10) for i in range(200)], "k long, v long"
+    )
+
+
+def _small(spark):
+    return spark.createDataFrame(
+        [(3, "a"), (7, "b"), (400, "never-matches")], "k long, tag string"
+    )
+
+
+def test_bloom_join_equals_plain_join(spark):
+    got = sorted(
+        (r.k, r.v, r.tag)
+        for r in bloom_prefiltered_join(_big(spark), _small(spark), "k").collect()
+    )
+    want = sorted(
+        (r.k, r.v, r.tag)
+        for r in _big(spark).join(_small(spark), "k", "inner").collect()
+    )
+    assert got == want == [(3, 30, "a"), (7, 70, "b")]
+
+
+def test_bloom_false_positives_removed_by_exact_join(spark):
+    """A deliberately tiny bitmap (64 bits for 200 keys) saturates with
+    false positives; the exact join must still produce the exact
+    result — the prefilter affects cost, never correctness."""
+    got = sorted(
+        (r.k, r.tag)
+        for r in bloom_prefiltered_join(
+            _big(spark), _small(spark), "k", num_bits=64
+        ).collect()
+    )
+    assert got == [(3, "a"), (7, "b")]
+
+
+def test_bloom_semi_join_and_prebuilt_filter(spark):
+    bloom = build_key_bloom(_small(spark), "k")
+    got = sorted(
+        r.k
+        for r in bloom_prefiltered_join(
+            _big(spark), _small(spark).select("k"), "k",
+            how="left_semi", bloom=bloom,
+        ).collect()
+    )
+    assert got == [3, 7]
+
+
+def test_bloom_join_rejects_outer_shapes(spark):
+    with pytest.raises(ValueError, match="inner/semi"):
+        bloom_prefiltered_join(_big(spark), _small(spark), "k", how="left")
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(rows, "g string, x long, p double")
+
+
+def test_incremental_fold_matches_direct_aggregate(spark):
+    rows = [("a", i, float(i)) for i in range(10)] + [
+        ("b", i * 3, float(i) / 2) for i in range(7)
+    ]
+    df = _orders(spark, rows)
+    specs = {"x": "count", "p": "sum", "g": "max"}
+    batches = [
+        df.filter(F.col("x") % 3 == m) for m in (0, 1, 2)
+    ]  # 3-way split, one possibly-empty group pattern
+    folded = {
+        r.g: (r.count_x, round(r.sum_p, 6), r.max_g)
+        for r in incremental_rollup(batches, ["g"], specs).collect()
+    }
+    direct = {
+        r.g: (r.count_x, round(r.sum_p, 6), r.max_g)
+        for r in df.groupBy("g")
+        .agg(
+            F.count("x").alias("count_x"),
+            F.sum("p").alias("sum_p"),
+            F.max("g").alias("max_g"),
+        )
+        .collect()
+    }
+    assert folded == direct
+
+
+def test_incremental_merge_is_order_insensitive(spark):
+    df = _orders(spark, [("a", 1, 1.0), ("a", 2, 2.0), ("b", 5, 5.0)])
+    specs = {"x": "sum", "p": "min"}
+    b1, b2 = (df.filter(F.col("x") <= 2), df.filter(F.col("x") > 2))
+    fwd = incremental_rollup([b1, b2], ["g"], specs)
+    rev = incremental_rollup([b2, b1], ["g"], specs)
+    assert sorted(map(tuple, fwd.collect())) == sorted(map(tuple, rev.collect()))
+
+
+def test_incremental_bootstrap_and_group_passthrough(spark):
+    """state=None bootstraps; a group present in only one batch passes
+    through the merge untouched."""
+    specs = {"x": "sum"}
+    s1 = merge_state(
+        None, batch_partials(_orders(spark, [("a", 1, 0.0)]), ["g"], specs),
+        ["g"], specs,
+    )
+    s2 = merge_state(
+        s1, batch_partials(_orders(spark, [("b", 7, 0.0)]), ["g"], specs),
+        ["g"], specs,
+    )
+    assert {r.g: r.sum_x for r in s2.collect()} == {"a": 1, "b": 7}
+
+
+def test_incremental_rejects_non_decomposable(spark):
+    with pytest.raises(ValueError, match="not decomposable"):
+        batch_partials(_orders(spark, [("a", 1, 0.0)]), ["g"], {"p": "median"})
