@@ -276,3 +276,91 @@ def continuous_rollup_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def heavy_hitters_stream_available_now(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    summary_path: str,
+    checkpoint_path: str,
+    value_col: str,
+    capacity: int = 256,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming maintenance of a Misra-Gries heavy-hitter summary —
+    the streaming half of the ``sketch_mg_incremental`` story: each
+    micro-batch is MG-summarized on its own, the per-batch summary
+    unions into the persisted ``(item, cnt)`` table (NULL item = the
+    accumulated error row), and the store is re-compressed back to
+    ``capacity`` counters whenever it grows past it — the compression
+    error simply folds into the error row, so the MG certificates
+    (stored est <= true count ever streamed, undercount <= error row)
+    hold after ANY number of batches. The file-source checkpoint makes
+    each input file contribute exactly once; the store rewrite rides
+    the same staging swap as ``continuous_rollup_available_now``.
+
+    At 100 TB/day the store is <= capacity+1 rows FOREVER — the
+    always-on "top tokens/URLs today" dashboard with per-batch cost =
+    one batch scan + a summary-sized merge, and zero raw history."""
+    from evidence_images_etl_airflow_spark.operators.sketches import (
+        misra_gries_summaries,
+    )
+
+    reader = spark.readStream.format("parquet").schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(source_path)
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        import uuid
+
+        sess = batch_df.sparkSession
+        partial = misra_gries_summaries(
+            batch_df.select(value_col), value_col, capacity
+        )
+        try:
+            store = sess.read.parquet(summary_path)
+            merged = store.unionByName(partial)
+        except Exception:
+            merged = partial
+        merged = merged.groupBy("item").agg(F.sum("cnt").alias("cnt"))
+        # Re-compress to the capacity bound: the merged non-null rows
+        # can reach old-store + batch-partitions x capacity; subtract
+        # the (capacity+1)-th largest counter and fold it into the
+        # error row (the exact MG decrement, applied store-side). The
+        # store is summary-sized, so the threshold lookup is a bounded
+        # collect.
+        items = merged.filter(F.col("item").isNotNull())
+        if items.count() > capacity:
+            thresh = (
+                items.orderBy(F.col("cnt").desc(), F.col("item"))
+                .select("cnt")
+                .collect()[capacity]["cnt"]
+            )
+            err = merged.filter(F.col("item").isNull()).select(
+                F.lit(None).cast("string").alias("item"),
+                (F.coalesce(F.sum("cnt"), F.lit(0)) + F.lit(thresh))
+                .cast("bigint")
+                .alias("cnt"),
+            )
+            merged = (
+                items.select("item", (F.col("cnt") - F.lit(thresh)).alias("cnt"))
+                .filter(F.col("cnt") > 0)
+                .unionByName(err)
+            )
+        tmp = f"{summary_path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        jvm = sess.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(summary_path)
+        fs = hpath.getFileSystem(sess.sparkContext._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
+
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -128,3 +128,61 @@ def test_incremental_bootstrap_and_group_passthrough(spark):
 def test_incremental_rejects_non_decomposable(spark):
     with pytest.raises(ValueError, match="not decomposable"):
         batch_partials(_orders(spark, [("a", 1, 0.0)]), ["g"], {"p": "median"})
+
+
+def test_heavy_hitters_stream_maintains_certified_summary(spark, tmp_path):
+    """Streaming MG maintenance: three micro-batches (one file each)
+    fold into a persisted summary bounded at capacity+1 rows; the MG
+    certificates hold over the WHOLE stream (est <= true, undercount
+    <= error row), the dominant value survives every compression, and
+    a checkpointed re-run only folds in genuinely new files."""
+    from evidence_images_etl_airflow_spark.streaming.file_stream import (
+        heavy_hitters_stream_available_now,
+    )
+
+    schema = "v string"
+    src = f"{tmp_path}/hh_src"
+    store = f"{tmp_path}/hh_store"
+    cap = 5
+
+    def write_file(name, rows):
+        spark.createDataFrame([(r,) for r in rows], schema).coalesce(
+            1
+        ).write.parquet(f"{src}/{name}")
+
+    # hot value dominates; rotating singleton tails force compression
+    write_file("f0", ["hot"] * 60 + [f"t0_{i}" for i in range(20)])
+    write_file("f1", ["hot"] * 50 + [f"t1_{i}" for i in range(20)])
+    write_file("f2", ["hot"] * 40 + ["warm"] * 25 + [f"t2_{i}" for i in range(20)])
+    true = {"hot": 150, "warm": 25}
+    true.update({f"t{b}_{i}": 1 for b in range(3) for i in range(20)})
+
+    heavy_hitters_stream_available_now(
+        spark, f"{src}/f*", schema, store, f"{tmp_path}/hh_ckpt", "v",
+        capacity=cap, max_files_per_trigger=1,
+    )
+    rows = spark.read.parquet(store).collect()
+    assert len(rows) <= cap + 1  # bounded store, error row included
+    err = sum(r.cnt for r in rows if r.item is None)
+    assert err > 0  # compression genuinely fired
+    ests = {r.item: r.cnt for r in rows if r.item is not None}
+    for item, est in ests.items():
+        assert est <= true[item]
+        assert true[item] - est <= err
+    for item, t in true.items():
+        if item not in ests:
+            assert t <= err
+    assert max(ests, key=lambda i: (ests[i], i)) == "hot"
+
+    # exactly-once across re-runs: same checkpoint, one new file
+    write_file("f3", ["hot"] * 30)
+    heavy_hitters_stream_available_now(
+        spark, f"{src}/f*", schema, store, f"{tmp_path}/hh_ckpt", "v",
+        capacity=cap, max_files_per_trigger=1,
+    )
+    true["hot"] += 30
+    rows2 = spark.read.parquet(store).collect()
+    err2 = sum(r.cnt for r in rows2 if r.item is None)
+    ests2 = {r.item: r.cnt for r in rows2 if r.item is not None}
+    assert ests2["hot"] <= true["hot"]
+    assert true["hot"] - ests2["hot"] <= err2  # f0-f2 NOT double-counted
