@@ -88,7 +88,12 @@ def pagerank(
     # is then a single join + hash agg over a cached table instead of
     # re-joining degrees every round. The degree table is |nodes| rows
     # — broadcast it below the same threshold so the (big) edge list
-    # never shuffles to build the weighted list either.
+    # never shuffles to build the weighted list either. (Coalescing
+    # the weighted cache to ~edge-count-sized partitions measured NO
+    # in-process A/B win at sf0.1 — best 5.31 s with vs 4.86 s
+    # without over 3 alternating trials; the extra count job and
+    # cache-read offset the fewer-tasks saving. r07 experiment,
+    # reverted.)
     dv = F.broadcast(deg) if small else deg
     weighted = caching.materialize(
         edges.join(dv, "src").select(
