@@ -3203,7 +3203,10 @@ def dedup_ngram_jaccard_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=2)
 
 
-def _minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+def _minhash_ctes(num_hashes: int = 8, bands: int = 4) -> str:
+    """The MinHash+LSH CTE chain through ``cands`` / ``inter`` /
+    ``sizes`` — shared by the dedup_minhash_lsh oracle and the
+    dedup_recall_report's approximate leg."""
     rows = num_hashes // bands
     # affine-permutation minhash, mirroring dedup._base_hash/_sig_aggs:
     # one 31-bit base hash per shingle (first 15 md5 hex chars parsed
@@ -3222,7 +3225,7 @@ def _minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
         band_rows.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM sig")
     banded = " UNION ALL ".join(band_rows)
     return f"""
-    WITH {_shingle_cte()},
+    {_shingle_cte()},
     shh AS (SELECT doc_id,
                    CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {p} AS hp
             FROM sh),
@@ -3236,7 +3239,12 @@ def _minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)
+      GROUP BY 1, 2)"""
+
+
+def _minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+    return f"""
+    WITH {_minhash_ctes(num_hashes, bands)}
     SELECT c.id_a, c.id_b,
            round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
     FROM cands c
@@ -3245,6 +3253,73 @@ def _minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
     JOIN sizes sb ON sb.doc_id = c.id_b
     WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.5
     """
+
+
+@register(
+    "dedup_recall_report",
+    oracle=f"""
+    WITH {_minhash_ctes()},
+    lsh AS (
+      SELECT c.id_a, c.id_b
+      FROM cands c
+      JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.5),
+    exact AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.5)
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_lsh,
+           CAST(count(l.id_a) AS BIGINT) AS n_hit,
+           round(count(l.id_a) / (count(*) * 1.0), 6) AS recall,
+           count(l.id_a) = (SELECT count(*) FROM lsh)
+             AS lsh_subset_of_exact
+    FROM exact e LEFT JOIN lsh l
+      ON e.id_a = l.id_a AND e.id_b = l.id_b
+    """,
+)
+def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup quality evaluation — the dedup twin of
+    ann_recall_report: how many TRUE near-dup pairs (exact
+    shingle-Jaccard >= 0.5, the dedup_ngram_jaccard definition) does
+    the MinHash(8)+LSH(4-band) pipeline recover? Verified LSH pairs
+    are provably a subset of the exact pairs (verification computes
+    true Jaccard, and any pair with Jaccard > 0 shares a shingle), so
+    precision is structurally 1.0 — emitted as the subset verdict —
+    and the single report row measures banding RECALL, the dial that
+    decides num_hashes/bands before a dedup config runs on 100 TB.
+    Both legs are the existing blocked operators; the comparison join
+    is pair-list-sized. At scale this runs on a sampled corpus slice,
+    exactly like the ANN harness's query panel."""
+    d = _t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=None
+    ).select("id_a", "id_b")
+    lsh = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3,
+        verify_threshold=0.5,
+    ).select("id_a", "id_b", F.lit(1).alias("__hit"))
+    n_lsh = lsh.agg(F.count("*").cast("bigint").alias("n_lsh"))
+    return (
+        exact.join(lsh, ["id_a", "id_b"], "left")
+        .agg(
+            F.count("*").cast("bigint").alias("n_exact"),
+            F.count("__hit").cast("bigint").alias("n_hit"),
+            F.round(F.count("__hit") / F.count("*"), 6).alias("recall"),
+        )
+        .crossJoin(F.broadcast(n_lsh))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_hit",
+            "recall",
+            (F.col("n_hit") == F.col("n_lsh")).alias("lsh_subset_of_exact"),
+        )
+    )
 
 
 @register("dedup_minhash_lsh", oracle=_minhash_oracle(), headline=True)
@@ -6606,6 +6681,7 @@ _VERIFY_FIRST = [
     "sketch_quantile_rollup",
     "join_bloom_prefilter",
     "incremental_rollup_equivalence",
+    "dedup_recall_report",
     # ---- the 43-query cohort whose latest green row dates to round 4
     # — now the oldest (VERDICT r06 item 5). All hash-verified r04 on
     # current fixtures; ordinary rotation debt.
