@@ -193,3 +193,54 @@ def weighted_hash_sample(
     )
     clamped = F.least(F.greatest(c_p, F.lit(0.0)), F.lit(1.0))
     return df.filter(bucket < F.round(clamped * 10000, 0).cast("long"))
+
+
+def weighted_reservoir_topk(
+    df: DataFrame,
+    keys: list[str],
+    weight_col: str,
+    id_col: str,
+    k: int = 20,
+    salt: str = "wres",
+    key_col: str = "wkey",
+) -> DataFrame:
+    """Deterministic FIXED-SIZE weighted sample per group — the
+    Efraimidis–Spirakis A-ES reservoir: each row draws a deterministic
+    uniform u = (md5hash(salt:id)+1)/2^60 and the k rows with the
+    largest u^(1/weight) win. Where ``weighted_hash_sample`` gives a
+    Bernoulli sample of *expected* size (each row independent), this
+    gives EXACTLY min(k, group size) rows with inclusion probability
+    proportional to weight — the "pick 10k representative docs per
+    language, favoring long ones" shape where a budget, not a rate, is
+    fixed.
+
+    Ranks on ``weight / ln(u)`` ascending — a monotone transform of
+    u^(1/weight) (both orders agree; ln(u) <= 0) whose magnitude
+    (|weight|-scaled) survives the repo's round-to-6dp-before-ranking
+    idiom far from tie territory, unlike the raw key which crowds into
+    (0,1). Zero-weight rows rank last (0 is the ascending supremum
+    here), i.e. are only taken when a group has fewer than k positive-
+    weight rows. Ties at 6dp break by id. Scale shape: row-local score,
+    one rank-k window per key — WindowGroupLimit keeps at most k rows
+    per group map-side, so the shuffle carries O(groups x k), never the
+    corpus; the same reason the sample is reproducible under ANY
+    repartitioning is why it is reproducible cross-engine."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    c_id = F.col(id_col)
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(":"), c_id.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (hv + F.lit(1)).cast("double") / F.lit(2.0**60)
+    wkey = F.round(F.col(weight_col).cast("double") / F.log(u), 6)
+    w = Window.partitionBy(*keys).orderBy(F.col(key_col).asc(), c_id)
+    return (
+        df.withColumn(key_col, wkey)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

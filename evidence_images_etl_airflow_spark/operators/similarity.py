@@ -571,6 +571,47 @@ def rerank_exact(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def matryoshka_truncate(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: int = 16,
+    out_col: str | None = None,
+    renormalize: bool = True,
+) -> DataFrame:
+    """Matryoshka-style embedding truncation: keep the first ``dims``
+    coordinates and (optionally) L2-renormalize the prefix. MRL-trained
+    embedding models front-load information so the d/2 or d/4 prefix is
+    a usable lower-cost embedding; truncation is THE storage/compute
+    dial for a 100 TB vector corpus (half the dims = half the scan
+    bytes, half the ADC table width, half the index memory) — provided
+    recall holds, which embedding_matryoshka_recall measures.
+
+    Cosine similarity is invariant to renormalization (it divides by
+    both norms), so retrieval quality is identical either way;
+    ``renormalize=False`` keeps the raw float prefix for byte-stable
+    cross-engine comparison, ``renormalize=True`` emits unit-norm
+    doubles so downstream dot products ARE cosines (the form a serving
+    stack wants). Pure column expressions — row-local, no shuffle, and
+    at scale this is a projection the parquet scan prunes to: reading
+    only the prefix of a fixed-width array column still scans full
+    values, so MATERIALIZE the truncated column if it is the serving
+    representation."""
+    pref = F.slice(F.col(vec_col), 1, dims)
+    if renormalize:
+        nrm = F.sqrt(
+            F.aggregate(
+                pref.cast("array<double>"), F.lit(0.0), lambda a, v: a + v * v
+            )
+        )
+        out = F.when(
+            nrm > 0,
+            F.transform(pref, lambda v: v.cast("double") / nrm),
+        ).otherwise(pref.cast("array<double>"))
+    else:
+        out = pref
+    return df.withColumn(out_col or vec_col, out)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

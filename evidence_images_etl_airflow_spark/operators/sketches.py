@@ -312,3 +312,92 @@ def rollup_quantile_summaries(
         )
         .join(slack, list(keys))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketches — SET-OPERATION capable
+# ---------------------------------------------------------------------------
+
+_KMV_HASH_SPACE = 2.0**60  # md5 15-hex-char prefix -> [0, 2^60)
+
+
+def _kmv_hash(value: Column, salt: str) -> Column:
+    """Deterministic 60-bit uniform hash (the repo's shared md5-prefix
+    idiom — functions/partitioning.py) so the oracle reproduces every
+    sketch value exactly: CAST('0x'||substr(md5(..),1,15) AS BIGINT)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(":"), value.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def kmv_sketches(
+    df: DataFrame,
+    keys: list[str | Column],
+    value_col: str,
+    k: int = 256,
+    salt: str = "kmv",
+    sketch_col: str = "kmv",
+) -> DataFrame:
+    """One KMV sketch per key group: the k smallest distinct hash
+    values of ``value_col``, as a sorted ``array<bigint>``. Where HLL
+    (sketch_at_grain) answers only union-style distinct counts, KMV
+    sketches additionally estimate INTERSECTIONS via Jaccard over the
+    combined k-minimum set (kmv_jaccard) — "how many users did
+    segments A and B share?" without re-scanning raw data. The sketch
+    is deterministic (md5-derived hashes, no RNG), so estimates are
+    reproducible run-to-run and engine-to-engine.
+
+    Scale shape: one distinct shuffle on (keys, hash) — the same cost
+    any exact per-group distinct pays — then a rank-k window whose
+    partial limit runs map-side (WindowGroupLimit), so only k rows per
+    group survive to the final collect_list; the sketch table is
+    O(groups x k x 8 bytes) and every later set question is array math
+    on it. For repeated builds over a growing corpus, sketch each
+    increment and merge with kmv_union."""
+    from pyspark.sql import Window
+
+    hashed = df.select(
+        *keys, _kmv_hash(F.col(value_col), salt).alias("__hv")
+    ).distinct()
+    names = [c if isinstance(c, str) else c._jc.toString() for c in keys]
+    w = Window.partitionBy(*names).orderBy("__hv")
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*names)
+        .agg(F.sort_array(F.collect_list("__hv")).alias(sketch_col))
+    )
+
+
+def kmv_estimate(sketch: Column, k: int) -> Column:
+    """Distinct-count estimate from a KMV sketch: exact when the group
+    had fewer than k distinct values (the sketch IS the value set),
+    else the classic (k-1)/m_k estimator with the k-th minimum
+    normalized into (0, 1]. Double-precision; deterministic."""
+    n = F.size(sketch)
+    return F.when(n < k, n.cast("double")).otherwise(
+        (F.lit(float(k - 1)) * F.lit(_KMV_HASH_SPACE))
+        / (F.element_at(sketch, k) + F.lit(1)).cast("double")
+    )
+
+
+def kmv_union(a: Column, b: Column, k: int) -> Column:
+    """Union sketch: k smallest of the combined distinct hash values —
+    exactly the sketch that would have been built over A union B, which
+    is what makes KMV mergeable across batches/partitions."""
+    return F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+
+
+def kmv_jaccard(a: Column, b: Column, k: int) -> Column:
+    """Jaccard estimate: the fraction of the union's k-minimum values
+    present in BOTH input sketches. |A intersect B| follows as
+    jaccard x union-estimate; resemblance accuracy is O(1/sqrt(k))."""
+    u = kmv_union(a, b, k)
+    matches = F.size(
+        F.filter(u, lambda x: F.array_contains(a, x) & F.array_contains(b, x))
+    )
+    return matches.cast("double") / F.size(u).cast("double")

@@ -3516,6 +3516,55 @@ def data_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "data_weighted_reservoir",
+    oracle="""
+    WITH h AS (
+      SELECT lang, doc_id, n_chars,
+             CAST('0x' || substr(md5('wres:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS hv
+      FROM documents),
+    kx AS (
+      SELECT lang, doc_id, n_chars,
+             round(CAST(n_chars AS DOUBLE)
+                   / ln(CAST(hv + 1 AS DOUBLE) / 1152921504606846976.0),
+                   6) AS wkey
+      FROM h)
+    SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars, wkey,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY wkey, doc_id) AS rank
+    FROM kx
+    QUALIFY rank <= 20
+    """,
+)
+def data_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget weighted sampling: exactly 20 documents per
+    language, inclusion probability proportional to document length
+    (functions/partitioning.weighted_reservoir_topk — deterministic
+    Efraimidis–Spirakis A-ES keys from md5-derived uniforms). The
+    curation shape data_quality_weighted_sample can't give: that one
+    fixes a RATE (expected size), this fixes a BUDGET — "give me k
+    representative docs per group, favor heavy ones" — which is how
+    eval panels, annotation batches, and per-domain training quotas
+    are actually specified. The A-ES key u^(1/w) is ranked via its
+    monotone transform w/ln(u) (6dp-rounded, ties by doc_id), so the
+    oracle reproduces the exact sample. Scale: row-local key + one
+    rank-k window; WindowGroupLimit caps each group at k rows map-side
+    so the shuffle is O(groups x k) no matter the corpus size."""
+    from evidence_images_etl_airflow_spark.functions.partitioning import (
+        weighted_reservoir_topk,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    return weighted_reservoir_topk(
+        d, ["lang"], "n_chars", "doc_id", k=20, salt="wres"
+    ).select(
+        "lang", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"), "wkey", "rank"
+    )
+
+
+@register(
     "data_length_trim",
     oracle="""
     WITH cuts AS (SELECT quantile_cont(n_chars, 0.01) AS lo,
@@ -4123,14 +4172,14 @@ _ANN_PLANES = random_hyperplanes(_DIM, 8, seed=7)
 _DUP_PLANES = random_hyperplanes(_DIM, 6, seed=11)
 
 
-def _dot_sql(a: str, b: str) -> str:
+def _dot_sql(a: str, b: str, dims: int | None = None) -> str:
     return " + ".join(
         f"CAST({a}.embedding[{i}] AS DOUBLE) * CAST({b}.embedding[{i}] AS DOUBLE)"
-        for i in range(1, _DIM + 1)
+        for i in range(1, (dims or _DIM) + 1)
     )
 
 
-def _norm_expr_sql() -> str:
+def _norm_expr_sql(dims: int | None = None) -> str:
     """Per-row norm as a CTE projection (``e.nrm``): computed ONCE per
     vector instead of inline per pair. Factoring matters: the fully
     inlined cosine (norm twice + dot, repeated in SELECT and ORDER BY)
@@ -4138,22 +4187,24 @@ def _norm_expr_sql() -> str:
     to allocate while the Spark JVM was resident (observed
     'Failed to allocate block ... bad allocation' in the round-1-style
     sweep). Same left-to-right addition order, so values are
-    bit-identical to the inline form."""
+    bit-identical to the inline form. ``dims`` truncates the fold to an
+    embedding prefix (matryoshka legs)."""
     sq = " + ".join(
         f"CAST(embedding[{i}] AS DOUBLE) * CAST(embedding[{i}] AS DOUBLE)"
-        for i in range(1, _DIM + 1)
+        for i in range(1, (dims or _DIM) + 1)
     )
     return f"sqrt({sq})"
 
 
-def _cos_nrm_sql(a: str, b: str) -> str:
-    """Cosine between rows of norm-carrying CTEs (``{a}.nrm`` /
-    ``{b}.nrm`` precomputed by ``_norm_expr_sql``). IEEE multiply is
+def _cos_nrm_sql(a: str, b: str, dims: int | None = None, nrm: str = "nrm") -> str:
+    """Cosine between rows of norm-carrying CTEs (``{a}.{nrm}`` /
+    ``{b}.{nrm}`` precomputed by ``_norm_expr_sql``). IEEE multiply is
     commutative and the dot's addition order is unchanged, so this is
-    value-identical to the fully inlined cosine."""
+    value-identical to the fully inlined cosine. ``dims``/``nrm`` pick
+    a prefix-truncated leg (matryoshka)."""
     return (
-        f"CASE WHEN {a}.nrm * {b}.nrm > 0 "
-        f"THEN ({_dot_sql(a, b)}) / ({a}.nrm * {b}.nrm) END"
+        f"CASE WHEN {a}.{nrm} * {b}.{nrm} > 0 "
+        f"THEN ({_dot_sql(a, b, dims)}) / ({a}.{nrm} * {b}.{nrm}) END"
     )
 
 
@@ -4347,6 +4398,91 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         bf.join(ivf, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
+            F.count("*").cast("bigint").alias("n_true"),
+            F.count("__hit").cast("bigint").alias("n_hit"),
+            F.round(F.count("__hit") / F.count("*"), 6).alias("recall_at_3"),
+        )
+    )
+
+
+_MRL_DIMS = 16  # matryoshka prefix under evaluation (of _DIM = 64)
+
+
+@register(
+    "embedding_matryoshka_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding,
+                      {_norm_expr_sql()} AS nrm,
+                      {_norm_expr_sql(_MRL_DIMS)} AS tnrm
+               FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 5),
+    full_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_cos_nrm_sql('q', 'c')}, 6) AS cos_sim
+      FROM e c CROSS JOIN q
+      WHERE c.vec_id <> q.vec_id),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM full_scored)
+      WHERE rank <= 3),
+    tr_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_cos_nrm_sql('q', 'c', _MRL_DIMS, 'tnrm')}, 6) AS cos_sim
+      FROM e c CROSS JOIN q
+      WHERE c.vec_id <> q.vec_id),
+    tr AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM tr_scored)
+      WHERE rank <= 3)
+    SELECT b.query_id,
+           CAST({_MRL_DIMS} AS INT) AS trunc_dims,
+           CAST(count(*) AS BIGINT) AS n_true,
+           CAST(count(t.neighbor_id) AS BIGINT) AS n_hit,
+           round(count(t.neighbor_id) / (count(*) * 1.0), 6) AS recall_at_3
+    FROM bf b LEFT JOIN tr t
+      ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation quality gate: per-query recall@3 of
+    retrieval over the 16-dim embedding prefix (_MRL_DIMS of _DIM=64)
+    (operators/similarity.matryoshka_truncate, renormalize=False —
+    cosine is renorm-invariant, and the raw float prefix keeps the
+    cross-engine comparison byte-stable) against full-64-dim exact
+    ground truth. This is the dial-setting harness for the cheapest
+    scale lever a 100 TB vector corpus has: storing/serving d/4 of the
+    dims quarters scan bytes, index memory, and ADC width — IF recall
+    holds, which this measures before anyone flips the dial. Both legs
+    are brute_force_topk (identical 6dp-round + tie-break rules); at
+    scale the panel is a query SAMPLE, so the cost is two
+    queries-broadcast corpus scans, not an index rebuild."""
+    from evidence_images_etl_airflow_spark.operators.similarity import (
+        brute_force_topk,
+        matryoshka_truncate,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    bf = brute_force_topk(emb, queries, "vec_id", "embedding", k=3).select(
+        "query_id", "neighbor_id"
+    )
+    temb = matryoshka_truncate(emb, "embedding", _MRL_DIMS, renormalize=False)
+    tq = matryoshka_truncate(queries, "embedding", _MRL_DIMS, renormalize=False)
+    tr = brute_force_topk(temb, tq, "vec_id", "embedding", k=3).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    return (
+        bf.join(tr, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.lit(_MRL_DIMS).cast("int").alias("trunc_dims"),
             F.count("*").cast("bigint").alias("n_true"),
             F.count("__hit").cast("bigint").alias("n_hit"),
             F.round(F.count("__hit") / F.count("*"), 6).alias("recall_at_3"),
@@ -6270,6 +6406,111 @@ def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_K = 256
+
+
+@register(
+    "sketch_kmv_set_ops",
+    oracle=f"""
+    WITH ut AS (SELECT DISTINCT o_orderpriority AS m, o_custkey AS ck
+                FROM orders),
+    h AS (SELECT m,
+                 CAST('0x' || substr(md5('kmv:' || CAST(ck AS VARCHAR)), 1, 15)
+                      AS BIGINT) AS hv
+          FROM ut),
+    r AS (SELECT m, hv,
+                 row_number() OVER (PARTITION BY m ORDER BY hv) AS rn
+          FROM h),
+    sk AS (SELECT m, list(hv ORDER BY hv) AS kmv
+           FROM r WHERE rn <= {_KMV_K} GROUP BY m),
+    cnt AS (SELECT m, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY m),
+    inter AS (SELECT a.m AS ma, b.m AS mb, CAST(count(*) AS BIGINT) AS ni
+              FROM ut a JOIN ut b USING (ck)
+              WHERE a.m < b.m GROUP BY 1, 2),
+    pairs AS (
+      SELECT i.ma, i.mb, ca.n AS exact_a, cb.n AS exact_b,
+             ca.n + cb.n - i.ni AS exact_union, i.ni AS exact_inter,
+             sa.kmv AS ka, sb.kmv AS kb
+      FROM inter i
+      JOIN cnt ca ON ca.m = i.ma  JOIN cnt cb ON cb.m = i.mb
+      JOIN sk sa ON sa.m = i.ma   JOIN sk sb ON sb.m = i.mb),
+    u AS (SELECT *,
+                 list_sort(list_distinct(list_concat(ka, kb)))[1:{_KMV_K}] AS ul
+          FROM pairs),
+    est AS (SELECT *,
+      CASE WHEN len(ul) < {_KMV_K} THEN CAST(len(ul) AS DOUBLE)
+           ELSE (CAST({_KMV_K - 1} AS DOUBLE) * 1152921504606846976.0)
+                / CAST(ul[{_KMV_K}] + 1 AS DOUBLE) END AS est_union_raw,
+      CAST(len(list_filter(ul,
+                x -> list_contains(ka, x) AND list_contains(kb, x)))
+           AS DOUBLE) / CAST(len(ul) AS DOUBLE) AS jacc_raw
+      FROM u)
+    SELECT ma AS prio_a, mb AS prio_b,
+           exact_a, exact_b, exact_union, exact_inter,
+           round(est_union_raw, 6) AS est_union,
+           round(jacc_raw, 6) AS jaccard_est,
+           round(jacc_raw * est_union_raw, 6) AS est_inter
+    FROM est
+    """,
+)
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketches with SET OPERATIONS
+    (operators/sketches.kmv_sketches / kmv_union / kmv_jaccard): per
+    order-priority sketches of the distinct customer set, then for
+    every priority pair the union distinct estimate, Jaccard, and
+    intersection estimate — alongside the exact answers for
+    comparison. This is the audience-overlap question HLL cannot
+    answer (HLL unions; inclusion–exclusion error explodes), asked at
+    100 TB as "how many customers do segments A and B share" with no
+    raw-data rescans: the sketch table is O(groups x k x 8B) and every
+    pairwise answer is array math on it. Deterministic md5 hashes make
+    the sketch itself reproducible cross-engine, so the oracle matches
+    the ESTIMATES exactly, not just a tolerance verdict; at sf0.001
+    groups have < k distinct customers (the sketch is exact), at
+    sf0.01+ the (k-1)/m_k estimator branch engages — both code paths
+    are parity-proven. Scale: one (key, hash) distinct shuffle +
+    map-side-limited rank-k window builds all sketches in a single
+    pass; the pairwise stage touches only the 5-row sketch table."""
+    from evidence_images_etl_airflow_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_jaccard,
+        kmv_sketches,
+        kmv_union,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    ut = o.select(F.col("o_orderpriority").alias("m"), F.col("o_custkey").alias("ck")).distinct()
+    sk = kmv_sketches(ut, ["m"], "ck", k=_KMV_K)
+    cnt = ut.groupBy("m").agg(F.count("*").cast("bigint").alias("n"))
+    inter = (
+        ut.alias("a")
+        .join(ut.alias("b"), "ck")
+        .filter(F.col("a.m") < F.col("b.m"))
+        .groupBy(F.col("a.m").alias("ma"), F.col("b.m").alias("mb"))
+        .agg(F.count("*").cast("bigint").alias("ni"))
+    )
+    pairs = (
+        inter.join(F.broadcast(cnt.select(F.col("m").alias("ma"), F.col("n").alias("exact_a"))), "ma")
+        .join(F.broadcast(cnt.select(F.col("m").alias("mb"), F.col("n").alias("exact_b"))), "mb")
+        .join(F.broadcast(sk.select(F.col("m").alias("ma"), F.col("kmv").alias("ka"))), "ma")
+        .join(F.broadcast(sk.select(F.col("m").alias("mb"), F.col("kmv").alias("kb"))), "mb")
+    )
+    ul = kmv_union(F.col("ka"), F.col("kb"), _KMV_K)
+    est_union_raw = kmv_estimate(ul, _KMV_K)
+    jacc_raw = kmv_jaccard(F.col("ka"), F.col("kb"), _KMV_K)
+    return pairs.select(
+        F.col("ma").alias("prio_a"),
+        F.col("mb").alias("prio_b"),
+        "exact_a",
+        "exact_b",
+        (F.col("exact_a") + F.col("exact_b") - F.col("ni")).alias("exact_union"),
+        F.col("ni").alias("exact_inter"),
+        F.round(est_union_raw, 6).alias("est_union"),
+        F.round(jacc_raw, 6).alias("jaccard_est"),
+        F.round(jacc_raw * est_union_raw, 6).alias("est_inter"),
+    )
+
+
 @register(
     "join_bloom_prefilter",
     oracle="""
@@ -6752,6 +6993,9 @@ _VERIFY_FIRST = [
     # mergeable quantile rollup), also without prior rows.
     "dedup_span_sliding",
     "sketch_topk_heavy_hitters",
+    "embedding_matryoshka_recall",
+    "sketch_kmv_set_ops",
+    "data_weighted_reservoir",
     "ann_recall_report",
     "sketch_mg_incremental",
     "sketch_quantile_rollup",

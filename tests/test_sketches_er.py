@@ -179,3 +179,68 @@ def test_levenshtein_stays_codegen(spark):
         .toString()
     )
     assert "levenshtein" in plan and "BatchEvalPython" not in plan
+
+
+def test_kmv_sketch_exact_below_k_and_estimator_above(spark):
+    """Below k the sketch IS the distinct set (estimate exact); above k
+    the (k-1)/m_k estimator lands within a few sigma of truth."""
+    from evidence_images_etl_airflow_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketches,
+    )
+
+    rows = [("small", v) for v in range(10)] + [
+        ("big", v) for v in range(5000)
+    ] * 2  # duplicates must not occupy sketch slots
+    df = spark.createDataFrame(rows, "g string, v long")
+    k = 64
+    sk = kmv_sketches(df, ["g"], "v", k=k)
+    out = {
+        r.g: (r.n, r.est)
+        for r in sk.select(
+            "g",
+            F.size("kmv").alias("n"),
+            kmv_estimate(F.col("kmv"), k).alias("est"),
+        ).collect()
+    }
+    assert out["small"] == (10, 10.0)  # exact branch
+    n_big, est_big = out["big"]
+    assert n_big == k
+    # rsd ~ 1/sqrt(k-2) ~ 12.7%; allow 4 sigma
+    assert abs(est_big - 5000) / 5000 < 0.51
+
+
+def test_kmv_union_and_jaccard_recover_known_overlap(spark):
+    """Two groups with a known 50% overlap: the union sketch equals the
+    sketch of the union, and Jaccard/intersection estimates are close
+    to truth."""
+    from evidence_images_etl_airflow_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_jaccard,
+        kmv_sketches,
+        kmv_union,
+    )
+
+    # A = 0..2999, B = 1500..4499 -> |A|=|B|=3000, inter=1500, union=4500
+    rows = [("a", v) for v in range(3000)] + [
+        ("b", v) for v in range(1500, 4500)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    k = 256
+    sk = kmv_sketches(df, ["g"], "v", k=k)
+    a = sk.filter("g = 'a'").select(F.col("kmv").alias("ka"))
+    b = sk.filter("g = 'b'").select(F.col("kmv").alias("kb"))
+    pair = a.crossJoin(b)
+    ul = kmv_union(F.col("ka"), F.col("kb"), k)
+    row = pair.select(
+        kmv_estimate(ul, k).alias("est_union"),
+        kmv_jaccard(F.col("ka"), F.col("kb"), k).alias("jacc"),
+    ).collect()[0]
+    assert abs(row.est_union - 4500) / 4500 < 0.25
+    assert abs(row.jacc - 1500 / 4500) < 0.12
+    # union sketch == sketch built over the union directly (mergeability)
+    direct = kmv_sketches(
+        df.select(F.lit("u").alias("g"), "v"), ["g"], "v", k=k
+    ).collect()[0]["kmv"]
+    merged = pair.select(ul.alias("u")).collect()[0]["u"]
+    assert merged == direct

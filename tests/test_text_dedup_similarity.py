@@ -563,3 +563,49 @@ def test_span_dedup_sliding_hand_computed(spark):
     assert out[2] == ("p q r s", 4, 4)
     assert out[3] == ("a b", 2, 0)
     assert out[4] == ("", 0, 8)
+
+
+def test_matryoshka_truncate_renormalized_unit_norm(spark):
+    from evidence_images_etl_airflow_spark.operators.similarity import (
+        matryoshka_truncate,
+    )
+
+    rows = [
+        (0, [3.0, 4.0, 100.0, -7.0]),
+        (1, [0.0, 0.0, 5.0, 5.0]),   # zero prefix -> no renorm divide
+        (2, [1.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r.t
+        for r in matryoshka_truncate(
+            df, "embedding", dims=2, out_col="t"
+        ).collect()
+    }
+    # prefix kept, tail dropped, unit norm after renormalize
+    assert out[0] == pytest.approx([0.6, 0.8])
+    # zero-norm prefix passes through unscaled (no div-by-zero NULLs)
+    assert out[1] == pytest.approx([0.0, 0.0])
+    assert sum(v * v for v in out[2]) == pytest.approx(1.0)
+
+
+def test_matryoshka_prefix_cosine_equals_renormalized_cosine(spark):
+    from evidence_images_etl_airflow_spark.operators.similarity import (
+        matryoshka_truncate,
+    )
+
+    rows = [(0, [1.0, 2.0, 9.0, -4.0]), (1, [2.0, 1.0, -3.0, 8.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pref = matryoshka_truncate(df, "embedding", dims=2, renormalize=False)
+    ren = matryoshka_truncate(df, "embedding", dims=2, renormalize=True)
+
+    def cos_pair(d):
+        a = d.filter("vec_id = 0").select(F.col("embedding").alias("a"))
+        b = d.filter("vec_id = 1").select(F.col("embedding").alias("b"))
+        return a.crossJoin(b).select(
+            cosine(F.col("a"), F.col("b")).alias("c")
+        ).collect()[0].c
+
+    # cosine is invariant under the renormalization (the operator's
+    # documented contract that lets the oracle use the raw prefix)
+    assert cos_pair(pref) == pytest.approx(cos_pair(ren), abs=1e-12)

@@ -259,3 +259,51 @@ def test_weighted_sample_monotone_and_deterministic(spark):
         ).count()
         == 2000
     )
+
+
+def test_weighted_reservoir_fixed_size_and_weight_bias(spark):
+    """A-ES reservoir: exactly min(k, group) rows per group; across
+    many salts a 10x-heavier item is sampled far more often than a
+    light one; and the sample is deterministic for a fixed salt."""
+    from evidence_images_etl_airflow_spark.functions.partitioning import (
+        weighted_reservoir_topk,
+    )
+
+    rows = [("g", i, 1000 if i < 5 else 10) for i in range(40)] + [
+        ("tiny", 100, 7),
+        ("tiny", 101, 7),
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long, w long")
+
+    out = weighted_reservoir_topk(df, ["grp"], "w", "id", k=8, salt="s0")
+    sizes = {r.grp: r.n for r in out.groupBy("grp").count().withColumnRenamed("count", "n").collect()}
+    assert sizes == {"g": 8, "tiny": 2}  # exact budget; small group passes whole
+
+    # determinism: same salt twice -> identical ids
+    a = sorted(r.id for r in out.filter("grp = 'g'").collect())
+    b = sorted(
+        r.id
+        for r in weighted_reservoir_topk(df, ["grp"], "w", "id", k=8, salt="s0")
+        .filter("grp = 'g'")
+        .collect()
+    )
+    assert a == b
+
+    # weight bias: over 30 salts, heavy ids (w=1000) appear in nearly
+    # every sample; each light id (w=10) in a minority
+    heavy_hits = light_hits = 0
+    for s in range(30):
+        ids = {
+            r.id
+            for r in weighted_reservoir_topk(
+                df.filter("grp = 'g'"), ["grp"], "w", "id", k=8, salt=f"m{s}"
+            ).collect()
+        }
+        heavy_hits += sum(1 for i in range(5) if i in ids)
+        light_hits += sum(1 for i in range(5, 40) if i in ids)
+    # heavy inclusion rate per item vs light inclusion rate per item
+    heavy_rate = heavy_hits / (5 * 30)
+    light_rate = light_hits / (35 * 30)
+    assert heavy_rate > 0.9
+    assert light_rate < 0.35
+    assert heavy_rate > 2.5 * light_rate

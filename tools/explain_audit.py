@@ -29,6 +29,7 @@ EXPECTED_CROSS = {
     "sketch_topk_heavy_hitters",  # 1-row MG error-bound aggregate broadcast
     "sketch_mg_incremental",  # same 1-row error-bound broadcast, 2 batches
     "ann_recall_report",  # query-batch broadcasts of both ANN legs
+    "embedding_matryoshka_recall",  # query-batch broadcasts of both dim legs
     "dedup_recall_report",  # 1-row lsh-pair-count aggregate broadcast
     "q22_idle_rich_customers",
     "data_length_trim",  # 1-row percentile-cuts aggregate broadcast
