@@ -138,6 +138,72 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """DIRECTED near-dup pairs by n-gram containment: (contained_id,
+    container_id, containment, jaccard) where containment =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)| >= threshold. The
+    asymmetric complement of ``ngram_jaccard_pairs``: a short document
+    quoted wholesale inside a long one has containment ~1 but Jaccard
+    ~|A|/|B| — far below any symmetric threshold — so Jaccard-only
+    dedup keeps both copies of every snippet/boilerplate inclusion.
+    Both directions are evaluated per candidate pair; mutual near-dups
+    emit two rows (each direction states its own contained side). The
+    symmetric Jaccard rides along for context — rows with high
+    containment and low Jaccard are precisely the pairs only THIS
+    operator catches.
+
+    Same scale discipline as the Jaccard variant: candidates only from
+    shared shingles (one shingle-keyed self-join, cost follows
+    collision counts, never N^2) with the same ``max_doc_freq``
+    stop-shingle cap; one extra projection per direction, no extra
+    shuffle."""
+    sh = _doc_shingles(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+        sh = sh.join(freq.filter(F.col("df_") <= max_doc_freq), "shingle").drop("df_")
+    sh = _materialized(sh)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    both = inter.join(sa, "id_a").join(sb, "id_b").withColumn(
+        "jaccard",
+        F.round(
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+        ),
+    )
+    ab = both.select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        F.round(F.col("inter") / F.col("sz_a"), 6).alias("containment"),
+        "jaccard",
+    )
+    ba = both.select(
+        F.col("id_b").alias("contained_id"),
+        F.col("id_a").alias("container_id"),
+        F.round(F.col("inter") / F.col("sz_b"), 6).alias("containment"),
+        "jaccard",
+    )
+    return ab.unionByName(ba).filter(F.col("containment") >= threshold)
+
+
 # --- MinHash + LSH -----------------------------------------------------------
 MINHASH_P = (1 << 31) - 1
 """Modulus for the affine MinHash family: the Mersenne prime 2^31-1.

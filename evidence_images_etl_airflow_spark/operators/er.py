@@ -80,3 +80,64 @@ def blocked_levenshtein_pairs(
         )
         .where((F.col("dist") >= min_dist) & (F.col("dist") <= max_dist))
     )
+
+
+def golden_records(
+    rows: DataFrame,
+    comp: DataFrame,
+    entity_col: str,
+    mode_cols: tuple[str, ...] = (),
+    max_cols: tuple[str, ...] = (),
+    min_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Survivorship: consolidate each matched-entity cluster into ONE
+    golden record — the step after blocked matching
+    (blocked_levenshtein_pairs) and clustering (dedup.connected_
+    components) that makes ER actionable: downstream joins hit one
+    canonical row per real-world entity instead of every variant
+    spelling. ``comp`` is the (node, component) cluster table; ``rows``
+    are the raw records keyed by ``entity_col``.
+
+    Rules, all deterministic (ties break lexicographically):
+    - canonical_<entity_col>: the variant backing the MOST rows
+      (frequency argmax — the usual "most-attested spelling" rule);
+    - top_<c> for each mode_col: most frequent value across the
+      cluster's rows, with its row count;
+    - max_<c> / min_<c>: plain extremes (recency / first-seen /
+      highest-confidence style rules).
+
+    Scale shape: ``comp`` is matched-names-sized (canonicalized
+    upstream, so orders of magnitude smaller than ``rows``) and
+    broadcasts; every rule is one groupBy over the cluster-tagged rows
+    plus, for frequency rules, a rank-1 window (WindowGroupLimit keeps
+    one row per cluster map-side). Nothing shuffles more than once per
+    rule, and no rule ever sees untagged rows."""
+    from pyspark.sql import Window
+
+    r = rows.join(
+        F.broadcast(comp.select("node", "component")),
+        rows[entity_col] == F.col("node"),
+    ).drop("node")
+    out = r.groupBy("component").agg(
+        F.countDistinct(entity_col).cast("bigint").alias("n_members"),
+        F.count("*").cast("bigint").alias("n_rows_total"),
+        *[F.max(c).alias(f"max_{c}") for c in max_cols],
+        *[F.min(c).alias(f"min_{c}") for c in min_cols],
+    )
+    for c in (entity_col, *mode_cols):
+        counts = r.groupBy("component", c).agg(F.count("*").alias("__n"))
+        w = Window.partitionBy("component").orderBy(
+            F.col("__n").desc(), F.col(c)
+        )
+        prefix = "canonical_" if c == entity_col else "top_"
+        out = out.join(
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "component",
+                F.col(c).alias(prefix + c),
+                F.col("__n").cast("bigint").alias(prefix + c + "_rows"),
+            ),
+            "component",
+        )
+    return out

@@ -23,7 +23,7 @@ itself, so results are exact, never approximate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from evidence_images_etl_airflow_spark.operators.dedup import (
@@ -79,3 +79,53 @@ def bloom_prefiltered_join(
         "__k", "__might_contain"
     )
     return survivors.join(small, key, how)
+
+
+def join_size_by_degree(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    top_n: int = 5,
+) -> DataFrame:
+    """EXACT equi-join output size + per-key skew attribution WITHOUT
+    executing the join — the pre-flight check before any fact-fact
+    join at 100 TB. |A join B| = sum over keys of n_a(k) * n_b(k), so
+    aggregating each side to per-key degrees and joining THOSE (one
+    row per distinct key, not per output row) prices the join and
+    names the keys that dominate it. The report is what decides the
+    strategy: a handful of keys carrying most of the output means
+    salting / AQE skew-join; a bounded total means just run it; an
+    astronomical total means the join predicate is wrong — discovered
+    for the cost of two aggregates instead of an executor-killing
+    shuffle. Returns the top_n heaviest keys:
+    (key, n_left, n_right, pairs, pct_of_total, total_pairs, rank).
+
+    Scale shape: two map-side-combinable groupBy counts (partial aggs
+    shrink each side to its distinct keys before the shuffle), one
+    join on the degree tables, a 1-row total broadcast back, and a
+    global top-n window over the degree table (WindowGroupLimit keeps
+    n rows per partition map-side). Nothing here is ever the size of
+    the join output."""
+    da = left.groupBy(F.col(key)).agg(F.count("*").cast("bigint").alias("n_left"))
+    db = right.groupBy(F.col(key)).agg(F.count("*").cast("bigint").alias("n_right"))
+    deg = da.join(db, key).select(
+        key, "n_left", "n_right", (F.col("n_left") * F.col("n_right")).alias("pairs")
+    )
+    total = deg.agg(F.sum("pairs").cast("bigint").alias("total_pairs"))
+    w = Window.orderBy(F.col("pairs").desc(), F.col(key))
+    return (
+        deg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .crossJoin(F.broadcast(total))
+        .select(
+            key,
+            "n_left",
+            "n_right",
+            "pairs",
+            F.round(
+                F.col("pairs").cast("double") / F.col("total_pairs").cast("double"), 6
+            ).alias("pct_of_total"),
+            "total_pairs",
+            "rank",
+        )
+    )

@@ -64,6 +64,7 @@ from evidence_images_etl_airflow_spark.operators.dedup import (
     embedding_near_dups,
     minhash_lsh_pairs,
     minhash_params,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash64,
     simhash_near_pairs,
@@ -3279,6 +3280,51 @@ def dedup_ngram_jaccard_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=2)
 
 
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH {_shingle_cte()},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    both_dir AS (
+      SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+             round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b)
+    SELECT contained_id, container_id, containment, jaccard FROM (
+      SELECT id_a AS contained_id, id_b AS container_id,
+             round(inter / sz_a, 6) AS containment, jaccard
+      FROM both_dir
+      UNION ALL
+      SELECT id_b AS contained_id, id_a AS container_id,
+             round(inter / sz_b, 6) AS containment, jaccard
+      FROM both_dir)
+    WHERE containment >= 0.6
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment near-dup pairs
+    (operators/dedup.ngram_containment_pairs): shingles(contained) ⊆~
+    shingles(container) at >= 0.6 — the ASYMMETRIC dedup axis. A
+    snippet quoted inside a much longer page has containment ~1 but
+    Jaccard ~|A|/|B|, so symmetric-threshold dedup keeps both copies;
+    this operator names the contained side (the droppable one) per
+    direction. Same blocked candidate generation and stop-shingle
+    economics as the Jaccard family — one extra projection per
+    direction, no extra shuffle. (The synthetic corpus's near-dups are
+    mutual — asymmetric inclusion is pinned by the unit test with
+    constructed snippet pairs; this registration proves cross-engine
+    parity of both directions' arithmetic.)"""
+    d = _t(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        d, "doc_id", "text", n=3, threshold=0.6, max_doc_freq=None
+    )
+
+
 def _minhash_ctes(num_hashes: int = 8, bands: int = 4) -> str:
     """The MinHash+LSH CTE chain through ``cands`` / ``inter`` /
     ``sizes`` — shared by the dedup_minhash_lsh oracle and the
@@ -4405,6 +4451,63 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_pca_whiten",
+    oracle="""
+    SELECT CAST(i AS INT) AS component,
+           TRUE AS orthonormal, TRUE AS spectrum_desc,
+           TRUE AS centered, TRUE AS unit_whitened_var,
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_rows
+    FROM range(0, 8) t(i)
+    """,
+)
+def embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA + whitening over the embedding corpus
+    (operators/pca.py): one Arrow-batched pass reduces each partition
+    to its (n, Σx, Σxxᵀ) moment triple, the 64×64 eigensolve runs on
+    the driver (microseconds, sign-normalized for a unique basis), and
+    the top-8 whitened projection is pure JVM zip_with/aggregate
+    expressions — no Python in the projection path. The spectral
+    cousin of matryoshka truncation: optimal linear compression for
+    THIS corpus, plus isotropic geometry (whitening) that anisotropic
+    embedding models need before cosine retrieval. Covariance floats
+    are partition-order sums, so (ml_curation discipline) the oracle
+    pins THEOREMS, not hashes: basis orthonormality, descending
+    spectrum, per-component centering, unit whitened variance, and row
+    preservation — each computed from the actual model/projections and
+    emitted as verdicts. Scale: nothing row-sized leaves an executor;
+    driver work is O(partitions × d²) + one d×d eigh."""
+    import numpy as np
+
+    from evidence_images_etl_airflow_spark.operators.pca import (
+        embedding_moments,
+        pca_components,
+        project_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n, mean, cov = embedding_moments(emb, "embedding", _DIM)
+    vals, comps = pca_components(cov, 8)
+    proj = project_embeddings(emb, "embedding", mean, comps, eigenvalues=vals)
+    orth = bool(np.max(np.abs(comps @ comps.T - np.eye(len(comps)))) < 1e-6)
+    desc = bool(np.all(np.diff(vals) <= 1e-12))
+    stats = proj.select(F.posexplode("proj").alias("component", "v")).groupBy(
+        "component"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.avg("v").alias("__mu"),
+        (F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v")).alias("__var"),
+    )
+    return stats.select(
+        F.col("component").cast("int").alias("component"),
+        F.lit(orth).alias("orthonormal"),
+        F.lit(desc).alias("spectrum_desc"),
+        (F.abs(F.col("__mu")) < 1e-6).alias("centered"),
+        (F.abs(F.col("__var") - 1.0) < 1e-3).alias("unit_whitened_var"),
+        "n_rows",
+    )
+
+
 _MRL_DIMS = 16  # matryoshka prefix under evaluation (of _DIM = 64)
 
 
@@ -5157,6 +5260,71 @@ def profile_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
             F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
         )
+    )
+
+
+@register(
+    "profile_drift_psi",
+    oracle="""
+    WITH base AS (
+      SELECT o_totalprice AS x, o_orderpriority AS c,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 'ref' ELSE 'cur' END AS per
+      FROM orders),
+    st AS (SELECT CAST(min(x) AS DOUBLE) AS mn,
+                  CAST(max(x) AS DOUBLE) AS mx FROM base),
+    nb AS (SELECT per,
+                  CAST(CASE WHEN mx = mn THEN 0
+                       ELSE least(CAST(floor((CAST(x AS DOUBLE) - mn)
+                                             / ((mx - mn) / 10)) AS BIGINT),
+                                  9) END AS VARCHAR) AS bin
+           FROM base, st),
+    f AS (SELECT 'o_totalprice' AS feature, per, bin FROM nb
+          UNION ALL
+          SELECT 'o_orderpriority' AS feature, per, c AS bin FROM base),
+    tot AS (SELECT feature,
+                   CAST(count(*) FILTER (WHERE per = 'ref') AS BIGINT) AS tr,
+                   CAST(count(*) FILTER (WHERE per = 'cur') AS BIGINT) AS tc
+            FROM f GROUP BY 1),
+    cnts AS (SELECT feature, bin,
+                    CAST(count(*) FILTER (WHERE per = 'ref') AS BIGINT) AS nr,
+                    CAST(count(*) FILTER (WHERE per = 'cur') AS BIGINT) AS nc
+             FROM f GROUP BY 1, 2),
+    p AS (SELECT feature, bin,
+                 greatest(round(nr / tr, 6), 0.000001) AS p_ref,
+                 greatest(round(nc / tc, 6), 0.000001) AS p_cur
+          FROM cnts JOIN tot USING (feature)),
+    t AS (SELECT *, (p_ref - p_cur) * ln(p_ref / p_cur) AS term FROM p)
+    SELECT feature, bin, p_ref, p_cur,
+           round(term, 6) AS psi_term,
+           round(sum(term) OVER (PARTITION BY feature), 6) AS psi
+    FROM t
+    """,
+)
+def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report (operators/drift.psi_report): PSI of
+    order value (10 equal-width bins against the GLOBAL min/max, so
+    both slices share edges) and order priority (categorical) between
+    pre-1998 and 1998+ orders — the standing "did this batch change
+    shape?" gate a 100 TB ingest runs before a batch poisons training
+    mixtures or dashboards (PSI < 0.1 stable / > 0.2 shifted). Every
+    step is deterministic — equal-width edges from a 1-row min/max
+    broadcast, proportions rounded to 6dp then eps-clamped BEFORE the
+    log — so the oracle replays the full computation, terms and
+    totals. Cost per feature: one conditional-count groupBy over
+    observed bins (map-side combinable), a 1-row totals broadcast,
+    and a window over O(bins) rows; the raw table never shuffles."""
+    from evidence_images_etl_airflow_spark.operators.drift import psi_report
+
+    o = _t(spark, sf_dir, "orders")
+    return psi_report(
+        o,
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), "ref"
+        ).otherwise("cur"),
+        numeric_cols=("o_totalprice",),
+        categorical_cols=("o_orderpriority",),
+        n_bins=10,
     )
 
 
@@ -6562,6 +6730,45 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_size_skew_report",
+    oracle="""
+    WITH da AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_left
+                FROM lineitem GROUP BY l_partkey),
+    db AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_right
+           FROM lineitem GROUP BY l_partkey),
+    deg AS (SELECT da.l_partkey, n_left, n_right, n_left * n_right AS pairs
+            FROM da JOIN db USING (l_partkey)),
+    tot AS (SELECT CAST(sum(pairs) AS BIGINT) AS total_pairs FROM deg)
+    SELECT l_partkey, n_left, n_right, pairs,
+           round(CAST(pairs AS DOUBLE) / CAST(total_pairs AS DOUBLE), 6)
+             AS pct_of_total,
+           total_pairs,
+           row_number() OVER (ORDER BY pairs DESC, l_partkey) AS rank
+    FROM deg, tot
+    QUALIFY rank <= 5
+    """,
+)
+def join_size_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join pricing (operators/joins.join_size_by_degree):
+    the EXACT output size of the lineitem self-join on l_partkey and
+    the 5 keys that dominate it — computed from per-key degree tables
+    (one row per distinct key), never by running the join. This is the
+    diagnostic every 100 TB fact-fact join should pass through first:
+    sum(n_a x n_b) prices the shuffle, and the top-key shares say
+    whether the plan needs salting / AQE skew handling (few keys carry
+    the mass) or is safe to run as-is. Cost: two map-side-combined
+    aggregates + a distinct-key join + a 1-row total broadcast — the
+    report is O(distinct keys), the join it prices is O(output rows),
+    and the gap between those two is exactly why the report exists."""
+    from evidence_images_etl_airflow_spark.operators.joins import (
+        join_size_by_degree,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return join_size_by_degree(li, li, "l_partkey", top_n=5)
+
+
+@register(
     "incremental_rollup_equivalence",
     oracle="""
     SELECT o_orderstatus,
@@ -6723,6 +6930,102 @@ def er_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(counts), pairs.name_b == counts["__n"])
         .withColumnRenamed("n_rows", "rows_b")
         .select("name_a", "name_b", "dist", "rows_a", "rows_b")
+    )
+
+
+@register(
+    "er_golden_record",
+    oracle=r"""
+    WITH RECURSIVE
+    names AS (
+      SELECT p_name, CAST(count(*) AS BIGINT) AS n_rows
+      FROM part GROUP BY p_name),
+    blk AS (
+      SELECT p_name, n_rows, regexp_extract(p_name, '(\S+)$', 1) AS b
+      FROM names),
+    pairs AS (
+      SELECT a.p_name AS name_a, c.p_name AS name_b
+      FROM blk a JOIN blk c ON a.b = c.b AND a.p_name < c.p_name
+      WHERE levenshtein(a.p_name, c.p_name) BETWEEN 1 AND 3),
+    edges AS (
+      SELECT name_a AS src, name_b AS dst FROM pairs
+      UNION
+      SELECT name_b AS src, name_a AS dst FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+      SELECT node, node AS lbl FROM nodes
+      UNION
+      SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+    rws AS (SELECT c.component, p.p_name, p.p_brand, p.p_retailprice, p.p_size
+            FROM part p JOIN comp c ON p.p_name = c.node),
+    base AS (
+      SELECT component,
+             CAST(count(DISTINCT p_name) AS BIGINT) AS n_members,
+             CAST(count(*) AS BIGINT) AS n_rows_total,
+             CAST(round(max(p_retailprice), 2) AS DOUBLE) AS max_price,
+             CAST(min(p_size) AS INT) AS min_size
+      FROM rws GROUP BY component),
+    canon AS (
+      SELECT component, p_name AS canonical_name, n AS canonical_rows FROM (
+        SELECT component, p_name, CAST(count(*) AS BIGINT) AS n,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY count(*) DESC, p_name) AS rn
+        FROM rws GROUP BY component, p_name)
+      WHERE rn = 1),
+    topb AS (
+      SELECT component, p_brand AS top_brand, n AS brand_rows FROM (
+        SELECT component, p_brand, CAST(count(*) AS BIGINT) AS n,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY count(*) DESC, p_brand) AS rn
+        FROM rws GROUP BY component, p_brand)
+      WHERE rn = 1)
+    SELECT b.component, canonical_name, canonical_rows, n_members,
+           n_rows_total, top_brand, brand_rows, max_price, min_size
+    FROM base b JOIN canon USING (component) JOIN topb USING (component)
+    """,
+)
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last mile of entity resolution: match (blocked levenshtein,
+    er_fuzzy_part_pairs' exact pipeline) -> cluster (connected
+    components over the pair list) -> CONSOLIDATE
+    (operators/er.golden_records): one survivor row per matched
+    entity cluster, built by deterministic survivorship rules —
+    canonical name = most-attested variant, brand = cluster mode,
+    price/size = extremes, ties lexicographic. This is what turns "we
+    found 60 spelling variants" into a usable dimension table: joins
+    downstream hit ONE golden row per real entity. The oracle replays
+    matching, recursive-CTE reachability clustering, AND every
+    survivorship rule end-to-end. Scale: matching is block-bounded,
+    clustering is O(diameter) rounds on the match graph only, and the
+    consolidation is per-rule single shuffles over cluster-tagged
+    rows with rank-1 windows (WindowGroupLimit) — the cluster table
+    broadcasts because it is canonicalized-names-sized, never
+    raw-rows-sized."""
+    from evidence_images_etl_airflow_spark.operators.er import golden_records
+
+    p = _t(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(F.count("*").alias("n_rows"))
+    pairs = blocked_levenshtein_pairs(names, "p_name", min_dist=1, max_dist=3)
+    comp = connected_components(pairs, src="name_a", dst="name_b")
+    out = golden_records(
+        p.select("p_name", "p_brand", "p_retailprice", "p_size"),
+        comp,
+        "p_name",
+        mode_cols=("p_brand",),
+        max_cols=("p_retailprice",),
+        min_cols=("p_size",),
+    )
+    return out.select(
+        "component",
+        F.col("canonical_p_name").alias("canonical_name"),
+        F.col("canonical_p_name_rows").alias("canonical_rows"),
+        "n_members",
+        "n_rows_total",
+        F.col("top_p_brand").alias("top_brand"),
+        F.col("top_p_brand_rows").alias("brand_rows"),
+        F.round(F.col("max_p_retailprice"), 2).cast("double").alias("max_price"),
+        F.col("min_p_size").cast("int").alias("min_size"),
     )
 
 
@@ -6996,6 +7299,11 @@ _VERIFY_FIRST = [
     "embedding_matryoshka_recall",
     "sketch_kmv_set_ops",
     "data_weighted_reservoir",
+    "join_size_skew_report",
+    "er_golden_record",
+    "dedup_ngram_containment",
+    "profile_drift_psi",
+    "embedding_pca_whiten",
     "ann_recall_report",
     "sketch_mg_incremental",
     "sketch_quantile_rollup",

@@ -186,3 +186,28 @@ def test_heavy_hitters_stream_maintains_certified_summary(spark, tmp_path):
     ests2 = {r.item: r.cnt for r in rows2 if r.item is not None}
     assert ests2["hot"] <= true["hot"]
     assert true["hot"] - ests2["hot"] <= err2  # f0-f2 NOT double-counted
+
+
+def test_join_size_by_degree_hand_computed(spark):
+    """Exact output size and skew shares from degree tables alone:
+    left has key a x3, b x1; right has a x2, c x5 -> join size is
+    3*2 = 6, all from key 'a'; 'b' and 'c' never meet."""
+    from evidence_images_etl_airflow_spark.operators.joins import (
+        join_size_by_degree,
+    )
+
+    left = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)], "k string"
+    )
+    right = spark.createDataFrame(
+        [("a",)] * 2 + [("c",)] * 5, "k string"
+    )
+    rows = join_size_by_degree(left, right, "k", top_n=3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.k, r.n_left, r.n_right, r.pairs, r.total_pairs, r.rank) == (
+        "a", 3, 2, 6, 6, 1
+    )
+    assert r.pct_of_total == 1.0
+    # cross-check against the actually-executed join
+    assert left.join(right, "k").count() == r.total_pairs

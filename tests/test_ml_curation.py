@@ -130,3 +130,49 @@ def test_bigram_lm_ranks_fluent_below_shuffled(spark):
     assert out[100]["ppl"] < out[101]["ppl"]
     assert out[100]["n_bigrams"] == len(fluent.split()) - 1
     assert out[102]["ppl"] > out[100]["ppl"]
+
+
+def test_pca_moments_and_projection_match_numpy(spark):
+    """The distributed moment pass reproduces numpy's mean/cov; the
+    JVM-expression projection reproduces numpy's (X-mu)V^T / sqrt(l);
+    whitened components have unit population variance."""
+    import numpy as np
+
+    from evidence_images_etl_airflow_spark.operators.pca import (
+        embedding_moments,
+        pca_components,
+        project_embeddings,
+    )
+
+    rng = np.random.default_rng(3)
+    # anisotropic 6-dim data so the spectrum is well-separated
+    X = rng.standard_normal((200, 6)) * np.array([5, 3, 2, 1, 0.5, 0.25])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    ).repartition(4)
+
+    n, mean, cov = embedding_moments(df, "embedding", 6)
+    assert n == 200
+    np.testing.assert_allclose(mean, X.mean(axis=0), atol=1e-9)
+    np.testing.assert_allclose(
+        cov, np.cov(X, rowvar=False, bias=True), atol=1e-8
+    )
+
+    vals, comps = pca_components(cov, 3)
+    ref_vals = np.sort(np.linalg.eigvalsh(cov))[::-1][:3]
+    np.testing.assert_allclose(vals, ref_vals, atol=1e-9)
+    # orthonormal rows, descending spectrum
+    np.testing.assert_allclose(comps @ comps.T, np.eye(3), atol=1e-9)
+    assert vals[0] >= vals[1] >= vals[2]
+
+    proj = project_embeddings(
+        df, "embedding", mean, comps, eigenvalues=vals
+    )
+    got = np.array(
+        [r.proj for r in proj.orderBy("vec_id").collect()]
+    )
+    want = (X - X.mean(axis=0)) @ comps.T / np.sqrt(vals + 1e-9)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # whitening: unit population variance per kept axis
+    np.testing.assert_allclose(got.var(axis=0), np.ones(3), atol=1e-3)

@@ -59,3 +59,42 @@ def test_clean_data_reports_zero(spark):
     ).collect()
     assert all(r.violations == 0 for r in report)
     assert all(r.n_rows == 2 for r in report)
+
+
+def test_psi_zero_for_identical_and_hand_computed_drift(spark):
+    """PSI is 0 when slices share a distribution; a hand-computed
+    category shift reproduces the textbook formula, and a category
+    absent from one slice exercises the eps clamp."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from evidence_images_etl_airflow_spark.operators.drift import (
+        psi_categorical,
+    )
+
+    same = spark.createDataFrame(
+        [("ref", "a")] * 6 + [("ref", "b")] * 4
+        + [("cur", "a")] * 3 + [("cur", "b")] * 2,
+        "__period string, v string",
+    )
+    psi0 = psi_categorical(same, "v").select("psi").distinct().collect()
+    assert [r.psi for r in psi0] == [0.0]
+
+    # ref: a .8 / b .2 ; cur: a .5 / c .5 (b vanishes, c appears)
+    drift = spark.createDataFrame(
+        [("ref", "a")] * 8 + [("ref", "b")] * 2
+        + [("cur", "a")] * 5 + [("cur", "c")] * 5,
+        "__period string, v string",
+    )
+    rows = {r.bin: r for r in psi_categorical(drift, "v").collect()}
+    eps = 1e-6
+    expected = {
+        "a": (0.8 - 0.5) * math.log(0.8 / 0.5),
+        "b": (0.2 - eps) * math.log(0.2 / eps),
+        "c": (eps - 0.5) * math.log(eps / 0.5),
+    }
+    for b, e in expected.items():
+        assert abs(rows[b].psi_term - round(e, 6)) < 1e-9, b
+    total = round(sum(expected.values()), 6)
+    assert abs(rows["a"].psi - total) < 1e-9

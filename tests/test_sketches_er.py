@@ -244,3 +244,37 @@ def test_kmv_union_and_jaccard_recover_known_overlap(spark):
     ).collect()[0]["kmv"]
     merged = pair.select(ul.alias("u")).collect()[0]["u"]
     assert merged == direct
+
+
+def test_golden_records_survivorship_rules(spark):
+    """Hand-computed consolidation: cluster {acme corp (3 rows),
+    acme co (1)} -> canonical = most-attested 'acme corp', brand mode
+    with lexicographic tie-break, max/min extremes."""
+    from evidence_images_etl_airflow_spark.operators.er import golden_records
+
+    comp = spark.createDataFrame(
+        [("acme corp", "acme co"), ("acme co", "acme co")],
+        "node string, component string",
+    )
+    rows = spark.createDataFrame(
+        [
+            ("acme corp", "B1", 10.0, 5),
+            ("acme corp", "B2", 30.0, 3),
+            ("acme corp", "B2", 20.0, 9),
+            ("acme co", "B1", 40.0, 7),
+            ("unmatched", "B9", 99.0, 1),  # not in comp -> dropped
+        ],
+        "name string, brand string, price double, size int",
+    )
+    out = golden_records(
+        rows, comp, "name",
+        mode_cols=("brand",), max_cols=("price",), min_cols=("size",),
+    ).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g.component == "acme co"
+    assert (g.canonical_name, g.canonical_name_rows) == ("acme corp", 3)
+    assert (g.n_members, g.n_rows_total) == (2, 4)
+    # brand: B1 x2 vs B2 x2 -> tie breaks to lexicographically smaller
+    assert (g.top_brand, g.top_brand_rows) == ("B1", 2)
+    assert (g.max_price, g.min_size) == (40.0, 3)

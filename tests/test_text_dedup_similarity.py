@@ -609,3 +609,39 @@ def test_matryoshka_prefix_cosine_equals_renormalized_cosine(spark):
     # cosine is invariant under the renormalization (the operator's
     # documented contract that lets the oracle use the raw prefix)
     assert cos_pair(pref) == pytest.approx(cos_pair(ren), abs=1e-12)
+
+
+def test_ngram_containment_asymmetric_snippet(spark):
+    """The case Jaccard misses: a 5-shingle snippet quoted inside a
+    much longer page. Containment names the contained side at ~1.0
+    while Jaccard stays far below any dedup threshold."""
+    from evidence_images_etl_airflow_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    snippet = "alpha beta gamma delta epsilon zeta eta"
+    page = (
+        "intro words here one two three four five six seven "
+        + snippet
+        + " trailing content eight nine ten eleven twelve thirteen"
+    )
+    df = spark.createDataFrame(
+        [(1, snippet), (2, page), (3, "unrelated text with different tokens")],
+        "doc_id long, text string",
+    )
+    rows = ngram_containment_pairs(
+        df, "doc_id", "text", n=3, threshold=0.9, max_doc_freq=None
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.contained_id, r.container_id) == (1, 2)
+    assert r.containment == 1.0
+    assert r.jaccard < 0.25  # symmetric dedup at any sane threshold keeps both
+    # and the symmetric operator indeed misses it
+    assert (
+        ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=None
+        ).count()
+        == 0
+    )

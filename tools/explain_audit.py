@@ -44,6 +44,8 @@ EXPECTED_CROSS = {
     "zorder_locality_stats",  # 1-row dimension min/max stats broadcast
     "multimodal_phash_near",  # 1-row doc-stats x 1-row pair-stats report
     "dedup_semantic_kmeans",  # 1-row count x 1-row invariant-verdict report
+    "join_size_skew_report",  # 1-row total-pairs aggregate broadcast
+    "profile_drift_psi",  # 1-row min/max edges + 1-row totals broadcasts
 }
 
 
