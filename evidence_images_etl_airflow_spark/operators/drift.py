@@ -34,9 +34,28 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _psi_terms(
-    tagged: DataFrame, feature: str, eps: float
+def psi_from_counts(
+    ref_counts: DataFrame,
+    cur_counts: DataFrame,
+    feature: str,
+    eps: float = 1e-6,
 ) -> DataFrame:
+    """PSI report from PRE-AGGREGATED per-bin counts — the composition
+    point for incremental/streaming maintenance: any process that can
+    keep (bin, n) counts up to date (a streaming aggregation, an
+    incremental state table) gets the full PSI report for free by
+    joining its counts against the frozen reference's. Inputs are
+    (bin, n) frames; bins absent from one side count 0 there (the eps
+    clamp supplies the smoothing)."""
+    cnts = (
+        ref_counts.select("bin", F.col("n").alias("nr"))
+        .join(cur_counts.select("bin", F.col("n").alias("nc")), "bin", "full_outer")
+        .fillna(0, ["nr", "nc"])
+    )
+    return _psi_tail(cnts, feature, eps)
+
+
+def _psi_terms(tagged: DataFrame, feature: str, eps: float) -> DataFrame:
     """(feature, bin, p_ref, p_cur, psi_term, psi) from a
     (``__period`` in {'ref','cur'}, ``bin``) frame."""
     cnts = tagged.groupBy("bin").agg(
@@ -47,13 +66,16 @@ def _psi_terms(
         .cast("bigint")
         .alias("nc"),
     )
-    tot = tagged.agg(
-        F.sum(F.when(F.col("__period") == "ref", 1).otherwise(0))
-        .cast("bigint")
-        .alias("tr"),
-        F.sum(F.when(F.col("__period") == "cur", 1).otherwise(0))
-        .cast("bigint")
-        .alias("tc"),
+    return _psi_tail(cnts, feature, eps)
+
+
+def _psi_tail(cnts: DataFrame, feature: str, eps: float) -> DataFrame:
+    """Shared report tail over a (bin, nr, nc) counts frame: totals
+    broadcast, 6dp-rounded eps-clamped proportions, per-bin terms and
+    the feature-total window."""
+    tot = cnts.agg(
+        F.sum("nr").cast("bigint").alias("tr"),
+        F.sum("nc").cast("bigint").alias("tc"),
     )
     p_ref = F.greatest(F.round(F.col("nr") / F.col("tr"), 6), F.lit(eps))
     p_cur = F.greatest(F.round(F.col("nc") / F.col("tc"), 6), F.lit(eps))

@@ -5366,6 +5366,104 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_drift_psi",
+    oracle="""
+    WITH ref AS (SELECT o_totalprice AS x FROM orders
+                 WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+    cur AS (SELECT o_totalprice AS x FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+    st AS (SELECT CAST(min(x) AS DOUBLE) AS mn,
+                  CAST(max(x) AS DOUBLE) AS mx FROM ref),
+    rb AS (SELECT CAST(least(greatest(CAST(floor((CAST(x AS DOUBLE) - mn)
+                                                 / ((mx - mn) / 10))
+                                           AS BIGINT), 0), 9) AS VARCHAR) AS bin
+           FROM ref, st),
+    cb AS (SELECT CAST(least(greatest(CAST(floor((CAST(x AS DOUBLE) - mn)
+                                                 / ((mx - mn) / 10))
+                                           AS BIGINT), 0), 9) AS VARCHAR) AS bin
+           FROM cur, st),
+    rc AS (SELECT bin, CAST(count(*) AS BIGINT) AS nr FROM rb GROUP BY 1),
+    cc AS (SELECT bin, CAST(count(*) AS BIGINT) AS nc FROM cb GROUP BY 1),
+    j AS (SELECT coalesce(rc.bin, cc.bin) AS bin,
+                 coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc
+          FROM rc FULL OUTER JOIN cc ON rc.bin = cc.bin),
+    tot AS (SELECT CAST(sum(nr) AS BIGINT) AS tr,
+                   CAST(sum(nc) AS BIGINT) AS tc FROM j),
+    p AS (SELECT bin, greatest(round(nr / tr, 6), 0.000001) AS p_ref,
+                 greatest(round(nc / tc, 6), 0.000001) AS p_cur
+          FROM j, tot),
+    t AS (SELECT *, (p_ref - p_cur) * ln(p_ref / p_cur) AS term FROM p)
+    SELECT 'o_totalprice' AS feature, bin, p_ref, p_cur,
+           round(term, 6) AS psi_term,
+           round(sum(term) OVER (), 6) AS psi
+    FROM t
+    """,
+)
+def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift gate as a CONTINUOUS monitor: the current slice's
+    per-bin counts are a streaming aggregation (orders stream, complete
+    mode, availableNow drain) against bin edges FROZEN from the static
+    reference slice — production drift semantics, where edges are
+    fixed when the reference is blessed, not recomputed per batch
+    (out-of-range stream values clamp into the edge bins). The final
+    report composes the drained counts with the reference's via
+    operators/drift.psi_from_counts — the pre-aggregated entry point
+    that makes PSI maintainable by ANY incremental counter. Oracle =
+    the identical computation in batch SQL; streaming and batch agree,
+    the unified-engine contract. Scale: the streaming state is the
+    O(bins) count table, nothing more — a drift gate over a firehose
+    costs a tumbling-counter's memory."""
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from evidence_images_etl_airflow_spark.operators.drift import psi_from_counts
+
+    cutoff_us = 883612800000000  # 1998-01-01T00:00:00 naive, µs
+    o = _t(spark, sf_dir, "orders")
+    ref = o.filter(_event_micros(o, "o_orderdate") < cutoff_us)
+    st = ref.agg(
+        F.min("o_totalprice").cast("double").alias("mn"),
+        F.max("o_totalprice").cast("double").alias("mx"),
+    ).collect()[0]
+    mn, width = float(st.mn), (float(st.mx) - float(st.mn)) / 10
+
+    def bin_of(col: F.Column) -> F.Column:
+        return (
+            F.least(
+                F.greatest(
+                    F.floor((col.cast("double") - F.lit(mn)) / F.lit(width)),
+                    F.lit(0),
+                ),
+                F.lit(9),
+            )
+        ).cast("string")
+
+    ref_counts = (
+        ref.select(bin_of(F.col("o_totalprice")).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/orders.parque*")
+    cur = stream.filter(_event_micros(stream, "o_orderdate") >= cutoff_us)
+    agg = (
+        cur.select(bin_of(F.col("o_totalprice")).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    name = f"stream_drift_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return psi_from_counts(ref_counts, spark.table(name), "o_totalprice")
+
+
+@register(
     "scd2_asof_lookup",
     oracle="""
     WITH hist AS (
@@ -7304,6 +7402,7 @@ _VERIFY_FIRST = [
     "dedup_ngram_containment",
     "profile_drift_psi",
     "embedding_pca_whiten",
+    "streaming_drift_psi",
     "ann_recall_report",
     "sketch_mg_incremental",
     "sketch_quantile_rollup",

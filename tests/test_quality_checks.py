@@ -98,3 +98,39 @@ def test_psi_zero_for_identical_and_hand_computed_drift(spark):
         assert abs(rows[b].psi_term - round(e, 6)) < 1e-9, b
     total = round(sum(expected.values()), 6)
     assert abs(rows["a"].psi - total) < 1e-9
+
+
+def test_psi_from_counts_matches_tagged_path(spark):
+    """The pre-aggregated entry point (what streaming/incremental
+    maintainers feed) produces the identical report to the row-tagged
+    path over the same data."""
+    from pyspark.sql import functions as F
+
+    from evidence_images_etl_airflow_spark.operators.drift import (
+        psi_categorical,
+        psi_from_counts,
+    )
+
+    tagged = spark.createDataFrame(
+        [("ref", "a")] * 8 + [("ref", "b")] * 2
+        + [("cur", "a")] * 5 + [("cur", "c")] * 5,
+        "__period string, v string",
+    )
+    via_rows = {
+        r.bin: r for r in psi_categorical(tagged, "v").collect()
+    }
+    rc = (
+        tagged.filter("__period = 'ref'")
+        .groupBy(F.col("v").alias("bin"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    cc = (
+        tagged.filter("__period = 'cur'")
+        .groupBy(F.col("v").alias("bin"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    via_counts = {r.bin: r for r in psi_from_counts(rc, cc, "v").collect()}
+    assert set(via_rows) == set(via_counts)
+    for b in via_rows:
+        assert via_rows[b].psi_term == via_counts[b].psi_term
+        assert via_rows[b].psi == via_counts[b].psi
