@@ -7386,12 +7386,13 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # already-multiply-verified trivia trail past the cap. Everything not
 # listed follows in registration order.
 _VERIFY_FIRST = [
-    # ---- round-7 head: least-proven first. dedup_span_sliding FAILED
-    # r06 (AnalysisException, now fixed + unit-tested);
-    # sketch_topk_heavy_hitters is new this round (implemented for
-    # real — VERDICT r06 item 2) with no prior rows; the next three
-    # are round-7 additions (ANN recall eval, cross-batch MG merge,
-    # mergeable quantile rollup), also without prior rows.
+    # ---- round-7 head: least-proven first — the 19 queries with NO
+    # driver CORRECTNESS row yet (dedup_span_sliding FAILED r06, now
+    # fixed + unit-tested; the rest are round-7 additions, every one
+    # parity-green locally at sf0.001 + sf0.01). Slot math for the
+    # driver's 50-query cap: 19 new + 31 of the 43-member r04 cohort
+    # fill exactly 50; the remaining 12 r04 queries sit immediately
+    # after the cap (positions 51-62) and MUST head the r08 rotation.
     "dedup_span_sliding",
     "sketch_topk_heavy_hitters",
     "embedding_matryoshka_recall",
