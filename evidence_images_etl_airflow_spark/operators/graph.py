@@ -129,3 +129,66 @@ def pagerank(
         # by the registry wrapper's hard release at the query boundary.
         ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact global triangle count + clustering coefficient via DEGREE
+    ORIENTATION — the trick that makes triangle counting feasible on a
+    100 TB graph. Counting wedges on the raw graph is sum(deg^2):
+    one celebrity node with 10M neighbors contributes 10^14 wedges.
+    Orienting every edge from its (degree, id)-smaller endpoint to the
+    larger one makes each triangle countable exactly once AND bounds
+    every out-degree by O(sqrt(m)) [Chiba–Nishizeki], so the wedge join
+    is sum(outdeg^2) <= m^1.5 instead — the difference between a day
+    and forever on a skewed graph.
+
+    Input: undirected edge list (duplicates and self-loops cleaned
+    here). Returns one row: (n_nodes, n_edges, n_wedges, n_triangles,
+    global_clustering) where global_clustering = 3*triangles / wedges
+    (0 when wedge-free), wedges counted on the UNDIRECTED graph
+    (sum deg*(deg-1)/2). Three shuffles total: degree agg, the
+    oriented wedge self-join, and the closing-edge semi-join."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    # orient: from (d, id)-smaller endpoint to larger
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    w1 = o.select(F.col("s"), F.col("t").alias("x"))
+    w2 = o.select(F.col("s"), F.col("t").alias("y"))
+    wedges = w1.join(w2, "s").filter(F.col("x") < F.col("y"))
+    closing = o.select(
+        F.col("s").alias("x"), F.col("t").alias("y")
+    ).unionAll(o.select(F.col("t").alias("x"), F.col("s").alias("y")))
+    tri = wedges.join(closing, ["x", "y"], "left_semi").count()
+    stats = deg.agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("bigint").alias("n_wedges"),
+    ).crossJoin(F.broadcast(e.agg(F.count("*").cast("bigint").alias("n_edges"))))
+    return stats.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        F.lit(tri).cast("bigint").alias("n_triangles"),
+        F.when(F.col("n_wedges") > 0,
+               F.round(F.lit(3.0) * F.lit(tri) / F.col("n_wedges").cast("double"), 6)
+        ).otherwise(F.lit(0.0)).alias("global_clustering"),
+    )

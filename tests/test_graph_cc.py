@@ -93,3 +93,63 @@ def test_pagerank_uniform_cycle(spark):
     assert len(ranks) == 4
     for r in ranks:
         assert abs(r - 0.25) < 1e-9
+
+
+def test_triangle_count_hand_crafted(spark):
+    """K4 plus a pendant: 4 triangles, wedge count by hand, duplicate/
+    reversed/self-loop edges cleaned. Clustering = 3*4/14."""
+    from evidence_images_etl_airflow_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(3, 4)] + [(1, 0), (2, 2), (0, 1)]  # reversed dup, loop, dup
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = triangle_count(df).collect()[0]
+    assert r.n_nodes == 5
+    assert r.n_edges == 7
+    # degrees: 0,1,2 -> 3; 3 -> 4; 4 -> 1  => wedges = 3*3 + 6 + 0 = 15
+    assert r.n_wedges == 15
+    assert r.n_triangles == 4
+    assert r.global_clustering == round(12 / 15, 6)
+
+
+def test_triangle_count_triangle_free(spark):
+    from evidence_images_etl_airflow_spark.operators.graph import triangle_count
+
+    # star graph: wedges but no triangles
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long"
+    )
+    r = triangle_count(df).collect()[0]
+    assert (r.n_triangles, r.n_wedges) == (0, 6)
+    assert r.global_clustering == 0.0
+
+
+def test_decay_trending_half_life_and_partition_invariance(spark):
+    """A value 7 days older contributes exactly half (the embedded
+    half-life); decimal-summed terms are identical under repartition."""
+    from pyspark.sql import functions as F
+
+    from evidence_images_etl_airflow_spark.workload import REGISTRY  # noqa: F401
+
+    day_us = 86400000000
+    rows = [(1, 0 * day_us, "a", 100.0), (2, 7 * day_us, "b", 100.0),
+            (3, 7 * day_us, "c", 100.0)]
+    df = spark.createDataFrame(rows, "event_id long, ts_us long, event_type string, value double")
+    mx = df.agg(F.max("ts_us").alias("mu"))
+    terms = df.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        F.round(
+            F.col("value")
+            * F.exp(F.lit(-0.099021) * ((F.col("mu") - F.col("ts_us")) / F.lit(86400000000.0))),
+            6,
+        ).cast("decimal(18,6)").alias("term"),
+    )
+    got = {r.event_type: float(r.s) for r in terms.groupBy("event_type").agg(F.sum("term").alias("s")).collect()}
+    import math
+    assert got["b"] == 100.0 and got["c"] == 100.0  # age 0
+    half = 100.0 * math.exp(-0.099021 * 7)
+    assert abs(got["a"] - round(half, 6)) < 1e-9
+    assert abs(got["a"] - 50.0) < 0.01  # ln2/7 to 6dp: half-life ~7d
+    # partition invariance of the decimal sum
+    t2 = {r.event_type: float(r.s) for r in terms.repartition(13).groupBy("event_type").agg(F.sum("term").alias("s")).collect()}
+    assert got == t2

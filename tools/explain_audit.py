@@ -46,6 +46,8 @@ EXPECTED_CROSS = {
     "dedup_semantic_kmeans",  # 1-row count x 1-row invariant-verdict report
     "join_size_skew_report",  # 1-row total-pairs aggregate broadcast
     "profile_drift_psi",  # 1-row min/max edges + 1-row totals broadcasts
+    "events_decay_trending",  # 1-row corpus-max anchor broadcast
+    "graph_triangle_stats",  # 1-row edge-count x 1-row degree-stats report
 }
 
 
