@@ -237,7 +237,20 @@ def weighted_reservoir_topk(
         10,
     ).cast("bigint")
     u = (hv + F.lit(1)).cast("double") / F.lit(2.0**60)
-    wkey = F.round(F.col(weight_col).cast("double") / F.log(u), 6)
+    wc = F.col(weight_col).cast("double")
+    # Degenerate branches, pinned explicitly so both engines and the
+    # docstring agree: null/zero/negative weight -> key 0.0 (the
+    # ascending supremum: taken only when a group lacks k
+    # positive-weight rows); u rounding up to exactly 1.0 (the 15-hex
+    # prefix within one double-ulp of 2^60, ~2^-53 per row) -> -inf,
+    # because the true A-ES key u^(1/w) = 1 is the MAXIMUM and must
+    # rank first, where w/ln(1) = w/0 would rank it last.
+    wkey = F.round(
+        F.when(wc.isNull() | (wc <= 0), F.lit(0.0))
+        .when(F.log(u) >= 0, F.lit(float("-inf")))
+        .otherwise(wc / F.log(u)),
+        6,
+    )
     w = Window.partitionBy(*keys).orderBy(F.col(key_col).asc(), c_id)
     return (
         df.withColumn(key_col, wkey)

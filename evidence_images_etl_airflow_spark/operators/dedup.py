@@ -105,6 +105,27 @@ def ngram_jaccard_pairs(
     whose *every* common shingle is that frequent. This is the standard
     frequency-cap guard for web-scale dedup.
     """
+    return (
+        _shingle_pair_stats(df, id_col, text_col, n, max_doc_freq)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _shingle_pair_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_doc_freq: int | None,
+) -> DataFrame:
+    """Shared candidate-generation skeleton of the n-gram near-dup
+    family: (id_a < id_b, inter, sz_a, sz_b, jaccard) for every doc
+    pair sharing at least one (optionally frequency-capped) shingle.
+    Both the symmetric (ngram_jaccard_pairs) and directed-containment
+    (ngram_containment_pairs) operators project their thresholds off
+    this one frame, so the stop-shingle guard and materialization
+    policy can never diverge between them."""
     sh = _doc_shingles(df, id_col, text_col, n)
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
@@ -133,8 +154,6 @@ def ngram_jaccard_pairs(
                 F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -164,31 +183,7 @@ def ngram_containment_pairs(
     collision counts, never N^2) with the same ``max_doc_freq``
     stop-shingle cap; one extra projection per direction, no extra
     shuffle."""
-    sh = _doc_shingles(df, id_col, text_col, n)
-    if max_doc_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
-        sh = sh.join(freq.filter(F.col("df_") <= max_doc_freq), "shingle").drop("df_")
-    sh = _materialized(sh)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    both = inter.join(sa, "id_a").join(sb, "id_b").withColumn(
-        "jaccard",
-        F.round(
-            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
-        ),
-    )
+    both = _shingle_pair_stats(df, id_col, text_col, n, max_doc_freq)
     ab = both.select(
         F.col("id_a").alias("contained_id"),
         F.col("id_b").alias("container_id"),

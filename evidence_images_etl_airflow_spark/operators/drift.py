@@ -47,10 +47,18 @@ def psi_from_counts(
     joining its counts against the frozen reference's. Inputs are
     (bin, n) frames; bins absent from one side count 0 there (the eps
     clamp supplies the smoothing)."""
+    r = ref_counts.select(F.col("bin").alias("__rb"), F.col("n").alias("nr"))
+    c = cur_counts.select(F.col("bin").alias("__cb"), F.col("n").alias("nc"))
+    # null-SAFE bin equality: a NULL bin present in both slices must
+    # collapse to one row (as groupBy does on the tagged path), not
+    # two clamped half-rows that each add a spurious (p-eps)ln(p/eps)
     cnts = (
-        ref_counts.select("bin", F.col("n").alias("nr"))
-        .join(cur_counts.select("bin", F.col("n").alias("nc")), "bin", "full_outer")
-        .fillna(0, ["nr", "nc"])
+        r.join(c, r["__rb"].eqNullSafe(c["__cb"]), "full_outer")
+        .select(
+            F.coalesce(F.col("__rb"), F.col("__cb")).alias("bin"),
+            F.coalesce(F.col("nr"), F.lit(0)).alias("nr"),
+            F.coalesce(F.col("nc"), F.lit(0)).alias("nc"),
+        )
     )
     return _psi_tail(cnts, feature, eps)
 
@@ -158,6 +166,10 @@ def psi_report(
     with per-bin proportions, the bin's PSI term, and the feature's
     total PSI repeated on each of its rows. ``period`` is a Column
     evaluating to 'ref'/'cur'."""
+    if not numeric_cols and not categorical_cols:
+        raise ValueError(
+            "psi_report needs at least one numeric or categorical column"
+        )
     tagged = df.withColumn("__period", period)
     parts = [
         psi_numeric(tagged, c, n_bins=n_bins, eps=eps) for c in numeric_cols

@@ -597,19 +597,26 @@ def matryoshka_truncate(
     values, so MATERIALIZE the truncated column if it is the serving
     representation."""
     pref = F.slice(F.col(vec_col), 1, dims)
-    if renormalize:
-        nrm = F.sqrt(
-            F.aggregate(
-                pref.cast("array<double>"), F.lit(0.0), lambda a, v: a + v * v
-            )
+    if not renormalize:
+        return df.withColumn(out_col or vec_col, pref)
+    # materialize the norm into its own column FIRST: embedding the
+    # aggregate inside the transform lambda would re-evaluate the
+    # O(dims) fold once per output element (O(dims^2)/row) — the same
+    # factoring the oracle side fixed in _norm_expr_sql
+    nrm = F.sqrt(
+        F.aggregate(
+            pref.cast("array<double>"), F.lit(0.0), lambda a, v: a + v * v
         )
-        out = F.when(
-            nrm > 0,
-            F.transform(pref, lambda v: v.cast("double") / nrm),
-        ).otherwise(pref.cast("array<double>"))
-    else:
-        out = pref
-    return df.withColumn(out_col or vec_col, out)
+    )
+    out = F.when(
+        F.col("__mrl_nrm") > 0,
+        F.transform(pref, lambda v: v.cast("double") / F.col("__mrl_nrm")),
+    ).otherwise(pref.cast("array<double>"))
+    return (
+        df.withColumn("__mrl_nrm", nrm)
+        .withColumn(out_col or vec_col, out)
+        .drop("__mrl_nrm")
+    )
 
 
 def lsh_topk(

@@ -336,7 +336,7 @@ def _kmv_hash(value: Column, salt: str) -> Column:
 
 def kmv_sketches(
     df: DataFrame,
-    keys: list[str | Column],
+    keys: list[str],
     value_col: str,
     k: int = 256,
     salt: str = "kmv",
@@ -363,12 +363,11 @@ def kmv_sketches(
     hashed = df.select(
         *keys, _kmv_hash(F.col(value_col), salt).alias("__hv")
     ).distinct()
-    names = [c if isinstance(c, str) else c._jc.toString() for c in keys]
-    w = Window.partitionBy(*names).orderBy("__hv")
+    w = Window.partitionBy(*keys).orderBy("__hv")
     return (
         hashed.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
-        .groupBy(*names)
+        .groupBy(*keys)
         .agg(F.sort_array(F.collect_list("__hv")).alias(sketch_col))
     )
 
@@ -392,11 +391,15 @@ def kmv_union(a: Column, b: Column, k: int) -> Column:
     return F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
 
 
-def kmv_jaccard(a: Column, b: Column, k: int) -> Column:
+def kmv_jaccard(a: Column, b: Column, k: int, union: Column | None = None) -> Column:
     """Jaccard estimate: the fraction of the union's k-minimum values
     present in BOTH input sketches. |A intersect B| follows as
-    jaccard x union-estimate; resemblance accuracy is O(1/sqrt(k))."""
-    u = kmv_union(a, b, k)
+    jaccard x union-estimate; resemblance accuracy is O(1/sqrt(k)).
+    Pass ``union`` when the caller already computed ``kmv_union(a, b,
+    k)`` (e.g. for the union estimate) — the sort/dedup of the
+    2k-element concat is the expensive part and Catalyst gives no CSE
+    guarantee across expressions."""
+    u = kmv_union(a, b, k) if union is None else union
     matches = F.size(
         F.filter(u, lambda x: F.array_contains(a, x) & F.array_contains(b, x))
     )

@@ -3636,9 +3636,15 @@ def data_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     kx AS (
       SELECT lang, doc_id, n_chars,
-             round(CAST(n_chars AS DOUBLE)
-                   / ln(CAST(hv + 1 AS DOUBLE) / 1152921504606846976.0),
-                   6) AS wkey
+             round(CASE
+                     WHEN n_chars IS NULL OR n_chars <= 0 THEN 0.0
+                     WHEN ln(CAST(hv + 1 AS DOUBLE)
+                             / 1152921504606846976.0) >= 0
+                       THEN CAST('-inf' AS DOUBLE)
+                     ELSE CAST(n_chars AS DOUBLE)
+                          / ln(CAST(hv + 1 AS DOUBLE)
+                               / 1152921504606846976.0)
+                   END, 6) AS wkey
       FROM h)
     SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars, wkey,
            row_number() OVER (PARTITION BY lang
@@ -6900,7 +6906,7 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ul = kmv_union(F.col("ka"), F.col("kb"), _KMV_K)
     est_union_raw = kmv_estimate(ul, _KMV_K)
-    jacc_raw = kmv_jaccard(F.col("ka"), F.col("kb"), _KMV_K)
+    jacc_raw = kmv_jaccard(F.col("ka"), F.col("kb"), _KMV_K, union=ul)
     return pairs.select(
         F.col("ma").alias("prio_a"),
         F.col("mb").alias("prio_b"),

@@ -134,3 +134,39 @@ def test_psi_from_counts_matches_tagged_path(spark):
     for b in via_rows:
         assert via_rows[b].psi_term == via_counts[b].psi_term
         assert via_rows[b].psi == via_counts[b].psi
+
+
+def test_psi_from_counts_null_bin_and_empty_report_guard(spark):
+    """A NULL bin in both slices collapses to one row (null-safe join),
+    matching the tagged path; psi_report with no columns raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from evidence_images_etl_airflow_spark.operators.drift import (
+        psi_categorical,
+        psi_from_counts,
+        psi_report,
+    )
+
+    tagged = spark.createDataFrame(
+        [("ref", None), ("ref", "a"), ("cur", None), ("cur", "a")],
+        "__period string, v string",
+    )
+    via_rows = {r.bin: r for r in psi_categorical(tagged, "v").collect()}
+    rc = (
+        tagged.filter("__period = 'ref'")
+        .groupBy(F.col("v").alias("bin"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    cc = (
+        tagged.filter("__period = 'cur'")
+        .groupBy(F.col("v").alias("bin"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    via_counts = {r.bin: r for r in psi_from_counts(rc, cc, "v").collect()}
+    assert len(via_counts) == 2  # (None, 'a') — no split half-rows
+    for b in via_rows:
+        assert via_rows[b].psi_term == via_counts[b].psi_term
+
+    with pytest.raises(ValueError, match="at least one"):
+        psi_report(tagged, F.lit("ref"))

@@ -307,3 +307,27 @@ def test_weighted_reservoir_fixed_size_and_weight_bias(spark):
     assert heavy_rate > 0.9
     assert light_rate < 0.35
     assert heavy_rate > 2.5 * light_rate
+
+
+def test_weighted_reservoir_null_weight_ranks_last(spark):
+    """Null weights behave as zero weight (taken only when the group
+    lacks k positive-weight rows) — not NULLS FIRST preemption."""
+    from evidence_images_etl_airflow_spark.functions.partitioning import (
+        weighted_reservoir_topk,
+    )
+
+    rows = [("g", 1, None), ("g", 2, 10), ("g", 3, 10), ("g", 4, None)]
+    df = spark.createDataFrame(rows, "grp string, id long, w long")
+    picked = sorted(
+        r.id for r in weighted_reservoir_topk(df, ["grp"], "w", "id", k=2).collect()
+    )
+    assert picked == [2, 3]
+    # underfull group: nulls backfill after every weighted row,
+    # tie-broken by id — so rank 3 is the lowest-id null row
+    by_rank = {
+        r.rank: r.id
+        for r in weighted_reservoir_topk(df, ["grp"], "w", "id", k=3).collect()
+    }
+    assert sorted(by_rank) == [1, 2, 3]
+    assert {by_rank[1], by_rank[2]} == {2, 3}
+    assert by_rank[3] == 1
