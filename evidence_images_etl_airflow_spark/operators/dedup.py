@@ -199,6 +199,104 @@ def ngram_containment_pairs(
     return ab.unionByName(ba).filter(F.col("containment") >= threshold)
 
 
+_WINNOW_HASH_SPACE = 1 << 40  # folded k-gram hash domain
+_WINNOW_POS_SPACE = 1 << 20  # max gram position encodable per doc
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken 2003,
+    the MOSS algorithm): hash every k-token gram, slide a window of w
+    consecutive gram hashes over each document, keep the RIGHTMOST
+    minimal hash of each full window, dedup selections. Returns
+    (id, pos, fp). The guarantee md5-everything fingerprinting lacks:
+    any shared run of >= w+k-1 tokens between two documents is
+    DETECTED (some window inside it selects the same gram in both), at
+    ~2/(w+1) storage density instead of one hash per gram — the
+    local-sampling property that makes corpus-wide fingerprint indexes
+    affordable at 100 TB while still catching every long-enough
+    overlap.
+
+    Determinism: the rightmost-min tie rule is folded into integer
+    arithmetic — key = fold40(md5(gram)) * 2^20 + (2^20-1-pos), so a
+    plain window MIN selects (smallest hash, largest pos) in one
+    comparable value that both engines order identically. Positions
+    must fit 2^20 grams/doc (split longer docs upstream). Scale shape:
+    one posexplode + one per-doc ordered window (the same shuffle a
+    sort within doc costs) + a distinct; output is density-compressed
+    O(corpus tokens * 2/(w+1))."""
+    toks = spread(df, F.col(id_col)).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__tk")
+    )
+    grams = toks.select(
+        "id",
+        F.posexplode(shingles_from_tokens(F.col("__tk"), k)).alias("pos", "gram"),
+    )
+    hfold = (
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("bigint")
+        % F.lit(_WINNOW_HASH_SPACE)
+    )
+    key = hfold * F.lit(_WINNOW_POS_SPACE) + (
+        F.lit(_WINNOW_POS_SPACE - 1) - F.col("pos")
+    )
+    frame = (
+        Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    per_doc = Window.partitionBy("id")
+    sel = (
+        grams.select("id", "pos", key.alias("__key"))
+        .withColumn("__ng", F.count("*").over(per_doc))
+        .withColumn("__sel", F.min("__key").over(frame))
+        .filter(F.col("pos") <= F.col("__ng") - w)  # full windows only
+        .select("id", F.col("__sel").alias("__k"))
+        .distinct()
+    )
+    return sel.select(
+        "id",
+        (F.lit(_WINNOW_POS_SPACE - 1) - F.col("__k") % F.lit(_WINNOW_POS_SPACE)).alias("pos"),
+        # integer div, NOT float: __k approaches 2^60 and double
+        # division would round (ulp spacing 128 up there)
+        F.expr(f"__k div {_WINNOW_POS_SPACE}").alias("fp"),
+    )
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs from shared winnowing fingerprints:
+    (id_a < id_b, n_shared) for pairs sharing >= min_shared selected
+    fingerprints. The sparse sibling of the shingle self-join
+    (ngram_jaccard_pairs): the join runs over the winnowed ~2/(w+1)
+    density index instead of every gram, with the same hot-key cap
+    (``max_doc_freq``) guarding a boilerplate fingerprint from
+    generating O(df^2) candidates."""
+    fps = winnowing_fingerprints(df, id_col, text_col, k, w).select(
+        "id", "fp"
+    ).distinct()
+    if max_doc_freq is not None:
+        freq = fps.groupBy("fp").agg(F.count("*").alias("df_"))
+        fps = fps.join(freq.filter(F.col("df_") <= max_doc_freq), "fp").drop("df_")
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 # --- MinHash + LSH -----------------------------------------------------------
 MINHASH_P = (1 << 31) - 1
 """Modulus for the affine MinHash family: the Mersenne prime 2^31-1.

@@ -66,6 +66,7 @@ from evidence_images_etl_airflow_spark.operators.dedup import (
     minhash_params,
     ngram_containment_pairs,
     ngram_jaccard_pairs,
+    winnowing_pairs,
     simhash64,
     simhash_near_pairs,
 )
@@ -3387,6 +3388,55 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return ngram_containment_pairs(
         d, "doc_id", "text", n=3, threshold=0.6, max_doc_freq=None
+    )
+
+
+@register(
+    "dedup_winnowing_pairs",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                  FROM documents),
+    g0 AS (SELECT doc_id,
+                  [{'pos': i - 1, 'gram': array_to_string(t[i:i+2], ' ')}
+                   for i in range(1, len(t) - 1)] AS lst
+           FROM toks),
+    g AS (SELECT doc_id, u.pos AS pos,
+                 (CAST('0x' || substr(md5(u.gram), 1, 15) AS BIGINT)
+                  % 1099511627776) * 1048576 + (1048575 - u.pos) AS key
+          FROM (SELECT doc_id, unnest(lst) AS u FROM g0)),
+    win AS (SELECT doc_id, pos,
+                   count(*) OVER (PARTITION BY doc_id) AS ng,
+                   min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW
+                                           AND 3 FOLLOWING) AS sel
+            FROM g),
+    fps AS (SELECT DISTINCT doc_id, sel // 1048576 AS fp
+            FROM win WHERE pos <= ng - 4)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint candidate pairs
+    (operators/dedup.winnowing_pairs — Schleimer–Wilkerson–Aiken 2003,
+    the MOSS algorithm): hash every 3-token gram, keep the rightmost
+    minimum of each 4-gram window, pair documents sharing >= 2
+    selected fingerprints. The detection GUARANTEE the md5-everything
+    fingerprint (text_fingerprint) can't give at sub-full density: any
+    shared run of >= w+k-1 = 6 tokens selects a common fingerprint in
+    both documents, while storing only ~2/(w+1) = 40% of gram hashes —
+    the local-sampling index that keeps corpus-wide fingerprint joins
+    affordable at 100 TB. The rightmost-min tie rule is folded into
+    one comparable integer (fold40(hash)*2^20 + (2^20-1-pos)) so a
+    plain window MIN implements it identically in both engines.
+    NOTE: registered after the round-7 verify head (50-slot math at
+    _VERIFY_FIRST); parity-proven locally; heads the r08 rotation."""
+    d = _t(spark, sf_dir, "documents")
+    return winnowing_pairs(
+        d, "doc_id", "text", k=3, w=4, min_shared=2, max_doc_freq=None
     )
 
 

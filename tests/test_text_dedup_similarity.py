@@ -645,3 +645,37 @@ def test_ngram_containment_asymmetric_snippet(spark):
         ).count()
         == 0
     )
+
+
+def test_winnowing_detection_guarantee_and_density(spark):
+    """Schleimer et al. guarantees: (1) any shared token run of length
+    >= w+k-1 produces a shared selected fingerprint; (2) selection
+    density is well below 1 (the whole point vs hashing every gram);
+    (3) disjoint docs share nothing."""
+    from evidence_images_etl_airflow_spark.operators.dedup import (
+        winnowing_fingerprints,
+        winnowing_pairs,
+    )
+
+    shared = "one two three four five six"  # 6 tokens = w+k-1 at (3,4)
+    rows = [
+        (1, "aa bb cc " + shared + " dd ee ff gg hh"),
+        (2, "zz yy " + shared + " xx ww vv uu tt ss rr"),
+        (3, "p q r s t u v w x y z p2 q2 r2 s2 t2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnowing_pairs(
+            df, "doc_id", "text", k=3, w=4, min_shared=1
+        ).collect()
+    }
+    assert (1, 2) in pairs  # the guarantee
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    fps = winnowing_fingerprints(df, "doc_id", "text", k=3, w=4)
+    n_sel = fps.filter("id = 3").count()
+    n_grams = 16 - 2  # 16 tokens -> 14 3-grams
+    assert 0 < n_sel < n_grams * 0.75  # sparse selection
+    # positions are valid gram indexes
+    assert fps.filter("pos < 0 OR pos >= 14").filter("id = 3").count() == 0
