@@ -7321,6 +7321,55 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "data_shard_shuffle",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)),
+                                 1, 15) AS BIGINT) AS shuffle_key
+      FROM documents)
+    SELECT doc_id, shuffle_key,
+           CAST(shuffle_key % 8 AS BIGINT) AS shard,
+           row_number() OVER (PARTITION BY shuffle_key % 8
+                              ORDER BY shuffle_key, doc_id) AS pos_in_shard
+    FROM k
+    """,
+)
+def data_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-training shuffle+shard step: every document gets a
+    deterministic md5 shuffle key, a shard assignment (key mod
+    n_shards), and its position within the shard (ordered by key) —
+    exactly how a training corpus is laid out so data loaders read
+    shards sequentially yet see a stable pseudo-random document order.
+    Determinism is the point (functions/partitioning's md5 idiom): the
+    same corpus always shuffles the same way, so a training run is
+    reproducible and an appended document never reorders existing
+    ones' relative positions (it splices in at its key). Scale shape:
+    key and shard are row-local; the only movement is one window per
+    shard — with shards sized to executors (thousands at 100 TB, the
+    n_shards dial) there is no global sort and no single-partition
+    window. NOTE: registered after the round-7 verify head; heads the
+    r08 rotation."""
+    d = _t(spark, sf_dir, "documents")
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    shard = (F.col("shuffle_key") % 8).cast("bigint")
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        d.select("doc_id", key.alias("shuffle_key"))
+        .withColumn("shard", shard)
+        .withColumn("pos_in_shard", F.row_number().over(w))
+    )
+
+
+@register(
     "data_group_split",
     oracle="""
     SELECT doc_id, source,

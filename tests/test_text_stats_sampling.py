@@ -331,3 +331,43 @@ def test_weighted_reservoir_null_weight_ranks_last(spark):
     assert sorted(by_rank) == [1, 2, 3]
     assert {by_rank[1], by_rank[2]} == {2, 3}
     assert by_rank[3] == 1
+
+
+def test_shard_shuffle_deterministic_and_splice_stable(spark):
+    """Appending documents never reorders existing ones' RELATIVE
+    positions within a shard (they splice in at their key), and the
+    layout is identical across runs."""
+    from evidence_images_etl_airflow_spark.workload import REGISTRY
+    import tempfile, os
+
+    d1 = spark.createDataFrame([(i, "t") for i in range(50)], "doc_id long, text string")
+    d2 = spark.createDataFrame([(i, "t") for i in range(80)], "doc_id long, text string")
+    tmp = tempfile.mkdtemp()
+    for name, df in [("a", d1), ("b", d2)]:
+        os.makedirs(f"{tmp}/{name}", exist_ok=True)
+        df.write.mode("overwrite").parquet(f"{tmp}/{name}/documents.parquet")
+
+    fn = REGISTRY["data_shard_shuffle"].fn
+
+    def order_map(sf):
+        rows = fn(spark, sf).collect()
+        return {r.doc_id: (r.shard, r.pos_in_shard) for r in rows}
+
+    small = order_map(f"{tmp}/a")
+    small_again = order_map(f"{tmp}/a")
+    assert small == small_again  # run-to-run determinism
+    big = order_map(f"{tmp}/b")
+    # same shard assignment for surviving docs; relative order preserved
+    for doc, (sh, _) in small.items():
+        assert big[doc][0] == sh
+    by_shard_small = {}
+    by_shard_big = {}
+    for doc, (sh, pos) in small.items():
+        by_shard_small.setdefault(sh, []).append((pos, doc))
+    for doc, (sh, pos) in big.items():
+        if doc < 50:
+            by_shard_big.setdefault(sh, []).append((pos, doc))
+    for sh in by_shard_small:
+        a = [d for _, d in sorted(by_shard_small[sh])]
+        b = [d for _, d in sorted(by_shard_big[sh])]
+        assert a == b  # splice stability
