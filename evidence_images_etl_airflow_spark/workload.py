@@ -996,6 +996,62 @@ def sql_lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_recursive_order_chain",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey)
+                AS INT) AS step
+    FROM orders
+    """,
+)
+def sql_recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 RECURSIVE CTE (UNION ALL form — the engine's current
+    recursive surface), driven on real data: walk each customer's
+    order chain as a linked list (lead() builds the next-pointer
+    table, the recursion follows it from each head), numbering steps.
+    The oracle is the equivalent WINDOW formulation — recursion and
+    row_number must agree exactly, which pins the new front-end
+    feature to established semantics the same way sql_pipe /
+    sql_lateral are pinned. The walk is acyclic by construction
+    (dates strictly advance along next-pointers), so UNION ALL
+    terminates; chain depth = max orders per customer (24 at sf0.1,
+    under the default recursion level limit of 100). Scale: each
+    recursion level is one keyed join of the frontier against the
+    next-pointer table — frontier shrinks as chains end; for plain
+    sequence numbering the window formulation is of course the
+    production choice (one shuffle), which is exactly what the parity
+    proves. NOTE: registered after the round-7 verify head; heads the
+    r08 rotation."""
+    view = f"rec_o_{abs(hash(sf_dir)) % 100000}"
+    _t(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE nxt AS (
+          SELECT o_custkey, o_orderkey,
+                 lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey)
+                   AS next_key
+          FROM {view}),
+        heads AS (
+          SELECT o_custkey, o_orderkey FROM (
+            SELECT o_custkey, o_orderkey,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS rn
+            FROM {view}) WHERE rn = 1),
+        walk AS (
+          SELECT o_custkey, o_orderkey, 1 AS step FROM heads
+          UNION ALL
+          SELECT n.o_custkey, n.next_key, w.step + 1
+          FROM walk w JOIN nxt n
+            ON w.o_custkey = n.o_custkey AND w.o_orderkey = n.o_orderkey
+          WHERE n.next_key IS NOT NULL)
+        SELECT o_custkey, o_orderkey, CAST(step AS INT) AS step FROM walk
+        """
+    )
+
+
+@register(
     "agg_exact_percentiles",
     oracle="""
     SELECT l_returnflag,
