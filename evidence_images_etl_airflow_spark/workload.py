@@ -3844,6 +3844,104 @@ def data_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ep3_training_data_pipeline",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    prs AS (
+      SELECT c.id_a, c.id_b
+      FROM cands c
+      JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM prs),
+    nds AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+      SELECT node, node AS lbl FROM nds
+      UNION
+      SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
+    compo AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+    surv AS (
+      SELECT d.* FROM documents d
+      WHERE d.doc_id NOT IN
+        (SELECT node FROM compo WHERE node <> component)),
+    scored AS (
+      SELECT doc_id, lang, {_QUALITY_SQL} AS quality,
+             len({_TOK}) AS token_count
+      FROM surv),
+    filt AS (SELECT * FROM scored
+             WHERE quality >= 0.65 AND token_count >= 20),
+    tc AS (
+      SELECT *, CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+                                    1, 15) AS BIGINT) % 8 AS shard
+      FROM filt),
+    cum AS (
+      SELECT *, sum(token_count) OVER (PARTITION BY shard ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cs
+      FROM tc)
+    SELECT doc_id, lang, quality,
+           CAST(token_count AS INT) AS token_count,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(shard * 4294967296
+                + CAST(floor((cs - token_count) / 512) AS BIGINT)
+                AS BIGINT) AS pack_id
+    FROM cum
+    """,
+)
+def ep3_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full LLM training-data prep line, end to end: MinHash+LSH
+    near-dedup (keep each duplicate cluster's min-id canonical) ->
+    quality-score + token-floor curation filter -> sharded sequence
+    packing into 512-token training packs. One run of this IS the
+    "raw crawl in, training shards out" contract a data engine must
+    deliver at 100 TB, and every stage is the already-proven operator
+    (minhash_lsh_pairs / connected_components / quality_score /
+    pack_documents) composed lazily — the only materialization
+    barriers are the ones the algorithms require (signature agg,
+    cluster rounds, pack running sum). Near-dedup runs BEFORE the
+    quality filter so a low-quality copy can never shadow-drop its
+    higher-quality duplicate's cluster canonical — the ordering that
+    keeps the canonical choice content-determined, not filter-
+    determined. The oracle replays all three stages, recursive
+    clustering included, in one SQL statement. Scale: the dedup
+    stages carry the blocked/banded costs documented in SCALING.md;
+    curation is row-local; packing is per-shard windows — nothing
+    global anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3, verify_threshold=0.5
+    )
+    comp = connected_components(pairs)
+    dropped = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    surv = d.join(F.broadcast(dropped), "doc_id", "left_anti")
+    scored = surv.select(
+        "doc_id",
+        "lang",
+        quality_score(F.col("text")).alias("quality"),
+        F.size(tokens(F.col("text"))).alias("token_count"),
+    )
+    filt = scored.filter(
+        (F.col("quality") >= 0.65) & (F.col("token_count") >= 20)
+    )
+    packed = pack_documents(filt, "doc_id", "token_count", budget=512, shards=8)
+    return packed.join(
+        filt.select("doc_id", "lang", "quality"), "doc_id"
+    ).select(
+        "doc_id",
+        "lang",
+        "quality",
+        F.col("token_count").cast("int").alias("token_count"),
+        F.col("shard").cast("bigint").alias("shard"),
+        "pack_id",
+    )
+
+
+@register(
     "ep2_curation_pipeline",
     oracle=f"""
     WITH scored AS (
