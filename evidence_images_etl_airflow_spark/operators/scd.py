@@ -99,3 +99,40 @@ def scd2_apply(
         )
     )
     return hist.unionByName(kept).unionByName(fresh)
+
+
+def apply_cdc_log(
+    log: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str,
+    delete_ops: tuple[str, ...] = ("delete",),
+) -> DataFrame:
+    """Collapse a CDC event log into the final table snapshot:
+    last-writer-wins per key by ``seq_cols`` (the source's total order
+    — LSN, (commit_ts, event_id), ...), with delete tombstones
+    removing the key from the snapshot. The replication-apply
+    primitive every CDC pipeline ends with, and the batch mirror of
+    what MERGE-per-batch achieves incrementally (sinks/writers): when
+    a backlog of events arrives at once — replays, backfills,
+    out-of-order delivery — applying events one MERGE at a time is
+    both slow and wrong-under-reordering, while this collapses the
+    whole log in ONE rank-1 window keyed on the source order, so
+    arrival order is irrelevant by construction.
+
+    Scale shape: one shuffle on the key, WindowGroupLimit keeps the
+    rank-1 row per key map-side; tombstone filtering is a row-local
+    predicate after the cut. Returns the surviving rows with all log
+    columns minus the rank helper."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in seq_cols]
+    )
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(~F.col(op_col).isin(*delete_ops))
+        .drop("__rn")
+    )

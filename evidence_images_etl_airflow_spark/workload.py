@@ -2153,6 +2153,47 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_last_writer_wins",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_op,
+           CAST(round(CAST(value AS DECIMAL(18,2)), 2) AS DOUBLE) AS last_value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts) DESC,
+                                         event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_last_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log collapse (operators/scd.apply_cdc_log): the events table
+    read as a change log keyed on user — last writer by (event time,
+    event id) wins, 'error' events act as delete tombstones removing
+    the key from the snapshot. This is the replication-apply primitive
+    a backlog replay needs: applying events one MERGE at a time is
+    slow and wrong under reordering, while one rank-1 window keyed on
+    the SOURCE order makes arrival order irrelevant by construction.
+    One key shuffle, WindowGroupLimit map-side cut, row-local
+    tombstone filter. NOTE: registered after the round-7 verify head;
+    heads the r08 rotation."""
+    from evidence_images_etl_airflow_spark.operators.scd import apply_cdc_log
+
+    ev = _events(spark, sf_dir)
+    snap = apply_cdc_log(
+        ev, ["user_id"], ["ts_us", "event_id"], "event_type", ("error",)
+    )
+    return snap.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_op"),
+        F.round(F.col("value").cast("decimal(18,2)"), 2)
+        .cast("double")
+        .alias("last_value"),
+    )
+
+
+@register(
     "events_decay_trending",
     oracle="""
     WITH mx AS (SELECT max(epoch_us(ts)) AS mu FROM events),

@@ -120,3 +120,72 @@ def test_group_split_no_leakage(spark):
         .collect()
     )
     assert all(r.k == 1 for r in per_source)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    base=st.lists(
+        st.sampled_from("abcdefgh"), min_size=10, max_size=20
+    ),
+    offset_a=st.integers(min_value=0, max_value=8),
+    offset_b=st.integers(min_value=0, max_value=8),
+)
+def test_winnowing_guarantee_on_generated_overlaps(spark, base, offset_a, offset_b):
+    """Schleimer et al. theorem, property-tested: whenever two docs
+    share a contiguous token run of length >= w+k-1, winnowing selects
+    at least one common fingerprint in both."""
+    from evidence_images_etl_airflow_spark.operators.dedup import (
+        winnowing_pairs,
+    )
+
+    k, w = 3, 4
+    shared = [f"s{i}" for i in range(w + k - 1)]  # 6 unique shared tokens
+    doc_a = [f"a{i}" for i in range(offset_a)] + shared + ["atail1", "atail2"]
+    doc_b = [f"b{i}" for i in range(offset_b)] + shared + ["btail1", "btail2", "btail3"]
+    df = spark.createDataFrame(
+        [(1, " ".join(doc_a)), (2, " ".join(doc_b)), (3, " ".join(base))],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in winnowing_pairs(
+            df, "doc_id", "text", k=k, w=w, min_shared=1
+        ).collect()
+    }
+    assert (1, 2) in pairs
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=60, unique=True),
+    ys=st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=60, unique=True),
+    k=st.sampled_from([4, 8, 16]),
+)
+def test_kmv_union_merge_equals_direct_sketch(spark, xs, ys, k):
+    """Mergeability property: kmv_union of two group sketches equals
+    the sketch built directly over the concatenated data, for any
+    inputs and any k — the invariant that licenses per-batch sketching
+    with later merges."""
+    from evidence_images_etl_airflow_spark.operators.sketches import (
+        kmv_sketches,
+        kmv_union,
+    )
+
+    rows = [("x", v) for v in xs] + [("y", v) for v in ys] + [
+        ("u", v) for v in set(xs) | set(ys)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    sk = {r.g: r.kmv for r in kmv_sketches(df, ["g"], "v", k=k).collect()}
+    merged = (
+        spark.range(1)
+        .select(
+            kmv_union(
+                F.array(*[F.lit(v) for v in sk["x"]]),
+                F.array(*[F.lit(v) for v in sk["y"]]),
+                k,
+            ).alias("u")
+        )
+        .collect()[0]
+        .u
+    )
+    assert merged == sk["u"]

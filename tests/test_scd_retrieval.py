@@ -108,3 +108,35 @@ def test_trimmed_mean_grouped_agg(spark):
     )
     assert row.n == 8
     assert row.m == pytest.approx(sum([2, 3, 4, 5, 6, 7, 8, 9]) / 8)
+
+
+def test_apply_cdc_log_order_invariant_with_tombstones(spark):
+    """Hand-computed CDC collapse: last writer by seq wins, delete
+    tombstone removes the key, arrival order is irrelevant."""
+    from evidence_images_etl_airflow_spark.operators.scd import apply_cdc_log
+
+    log = [
+        ("k1", 1, "insert", 10),
+        ("k1", 3, "update", 30),   # winner for k1
+        ("k1", 2, "update", 20),
+        ("k2", 1, "insert", 1),
+        ("k2", 2, "delete", 0),    # tombstone -> k2 absent
+        ("k3", 5, "insert", 7),
+    ]
+    df = spark.createDataFrame(log, "k string, seq long, op string, v long")
+    out = {
+        r.k: (r.seq, r.op, r.v)
+        for r in apply_cdc_log(df, ["k"], ["seq"], "op").collect()
+    }
+    assert out == {"k1": (3, "update", 30), "k3": (5, "insert", 7)}
+    # shuffled arrival -> identical snapshot
+    import random
+
+    rnd = log[:]
+    random.Random(7).shuffle(rnd)
+    df2 = spark.createDataFrame(rnd, "k string, seq long, op string, v long")
+    out2 = {
+        r.k: (r.seq, r.op, r.v)
+        for r in apply_cdc_log(df2, ["k"], ["seq"], "op").collect()
+    }
+    assert out2 == out
