@@ -5580,6 +5580,63 @@ def profile_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_pareto_frontier",
+    oracle="""
+    WITH pts AS (
+      SELECT round(p_retailprice, 2) AS price, p_size AS size,
+             CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(min(p_partkey) AS BIGINT) AS min_partkey
+      FROM part GROUP BY 1, 2),
+    s AS (
+      SELECT *, min(size) OVER (ORDER BY price, size
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS best
+      FROM pts)
+    SELECT CAST(price AS DOUBLE) AS price, CAST(size AS INT) AS size,
+           n_parts, min_partkey
+    FROM s WHERE best IS NULL OR size < best
+    """,
+)
+def profile_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-D Pareto frontier (skyline) of parts under
+    minimize-(price, size): the points no other point beats on both
+    dims — the multi-objective "best options" question a top-k on any
+    single column can't answer. Uses the sort-based 2-D algorithm: on
+    the DISTINCT (price, size) grid ordered by price, a point is on
+    the frontier iff its size beats the running minimum of everything
+    cheaper — one window, no pairwise dominance join. Equal-price ties
+    order by size so within a price the smallest size survives;
+    coincident points collapse to one frontier row carrying their
+    count and min id. Scale: the global sort runs over the distinct
+    VALUE GRID (bounded by the attribute domains), never the row
+    count — the groupBy reduces 100 TB of rows map-side first.
+    NOTE: registered after the round-7 verify head; heads the r08
+    rotation."""
+    p = _t(spark, sf_dir, "part")
+    pts = p.groupBy(
+        F.round("p_retailprice", 2).alias("price"),
+        F.col("p_size").alias("size"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.min("p_partkey").cast("bigint").alias("min_partkey"),
+    )
+    w = (
+        Window.orderBy("price", "size")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        pts.withColumn("best", F.min("size").over(w))
+        .filter(F.col("best").isNull() | (F.col("size") < F.col("best")))
+        .select(
+            F.col("price").cast("double").alias("price"),
+            F.col("size").cast("int").alias("size"),
+            "n_parts",
+            "min_partkey",
+        )
+    )
+
+
+@register(
     "profile_drift_psi",
     oracle="""
     WITH base AS (
@@ -7829,7 +7886,16 @@ _VERIFY_FIRST = [
     # parity-green locally at sf0.001 + sf0.01). Slot math for the
     # driver's 50-query cap: 19 new + 31 of the 43-member r04 cohort
     # fill exactly 50; the remaining 12 r04 queries sit immediately
-    # after the cap (positions 51-62) and MUST head the r08 rotation.
+    # after the cap (positions 51-62) and MUST head the r08 rotation,
+    # together with the EIGHT late-round-7 registrations deliberately
+    # kept OUT of the head to protect cohort slots (each parity-green
+    # locally, per its docstring + commit message):
+    # graph_triangle_stats, events_decay_trending,
+    # dedup_winnowing_pairs, data_shard_shuffle,
+    # sql_recursive_order_chain, ep3_training_data_pipeline,
+    # cdc_last_writer_wins, profile_pareto_frontier. r08 should also
+    # consider promoting r07-proven ops (kmv, winnowing, triangle,
+    # ep3) to headline=True once their green rows are committed.
     "dedup_span_sliding",
     "sketch_topk_heavy_hitters",
     "embedding_matryoshka_recall",

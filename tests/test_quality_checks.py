@@ -170,3 +170,38 @@ def test_psi_from_counts_null_bin_and_empty_report_guard(spark):
 
     with pytest.raises(ValueError, match="at least one"):
         psi_report(tagged, F.lit("ref"))
+
+
+def test_pareto_frontier_hand_computed(spark):
+    """Skyline semantics on a crafted grid: dominated points drop,
+    incomparable points survive, coincident points collapse."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    pts_rows = [
+        (1, 10.0, 5), (2, 10.0, 5),   # coincident frontier point
+        (3, 10.0, 7),                  # same price, bigger size -> out
+        (4, 20.0, 3),                  # pricier but smaller -> frontier
+        (5, 30.0, 3),                  # ties best size at higher price -> out
+        (6, 25.0, 1),                  # frontier
+        (7, 5.0, 9),                   # cheapest -> frontier
+    ]
+    df = spark.createDataFrame(pts_rows, "id long, price double, size int")
+    pts = df.groupBy("price", "size").agg(
+        F.count("*").cast("bigint").alias("n"), F.min("id").alias("mid")
+    )
+    w = Window.orderBy("price", "size").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    out = {
+        (r.price, r.size): (r.n, r.mid)
+        for r in pts.withColumn("best", F.min("size").over(w))
+        .filter(F.col("best").isNull() | (F.col("size") < F.col("best")))
+        .collect()
+    }
+    assert out == {
+        (5.0, 9): (1, 7),
+        (10.0, 5): (2, 1),
+        (20.0, 3): (1, 4),
+        (25.0, 1): (1, 6),
+    }
