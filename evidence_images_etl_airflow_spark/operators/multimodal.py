@@ -240,3 +240,74 @@ def phash_near_pairs(
     return hamming_near_pairs(
         sig, "doc_id", "phash", max_hamming=max_hamming, blocks=blocks
     )
+
+
+def deterministic_fake_audio_features(
+    text: str, frame_chars: int = 32
+) -> tuple[int, float, int, int]:
+    """Stand-in for an audio feature extractor (frame energies over
+    fixed-size PCM windows): frames the payload into ``frame_chars``
+    char windows and derives a deterministic pseudo-energy per frame
+    from its md5 — the real extractor (torchaudio/librosa RMS per
+    window) drops into the same signature. Returns
+    (n_frames, mean_energy, peak_frame, peak_energy); empty payloads
+    yield (0, 0.0, -1, 0)."""
+    import hashlib
+
+    frames = [
+        text[i : i + frame_chars] for i in range(0, len(text), frame_chars)
+    ]
+    if not frames:
+        return 0, 0.0, -1, 0
+    energies = [
+        int(hashlib.md5(f.encode("utf-8")).hexdigest()[:15], 16) % 1000
+        for f in frames
+    ]
+    peak = max(range(len(energies)), key=lambda i: (energies[i], -i))
+    return (
+        len(frames),
+        round(sum(energies) / len(energies), 6),
+        peak,
+        energies[peak],
+    )
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    frame_chars: int = 32,
+) -> DataFrame:
+    """Audio feature-extraction plumbing, Arrow-batched: one
+    ``mapInPandas`` pass framing each payload and reducing it to the
+    per-document feature row — the batch shape (many rows in, one
+    feature row per input row out, no shuffle) that a real
+    spectrogram/RMS extractor needs at 100 TB. The codec itself is the
+    deterministic fake (no audio libs in this container); the
+    signature, batching, and schema are the production contract."""
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, n_frames int, mean_energy double, "
+        "peak_frame int, peak_energy int"
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                n, mean, peak, pe = deterministic_fake_audio_features(
+                    r[text_col], frame_chars
+                )
+                rows.append(
+                    {
+                        id_col: r[id_col],
+                        "n_frames": n,
+                        "mean_energy": mean,
+                        "peak_frame": peak,
+                        "peak_energy": pe,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, text_col).mapInPandas(feats, out_schema)

@@ -5288,6 +5288,58 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_audio_features",
+    oracle="""
+    WITH f0 AS (
+      SELECT doc_id,
+             [{'idx': i, 'fr': substr(text, i * 32 + 1, 32)}
+              for i in range(0, CAST(ceil(length(text) / 32.0) AS BIGINT))]
+               AS lst
+      FROM documents),
+    e AS (SELECT doc_id, u.idx AS idx,
+                 CAST('0x' || substr(md5(u.fr), 1, 15) AS BIGINT) % 1000
+                   AS energy
+          FROM (SELECT doc_id, unnest(lst) AS u FROM f0)),
+    pk AS (SELECT doc_id, idx AS peak_frame, energy AS peak_energy FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY energy DESC, idx) AS rn
+             FROM e) WHERE rn = 1),
+    ag AS (SELECT doc_id, CAST(count(*) AS INT) AS n_frames,
+                  round(CAST(sum(energy) AS DOUBLE) / count(*), 6)
+                    AS mean_energy
+           FROM e GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(n_frames, 0) AS n_frames,
+           coalesce(mean_energy, 0.0) AS mean_energy,
+           CAST(coalesce(peak_frame, -1) AS INT) AS peak_frame,
+           CAST(coalesce(peak_energy, 0) AS INT) AS peak_energy
+    FROM documents d
+    LEFT JOIN ag USING (doc_id) LEFT JOIN pk USING (doc_id)
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio leg of the multimodal plumbing
+    (operators/multimodal.extract_audio_features): payloads framed
+    into fixed windows, one Arrow mapInPandas pass reducing each to
+    its per-document feature row (n_frames, mean/peak energy, peak
+    frame index). The codec is the documented deterministic fake —
+    md5-derived frame energies standing in for RMS-per-PCM-window —
+    while the batch shape, signature, and schema are the production
+    contract a torchaudio/librosa extractor drops into. The oracle
+    replays the framing and energy math exactly, so the Python
+    plumbing is value-verified, not rows-only. Scale: no shuffle —
+    feature extraction is embarrassingly parallel and Arrow-batched,
+    the 100 TB shape for any per-asset media op. NOTE: registered
+    after the round-7 verify head; heads the r08 rotation."""
+    from evidence_images_etl_airflow_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return extract_audio_features(d, "doc_id", "text", frame_chars=32)
+
+
 # ===========================================================================
 # Warehouse maintenance + retrieval (round 4): SCD2, BM25, rank windows
 # ===========================================================================

@@ -679,3 +679,32 @@ def test_winnowing_detection_guarantee_and_density(spark):
     assert 0 < n_sel < n_grams * 0.75  # sparse selection
     # positions are valid gram indexes
     assert fps.filter("pos < 0 OR pos >= 14").filter("id = 3").count() == 0
+
+
+def test_audio_features_hand_computed_and_empty(spark):
+    """Frame count / peak selection match a hand evaluation of the
+    deterministic codec; empty payloads yield the sentinel row."""
+    import hashlib
+
+    from evidence_images_etl_airflow_spark.operators.multimodal import (
+        deterministic_fake_audio_features,
+        extract_audio_features,
+    )
+
+    text = "x" * 70  # 3 frames: 32 + 32 + 6 chars
+    exp_energies = [
+        int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % 1000
+        for f in (text[0:32], text[32:64], text[64:70])
+    ]
+    n, mean, peak, pe = deterministic_fake_audio_features(text, 32)
+    assert n == 3
+    assert mean == round(sum(exp_energies) / 3, 6)
+    assert peak == exp_energies.index(max(exp_energies))
+    assert pe == max(exp_energies)
+
+    df = spark.createDataFrame(
+        [(1, text), (2, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in extract_audio_features(df).collect()}
+    assert (out[1].n_frames, out[1].peak_energy) == (3, pe)
+    assert (out[2].n_frames, out[2].mean_energy, out[2].peak_frame, out[2].peak_energy) == (0, 0.0, -1, 0)
