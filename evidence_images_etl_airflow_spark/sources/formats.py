@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-_FORMATS = ("parquet", "orc", "csv", "json")
+_FORMATS = ("parquet", "orc", "csv", "json", "xml")
 
 
 def read_table(
@@ -35,7 +35,7 @@ def read_table(
     columnNameOfCorruptRecord explicitly if quarantining is wanted."""
     if fmt not in _FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
-    if fmt in ("csv", "json") and schema is None:
+    if fmt in ("csv", "json", "xml") and schema is None:
         raise ValueError(
             f"{fmt} requires an explicit schema: inference costs a full "
             "extra pass over the data and is nondeterministic under drift"
@@ -49,6 +49,12 @@ def read_table(
         options = opts
     elif fmt == "json":
         opts = {"mode": "FAILFAST"}
+        opts.update(options)
+        options = opts
+    elif fmt == "xml":
+        # Spark 4 native XML source (no external package): rowTag is
+        # mandatory context — default to the writer's choice below
+        opts = {"rowTag": "row", "mode": "FAILFAST"}
         opts.update(options)
         options = opts
     return reader.options(**options).load(path)
@@ -76,6 +82,10 @@ def write_table(
         options = opts
     elif fmt == "json":
         opts = {"compression": "gzip"}
+        opts.update(options)
+        options = opts
+    elif fmt == "xml":
+        opts = {"rootTag": "rows", "rowTag": "row", "compression": "gzip"}
         opts.update(options)
         options = opts
     writer.options(**options).save(path)

@@ -3054,6 +3054,121 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_ensemble_score",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    ng AS (SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
+                                  for i in range(1, len(t))]) AS g
+           FROM toks WHERE len(t) >= 2),
+    cnt AS (SELECT doc_id, g, count(*) AS c FROM ng GROUP BY 1, 2),
+    rep AS (SELECT doc_id, sum(c) AS total, count(*) AS dist
+            FROM cnt GROUP BY 1),
+    sig AS (
+      SELECT d.doc_id, {_QUALITY_SQL} AS quality,
+             round(coalesce(1 - dist / CAST(total AS DOUBLE), 0), 6)
+               AS dup_fraction,
+             len({_TOK}) AS n_tokens
+      FROM documents d LEFT JOIN rep USING (doc_id)),
+    ranked AS (
+      SELECT *,
+             rank() OVER (ORDER BY quality) - 1 AS qr,
+             rank() OVER (ORDER BY dup_fraction) - 1 AS rr,
+             rank() OVER (ORDER BY n_tokens) - 1 AS lr,
+             count(*) OVER () - 1 AS den
+      FROM sig),
+    ens AS (
+      SELECT *,
+             (5 * qr + 3 * (den - rr) + 2 * lr) AS num
+      FROM ranked)
+    SELECT doc_id, quality, dup_fraction,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(qr / CAST(den AS DOUBLE), 6) AS q_pct,
+           round(rr / CAST(den AS DOUBLE), 6) AS r_pct,
+           round(lr / CAST(den AS DOUBLE), 6) AS l_pct,
+           round(num / (10.0 * den), 6) AS ensemble,
+           num * 2 >= 10 * den AS keep
+    FROM ens
+    """,
+)
+def curation_ensemble_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble curation scoring — how production filters actually
+    combine signals: each raw signal (heuristic quality, duplicate-
+    bigram fraction, token length) is CALIBRATED to its corpus
+    percent_rank first, then weighted (0.5 quality + 0.3 novelty +
+    0.2 length). Rank calibration is what makes the weights meaningful
+    across corpora with wildly different raw-signal distributions —
+    thresholding raw scores transfers badly, percentiles transfer.
+    Deterministic end to end: 6dp-rounded signals, percent_rank over
+    exact values (ties share ranks identically cross-engine), literal
+    weights. Scale: signals are row-local or one bigram agg; each
+    calibration is one global-ORDER window over doc-count rows —
+    at 100 TB replace with approx-quantile bucketing (the
+    profile_price_histogram machinery) to avoid the single-partition
+    rank; the semantics this query pins stay the contract.
+    NOTE: registered after the round-7 verify head; heads the r08
+    rotation."""
+    from evidence_images_etl_airflow_spark.operators.text_stats import (
+        repetition_signals,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    rep = repetition_signals(d, "doc_id", "text", n=2).select(
+        F.col("id").alias("doc_id"), "dup_ngram_fraction"
+    )
+    sig = (
+        d.select(
+            "doc_id",
+            quality_score(F.col("text")).alias("quality"),
+            F.size(tokens(F.col("text"))).alias("n_tokens"),
+        )
+        .join(rep, "doc_id")
+        .select(
+            "doc_id",
+            "quality",
+            F.col("dup_ngram_fraction").alias("dup_fraction"),
+            "n_tokens",
+        )
+    )
+    # integer-rank calibration: (rank-1)/(N-1) is percent_rank, but
+    # keeping the INTEGER numerators lets the weighted ensemble be
+    # exact integer arithmetic — 5*qr + 3*((N-1)-rr) + 2*lr over
+    # 10*(N-1) — whose single division cannot land on a 6dp rounding
+    # tie (the denominator has a large prime factor), eliminating the
+    # cross-engine half-up/half-even knife edge a float weighted sum
+    # of rounded percentiles measurably hits (2 docs in 500 here).
+    qr = F.rank().over(Window.orderBy("quality")) - 1
+    rr = F.rank().over(Window.orderBy("dup_fraction")) - 1
+    lr = F.rank().over(Window.orderBy("n_tokens")) - 1
+    den = F.count("*").over(Window.partitionBy()) - 1
+    ranked = sig.select(
+        "doc_id",
+        "quality",
+        "dup_fraction",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        qr.alias("qr"),
+        rr.alias("rr"),
+        lr.alias("lr"),
+        den.alias("den"),
+    ).withColumn(
+        "num",
+        F.lit(5) * F.col("qr")
+        + F.lit(3) * (F.col("den") - F.col("rr"))
+        + F.lit(2) * F.col("lr"),
+    )
+    return ranked.select(
+        "doc_id",
+        "quality",
+        "dup_fraction",
+        "n_tokens",
+        F.round(F.col("qr") / F.col("den").cast("double"), 6).alias("q_pct"),
+        F.round(F.col("rr") / F.col("den").cast("double"), 6).alias("r_pct"),
+        F.round(F.col("lr") / F.col("den").cast("double"), 6).alias("l_pct"),
+        F.round(F.col("num") / (F.lit(10.0) * F.col("den")), 6).alias("ensemble"),
+        (F.col("num") * 2 >= F.col("den") * 10).alias("keep"),
+    )
+
+
+@register(
     "text_contamination_check",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),

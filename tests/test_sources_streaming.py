@@ -549,3 +549,35 @@ def test_tws_sessionizer_matches_old_api(spark, tmp_path):
         return {tuple(r) for r in spark.table(name).collect()}
 
     assert drain(sessionize_tws, "tws") == drain(sessionize_stateful, "old")
+
+
+def test_xml_format_roundtrip_native(spark, tmp_path):
+    """Spark 4 native XML source through the formats facade: write +
+    read back preserves values; schema is mandatory like other text
+    formats."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from evidence_images_etl_airflow_spark.sources.formats import (
+        read_table,
+        write_table,
+    )
+
+    src = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .limit(50)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+    )
+    want = {tuple(r) for r in src.collect()}
+    p = str(tmp_path / "xml")
+    write_table(src, p, "xml")
+    got = read_table(spark, p, "xml", schema=src.schema)
+    assert {tuple(r) for r in got.collect()} == want
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_table(spark, p, "xml")
