@@ -300,3 +300,74 @@ def compact_parquet(
     fs.delete(hpath, True)
     fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
     return n_files
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shard_col: str = "shard",
+    token_col: str | None = None,
+) -> dict:
+    """Export a training corpus as shard-partitioned parquet plus a
+    data-loader manifest — the hand-off artifact between the data
+    engine and a training job: loaders read `shard=N/` directories
+    sequentially (data_shard_shuffle's layout), and the manifest tells
+    the job scheduler each shard's row/token weight up front so it can
+    assign shards to workers without listing or scanning anything.
+
+    Layout hygiene as in write_bucketed: repartition BY THE SHARD
+    COLUMN first so each shard directory holds one file — a
+    shard-per-task write, not tasks x shards fragments. The manifest
+    is a driver-side dict (and written as _manifest.json next to the
+    data): per-shard rows, optional token totals, and file names —
+    bounded by shard count, never row count. Returns the manifest."""
+    import json
+
+    spark = df.sparkSession
+    (
+        df.repartition(F.col(shard_col))
+        .write.mode("overwrite")
+        .partitionBy(shard_col)
+        .parquet(path)
+    )
+    aggs = [F.count("*").cast("bigint").alias("rows")]
+    if token_col is not None:
+        aggs.append(F.sum(token_col).cast("bigint").alias("tokens"))
+    stats = {r[shard_col]: r.asDict() for r in df.groupBy(shard_col).agg(*aggs).collect()}
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    shards = {}
+    it = fs.listStatus(hpath)
+    for st in it:
+        name = st.getPath().getName()
+        if not name.startswith(f"{shard_col}="):
+            continue
+        key = name.split("=", 1)[1]
+        files = [
+            f.getPath().getName()
+            for f in fs.listStatus(st.getPath())
+            if f.getPath().getName().endswith(".parquet")
+        ]
+        skey = type(next(iter(stats)))(key) if stats else key
+        entry = {"files": sorted(files)}
+        entry.update(
+            {k: v for k, v in stats.get(skey, {}).items() if k != shard_col}
+        )
+        shards[str(key)] = entry
+    manifest = {
+        "shard_col": shard_col,
+        "n_shards": len(shards),
+        "total_rows": int(sum(s.get("rows", 0) for s in shards.values())),
+        "shards": shards,
+    }
+    if token_col is not None:
+        manifest["total_tokens"] = int(
+            sum(s.get("tokens", 0) for s in shards.values())
+        )
+    out = jvm.org.apache.hadoop.fs.Path(path, "_manifest.json")
+    stream = fs.create(out, True)
+    stream.write(bytearray(json.dumps(manifest, indent=1).encode("utf-8")))
+    stream.close()
+    return manifest

@@ -581,3 +581,41 @@ def test_xml_format_roundtrip_native(spark, tmp_path):
     assert {tuple(r) for r in got.collect()} == want
     with pytest.raises(ValueError, match="explicit schema"):
         read_table(spark, p, "xml")
+
+
+def test_permissive_quarantine_counts_corrupt_rows(spark, tmp_path):
+    """The documented PERMISSIVE escape hatch: corrupt rows land in the
+    quarantine column instead of failing the load, and the clean/dirty
+    split is exact — the pattern for salvaging a 100 TB load where
+    FAILFAST would burn the whole job for three bad lines."""
+    from pyspark.sql import functions as F
+
+    from evidence_images_etl_airflow_spark.sources.formats import read_table
+
+    p = tmp_path / "j"
+    p.mkdir()
+    (p / "part.json").write_text(
+        '{"id": 1, "v": "a"}\n'
+        "this is not json\n"
+        '{"id": 2, "v": "b"}\n'
+        '{"id": 3, "v": }\n'
+    )
+    schema = "id long, v string, _corrupt_record string"
+    df = read_table(
+        spark,
+        str(p),
+        "json",
+        schema=schema,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    ).cache()
+    clean = df.filter(F.col("_corrupt_record").isNull())
+    dirty = df.filter(F.col("_corrupt_record").isNotNull())
+    assert {(r.id, r.v) for r in clean.collect()} == {(1, "a"), (2, "b")}
+    assert dirty.count() == 2
+    # quarantined payloads are preserved verbatim for triage
+    assert {r._corrupt_record for r in dirty.collect()} == {
+        "this is not json",
+        '{"id": 3, "v": }',
+    }
+    df.unpersist()

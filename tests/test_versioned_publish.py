@@ -189,3 +189,39 @@ def test_delete_where_null_condition_rows_survive(spark, table):
     assert res["rows_deleted"] == 1
     ids = {r.id for r in V.read_latest(spark, table).collect()}
     assert ids == {2, 3}  # NULL-condition row kept, SQL DELETE rule
+
+
+def test_write_training_shards_layout_and_manifest(spark, tmp_path):
+    """Shard export: one file per shard directory, manifest totals
+    equal the data, and a loader reading shard dirs sees every row."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from evidence_images_etl_airflow_spark.sinks.writers import (
+        write_training_shards,
+    )
+
+    df = spark.range(0, 300).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("shard"),
+        (F.col("id") % 7 + 1).alias("tok"),
+    )
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(df, path, "shard", token_col="tok")
+    assert manifest["n_shards"] == 4
+    assert manifest["total_rows"] == 300
+    assert manifest["total_tokens"] == sum(i % 7 + 1 for i in range(300))
+    for key, entry in manifest["shards"].items():
+        assert len(entry["files"]) == 1, key  # one-file-per-shard hygiene
+        assert entry["rows"] == 75
+    # manifest persisted next to the data (underscore prefix keeps it
+    # invisible to Hadoop input listings, like _SUCCESS) and loadable
+    with open(f"{path}/_manifest.json") as fh:
+        back = json.load(fh)
+    assert back["total_rows"] == 300
+    # a loader reading one shard dir sees exactly its rows
+    s0 = spark.read.parquet(f"{path}/shard=0")
+    assert s0.count() == 75
+    # and the full read round-trips every row
+    assert spark.read.parquet(path).count() == 300
