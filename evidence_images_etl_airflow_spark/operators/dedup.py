@@ -241,8 +241,22 @@ def winnowing_fingerprints(
         F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("bigint")
         % F.lit(_WINNOW_HASH_SPACE)
     )
-    key = hfold * F.lit(_WINNOW_POS_SPACE) + (
-        F.lit(_WINNOW_POS_SPACE - 1) - F.col("pos")
+    # hard precondition, not a docstring plea: a gram position past
+    # 2^20 would underflow the rightmost-min encoding and silently
+    # corrupt fingerprints for exactly the over-long documents most
+    # likely to carry duplicated boilerplate — fail loudly instead.
+    # Folded into the key expression so column pruning can't skip it.
+    key = F.when(
+        F.col("pos") < F.lit(_WINNOW_POS_SPACE),
+        hfold * F.lit(_WINNOW_POS_SPACE)
+        + (F.lit(_WINNOW_POS_SPACE - 1) - F.col("pos")),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "winnowing_fingerprints: document exceeds 2^20 grams — "
+                "split long documents upstream"
+            )
+        ).cast("bigint")
     )
     frame = (
         Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
@@ -281,9 +295,14 @@ def winnowing_pairs(
     density index instead of every gram, with the same hot-key cap
     (``max_doc_freq``) guarding a boilerplate fingerprint from
     generating O(df^2) candidates."""
-    fps = winnowing_fingerprints(df, id_col, text_col, k, w).select(
-        "id", "fp"
-    ).distinct()
+    # the fingerprint table feeds the optional freq guard AND both join
+    # sides — persist so the tokenize/window/distinct lineage runs
+    # once, not 2-3x (the minhash shingle-set discipline)
+    fps = _materialized(
+        winnowing_fingerprints(df, id_col, text_col, k, w)
+        .select("id", "fp")
+        .distinct()
+    )
     if max_doc_freq is not None:
         freq = fps.groupBy("fp").agg(F.count("*").alias("df_"))
         fps = fps.join(freq.filter(F.col("df_") <= max_doc_freq), "fp").drop("df_")

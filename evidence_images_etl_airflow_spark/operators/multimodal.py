@@ -253,6 +253,7 @@ def deterministic_fake_audio_features(
     (n_frames, mean_energy, peak_frame, peak_energy); empty payloads
     yield (0, 0.0, -1, 0)."""
     import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
 
     frames = [
         text[i : i + frame_chars] for i in range(0, len(text), frame_chars)
@@ -264,12 +265,16 @@ def deterministic_fake_audio_features(
         for f in frames
     ]
     peak = max(range(len(energies)), key=lambda i: (energies[i], -i))
-    return (
-        len(frames),
-        round(sum(energies) / len(energies), 6),
-        peak,
-        energies[peak],
+    # HALF_UP on the double's exact decimal expansion — the rounding
+    # F.round and the DuckDB oracle share. Python's builtin round() is
+    # half-to-EVEN and diverges on exact 6dp ties (mean = k + m/128
+    # with odd m is a terminating ...5 decimal: 1/128 = 0.0078125).
+    mean = float(
+        Decimal(sum(energies) / len(energies)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
     )
+    return len(frames), mean, peak, energies[peak]
 
 
 def extract_audio_features(
@@ -287,27 +292,29 @@ def extract_audio_features(
     signature, batching, and schema are the production contract."""
     import pandas as pd
 
+    id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} long, n_frames int, mean_energy double, "
+        f"{id_col} {id_type}, n_frames int, mean_energy double, "
         "peak_frame int, peak_energy int"
     )
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                n, mean, peak, pe = deterministic_fake_audio_features(
-                    r[text_col], frame_chars
-                )
-                rows.append(
-                    {
-                        id_col: r[id_col],
-                        "n_frames": n,
-                        "mean_energy": mean,
-                        "peak_frame": peak,
-                        "peak_energy": pe,
-                    }
-                )
-            yield pd.DataFrame(rows)
+            # columnar access, not iterrows: the codec is per-row
+            # Python either way, but zip over the two Series avoids
+            # boxing every cell of every column into row objects
+            feats_rows = [
+                deterministic_fake_audio_features(t, frame_chars)
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_frames": [f[0] for f in feats_rows],
+                    "mean_energy": [f[1] for f in feats_rows],
+                    "peak_frame": [f[2] for f in feats_rows],
+                    "peak_energy": [f[3] for f in feats_rows],
+                }
+            )
 
     return df.select(id_col, text_col).mapInPandas(feats, out_schema)

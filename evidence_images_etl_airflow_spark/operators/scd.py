@@ -130,9 +130,14 @@ def apply_cdc_log(
     w = Window.partitionBy(*key_cols).orderBy(
         *[F.col(c).desc() for c in seq_cols]
     )
+    # NULL op is NOT a tombstone: ~isin(NULL) evaluates to NULL and a
+    # bare filter would silently DELETE the key on a malformed
+    # upstream record — coalesce makes "unknown op keeps the row" the
+    # deliberate behavior (surface such rows via dq checks, don't
+    # erase them)
     return (
         log.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .filter(~F.col(op_col).isin(*delete_ops))
+        .filter(~F.coalesce(F.col(op_col).isin(*delete_ops), F.lit(False)))
         .drop("__rn")
     )

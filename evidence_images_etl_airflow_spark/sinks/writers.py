@@ -322,18 +322,39 @@ def write_training_shards(
     data): per-shard rows, optional token totals, and file names —
     bounded by shard count, never row count. Returns the manifest."""
     import json
+    from urllib.parse import unquote
 
     spark = df.sparkSession
-    (
-        df.repartition(F.col(shard_col))
-        .write.mode("overwrite")
-        .partitionBy(shard_col)
-        .parquet(path)
-    )
-    aggs = [F.count("*").cast("bigint").alias("rows")]
-    if token_col is not None:
-        aggs.append(F.sum(token_col).cast("bigint").alias("tokens"))
-    stats = {r[shard_col]: r.asDict() for r in df.groupBy(shard_col).agg(*aggs).collect()}
+    # persist so the manifest stats and the written files come from the
+    # SAME materialization — recomputing the lineage after the write
+    # would let a nondeterministic/shifting source make the manifest
+    # silently disagree with the shards it describes (and costs a
+    # second full scan besides)
+    df = df.persist()
+    try:
+        (
+            df.repartition(F.col(shard_col))
+            .write.mode("overwrite")
+            .partitionBy(shard_col)
+            .parquet(path)
+        )
+        aggs = [F.count("*").cast("bigint").alias("rows")]
+        if token_col is not None:
+            aggs.append(F.sum(token_col).cast("bigint").alias("tokens"))
+        # manifest keys are the Hive partition-directory spellings:
+        # string-render the shard value the same way the writer does
+        # (NULL -> __HIVE_DEFAULT_PARTITION__) instead of re-parsing
+        # directory names back into the column's type
+        stats = {
+            (
+                "__HIVE_DEFAULT_PARTITION__"
+                if r[shard_col] is None
+                else str(r[shard_col])
+            ): r.asDict()
+            for r in df.groupBy(shard_col).agg(*aggs).collect()
+        }
+    finally:
+        df.unpersist()
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -344,18 +365,29 @@ def write_training_shards(
         name = st.getPath().getName()
         if not name.startswith(f"{shard_col}="):
             continue
-        key = name.split("=", 1)[1]
+        # directory names are URL-escaped by Hive (space -> %20 etc.)
+        key = unquote(name.split("=", 1)[1])
         files = [
             f.getPath().getName()
             for f in fs.listStatus(st.getPath())
             if f.getPath().getName().endswith(".parquet")
         ]
-        skey = type(next(iter(stats)))(key) if stats else key
+        if key not in stats:
+            raise ValueError(
+                f"shard directory {name!r} has no matching stats row — "
+                "manifest would undercount; shard values must render "
+                "stably via str()"
+            )
         entry = {"files": sorted(files)}
         entry.update(
-            {k: v for k, v in stats.get(skey, {}).items() if k != shard_col}
+            {k: v for k, v in stats[key].items() if k != shard_col}
         )
-        shards[str(key)] = entry
+        shards[key] = entry
+    if len(shards) != len(stats):
+        missing = sorted(set(stats) - set(shards))
+        raise ValueError(
+            f"stats rows without a shard directory: {missing!r}"
+        )
     manifest = {
         "shard_col": shard_col,
         "n_shards": len(shards),

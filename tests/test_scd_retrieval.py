@@ -140,3 +140,15 @@ def test_apply_cdc_log_order_invariant_with_tombstones(spark):
         for r in apply_cdc_log(df2, ["k"], ["seq"], "op").collect()
     }
     assert out2 == out
+
+
+def test_apply_cdc_log_null_op_is_not_a_tombstone(spark):
+    from evidence_images_etl_airflow_spark.operators.scd import apply_cdc_log
+
+    df = spark.createDataFrame(
+        [("k1", 1, "insert", 1), ("k1", 2, None, 2), ("k2", 1, "delete", 0)],
+        "k string, seq long, op string, v long",
+    )
+    out = {r.k: r.v for r in apply_cdc_log(df, ["k"], ["seq"], "op").collect()}
+    # malformed (NULL) op keeps the row; real tombstone still deletes
+    assert out == {"k1": 2}

@@ -225,3 +225,21 @@ def test_write_training_shards_layout_and_manifest(spark, tmp_path):
     assert s0.count() == 75
     # and the full read round-trips every row
     assert spark.read.parquet(path).count() == 300
+
+
+def test_write_training_shards_null_shard_partition(spark, tmp_path):
+    """NULL shard values land in Hive's default partition and the
+    manifest accounts for them — no crash, no undercount."""
+    from pyspark.sql import functions as F
+
+    from evidence_images_etl_airflow_spark.sinks.writers import (
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, None)], "id long, shard int"
+    )
+    m = write_training_shards(df, str(tmp_path / "s"), "shard")
+    assert m["total_rows"] == 3
+    assert m["shards"]["__HIVE_DEFAULT_PARTITION__"]["rows"] == 1
+    assert m["shards"]["0"]["rows"] == 2
