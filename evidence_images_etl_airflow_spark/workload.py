@@ -6331,6 +6331,76 @@ def window_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "intervals_merge_islands",
+    oracle="""
+    WITH iv AS (
+      SELECT l_suppkey AS k, CAST(l_shipdate AS DATE) AS s,
+             CAST(l_shipdate AS DATE) + INTERVAL 7 DAY AS e
+      FROM lineitem),
+    iv2 AS (SELECT k, s, CAST(e AS DATE) AS e FROM iv),
+    marked AS (
+      SELECT k, s, e,
+             CASE WHEN s > max(e) OVER (PARTITION BY k ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS brk
+      FROM iv2),
+    grp AS (
+      SELECT k, s, e,
+             sum(brk) OVER (PARTITION BY k ORDER BY s, e
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked)
+    SELECT k AS supp_key, CAST(island AS BIGINT) AS island,
+           CAST(min(s) AS DATE) AS island_start,
+           CAST(max(e) AS DATE) AS island_end,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM grp GROUP BY k, island
+    """,
+)
+def intervals_merge_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: merge each supplier's overlapping shipment-
+    activity windows (ship date + 7 days) into maximal covered
+    intervals — the classic interval-consolidation every warehouse
+    needs for coverage/uptime/exposure questions, done the
+    sort-based way: per key, an interval starts a new island iff its
+    start exceeds the running MAX of all previous ends (ties and
+    touching endpoints merge), and the island id is the running sum of
+    those breaks. Two windows over one per-key sort — NO self-join,
+    no interval explosion; the same one-shuffle shape as
+    sessionization, which is the degenerate (point-event) case of
+    this operator. NOTE: registered after the round-7 verify head;
+    heads the r08 rotation."""
+    li = _t(spark, sf_dir, "lineitem")
+    iv = li.select(
+        F.col("l_suppkey").alias("k"),
+        F.to_date("l_shipdate").alias("s"),
+        F.date_add(F.to_date("l_shipdate"), 7).alias("e"),
+    )
+    wprev = (
+        Window.partitionBy("k")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("k")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = iv.withColumn(
+        "brk",
+        F.when(F.col("s") > F.max("e").over(wprev), 1).otherwise(0),
+    )
+    grp = marked.withColumn("island", F.sum("brk").over(wrun))
+    return grp.groupBy(
+        F.col("k").alias("supp_key"), F.col("island").cast("bigint").alias("island")
+    ).agg(
+        F.min("s").alias("island_start"),
+        F.max("e").alias("island_end"),
+        F.count("*").cast("bigint").alias("n_intervals"),
+    )
+
+
+@register(
     "orders_open_interval_count",
     oracle="""
     WITH iv AS (

@@ -124,3 +124,43 @@ def test_range_join_plan_is_equi_join(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_islands_merge_touching_and_split_gaps(spark):
+    """Hand-computed gaps-and-islands: overlapping and touching
+    intervals merge (running-max rule), a true gap splits, keys are
+    independent."""
+    from pyspark.sql import functions as F
+    from evidence_images_etl_airflow_spark.workload import REGISTRY  # noqa: F401
+
+    rows = [
+        # key a: [1,5] + [4,8] overlap; [8,10] touches (start == max end -> merge);
+        # [12,13] gaps -> new island
+        ("a", 1, 5), ("a", 4, 8), ("a", 8, 10), ("a", 12, 13),
+        # key b: single interval
+        ("b", 2, 3),
+    ]
+    iv = spark.createDataFrame(rows, "k string, s int, e int")
+    from pyspark.sql import Window
+
+    wprev = Window.partitionBy("k").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wrun = Window.partitionBy("k").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = (
+        iv.withColumn(
+            "brk", F.when(F.col("s") > F.max("e").over(wprev), 1).otherwise(0)
+        )
+        .withColumn("island", F.sum("brk").over(wrun))
+        .groupBy("k", "island")
+        .agg(F.min("s").alias("st"), F.max("e").alias("en"), F.count("*").alias("n"))
+        .collect()
+    )
+    got = {(r.k, r.island): (r.st, r.en, r.n) for r in out}
+    assert got == {
+        ("a", 0): (1, 10, 3),
+        ("a", 1): (12, 13, 1),
+        ("b", 0): (2, 3, 1),
+    }
