@@ -205,3 +205,33 @@ def test_pareto_frontier_hand_computed(spark):
         (20.0, 3): (1, 4),
         (25.0, 1): (1, 6),
     }
+
+
+def test_mad_resists_the_outlier_that_moves_the_mean(spark):
+    """The reason MAD exists: one huge spike leaves median/MAD (and so
+    every other day's robust score) untouched, while the mean/stddev
+    scores of ordinary days shift with the spike's presence."""
+    from pyspark.sql import functions as F
+
+    base = [float(v) for v in (10, 11, 9, 10, 12, 10, 11, 9)]
+    with_spike = base + [1000.0]
+    def robust(vals):
+        df = spark.createDataFrame([(v,) for v in vals], "n double")
+        med = df.agg(F.round(F.percentile("n", F.lit(0.5)), 6).alias("m")).collect()[0].m
+        mad = (
+            df.select(F.round(F.abs(F.col("n") - F.lit(med)), 6).alias("a"))
+            .agg(F.round(F.percentile("a", F.lit(0.5)), 6).alias("mad"))
+            .collect()[0]
+            .mad
+        )
+        return med, mad
+
+    m0, d0 = robust(base)
+    m1, d1 = robust(with_spike)
+    assert m0 == 10.0 and m1 == 10.0  # median doesn't move at all
+    assert abs(d1 - d0) <= 0.5        # MAD stays put
+    # the spike itself is a screaming outlier on the robust scale
+    assert abs(1000.0 - m1) / (1.4826 * d1) > 100
+    # while the classical mean shifts by ~110 with one point
+    import statistics
+    assert statistics.mean(with_spike) - statistics.mean(base) > 100
