@@ -8192,13 +8192,15 @@ _VERIFY_FIRST = [
     # driver's 50-query cap: 19 new + 31 of the 43-member r04 cohort
     # fill exactly 50; the remaining 12 r04 queries sit immediately
     # after the cap (positions 51-62) and MUST head the r08 rotation,
-    # together with the EIGHT late-round-7 registrations deliberately
+    # together with the TWELVE late-round-7 registrations deliberately
     # kept OUT of the head to protect cohort slots (each parity-green
     # locally, per its docstring + commit message):
     # graph_triangle_stats, events_decay_trending,
     # dedup_winnowing_pairs, data_shard_shuffle,
     # sql_recursive_order_chain, ep3_training_data_pipeline,
-    # cdc_last_writer_wins, profile_pareto_frontier. r08 should also
+    # cdc_last_writer_wins, profile_pareto_frontier,
+    # curation_ensemble_score, multimodal_audio_features,
+    # intervals_merge_islands, events_anomaly_mad. r08 should also
     # consider promoting r07-proven ops (kmv, winnowing, triangle,
     # ep3) to headline=True once their green rows are committed.
     "dedup_span_sliding",
