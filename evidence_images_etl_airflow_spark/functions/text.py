@@ -190,3 +190,61 @@ def rolling_hash(col: str | Column, mod: int = 2_147_483_647, base: int = 31) ->
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
     )
+
+
+# --- URL canonicalization ----------------------------------------------------
+_URL_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+_URL_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
+_URL_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+_URL_QUERY_RE = r"\?([^#]*)"
+_URL_TRACKING_RE = r"^(utm_[a-z0-9_]*|ref|fbclid|gclid)="
+
+
+def canonicalize_url(col: str | Column) -> Column:
+    """Canonical form of a URL for crawl-frontier and document dedup —
+    the normalization every web-scale training pipeline applies before
+    "have we fetched this page already?" can be answered by equality:
+
+    - scheme and host lowercased; a leading ``www.`` stripped
+    - the scheme's default port dropped (``:80`` for http, ``:443``
+      for https)
+    - the fragment dropped (never sent to the server)
+    - tracking query params dropped (``utm_*``, ``ref``, ``fbclid``,
+      ``gclid``), survivors SORTED so param order can't split a page
+      into two identities
+    - trailing slashes stripped from the path (``/a/`` == ``/a``,
+      and a bare ``/`` collapses into the naked host)
+
+    Pure native string/array expressions — regexp_extract, a
+    higher-order filter + array_sort — all inside whole-stage codegen,
+    no UDF, reproducible verbatim in any engine with regexp_extract /
+    list_filter / list_sort (the DuckDB oracle runs the identical
+    pipeline). Kept deliberately anchored-regex-only: Java and RE2
+    agree on every pattern here (`^...=`, `:443$`, `/+$`)."""
+    u = _c(col)
+    scheme = F.lower(F.regexp_extract(u, _URL_SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(u, _URL_HOST_RE, 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_replace(
+        F.regexp_extract(u, _URL_PATH_RE, 1), r"/+$", ""
+    )
+    query = F.regexp_extract(u, _URL_QUERY_RE, 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda x: (x != "") & ~x.rlike(_URL_TRACKING_RE),
+        )
+    )
+    qs = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )

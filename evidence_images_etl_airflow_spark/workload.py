@@ -29,6 +29,7 @@ from evidence_images_etl_airflow_spark import caching
 
 from evidence_images_etl_airflow_spark.functions.text import (
     LANG_STOPWORDS,
+    canonicalize_url,
     fingerprint_md5,
     lang_id,
     quality_score,
@@ -4189,6 +4190,125 @@ def curation_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_url_dedup",
+    oracle=r"""
+    WITH messy AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTPS'
+                  ELSE 'HtTpS' END
+             || '://'
+             || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END
+             || CASE WHEN doc_id % 4 = 1 THEN upper(source || '.example.com')
+                     ELSE source || '.example.com' END
+             || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+             || '/articles/' || CAST(doc_id % 25 AS VARCHAR)
+             || CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END
+             || CASE doc_id % 3
+                  WHEN 0 THEN '?id=' || CAST(doc_id % 25 AS VARCHAR)
+                              || '&lang=en&utm_source=feed'
+                  WHEN 1 THEN '?lang=en&utm_campaign=x&id='
+                              || CAST(doc_id % 25 AS VARCHAR)
+                  ELSE '?id=' || CAST(doc_id % 25 AS VARCHAR)
+                              || '&lang=en#section-2'
+                END AS url
+      FROM documents),
+    parsed AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+               AS scheme,
+             lower(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+             regexp_replace(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+               '/+$', '') AS path,
+             array_to_string(
+               list_sort(
+                 list_filter(string_split(regexp_extract(url,
+                     '\?([^#]*)', 1), '&'),
+                   x -> x <> '' AND NOT regexp_matches(x,
+                     '^(utm_[a-z0-9_]*|ref|fbclid|gclid)='))),
+               '&') AS qs
+      FROM messy),
+    canon AS (
+      SELECT doc_id,
+             scheme || '://'
+             || regexp_replace(
+                  CASE WHEN scheme = 'http'
+                         THEN regexp_replace(hostport, ':80$', '')
+                       WHEN scheme = 'https'
+                         THEN regexp_replace(hostport, ':443$', '')
+                       ELSE hostport END,
+                  '^www\.', '')
+             || path
+             || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
+               AS canonical_url
+      FROM parsed)
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           min(doc_id) AS kept_doc_id
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def curation_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup — the web-crawl identity question every
+    training pipeline answers before fetching or keeping a page: the
+    same document arrives as `HTTPS://WWW.Host:443/a/?utm_source=x&
+    id=7#frag` and `https://host/a?id=7`, and only canonicalization
+    (functions/text.canonicalize_url: lowercase scheme+host, strip
+    www./default port/fragment/tracking params, sort survivors, trim
+    trailing slashes) lets a plain groupBy collapse them. The
+    documents table has no URL column, so each doc derives a messy
+    URL deterministically from (doc_id, source) — scheme case, www.,
+    host case, :443, trailing slash, param order, tracking params and
+    fragment all vary by doc_id residues while the canonical identity
+    is (source, doc_id % 25); the oracle re-derives the identical mess
+    and canonicalizes it with DuckDB's own regexp/list kernels, so
+    parity proves the normalization END TO END, not just the happy
+    path. Output: one row per canonical URL with the variant count
+    and the kept (min) doc_id. Scale shape: pure codegen'd string/
+    array expressions (zero UDFs), one scan, exactly one shuffle on
+    the canonical key — at 100 TB this is the same single-exchange
+    profile as dedup_exact, with the canonical form computed map-side
+    so only (canonical_url, doc_id) ever crosses the wire."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pid_s = (did % 25).cast("string")
+    hostbase = F.concat(F.col("source"), F.lit(".example.com"))
+    url = F.concat(
+        F.when(did % 3 == 0, F.lit("https"))
+        .when(did % 3 == 1, F.lit("HTTPS"))
+        .otherwise(F.lit("HtTpS")),
+        F.lit("://"),
+        F.when(did % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(did % 4 == 1, F.upper(hostbase)).otherwise(hostbase),
+        F.when(did % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/articles/"),
+        pid_s,
+        F.when(did % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit("?id="), pid_s, F.lit("&lang=en&utm_source=feed")),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(F.lit("?lang=en&utm_campaign=x&id="), pid_s),
+        )
+        .otherwise(
+            F.concat(F.lit("?id="), pid_s, F.lit("&lang=en#section-2"))
+        ),
+    )
+    return (
+        d.select("doc_id", url.alias("url"))
+        .withColumn("canonical_url", canonicalize_url(F.col("url")))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.min("doc_id").alias("kept_doc_id"),
+        )
+    )
+
+
+@register(
     "curation_source_filter",
     oracle=f"""
     WITH scored AS ({_SOURCE_SCORED}),
@@ -8192,7 +8312,7 @@ _VERIFY_FIRST = [
     # driver's 50-query cap: 19 new + 31 of the 43-member r04 cohort
     # fill exactly 50; the remaining 12 r04 queries sit immediately
     # after the cap (positions 51-62) and MUST head the r08 rotation,
-    # together with the TWELVE late-round-7 registrations deliberately
+    # together with the THIRTEEN late-round-7 registrations deliberately
     # kept OUT of the head to protect cohort slots (each parity-green
     # locally, per its docstring + commit message):
     # graph_triangle_stats, events_decay_trending,
@@ -8200,7 +8320,8 @@ _VERIFY_FIRST = [
     # sql_recursive_order_chain, ep3_training_data_pipeline,
     # cdc_last_writer_wins, profile_pareto_frontier,
     # curation_ensemble_score, multimodal_audio_features,
-    # intervals_merge_islands, events_anomaly_mad. r08 should also
+    # intervals_merge_islands, events_anomaly_mad,
+    # curation_url_dedup. r08 should also
     # consider promoting r07-proven ops (kmv, winnowing, triangle,
     # ep3) to headline=True once their green rows are committed.
     "dedup_span_sliding",

@@ -371,3 +371,45 @@ def test_shard_shuffle_deterministic_and_splice_stable(spark):
         a = [d for _, d in sorted(by_shard_small[sh])]
         b = [d for _, d in sorted(by_shard_big[sh])]
         assert a == b  # splice stability
+
+
+def test_canonicalize_url_hand_cases(spark):
+    """Hand-computed canonical forms: every normalization rule hit at
+    least once, plus the cases that must NOT change (non-default port,
+    unknown scheme, already-canonical)."""
+    from evidence_images_etl_airflow_spark.functions.text import (
+        canonicalize_url,
+    )
+
+    cases = [
+        # scheme/host case, www., default https port, trailing slash,
+        # tracking param, param sort, fragment -- all at once
+        ("HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+         "https://example.com/a/b?a=1&b=2"),
+        # http default port + bare root path collapse
+        ("http://example.com:80/", "http://example.com"),
+        # only tracking params -> no query at all
+        ("http://example.com/path?utm_campaign=z&fbclid=1&gclid=2&ref=t",
+         "http://example.com/path"),
+        # no path, no query -- untouched
+        ("https://sub.example.com", "https://sub.example.com"),
+        # NON-default port survives; params keep-and-sort
+        ("https://host.com:8443/x?z=1&a=2", "https://host.com:8443/x?a=2&z=1"),
+        # unknown scheme: port untouched (no default to strip)
+        ("ftp://Host.com:21/file", "ftp://host.com:21/file"),
+        # multiple trailing slashes
+        ("https://h.co/a///", "https://h.co/a"),
+        # 'reference=' is NOT the tracking param 'ref=' (anchored regex)
+        ("https://h.co/a?reference=9", "https://h.co/a?reference=9"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], ["i", "url"]
+    )
+    got = {
+        r.i: r.c
+        for r in df.select(
+            "i", canonicalize_url("url").alias("c")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
