@@ -248,3 +248,42 @@ def canonicalize_url(col: str | Column) -> Column:
         path,
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
     )
+
+
+# --- markup stripping --------------------------------------------------------
+_MARKUP_BLOCK_RES = (
+    r"(?s)<script[^>]*>.*?</script>",  # script BEFORE tag strip: JS may
+    r"(?s)<style[^>]*>.*?</style>",    # contain bare '<' / '>' that
+)                                      # would corrupt tag parsing
+_MARKUP_TAG_RE = r"<[^>]+>"
+# &amp; must be unescaped LAST: a literal '&lt;' in the source arrives
+# as '&amp;lt;', and only the &amp; pass may touch it (scan-forward
+# non-overlapping replace gives identical results in Spark and DuckDB).
+_MARKUP_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_markup(col: str | Column) -> Column:
+    """Visible-text extraction from HTML-ish markup — the boilerplate
+    step between a raw crawl and every text-quality operator in this
+    package: drop <script>/<style> blocks wholesale (their bodies are
+    not text, and may contain bare '<' that would derail tag
+    matching), drop all remaining tags, unescape the five ubiquitous
+    entities (&amp; last, so escaped escapes survive one level
+    exactly), and collapse whitespace. A chain of native
+    regexp_replace / literal replace calls — codegen'd end to end, no
+    UDF, and every pattern is one Java and RE2 agree on ((?s),
+    non-greedy '.*?', '<[^>]+>', '\\s+' over ASCII)."""
+    out = _c(col)
+    for pat in _MARKUP_BLOCK_RES:
+        out = F.regexp_replace(out, pat, " ")
+    out = F.regexp_replace(out, _MARKUP_TAG_RE, " ")
+    for ent, ch in _MARKUP_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

@@ -35,6 +35,7 @@ from evidence_images_etl_airflow_spark.functions.text import (
     quality_score,
     rolling_hash,
     scrub_pii,
+    strip_markup,
     tokens,
 )
 from evidence_images_etl_airflow_spark.functions.transforms import (
@@ -3253,6 +3254,122 @@ def text_dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.transform(F.col("token_ids"), lambda v: v.cast("string")), ","
         ).alias("token_ids_csv"),
+    )
+
+
+@register(
+    "text_markup_extract",
+    oracle=r"""
+    WITH esc AS (
+      SELECT doc_id, text,
+             replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),
+                     '>', '&gt;') AS e
+      FROM documents),
+    page AS (
+      SELECT doc_id, text,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+             || '</title><style>p { color: #fff; }</style></head>'
+             || '<body onload="init()"><script type="text/javascript">'
+             || 'if (1<2 && x>0) { alert("x&y"); }</script>'
+             || '<h1 class="t">Doc ' || CAST(doc_id AS VARCHAR)
+             || '</h1><p>' || e || '</p><br/>'
+             || '<div id="f">tail &amp; fin&#39;s &nbsp;end</div>'
+             || '</body></html>' AS html
+      FROM esc),
+    stripped AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(html,
+                       '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                     '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                   '<[^>]+>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+               '\s+', ' ', 'g')) AS extracted
+      FROM page)
+    SELECT doc_id,
+           CAST(length(extracted) AS BIGINT) AS n_chars,
+           substr(extracted, 1, 40) AS head,
+           extracted = trim(regexp_replace(
+             'Doc ' || CAST(doc_id AS VARCHAR) || ' Doc '
+             || CAST(doc_id AS VARCHAR) || ' ' || text
+             || ' tail & fin''s end', '\s+', ' ', 'g')) AS roundtrip_exact
+    FROM stripped
+    """,
+)
+def text_markup_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visible-text extraction from crawled HTML — the boilerplate-
+    removal step that precedes every other text operator when the
+    input is a raw crawl, exercised as a PROVEN round-trip: each doc's
+    text is entity-escaped and wrapped in a deterministic page (title,
+    a <style> block, an inline <script> whose body contains bare '<',
+    '>', '&' and quotes — the exact hazards that force script/style
+    removal BEFORE tag stripping), then `functions/text.strip_markup`
+    recovers the visible text and the query asserts per-row that it
+    equals the whitespace-collapsed original plus the wrapper's own
+    visible fragments (entities unescaped, &amp; pass last so a
+    literal '&lt;' in a document survives exactly one unescape
+    level). The oracle rebuilds the identical page and strips it with
+    DuckDB's RE2 kernels ('g'-flagged — DuckDB replaces first-match
+    by default where Spark is global), so parity proves the whole
+    normalization chain, not just happy-path tags. Scale shape: pure
+    map-side codegen'd string expressions, zero UDFs, ZERO shuffles —
+    at 100 TB this runs at scan speed, the ideal profile for a
+    per-document cleaning pass."""
+    d = _t(spark, sf_dir, "documents")
+    did_s = F.col("doc_id").cast("string")
+    e = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        did_s,
+        F.lit(
+            '</title><style>p { color: #fff; }</style></head>'
+            '<body onload="init()"><script type="text/javascript">'
+            'if (1<2 && x>0) { alert("x&y"); }</script>'
+            '<h1 class="t">Doc '
+        ),
+        did_s,
+        F.lit("</h1><p>"),
+        e,
+        F.lit(
+            '</p><br/><div id="f">tail &amp; fin&#39;s &nbsp;end</div>'
+            "</body></html>"
+        ),
+    )
+    expected = F.trim(
+        F.regexp_replace(
+            F.concat(
+                F.lit("Doc "),
+                did_s,
+                F.lit(" Doc "),
+                did_s,
+                F.lit(" "),
+                F.col("text"),
+                F.lit(" tail & fin's end"),
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return (
+        d.withColumn("extracted", strip_markup(html))
+        .select(
+            "doc_id",
+            F.length("extracted").cast("bigint").alias("n_chars"),
+            F.substring("extracted", 1, 40).alias("head"),
+            (F.col("extracted") == expected).alias("roundtrip_exact"),
+        )
     )
 
 
@@ -8312,7 +8429,7 @@ _VERIFY_FIRST = [
     # driver's 50-query cap: 19 new + 31 of the 43-member r04 cohort
     # fill exactly 50; the remaining 12 r04 queries sit immediately
     # after the cap (positions 51-62) and MUST head the r08 rotation,
-    # together with the THIRTEEN late-round-7 registrations deliberately
+    # together with the FOURTEEN late-round-7 registrations deliberately
     # kept OUT of the head to protect cohort slots (each parity-green
     # locally, per its docstring + commit message):
     # graph_triangle_stats, events_decay_trending,
@@ -8321,7 +8438,7 @@ _VERIFY_FIRST = [
     # cdc_last_writer_wins, profile_pareto_frontier,
     # curation_ensemble_score, multimodal_audio_features,
     # intervals_merge_islands, events_anomaly_mad,
-    # curation_url_dedup. r08 should also
+    # curation_url_dedup, text_markup_extract. r08 should also
     # consider promoting r07-proven ops (kmv, winnowing, triangle,
     # ep3) to headline=True once their green rows are committed.
     "dedup_span_sliding",

@@ -413,3 +413,38 @@ def test_canonicalize_url_hand_cases(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_strip_markup_hand_cases(spark):
+    """Hand-computed visible-text extraction: script/style bodies are
+    dropped wholesale (even when they contain bare < > & "), entities
+    unescape exactly one level, tags become whitespace."""
+    from evidence_images_etl_airflow_spark.functions.text import (
+        strip_markup,
+    )
+
+    cases = [
+        # script with bare < > & and quotes inside -- must vanish whole
+        ('<p>a</p><script>if (1<2 && x>"y") { f(); }</script><p>b</p>',
+         "a b"),
+        # style block likewise
+        ("<style>p > a { color: #fff; }</style>hello", "hello"),
+        # entity unescape, &amp; last: literal &lt; survives one level
+        ("x &amp;lt; y &lt; z &quot;q&quot; &#39;s&#39; a&nbsp;b",
+         'x &lt; y < z "q" \'s\' a b'),
+        # tags become separators; whitespace collapses
+        ("<div>one</div><br/><span>two</span>\n\n three", "one two three"),
+        # escaped markup is text, not tags
+        ("&lt;script&gt;not code&lt;/script&gt;", "<script>not code</script>"),
+        # no markup at all -- just trim/collapse
+        ("  plain   text  ", "plain text"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], ["i", "html"]
+    )
+    got = {
+        r.i: r.t
+        for r in df.select("i", strip_markup("html").alias("t")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
