@@ -3576,6 +3576,73 @@ def dedup_exact_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_token_entropy",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, t
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS t
+            FROM documents)
+      WHERE t <> ''),
+    c AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY doc_id, t),
+    s AS (SELECT doc_id,
+                 CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_types,
+                 sum(CAST(round(cnt * ln(cnt), 6) AS DECIMAL(18,6)))
+                   AS sterm
+          FROM c GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_types,
+           round(ln(n_tokens) - CAST(sterm AS DOUBLE) / n_tokens, 6)
+             AS entropy_nats,
+           round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr
+    FROM s
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical-diversity quality signals: token Shannon
+    entropy (nats) and type-token ratio — the Gopher-family filters
+    that catch what repetition_signals' bigram fractions miss
+    (keyword-stuffed spam has LOW entropy for its length; boilerplate
+    lists have low TTR with zero repeated bigrams). Uses the algebraic
+    identity H = ln(N) - Σ cnt·ln(cnt) / N, so the per-token term
+    needs only its OWN count — no per-doc total joined/windowed back
+    before the final aggregate. Cross-engine float discipline: each
+    cnt·ln(cnt) term is 6dp-rounded and summed as DECIMAL(18,6)
+    (associative, order-independent), the one float division happens
+    once per doc on the exact sum. Docs whose text is empty tokenize
+    to nothing and drop out (both engines agree). Scale shape: two
+    hash aggregations — (doc, token) then (doc) — the identical
+    profile as text_token_stats; corpus tokens cross the wire once,
+    map-side partial aggregation eats the duplicate mass."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    ).filter(F.col("t") != "")
+    counts = tok.groupBy("doc_id", "t").agg(F.count("*").alias("cnt"))
+    term = F.round(F.col("cnt") * F.log(F.col("cnt")), 6).cast(
+        "decimal(18,6)"
+    )
+    s = counts.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(term).alias("sterm"),
+    )
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(
+            F.log(F.col("n_tokens"))
+            - F.col("sterm").cast("double") / F.col("n_tokens"),
+            6,
+        ).alias("entropy_nats"),
+        F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 6).alias(
+            "ttr"
+        ),
+    )
+
+
+@register(
     "text_top_tokens",
     oracle="""
     SELECT tok, n FROM (
@@ -8429,7 +8496,7 @@ _VERIFY_FIRST = [
     # driver's 50-query cap: 19 new + 31 of the 43-member r04 cohort
     # fill exactly 50; the remaining 12 r04 queries sit immediately
     # after the cap (positions 51-62) and MUST head the r08 rotation,
-    # together with the FOURTEEN late-round-7 registrations deliberately
+    # together with the FIFTEEN late-round-7 registrations deliberately
     # kept OUT of the head to protect cohort slots (each parity-green
     # locally, per its docstring + commit message):
     # graph_triangle_stats, events_decay_trending,
@@ -8438,7 +8505,8 @@ _VERIFY_FIRST = [
     # cdc_last_writer_wins, profile_pareto_frontier,
     # curation_ensemble_score, multimodal_audio_features,
     # intervals_merge_islands, events_anomaly_mad,
-    # curation_url_dedup, text_markup_extract. r08 should also
+    # curation_url_dedup, text_markup_extract,
+    # text_token_entropy. r08 should also
     # consider promoting r07-proven ops (kmv, winnowing, triangle,
     # ep3) to headline=True once their green rows are committed.
     "dedup_span_sliding",

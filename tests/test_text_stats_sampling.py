@@ -448,3 +448,36 @@ def test_strip_markup_hand_cases(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_token_entropy_hand_computed(spark):
+    """Hand-computed entropy/TTR: H = ln(N) - sum(cnt*ln(cnt))/N.
+    'a a b b' -> ln4 - 4ln2/4 = ln2; uniform distinct -> ln(N);
+    constant doc -> 0; empty doc drops out entirely."""
+    import math
+
+    from evidence_images_etl_airflow_spark.workload import REGISTRY
+    import tempfile, os
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b b"),
+            (2, "w x y z"),
+            (3, "x x x x"),
+            (4, "   "),
+        ],
+        ["doc_id", "text"],
+    )
+    tmp = tempfile.mkdtemp(prefix="entropy_t_")
+    docs.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["text_token_entropy"].fn(spark, tmp).collect()
+    }
+    assert set(out) == {1, 2, 3}  # the empty doc is gone
+    assert out[1].entropy_nats == round(math.log(2), 6)
+    assert out[1].ttr == 0.5
+    assert out[2].entropy_nats == round(math.log(4), 6)
+    assert out[2].ttr == 1.0
+    assert out[3].entropy_nats == 0.0
+    assert out[3].n_tokens == 4 and out[3].n_types == 1
