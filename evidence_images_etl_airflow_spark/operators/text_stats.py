@@ -297,3 +297,60 @@ def source_reputation_filter(
         .select(source_col)
     )
     return docs.join(F.broadcast(good), source_col, "left_semi")
+
+
+def crossdoc_dup_fraction(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-document residual-duplication report (Lee et al. 2022's
+    'what fraction of this document already exists elsewhere' metric):
+    for each document, the share of its DISTINCT n-gram shingles whose
+    corpus-wide first occurrence (min id) is an EARLIER document. The
+    dedup operators drop duplicated content; this one MEASURES it —
+    the dial a pipeline reads to decide how aggressive span/near-dup
+    passes need to be, and the regression metric to re-run AFTER them
+    (post-dedup dup_frac should collapse toward 0).
+
+    Shape: one shingle explode (corpus-token-sized, the same unit as
+    minhash/jaccard), one groupBy(shingle) for first occurrence, one
+    shingle-keyed join back, one groupBy(doc). No pairwise join — the
+    per-shingle min aggregates the whole corpus into |distinct
+    shingles| rows, so cost is linear in corpus size at any scale.
+    Documents shorter than ``shingle_n`` tokens emit no shingles and
+    drop out (callers treat absent as 'no signal').
+
+    Returns (id, n_shingles, n_dup, dup_frac) — dup_frac 6dp-rounded
+    from an exact bigint ratio, engine-independent."""
+    tk = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__tk")
+    )
+    sh = tk.select(
+        "id",
+        F.explode(shingles_from_tokens(F.col("__tk"), shingle_n)).alias(
+            "shingle"
+        ),
+    ).distinct()
+    firsts = sh.groupBy("shingle").agg(F.min("id").alias("first_id"))
+    agg = (
+        sh.join(firsts, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_id") < F.col("id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+    )
+    return agg.select(
+        "id",
+        "n_shingles",
+        "n_dup",
+        F.round(
+            F.col("n_dup").cast("double") / F.col("n_shingles"), 6
+        ).alias("dup_frac"),
+    )

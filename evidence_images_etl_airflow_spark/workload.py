@@ -3713,6 +3713,42 @@ def dedup_ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_residual_report",
+    oracle=f"""
+    WITH {_shingle_cte()},
+    firsts AS (SELECT shingle, min(doc_id) AS first_id
+               FROM sh GROUP BY shingle)
+    SELECT s.doc_id AS id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (WHERE f.first_id < s.doc_id) AS BIGINT)
+             AS n_dup,
+           round(CAST(count(*) FILTER (WHERE f.first_id < s.doc_id)
+                      AS DOUBLE) / count(*), 6) AS dup_frac
+    FROM sh s JOIN firsts f USING (shingle)
+    GROUP BY s.doc_id
+    """,
+)
+def dedup_residual_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document residual-duplication metric (operators/
+    text_stats.crossdoc_dup_fraction): per doc, the share of its
+    distinct 3-token shingles whose corpus-wide FIRST occurrence is an
+    earlier document — Lee et al. 2022's 'how much of this doc already
+    exists' dial. The dedup operators DROP duplicated content; this
+    MEASURES it, before a dedup pass (to choose aggressiveness) and
+    after (to prove it worked). No pairwise join anywhere: the
+    per-shingle min collapses the corpus to |distinct shingles| rows,
+    so the plan is explode → groupBy(shingle) → shingle-keyed join →
+    groupBy(doc), linear in corpus size — strictly cheaper than the
+    jaccard pair queries above at any scale."""
+    from evidence_images_etl_airflow_spark.operators.text_stats import (
+        crossdoc_dup_fraction,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return crossdoc_dup_fraction(d, "doc_id", "text", shingle_n=3)
+
+
+@register(
     "dedup_ngram_jaccard_guarded",
     oracle=f"""
     WITH {_shingle_cte()},
@@ -8496,7 +8532,7 @@ _VERIFY_FIRST = [
     # driver's 50-query cap: 19 new + 31 of the 43-member r04 cohort
     # fill exactly 50; the remaining 12 r04 queries sit immediately
     # after the cap (positions 51-62) and MUST head the r08 rotation,
-    # together with the FIFTEEN late-round-7 registrations deliberately
+    # together with the SIXTEEN late-round-7 registrations deliberately
     # kept OUT of the head to protect cohort slots (each parity-green
     # locally, per its docstring + commit message):
     # graph_triangle_stats, events_decay_trending,
@@ -8506,7 +8542,7 @@ _VERIFY_FIRST = [
     # curation_ensemble_score, multimodal_audio_features,
     # intervals_merge_islands, events_anomaly_mad,
     # curation_url_dedup, text_markup_extract,
-    # text_token_entropy. r08 should also
+    # text_token_entropy, dedup_residual_report. r08 should also
     # consider promoting r07-proven ops (kmv, winnowing, triangle,
     # ep3) to headline=True once their green rows are committed.
     "dedup_span_sliding",

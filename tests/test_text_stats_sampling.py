@@ -481,3 +481,29 @@ def test_token_entropy_hand_computed(spark):
     assert out[2].ttr == 1.0
     assert out[3].entropy_nats == 0.0
     assert out[3].n_tokens == 4 and out[3].n_types == 1
+
+
+def test_crossdoc_dup_fraction_hand_computed(spark):
+    """Residual-dup metric: earlier-doc shingles count, same-doc first
+    occurrences don't; exact copies score 1.0; short docs drop out."""
+    from evidence_images_etl_airflow_spark.operators.text_stats import (
+        crossdoc_dup_fraction,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),   # shingles {abc, bcd} -- all first here
+            (2, "a b c x"),   # {abc (dup of 1), bcx (fresh)} -> 0.5
+            (3, "a b c d"),   # exact copy of 1 -> 1.0
+            (4, "x y"),       # < 3 tokens -> no shingles, absent
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.id: r
+        for r in crossdoc_dup_fraction(docs, "doc_id", "text").collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1].dup_frac == 0.0 and out[1].n_shingles == 2
+    assert out[2].dup_frac == 0.5 and out[2].n_dup == 1
+    assert out[3].dup_frac == 1.0 and out[3].n_dup == 2
