@@ -35,6 +35,7 @@ from evidence_images_etl_airflow_spark.functions.text import (
     quality_score,
     rolling_hash,
     scrub_pii,
+    shingles_from_tokens,
     strip_markup,
     tokens,
 )
@@ -3746,6 +3747,63 @@ def dedup_residual_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return crossdoc_dup_fraction(d, "doc_id", "text", shingle_n=3)
+
+
+@register(
+    "curation_source_overlap",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOK} AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, source, unnest({_SHINGLES}) AS shingle
+           FROM toks WHERE len(t) >= 3),
+    firsts AS (SELECT shingle, min(doc_id) AS first_id,
+                      arg_min(source, doc_id) AS origin_source
+               FROM sh GROUP BY shingle)
+    SELECT s.source AS copier_source, f.origin_source,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(DISTINCT s.doc_id) AS BIGINT) AS n_docs
+    FROM sh s JOIN firsts f USING (shingle)
+    WHERE f.first_id < s.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def curation_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE duplication matrix — mirror/scraper detection for
+    crawl curation: for every shingle whose corpus-first occurrence
+    lies in an earlier document, attribute the later copy to the
+    (copier_source, origin_source) cell. A source that re-hosts
+    another's content lights up one off-diagonal cell with large
+    n_shingles across many n_docs — the signal that drops the mirror
+    from the crawl list entirely instead of deduping it doc by doc
+    (the source-level decision `curation_source_reputation` makes on
+    quality, made here on PROVENANCE). Same linear skeleton as
+    dedup_residual_report — per-shingle min (plus min_by for the
+    origin's source) collapses the corpus to |distinct shingles| rows,
+    no pairwise join; output is |sources|² cells at most. The count
+    NEVER double-counts a (doc, shingle) pair: sh is distinct."""
+    d = _t(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id", "source", tokens(F.col("text")).alias("__tk")
+    )
+    sh = tk.select(
+        "doc_id",
+        "source",
+        F.explode(shingles_from_tokens(F.col("__tk"), 3)).alias("shingle"),
+    ).distinct()
+    firsts = sh.groupBy("shingle").agg(
+        F.min("doc_id").alias("first_id"),
+        F.min_by("source", "doc_id").alias("origin_source"),
+    )
+    return (
+        sh.join(firsts, "shingle")
+        .filter(F.col("first_id") < F.col("doc_id"))
+        .groupBy(
+            F.col("source").alias("copier_source"), F.col("origin_source")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+    )
 
 
 @register(
@@ -8532,7 +8590,7 @@ _VERIFY_FIRST = [
     # driver's 50-query cap: 19 new + 31 of the 43-member r04 cohort
     # fill exactly 50; the remaining 12 r04 queries sit immediately
     # after the cap (positions 51-62) and MUST head the r08 rotation,
-    # together with the SIXTEEN late-round-7 registrations deliberately
+    # together with the SEVENTEEN late-round-7 registrations deliberately
     # kept OUT of the head to protect cohort slots (each parity-green
     # locally, per its docstring + commit message):
     # graph_triangle_stats, events_decay_trending,
@@ -8542,7 +8600,8 @@ _VERIFY_FIRST = [
     # curation_ensemble_score, multimodal_audio_features,
     # intervals_merge_islands, events_anomaly_mad,
     # curation_url_dedup, text_markup_extract,
-    # text_token_entropy, dedup_residual_report. r08 should also
+    # text_token_entropy, dedup_residual_report,
+    # curation_source_overlap. r08 should also
     # consider promoting r07-proven ops (kmv, winnowing, triangle,
     # ep3) to headline=True once their green rows are committed.
     "dedup_span_sliding",

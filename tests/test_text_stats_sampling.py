@@ -507,3 +507,32 @@ def test_crossdoc_dup_fraction_hand_computed(spark):
     assert out[1].dup_frac == 0.0 and out[1].n_shingles == 2
     assert out[2].dup_frac == 0.5 and out[2].n_dup == 1
     assert out[3].dup_frac == 1.0 and out[3].n_dup == 2
+
+
+def test_source_overlap_detects_mirror(spark):
+    """A source re-hosting another's content lights up exactly one
+    off-diagonal (copier, origin) cell per direction, never counting a
+    (doc, shingle) pair twice."""
+    import os
+    import tempfile
+
+    from evidence_images_etl_airflow_spark.workload import REGISTRY
+
+    docs = spark.createDataFrame(
+        [
+            (1, "p q r s", "en", "src_a", 7),
+            (2, "p q r s", "en", "src_b", 7),  # mirror of doc 1
+            (3, "u v w x", "en", "src_b", 7),  # original content
+            (4, "u v w y", "en", "src_a", 7),  # copies one shingle of 3
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    tmp = tempfile.mkdtemp(prefix="overlap_t_")
+    docs.write.mode("overwrite").parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+    out = {
+        (r.copier_source, r.origin_source): (r.n_shingles, r.n_docs)
+        for r in REGISTRY["curation_source_overlap"].fn(spark, tmp).collect()
+    }
+    assert out == {("src_b", "src_a"): (2, 1), ("src_a", "src_b"): (1, 1)}
