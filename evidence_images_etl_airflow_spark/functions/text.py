@@ -215,6 +215,12 @@ def canonicalize_url(col: str | Column) -> Column:
     - trailing slashes stripped from the path (``/a/`` == ``/a``,
       and a bare ``/`` collapses into the naked host)
 
+    Inputs that are not hierarchical absolute URLs (no scheme, a
+    protocol-relative ``//host/...``, ``mailto:``) pass through
+    UNCHANGED — without the guard every such string would collapse to
+    the degenerate key ``://`` and a groupBy-on-canonical dedup would
+    silently merge unrelated documents (self-review r07).
+
     Pure native string/array expressions — regexp_extract, a
     higher-order filter + array_sort — all inside whole-stage codegen,
     no UDF, reproducible verbatim in any engine with regexp_extract /
@@ -222,8 +228,12 @@ def canonicalize_url(col: str | Column) -> Column:
     pipeline). Kept deliberately anchored-regex-only: Java and RE2
     agree on every pattern here (`^...=`, `:443$`, `/+$`)."""
     u = _c(col)
-    scheme = F.lower(F.regexp_extract(u, _URL_SCHEME_RE, 1))
-    hostport = F.lower(F.regexp_extract(u, _URL_HOST_RE, 1))
+    # fragment first: everything after '#' is invisible to the server,
+    # INCLUDING any '?' inside it — extracting the query from the raw
+    # string would resurrect '#what?x=1' as a phantom query string
+    base = F.regexp_replace(u, r"(?s)#.*", "")
+    scheme = F.lower(F.regexp_extract(base, _URL_SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(base, _URL_HOST_RE, 1))
     host = (
         F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
         .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
@@ -231,9 +241,9 @@ def canonicalize_url(col: str | Column) -> Column:
     )
     host = F.regexp_replace(host, r"^www\.", "")
     path = F.regexp_replace(
-        F.regexp_extract(u, _URL_PATH_RE, 1), r"/+$", ""
+        F.regexp_extract(base, _URL_PATH_RE, 1), r"/+$", ""
     )
-    query = F.regexp_extract(u, _URL_QUERY_RE, 1)
+    query = F.regexp_extract(base, _URL_QUERY_RE, 1)
     params = F.array_sort(
         F.filter(
             F.split(query, "&"),
@@ -241,20 +251,21 @@ def canonicalize_url(col: str | Column) -> Column:
         )
     )
     qs = F.array_join(params, "&")
-    return F.concat(
+    return F.when((scheme == "") | (host == ""), u).otherwise(F.concat(
         scheme,
         F.lit("://"),
         host,
         path,
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
-    )
+    ))
 
 
 # --- markup stripping --------------------------------------------------------
 _MARKUP_BLOCK_RES = (
-    r"(?s)<script[^>]*>.*?</script>",  # script BEFORE tag strip: JS may
-    r"(?s)<style[^>]*>.*?</style>",    # contain bare '<' / '>' that
-)                                      # would corrupt tag parsing
+    r"(?is)<script[^>]*>.*?</script>",  # script BEFORE tag strip: JS may
+    r"(?is)<style[^>]*>.*?</style>",    # contain bare '<' / '>' that
+    r"(?s)<!--.*?-->",                  # would corrupt tag parsing; a
+)                                       # comment's '>' likewise leaks
 _MARKUP_TAG_RE = r"<[^>]+>"
 # &amp; must be unescaped LAST: a literal '&lt;' in the source arrives
 # as '&amp;lt;', and only the &amp; pass may touch it (scan-forward
@@ -272,14 +283,19 @@ _MARKUP_ENTITIES = (
 def strip_markup(col: str | Column) -> Column:
     """Visible-text extraction from HTML-ish markup — the boilerplate
     step between a raw crawl and every text-quality operator in this
-    package: drop <script>/<style> blocks wholesale (their bodies are
-    not text, and may contain bare '<' that would derail tag
+    package: drop <script>/<style> blocks (case-insensitively — legacy
+    pages write <SCRIPT>) and <!--comments--> wholesale (their bodies
+    are not text, and may contain bare '<'/'>' that would derail tag
     matching), drop all remaining tags, unescape the five ubiquitous
     entities (&amp; last, so escaped escapes survive one level
     exactly), and collapse whitespace. A chain of native
     regexp_replace / literal replace calls — codegen'd end to end, no
-    UDF, and every pattern is one Java and RE2 agree on ((?s),
-    non-greedy '.*?', '<[^>]+>', '\\s+' over ASCII)."""
+    UDF, with patterns Java and RE2 agree on ((?is), non-greedy
+    '.*?', '<[^>]+>'). One documented divergence: Java's \\s includes
+    vertical tab (\\x0B), RE2's does not — the repo-wide '\\s+'
+    convention is safe on the driver fixtures (no VT) but a corpus
+    with VT would need the explicit class [ \\t\\n\\x0B\\f\\r]
+    mirrored on both engines."""
     out = _c(col)
     for pat in _MARKUP_BLOCK_RES:
         out = F.regexp_replace(out, pat, " ")

@@ -299,6 +299,36 @@ def source_reputation_filter(
     return docs.join(F.broadcast(good), source_col, "left_semi")
 
 
+def shingle_first_occurrence(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Shared skeleton of the shingle-provenance reports: distinct
+    (id, [carry_cols...], shingle) rows joined with each shingle's
+    corpus-wide first occurrence — ``first_id`` plus ``first_<c>`` for
+    every carried column (via min_by on the unique id, deterministic).
+    One explode, one groupBy(shingle), one shingle-keyed join; the
+    per-shingle min collapses the corpus to |distinct shingles| rows,
+    so downstream consumers never see a pairwise join."""
+    sel = [F.col(id_col).alias("id")] + [F.col(c) for c in carry_cols]
+    tk = df.select(*sel, tokens(F.col(text_col)).alias("__tk"))
+    sh = tk.select(
+        "id",
+        *carry_cols,
+        F.explode(shingles_from_tokens(F.col("__tk"), shingle_n)).alias(
+            "shingle"
+        ),
+    ).distinct()
+    aggs = [F.min("id").alias("first_id")] + [
+        F.min_by(c, "id").alias(f"first_{c}") for c in carry_cols
+    ]
+    firsts = sh.groupBy("shingle").agg(*aggs)
+    return sh.join(firsts, "shingle")
+
+
 def crossdoc_dup_fraction(
     df: DataFrame,
     id_col: str,
@@ -324,18 +354,8 @@ def crossdoc_dup_fraction(
 
     Returns (id, n_shingles, n_dup, dup_frac) — dup_frac 6dp-rounded
     from an exact bigint ratio, engine-independent."""
-    tk = df.select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__tk")
-    )
-    sh = tk.select(
-        "id",
-        F.explode(shingles_from_tokens(F.col("__tk"), shingle_n)).alias(
-            "shingle"
-        ),
-    ).distinct()
-    firsts = sh.groupBy("shingle").agg(F.min("id").alias("first_id"))
     agg = (
-        sh.join(firsts, "shingle")
+        shingle_first_occurrence(df, id_col, text_col, shingle_n)
         .groupBy("id")
         .agg(
             F.count("*").cast("bigint").alias("n_shingles"),

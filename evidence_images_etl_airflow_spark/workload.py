@@ -35,7 +35,6 @@ from evidence_images_etl_airflow_spark.functions.text import (
     quality_score,
     rolling_hash,
     scrub_pii,
-    shingles_from_tokens,
     strip_markup,
     tokens,
 )
@@ -101,11 +100,13 @@ from evidence_images_etl_airflow_spark.operators.similarity import (
     lsh_topk,
 )
 from evidence_images_etl_airflow_spark.operators.text_stats import (
+    crossdoc_dup_fraction,
     dictionary_encode,
     length_percentile_trim,
     ngram_contamination,
     pack_documents,
     repetition_signals,
+    shingle_first_occurrence,
     source_reputation,
     source_reputation_filter,
 )
@@ -3283,9 +3284,11 @@ def text_dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                replace(replace(replace(replace(replace(replace(
                  regexp_replace(
                    regexp_replace(
-                     regexp_replace(html,
-                       '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-                     '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                     regexp_replace(
+                       regexp_replace(html,
+                         '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                       '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                     '(?s)<!--.*?-->', ' ', 'g'),
                    '<[^>]+>', ' ', 'g'),
                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                  '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
@@ -3741,10 +3744,6 @@ def dedup_residual_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the plan is explode → groupBy(shingle) → shingle-keyed join →
     groupBy(doc), linear in corpus size — strictly cheaper than the
     jaccard pair queries above at any scale."""
-    from evidence_images_etl_airflow_spark.operators.text_stats import (
-        crossdoc_dup_fraction,
-    )
-
     d = _t(spark, sf_dir, "documents")
     return crossdoc_dup_fraction(d, "doc_id", "text", shingle_n=3)
 
@@ -3779,29 +3778,21 @@ def curation_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_residual_report — per-shingle min (plus min_by for the
     origin's source) collapses the corpus to |distinct shingles| rows,
     no pairwise join; output is |sources|² cells at most. The count
-    NEVER double-counts a (doc, shingle) pair: sh is distinct."""
+    NEVER double-counts a (doc, shingle) pair: the skeleton's shingle
+    rows are distinct."""
     d = _t(spark, sf_dir, "documents")
-    tk = d.select(
-        "doc_id", "source", tokens(F.col("text")).alias("__tk")
-    )
-    sh = tk.select(
-        "doc_id",
-        "source",
-        F.explode(shingles_from_tokens(F.col("__tk"), 3)).alias("shingle"),
-    ).distinct()
-    firsts = sh.groupBy("shingle").agg(
-        F.min("doc_id").alias("first_id"),
-        F.min_by("source", "doc_id").alias("origin_source"),
-    )
     return (
-        sh.join(firsts, "shingle")
-        .filter(F.col("first_id") < F.col("doc_id"))
+        shingle_first_occurrence(
+            d, "doc_id", "text", 3, carry_cols=("source",)
+        )
+        .filter(F.col("first_id") < F.col("id"))
         .groupBy(
-            F.col("source").alias("copier_source"), F.col("origin_source")
+            F.col("source").alias("copier_source"),
+            F.col("first_source").alias("origin_source"),
         )
         .agg(
             F.count("*").cast("bigint").alias("n_shingles"),
-            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.countDistinct("id").cast("bigint").alias("n_docs"),
         )
     )
 
@@ -4490,37 +4481,44 @@ def curation_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
                               || '&lang=en#section-2'
                 END AS url
       FROM documents),
+    based AS (
+      SELECT doc_id, url,
+             regexp_replace(url, '(?s)#.*', '') AS base
+      FROM messy),
     parsed AS (
-      SELECT doc_id,
-             lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+      SELECT doc_id, url,
+             lower(regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
                AS scheme,
-             lower(regexp_extract(url,
+             lower(regexp_extract(base,
                '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
-             regexp_replace(regexp_extract(url,
+             regexp_replace(regexp_extract(base,
                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
                '/+$', '') AS path,
              array_to_string(
                list_sort(
-                 list_filter(string_split(regexp_extract(url,
+                 list_filter(string_split(regexp_extract(base,
                      '\?([^#]*)', 1), '&'),
                    x -> x <> '' AND NOT regexp_matches(x,
                      '^(utm_[a-z0-9_]*|ref|fbclid|gclid)='))),
                '&') AS qs
-      FROM messy),
+      FROM based),
+    hosted AS (
+      SELECT doc_id, url, scheme, path, qs,
+             regexp_replace(
+               CASE WHEN scheme = 'http'
+                      THEN regexp_replace(hostport, ':80$', '')
+                    WHEN scheme = 'https'
+                      THEN regexp_replace(hostport, ':443$', '')
+                    ELSE hostport END,
+               '^www\.', '') AS host
+      FROM parsed),
     canon AS (
       SELECT doc_id,
-             scheme || '://'
-             || regexp_replace(
-                  CASE WHEN scheme = 'http'
-                         THEN regexp_replace(hostport, ':80$', '')
-                       WHEN scheme = 'https'
-                         THEN regexp_replace(hostport, ':443$', '')
-                       ELSE hostport END,
-                  '^www\.', '')
-             || path
-             || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
-               AS canonical_url
-      FROM parsed)
+             CASE WHEN scheme = '' OR host = '' THEN url
+                  ELSE scheme || '://' || host || path
+                       || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
+             END AS canonical_url
+      FROM hosted)
     SELECT canonical_url,
            CAST(count(*) AS BIGINT) AS n_variants,
            min(doc_id) AS kept_doc_id

@@ -401,6 +401,13 @@ def test_canonicalize_url_hand_cases(spark):
         ("https://h.co/a///", "https://h.co/a"),
         # 'reference=' is NOT the tracking param 'ref=' (anchored regex)
         ("https://h.co/a?reference=9", "https://h.co/a?reference=9"),
+        # a '?' INSIDE the fragment must not resurrect a query string
+        ("https://h.co/a#what?x=1", "https://h.co/a"),
+        # non-hierarchical / scheme-less inputs pass through unchanged
+        # instead of collapsing to the degenerate '://' key
+        ("example.com/a", "example.com/a"),
+        ("//cdn.example.com/lib.js", "//cdn.example.com/lib.js"),
+        ("mailto:a@b.com", "mailto:a@b.com"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _) in enumerate(cases)], ["i", "url"]
@@ -438,6 +445,11 @@ def test_strip_markup_hand_cases(spark):
         ("&lt;script&gt;not code&lt;/script&gt;", "<script>not code</script>"),
         # no markup at all -- just trim/collapse
         ("  plain   text  ", "plain text"),
+        # legacy uppercase tags: block removal is case-insensitive
+        ('<SCRIPT>if (1<2) x();</SCRIPT>text', "text"),
+        ("<Style>p > a {}</Style>visible", "visible"),
+        # a comment containing '>' must vanish whole, not leak its tail
+        ("<!-- a > b -->after", "after"),
     ]
     df = spark.createDataFrame(
         [(i, h) for i, (h, _) in enumerate(cases)], ["i", "html"]
