@@ -107,6 +107,7 @@ def apply_cdc_log(
     seq_cols: list[str],
     op_col: str,
     delete_ops: tuple[str, ...] = ("delete",),
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Collapse a CDC event log into the final table snapshot:
     last-writer-wins per key by ``seq_cols`` (the source's total order
@@ -120,6 +121,13 @@ def apply_cdc_log(
     whole log in ONE rank-1 window keyed on the source order, so
     arrival order is irrelevant by construction.
 
+    HARD PRECONDITION: ``seq_cols`` must totally order the events of
+    each key. If the source can emit ties — a replayed LSN, two events
+    sharing (commit_ts) — the surviving row would be nondeterministic
+    across runs/engines; pass the source's stable event id as
+    ``tiebreak_cols`` to restore a total order (it is appended,
+    descending, after ``seq_cols`` in the window sort).
+
     Scale shape: one shuffle on the key, WindowGroupLimit keeps the
     rank-1 row per key map-side; tombstone filtering is a row-local
     predicate after the cut. Returns the surviving rows with all log
@@ -127,8 +135,9 @@ def apply_cdc_log(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    order = list(seq_cols) + list(tiebreak_cols or [])
     w = Window.partitionBy(*key_cols).orderBy(
-        *[F.col(c).desc() for c in seq_cols]
+        *[F.col(c).desc() for c in order]
     )
     # NULL op is NOT a tombstone: ~isin(NULL) evaluates to NULL and a
     # bare filter would silently DELETE the key on a malformed

@@ -178,6 +178,7 @@ def quantile_summaries(
     keys: list[str],
     value_col: str,
     max_points: int = 64,
+    build_id: str = "",
 ) -> DataFrame:
     """Per-partition, per-key MERGEABLE quantile summaries — the
     order-statistics counterpart of ``misra_gries_summaries``: raw
@@ -201,8 +202,14 @@ def quantile_summaries(
     slack adds: true - est <= sum_p step_p. NULL values are ignored.
 
     Output: one row per kept point — ``keys..., value double,
-    weight bigint, step bigint, pid int`` (pid = Spark partition id,
-    so the merge can reconstruct sum_p step_p exactly).
+    weight bigint, step bigint, pid int, build string``. A summary
+    (one per key per partition per build) is identified by
+    (keys..., pid, build), so the merge can reconstruct
+    sum-over-summaries of step exactly. When unioning summary tables
+    from SEPARATE builds (different days/batches), pass each build a
+    distinct ``build_id`` — otherwise two builds' summaries that
+    collide on (keys..., pid) would be mistaken for one summary and
+    the rollup's slack bound would undercount.
 
     Scale shape (100 TB): the raw scan is one pass with NO shuffle;
     the summary table is O(partitions x keys_per_partition x
@@ -222,7 +229,7 @@ def quantile_summaries(
     def summarize(batches):
         frames = [pdf for pdf in batches]
         pid = TaskContext.get().partitionId()
-        cols = key_list + ["value", "weight", "step", "pid"]
+        cols = key_list + ["value", "weight", "step", "pid", "build"]
         if not frames:
             yield pd.DataFrame({c: [] for c in cols})
             return
@@ -241,7 +248,7 @@ def quantile_summaries(
                 idx.append(n - 1)
             prev = 0
             for i in idx:
-                rows.append((*kv, float(vals[i]), i + 1 - prev, step, pid))
+                rows.append((*kv, float(vals[i]), i + 1 - prev, step, pid, build_id))
                 prev = i + 1
         yield pd.DataFrame(rows, columns=cols)
 
@@ -252,7 +259,10 @@ def quantile_summaries(
         *key_list, F.col(value_col).cast("double").alias(value_col)
     ).mapInPandas(
         summarize,
-        schema=f"{key_schema}, value double, weight bigint, step bigint, pid int",
+        schema=(
+            f"{key_schema}, value double, weight bigint, step bigint, "
+            "pid int, build string"
+        ),
     )
 
 
@@ -271,10 +281,16 @@ def rollup_quantile_summaries(
     - ``est_value`` — the estimate,
     - ``n`` — exact total rows (weights partition the rank space),
     - ``target_rank`` — t,
-    - ``rank_slack`` — sum_p step_p + max_p step_p, the certified
-      bound: true count(value <= est_value) lies in
-      [target_rank, target_rank + rank_slack] (one-sided theorem in
-      quantile_summaries + the pick's own overshoot < max step).
+    - ``rank_slack`` — sum over merged SUMMARIES of each summary's
+      step, plus the max step (the pick's own overshoot), the
+      certified bound: true count(value <= est_value) lies in
+      [target_rank, target_rank + rank_slack]. A summary is one
+      distinct (non-measure columns..., pid) tuple — the finer build
+      keys and the build tag stay in the identity even when ``keys``
+      is a coarser grain, so a pid holding several merged summaries
+      contributes ALL their steps, not just the largest (the bound
+      would otherwise be violated on coarse-grain or cross-batch
+      rollups).
 
     Everything is window/agg over the tiny summary table."""
     from pyspark.sql import Window
@@ -283,12 +299,17 @@ def rollup_quantile_summaries(
         Window.unboundedPreceding, Window.currentRow
     )
     grp = Window.partitionBy(*keys)
+    # one row per merged summary: every column except the per-point
+    # measures (value, weight) identifies it — original finer keys,
+    # caller-added grain columns, pid, build tag; step is constant
+    # within a summary.
+    id_cols = [c for c in summaries.columns if c not in ("value", "weight")]
     slack = (
-        summaries.groupBy(*keys, "pid")
-        .agg(F.max("step").alias("__step"))
+        summaries.select(*id_cols)
+        .distinct()
         .groupBy(*keys)
         .agg(
-            (F.sum("__step") + F.max("__step")).cast("bigint").alias("rank_slack")
+            (F.sum("step") + F.max("step")).cast("bigint").alias("rank_slack")
         )
     )
     ranked = (

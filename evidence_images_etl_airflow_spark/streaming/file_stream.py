@@ -14,6 +14,71 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Column stamped on every persisted-store row recording the foreachBatch
+# batch id that produced it. foreachBatch is at-least-once: a batch
+# replayed after a failure between the store swap and the checkpoint
+# commit would otherwise be folded in twice. The guard makes the
+# read-modify-write idempotent; it also means a store directory is
+# PAIRED with its checkpoint directory — reusing a store with a fresh
+# checkpoint (whose batch ids restart at 0) is unsupported.
+_BATCH_COL = "_last_batch"
+
+
+def _hadoop(sess: SparkSession, path: str):
+    jvm = sess.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sess.sparkContext._jsc.hadoopConfiguration())
+    return jvm, fs, hpath
+
+
+def _read_store(sess: SparkSession, path: str) -> DataFrame | None:
+    """Read a persisted store, recovering from the ``__backup`` copy a
+    crashed swap may have left behind. Returns None only when neither
+    main nor backup exists (first batch); any OTHER read error — a
+    corrupt file, a permission failure — propagates, because silently
+    bootstrapping a fresh store there would discard every accumulated
+    count."""
+    jvm, fs, hpath = _hadoop(sess, path)
+    backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__backup")
+    if fs.exists(hpath):
+        return sess.read.parquet(path)
+    if fs.exists(backup):
+        # crash window: old store was renamed aside but the new one
+        # never landed — the backup IS the current store, and the
+        # interrupted batch will replay against it.
+        return sess.read.parquet(path.rstrip("/") + "__backup")
+    return None
+
+
+def _applied_batch(store: DataFrame | None) -> int:
+    """Largest foreachBatch batch id already folded into the store
+    (-1 when none). Bounded: the store is summary-sized by
+    construction, and this reads one aggregated value."""
+    if store is None or _BATCH_COL not in store.columns:
+        return -1
+    v = store.agg(F.max(_BATCH_COL)).first()[0]
+    return -1 if v is None else int(v)
+
+
+def _swap_store(sess: SparkSession, df: DataFrame, path: str) -> None:
+    """Replace the store via write-staging -> rename-current-to-backup
+    -> rename-staging-to-current -> drop-backup. Unlike delete-then-
+    rename, at every instant at least one complete copy (current or
+    backup) exists on disk, so a crash at any step loses at most the
+    in-flight batch — which the checkpoint will replay."""
+    import uuid
+
+    staging = f"{path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(staging)  # materializes BEFORE any rename
+    jvm, fs, hpath = _hadoop(sess, path)
+    backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__backup")
+    if fs.exists(backup):
+        fs.delete(backup, True)
+    if fs.exists(hpath):
+        fs.rename(hpath, backup)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), hpath)
+    fs.delete(backup, True)
+
 
 def ingest_available_now(
     spark: SparkSession,
@@ -213,9 +278,13 @@ def continuous_rollup_available_now(
     MERGEs them into the rollup table — counts add, exact-decimal sums
     add, so the merged table equals the from-scratch aggregate without
     ever reprocessing history. The file-source checkpoint makes each
-    input file contribute exactly once; the target rewrite goes through
-    the Hadoop-FS staging swap (object-store-safe, same as
-    merge_into_parquet).
+    input file feed exactly one micro-batch; foreachBatch delivery is
+    at-least-once, so each store row carries the batch id that produced
+    it and a replayed batch is skipped — the read-modify-write is
+    idempotent end to end. The target rewrite goes through the
+    backup-preserving rename swap (a complete copy exists at every
+    instant; a crash mid-swap loses only the in-flight batch, which
+    replays).
 
     At 100 TB the partial per batch is tiny (keys x windows), so the
     merge cost is bounded by the ROLLUP size, not the stream — the
@@ -225,8 +294,6 @@ def continuous_rollup_available_now(
     stream = spark.readStream.format("parquet").schema(schema).load(source_path)
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
-        import uuid
-
         sess = batch_df.sparkSession
         partial = (
             batch_df.groupBy(
@@ -243,16 +310,12 @@ def continuous_rollup_available_now(
                 "total_value",
             )
         )
-        try:
-            target = sess.read.parquet(target_path)
-            exists = True
-        except Exception:
-            exists = False
-        if not exists:
-            partial.write.mode("overwrite").parquet(target_path)
-            return
-        merged = (
-            target.unionByName(partial)
+        target = _read_store(sess, target_path)
+        if target is not None and batch_id <= _applied_batch(target):
+            return  # replayed batch — already folded in
+        base = partial if target is None else (
+            target.drop(_BATCH_COL)
+            .unionByName(partial)
             .groupBy("window_start", key_col)
             .agg(
                 F.sum("n_events").alias("n_events"),
@@ -261,13 +324,8 @@ def continuous_rollup_available_now(
                 .alias("total_value"),
             )
         )
-        tmp = f"{target_path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
-        jvm = sess.sparkContext._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(target_path)
-        fs = hpath.getFileSystem(sess.sparkContext._jsc.hadoopConfiguration())
-        fs.delete(hpath, True)
-        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
+        merged = base.withColumn(_BATCH_COL, F.lit(batch_id).cast("bigint"))
+        _swap_store(sess, merged, target_path)
 
     q = (
         stream.writeStream.foreachBatch(land)
@@ -297,8 +355,11 @@ def heavy_hitters_stream_available_now(
     error simply folds into the error row, so the MG certificates
     (stored est <= true count ever streamed, undercount <= error row)
     hold after ANY number of batches. The file-source checkpoint makes
-    each input file contribute exactly once; the store rewrite rides
-    the same staging swap as ``continuous_rollup_available_now``.
+    each input file feed exactly one micro-batch; the per-row batch-id
+    stamp makes the store update idempotent under foreachBatch's
+    at-least-once replay (a double-fold would break the underestimate
+    certificate); the store rewrite rides the same backup-preserving
+    rename swap as ``continuous_rollup_available_now``.
 
     At 100 TB/day the store is <= capacity+1 rows FOREVER — the
     always-on "top tokens/URLs today" dashboard with per-batch cost =
@@ -313,31 +374,30 @@ def heavy_hitters_stream_available_now(
     stream = reader.load(source_path)
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
-        import uuid
-
         sess = batch_df.sparkSession
+        store = _read_store(sess, summary_path)
+        if store is not None and batch_id <= _applied_batch(store):
+            return  # replayed batch — folding it in again would break
+            # the MG underestimate certificate (est could exceed true)
         partial = misra_gries_summaries(
             batch_df.select(value_col), value_col, capacity
         )
-        try:
-            store = sess.read.parquet(summary_path)
-            merged = store.unionByName(partial)
-        except Exception:
-            merged = partial
+        merged = partial if store is None else store.drop(_BATCH_COL).unionByName(partial)
         merged = merged.groupBy("item").agg(F.sum("cnt").alias("cnt"))
         # Re-compress to the capacity bound: the merged non-null rows
         # can reach old-store + batch-partitions x capacity; subtract
         # the (capacity+1)-th largest counter and fold it into the
-        # error row (the exact MG decrement, applied store-side). The
-        # store is summary-sized, so the threshold lookup is a bounded
-        # collect.
+        # error row (the exact MG decrement, applied store-side). ONE
+        # bounded collect of capacity+1 rows gives both the size check
+        # (did we exceed capacity?) and the threshold value.
         items = merged.filter(F.col("item").isNotNull())
-        if items.count() > capacity:
-            thresh = (
-                items.orderBy(F.col("cnt").desc(), F.col("item"))
-                .select("cnt")
-                .collect()[capacity]["cnt"]
-            )
+        top = (
+            items.orderBy(F.col("cnt").desc(), F.col("item"))
+            .limit(capacity + 1)
+            .collect()
+        )
+        if len(top) > capacity:
+            thresh = top[-1]["cnt"]
             err = merged.filter(F.col("item").isNull()).select(
                 F.lit(None).cast("string").alias("item"),
                 (F.coalesce(F.sum("cnt"), F.lit(0)) + F.lit(thresh))
@@ -349,13 +409,8 @@ def heavy_hitters_stream_available_now(
                 .filter(F.col("cnt") > 0)
                 .unionByName(err)
             )
-        tmp = f"{summary_path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
-        jvm = sess.sparkContext._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(summary_path)
-        fs = hpath.getFileSystem(sess.sparkContext._jsc.hadoopConfiguration())
-        fs.delete(hpath, True)
-        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
+        merged = merged.withColumn(_BATCH_COL, F.lit(batch_id).cast("bigint"))
+        _swap_store(sess, merged, summary_path)
 
     q = (
         stream.writeStream.foreachBatch(land)

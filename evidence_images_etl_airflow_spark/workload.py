@@ -4344,7 +4344,11 @@ def ep3_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
-    surv = d.join(F.broadcast(dropped), "doc_id", "left_anti")
+    # Plain LEFT ANTI — no broadcast hint: on a crawl corpus the dropped
+    # set is routinely 30-50% of all doc ids, so force-broadcasting it is
+    # an executor OOM at 100 TB. AQE promotes it to broadcast at runtime
+    # when (and only when) the set is actually small.
+    surv = d.join(dropped, "doc_id", "left_anti")
     scored = surv.select(
         "doc_id",
         "lang",
@@ -5683,13 +5687,17 @@ def ann_ivf_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ann_ivf_pq_topk, so it shares that oracle: the differential
     check proves build-then-search == compute-inline.
 
-    The index is built ONCE per (process, sf_dir) under a
-    deterministic temp path with overwrite semantics and reused on
-    later invocations (ADVICE r06: mkdtemp-per-call leaked a dir and
-    re-charged the one-time build to every 'search' measurement).
-    BENCH reads: a cold first run still includes the build; bench.py's
-    best-of-2 makes the reported number the warm, search-only cost —
-    the amortization the docstring claims."""
+    The index is built ONCE per (process, sf_dir) under a temp path
+    keyed by BOTH sf_dir and this process's pid, and reused on later
+    invocations (ADVICE r06: mkdtemp-per-call leaked a dir and
+    re-charged the one-time build to every 'search' measurement;
+    ADVICE r07: a pid-free shared path let two concurrent processes —
+    bench + verify — race one rebuilding with overwrite while the
+    other read mid-swap). Per-process paths cost one extra build per
+    process but make the cache race-free without locks. BENCH reads:
+    a cold first run still includes the build; bench.py's best-of-2
+    makes the reported number the warm, search-only cost — the
+    amortization the docstring claims."""
     import hashlib
     import os
     import tempfile
@@ -5708,7 +5716,7 @@ def ann_ivf_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5)
     path = os.path.join(
         tempfile.gettempdir(),
-        f"sgivfpq_{hashlib.sha1(sf_dir.encode()).hexdigest()[:12]}",
+        f"sgivfpq_{hashlib.sha1(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}",
     )
     if _IVF_PQ_INDEX_BUILT.get(sf_dir) != path:
         build_ivf_pq_index(emb, centroids, cbs, path, m=4)
@@ -7864,6 +7872,7 @@ _KMV_K = 256
            round(jacc_raw * est_union_raw, 6) AS est_inter
     FROM est
     """,
+    headline=True,  # promoted r08: green CORRECTNESS_r07 row (VERDICT r07 item 4)
 )
 def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct sketches with SET OPERATIONS
@@ -8581,80 +8590,17 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # already-multiply-verified trivia trail past the cap. Everything not
 # listed follows in registration order.
 _VERIFY_FIRST = [
-    # ---- round-7 head: least-proven first — the 19 queries with NO
-    # driver CORRECTNESS row yet (dedup_span_sliding FAILED r06, now
-    # fixed + unit-tested; the rest are round-7 additions, every one
-    # parity-green locally at sf0.001 + sf0.01). Slot math for the
-    # driver's 50-query cap: 19 new + 31 of the 43-member r04 cohort
-    # fill exactly 50; the remaining 12 r04 queries sit immediately
-    # after the cap (positions 51-62) and MUST head the r08 rotation,
-    # together with the SEVENTEEN late-round-7 registrations deliberately
-    # kept OUT of the head to protect cohort slots (each parity-green
-    # locally, per its docstring + commit message):
-    # graph_triangle_stats, events_decay_trending,
-    # dedup_winnowing_pairs, data_shard_shuffle,
-    # sql_recursive_order_chain, ep3_training_data_pipeline,
-    # cdc_last_writer_wins, profile_pareto_frontier,
-    # curation_ensemble_score, multimodal_audio_features,
-    # intervals_merge_islands, events_anomaly_mad,
-    # curation_url_dedup, text_markup_extract,
-    # text_token_entropy, dedup_residual_report,
-    # curation_source_overlap. r08 should also
-    # consider promoting r07-proven ops (kmv, winnowing, triangle,
-    # ep3) to headline=True once their green rows are committed.
-    "dedup_span_sliding",
-    "sketch_topk_heavy_hitters",
-    "embedding_matryoshka_recall",
-    "sketch_kmv_set_ops",
-    "data_weighted_reservoir",
-    "join_size_skew_report",
-    "er_golden_record",
-    "dedup_ngram_containment",
-    "profile_drift_psi",
-    "embedding_pca_whiten",
-    "streaming_drift_psi",
-    "ann_recall_report",
-    "sketch_mg_incremental",
-    "sketch_quantile_rollup",
-    "join_bloom_prefilter",
-    "incremental_rollup_equivalence",
-    "dedup_recall_report",
-    "sql_pipe_priority_revenue",
-    "sql_lateral_topk_orders",
-    # ---- the 43-query cohort whose latest green row dates to round 4
-    # — now the oldest (VERDICT r06 item 5). All hash-verified r04 on
-    # current fixtures; ordinary rotation debt.
-    "agg_cube",
-    "agg_distinct_counts",
-    "agg_exact_percentiles",
-    "agg_rollup",
-    "agg_trimmed_mean",
-    "basket_type_affinity",
-    "curation_report_card",
-    "customers_rfm_segments",
-    "data_negative_sampling",
-    "dq_constraint_report",
-    "events_anomaly_zscore",
-    "events_cohort_retention",
-    "events_funnel",
-    "events_hourly_rollup",
-    "events_markov_transitions",
-    "events_rolling_users_7d",
-    "events_rollup_cascade",
-    "events_variant_shred",
-    "graph_pagerank_bipartite",
-    "orders_open_interval_count",
-    "orders_seasonality_profile",
-    "profile_price_histogram",
-    "profile_table_stats",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "range_join_error_context",
-    "scd2_customer_history",
-    "setops_intersect_except",
-    "sort_limit_topk",
-    "streaming_dedup",
-    "streaming_interval_join",
+    # ---- round-8 head (VERDICT r07 item 1, the verification-backlog
+    # round): 12 r04-stale + 17 never-driver-checked late-r07
+    # registrations + 21 oldest-r05 = exactly the driver's 50-query
+    # cap. After this round every query's latest green row is r05+
+    # and ALL 178 registrations have a driver row. The 29 remaining
+    # r05-green queries sit immediately after the cap (positions
+    # 51-79, BPE's 10-min-oracle pair deliberately last among them)
+    # and head the r09 rotation together with any r08 additions
+    # registered past the cap.
+    #
+    # -- 12 queries whose latest green row is r04 (three rounds stale)
     "streaming_static_enrich",
     "streaming_windowed_counts",
     "supplier_reliability_wilson",
@@ -8667,28 +8613,78 @@ _VERIFY_FIRST = [
     "window_sliding_7d",
     "window_topk_per_group",
     "window_topk_salted",
-    # ---- fill the 50-row cap with the oldest r05-verified queries,
-    # type-sensitive ones first
+    # -- 17 late-round-7 registrations with NO driver row yet (each
+    # judge-verified oracle-green at sf0.01 in the r07 verdict; the
+    # driver row is still the hard signal)
+    "graph_triangle_stats",
+    "events_decay_trending",
+    "dedup_winnowing_pairs",
+    "data_shard_shuffle",
+    "sql_recursive_order_chain",
+    "ep3_training_data_pipeline",
+    "cdc_last_writer_wins",
+    "profile_pareto_frontier",
+    "curation_ensemble_score",
+    "multimodal_audio_features",
+    "intervals_merge_islands",
+    "events_anomaly_mad",
+    "curation_url_dedup",
+    "text_markup_extract",
+    "text_token_entropy",
+    "dedup_residual_report",
+    "curation_source_overlap",
+    # -- 21 of the 50-member r05 cohort (oldest remaining greens),
+    # type-sensitive and composite ops first
     "t1_bool_coercion",
     "t4_t5_arrays",
-    "timeseries_gapfill",
-    "dedup_span_exact",
-    "zorder_locality_stats",
-    # ---- past the driver's 50-row cap: r05-verified on current
-    # fixtures, next in line for round-8 rotation
-    "agg_approx_distinct",
-    "agg_approx_percentiles",
-    "ann_pq_topk",
-    "ann_pq_rerank_topk",
-    "ann_ivf_pq_topk",
+    "t9_fold_concat",
+    "u1_union_by_name",
+    "ep1_fused_pipeline",
     "dedup_exact",
     "dedup_clusters_twophase",
     "dedup_store_bloom_survivors",
-    "ep1_fused_pipeline",
     "er_fuzzy_part_pairs",
+    "ann_pq_topk",
+    "ann_pq_rerank_topk",
+    "ann_ivf_pq_topk",
     "sketch_hll_rollup",
     "recon_table_diff",
     "streaming_sliding_counts",
+    "agg_approx_distinct",
+    "agg_approx_percentiles",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_stats",
+    # ---- past the driver's 50-row cap: the 29 remaining r05-verified
+    # queries, next in line for the round-9 rotation
+    "timeseries_gapfill",
+    "dedup_span_exact",
+    "zorder_locality_stats",
+    "data_group_split",
+    "data_quality_weighted_sample",
+    "dedup_semantic_kmeans",
+    "j2_conflict_skip",
+    "j3_merge_upsert",
+    "ml_quality_classifier",
+    "multimodal_phash_near",
+    "p1_projection",
+    "p2_nonempty_filter",
+    "p4_like_predicate",
+    "profile_key_candidates",
+    "q10_returned_revenue",
+    "q12_priority_shipping",
+    "q13_outer_join_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_scalar_subquery",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicates",
+    "q22_idle_rich_customers",
+    "q4_semi_join",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q7_nation_trade_volume",
     "text_bpe_vocab",
     "text_bpe_encode",
 ]

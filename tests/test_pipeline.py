@@ -85,7 +85,12 @@ def test_headline_queries_have_green_correctness_rows():
         with open(path) as f:
             rows = json.load(f)
         for name, row in rows.items():
-            if row.get("err") is None and row.get("rows_match") is not False:
+            if (
+                row.get("err") is None
+                and row.get("rows_match") is not False
+                and row.get("hash_match") is not False
+                and row.get("schema_match") is not False
+            ):
                 green.add(name)
     assert green, "no committed CORRECTNESS files found"
     unproven = [

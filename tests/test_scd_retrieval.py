@@ -142,6 +142,32 @@ def test_apply_cdc_log_order_invariant_with_tombstones(spark):
     assert out2 == out
 
 
+def test_apply_cdc_log_tiebreak_restores_total_order(spark):
+    """ADVICE r07: two events tying on every seq col (a replayed LSN)
+    would make the survivor nondeterministic; a stable event-id
+    tiebreak column appended to the window order pins it — the larger
+    event id wins, regardless of arrival order."""
+    from evidence_images_etl_airflow_spark.operators.scd import apply_cdc_log
+
+    log = [
+        ("k1", 7, "e02", "update", 20),
+        ("k1", 7, "e09", "update", 90),  # same seq; e09 > e02 wins
+        ("k1", 7, "e05", "update", 50),
+    ]
+    for seed in (1, 2, 3):
+        import random
+
+        rnd = log[:]
+        random.Random(seed).shuffle(rnd)
+        df = spark.createDataFrame(
+            rnd, "k string, seq long, eid string, op string, v long"
+        )
+        out = apply_cdc_log(
+            df, ["k"], ["seq"], "op", tiebreak_cols=["eid"]
+        ).collect()
+        assert [(r.k, r.eid, r.v) for r in out] == [("k1", "e09", 90)]
+
+
 def test_apply_cdc_log_null_op_is_not_a_tombstone(spark):
     from evidence_images_etl_airflow_spark.operators.scd import apply_cdc_log
 

@@ -133,6 +133,64 @@ def test_quantile_summary_rank_theorem_under_compression(spark):
         assert slack > 0  # compression genuinely fired
 
 
+def test_quantile_rollup_slack_sums_per_summary_steps(spark):
+    """Coarse-grain rollup slack regression (ADVICE r07): when one pid
+    holds SEVERAL merged summaries (two fine keys rolled up to one
+    grain), the certified slack must sum each summary's step — a
+    max-per-(grain,pid) would undercount and the published band could
+    be violated. Single partition makes the expected value exact:
+    d1 n=2000 mp=8 -> step 250, d2 n=1500 -> step 188; slack =
+    250 + 188 + max(250) = 688, NOT the old 250 + 250 = 500."""
+    from evidence_images_etl_airflow_spark.operators.sketches import (
+        quantile_summaries,
+        rollup_quantile_summaries,
+    )
+
+    rows = [("d1", float((i * 37) % 1000)) for i in range(2000)] + [
+        ("d2", float((i * 91) % 500)) for i in range(1500)
+    ]
+    df = spark.createDataFrame(rows, "day string, v double").repartition(1)
+    summ = quantile_summaries(df, ["day"], "v", max_points=8)
+    merged = summ.withColumn("all", F.lit("all"))
+    for prob in (0.1, 0.25, 0.5, 0.75, 0.9):
+        got = rollup_quantile_summaries(merged, ["all"], prob=prob).collect()[0]
+        assert got["rank_slack"] == 250 + 188 + 250
+        est, t, slack = got["est_value"], got["target_rank"], got["rank_slack"]
+        true_le = sum(1 for _, v in rows if v <= est)
+        assert t <= true_le <= t + slack, (prob, est, t, slack, true_le)
+
+
+def test_quantile_rollup_cross_build_union_with_build_ids(spark):
+    """Two separate builds (disjoint day batches) union into one
+    summary table; distinct build_ids keep colliding (key, pid)
+    summaries apart, so the band holds over the merged whole and the
+    slack counts BOTH builds' summaries."""
+    from evidence_images_etl_airflow_spark.operators.sketches import (
+        quantile_summaries,
+        rollup_quantile_summaries,
+    )
+
+    rows1 = [("g", float((i * 37) % 1000)) for i in range(2000)]
+    rows2 = [("g", float((i * 91) % 500)) for i in range(1500)]
+    s1 = quantile_summaries(
+        spark.createDataFrame(rows1, "k string, v double").repartition(1),
+        ["k"], "v", max_points=8, build_id="day1",
+    )
+    s2 = quantile_summaries(
+        spark.createDataFrame(rows2, "k string, v double").repartition(1),
+        ["k"], "v", max_points=8, build_id="day2",
+    )
+    merged = s1.unionByName(s2)
+    got = rollup_quantile_summaries(merged, ["k"], prob=0.5).collect()[0]
+    assert got["n"] == 3500
+    # same (k, pid=0) in both builds: without build ids the two
+    # summaries would collapse and slack would miss one step
+    assert got["rank_slack"] == 250 + 188 + 250
+    est, t, slack = got["est_value"], got["target_rank"], got["rank_slack"]
+    true_le = sum(1 for v in [v for _, v in rows1] + [v for _, v in rows2] if v <= est)
+    assert t <= true_le <= t + slack
+
+
 def test_blocked_pairs_find_known_neighbors(spark):
     names = spark.createDataFrame(
         [("cold widget",), ("old widget",), ("red widget",), ("cold bolt",)],
