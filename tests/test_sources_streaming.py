@@ -499,58 +499,6 @@ def test_python_datasource_synthetic_events(spark):
     assert df4.exceptAll(df7).count() == 0
 
 
-def test_tws_sessionizer_matches_old_api(spark, tmp_path):
-    """transformWithState twin of the applyInPandasWithState
-    sessionizer — runnable only where protobuf exists (the TWS state
-    server's wire protocol); skips cleanly in this build env, the same
-    tier pattern as the live-Postgres tests."""
-    import pytest
-
-    from evidence_images_etl_airflow_spark.streaming.tws import (
-        TWS_AVAILABLE,
-        sessionize_tws,
-    )
-
-    if not TWS_AVAILABLE:
-        pytest.skip("google.protobuf not installed - TWS state server cannot start")
-
-    import uuid
-
-    from pyspark.sql import functions as F
-
-    from evidence_images_etl_airflow_spark.streaming.stateful import (
-        sessionize_stateful,
-    )
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    sf = "/root/testdata/sf0.001"
-    schema = spark.read.parquet(f"{sf}/events.parquet").schema
-
-    def drain(builder, tag):
-        stream = spark.readStream.schema(schema).parquet(f"{sf}/events.parque*")
-        stream = stream.withColumn(
-            "ts_us",
-            F.timestampdiff(
-                "MICROSECOND", F.lit("1970-01-01").cast("timestamp"), F.col("ts").cast("timestamp")
-            ),
-        )
-        stream = stream.withColumn("ts_utc", F.timestamp_micros(F.col("ts_us")))
-        name = f"{tag}_{uuid.uuid4().hex[:6]}"
-        q = (
-            builder(stream, gap_minutes=30)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", str(tmp_path / name))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        return {tuple(r) for r in spark.table(name).collect()}
-
-    assert drain(sessionize_tws, "tws") == drain(sessionize_stateful, "old")
-
-
 def test_xml_format_roundtrip_native(spark, tmp_path):
     """Spark 4 native XML source through the formats facade: write +
     read back preserves values; schema is mandatory like other text
