@@ -1,0 +1,128 @@
+"""Token-budget mixture planning — the pretraining data-allocation step.
+
+A training run has a token budget B and a corpus of strata (sources,
+languages) with unequal availability. The mixture designer wants each
+stratum's share to follow temperature-flattened weights w_s (natural
+share ^ alpha), but no stratum may be over-epoched: allocation can't
+exceed cap_s = available_s * max_epochs. The optimum is classic
+waterfilling: allocated_s = min(cap_s, lambda * w_s) with lambda chosen
+so allocations sum to B.
+
+The solver here is fully DECLARATIVE — no driver loop, no collect.
+Sorting strata by cap/weight gives the standard closed form: if the
+j strata with smallest cap/w ratios are exactly the capped set, then
+
+    lambda(j) = (B - sum_{i<=j} cap_i) / (sum_{i>j} w_i)
+
+and the correct j is the unique one with ratio_j <= lambda(j) <
+ratio_{j+1}. All candidate prefixes are evaluated at once with window
+cumulative sums over the strata table — which is an AGGREGATE (one row
+per source/language), so the global windows run on tens of rows no
+matter how big the corpus is; the only corpus-sized work is the one
+token-count aggregation the caller feeds in.
+
+Cross-engine determinism: weights are rounded to 6dp and summed as
+DECIMAL(18,6) (exact, order-independent); lambda is one double
+division of identical operands; allocations floor() the double
+product — identical IEEE inputs give identical outputs, the repo's
+standard oracle idiom.
+
+Reference scope note: the reference pipeline (vkoll29/
+Evidence-Images-ETL-Airflow) has no analytics/allocation surface at
+all; this operator belongs to the north-star §2.6/§2.8 extension
+surface (training-data pipeline ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def token_budget_allocation(
+    stats: DataFrame,
+    key_col: str,
+    avail_col: str,
+    weight_col: str,
+    budget_col: str = "budget",
+    max_epochs: float = 2.0,
+) -> DataFrame:
+    """Waterfill ``budget`` tokens over strata.
+
+    ``stats`` has one row per stratum: ``key_col``, ``avail_col``
+    (bigint tokens available), ``weight_col`` (double target weight,
+    already 6dp-rounded), ``budget_col`` (the SAME bigint total budget
+    on every row — attach it with a 1-row cross join). Requires
+    0 < budget < sum(cap); caller guarantees it by deriving the budget
+    from the availability total.
+
+    Returns per stratum: available_tokens, weight, cap_tokens,
+    allocated_tokens, epochs (6dp), capped.
+    """
+    s = stats.select(
+        F.col(key_col).alias("stratum"),
+        F.col(avail_col).cast("bigint").alias("avail"),
+        F.col(weight_col).cast("double").alias("w"),
+        F.col(budget_col).cast("bigint").alias("b"),
+    ).withColumn(
+        "cap", F.floor(F.col("avail") * F.lit(float(max_epochs))).cast("bigint")
+    ).withColumn("ratio", F.col("cap") / F.col("w"))
+
+    # candidate prefixes j = 0..S-1 in ratio order; row rn carries the
+    # hypothesis "the first rn-1 strata are capped" (prefix j = rn-1),
+    # so the j=0 hypothesis is rn=1 with empty prefix sums.
+    order = Window.orderBy("ratio", "stratum")
+    allw = Window.orderBy("ratio", "stratum").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    prefix = Window.orderBy("ratio", "stratum").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cand = (
+        s.withColumn("rn", F.row_number().over(order))
+        .withColumn(
+            "c_prev", F.coalesce(F.sum("cap").over(prefix), F.lit(0)).cast("bigint")
+        )
+        .withColumn(
+            "v_prev",
+            F.coalesce(
+                F.sum(F.col("w").cast("decimal(18,6)")).over(prefix),
+                F.lit(0).cast("decimal(18,6)"),
+            ),
+        )
+        .withColumn("w_total", F.sum(F.col("w").cast("decimal(18,6)")).over(allw))
+        .withColumn(
+            "lam",
+            (F.col("b") - F.col("c_prev"))
+            / (F.col("w_total") - F.col("v_prev")).cast("double"),
+        )
+        # feasibility of prefix j = rn-1: every capped stratum really
+        # caps (prev row's ratio <= lam) and this first uncapped one
+        # really doesn't (ratio > lam)
+        .withColumn("ratio_prev", F.lag("ratio").over(order))
+        .filter(
+            (F.col("ratio_prev").isNull() | (F.col("ratio_prev") <= F.col("lam")))
+            & (F.col("ratio") > F.col("lam"))
+        )
+        .orderBy("rn")
+        .limit(1)
+        .select(F.col("lam").alias("lambda_star"))
+    )
+    return (
+        s.crossJoin(F.broadcast(cand))  # 1-row solver output
+        .select(
+            "stratum",
+            F.col("avail").alias("available_tokens"),
+            F.round("w", 6).alias("weight"),
+            F.col("cap").alias("cap_tokens"),
+            F.when(F.col("ratio") <= F.col("lambda_star"), F.col("cap"))
+            .otherwise(F.floor(F.col("lambda_star") * F.col("w")).cast("bigint"))
+            .alias("allocated_tokens"),
+            (F.col("ratio") <= F.col("lambda_star")).alias("capped"),
+        )
+        .withColumn(
+            "epochs",
+            F.round(F.col("allocated_tokens") / F.col("available_tokens"), 6),
+        )
+    )

@@ -4098,6 +4098,126 @@ def data_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+               AS fp_exact,
+             md5(array_to_string(list_sort(list_distinct({_TOK})), ' '))
+               AS fp_bow,
+             CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 10000 AS rb,
+             CAST('0x' || substr(md5('gsplit:' || source), 1, 15)
+                  AS BIGINT) % 10000 AS gb
+      FROM documents),
+    lab AS (
+      SELECT fp_exact, fp_bow,
+             CASE WHEN rb < 8000 THEN 'train' WHEN rb < 9000 THEN 'val'
+                  ELSE 'test' END AS row_split,
+             CASE WHEN gb < 8000 THEN 'train' WHEN gb < 9000 THEN 'val'
+                  ELSE 'test' END AS group_split
+      FROM base),
+    expanded AS (
+      SELECT 'exact' AS kind, fp_exact AS fp, row_split, group_split FROM lab
+      UNION ALL
+      SELECT 'bow', fp_bow, row_split, group_split FROM lab),
+    per_fp AS (
+      SELECT kind, fp,
+             count(DISTINCT row_split) AS rs,
+             count(DISTINCT group_split) AS gs,
+             CAST(count(*) AS BIGINT) AS n
+      FROM expanded GROUP BY kind, fp),
+    tot AS (
+      SELECT kind,
+             CAST(count(*) AS BIGINT) AS n_fp,
+             CAST(sum(n) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN rs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS r_fp,
+             CAST(sum(CASE WHEN rs >= 2 THEN n ELSE 0 END) AS BIGINT) AS r_docs,
+             CAST(sum(CASE WHEN gs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS g_fp,
+             CAST(sum(CASE WHEN gs >= 2 THEN n ELSE 0 END) AS BIGINT) AS g_docs
+      FROM per_fp GROUP BY kind)
+    SELECT kind AS fingerprint_kind, 'row_hash' AS strategy,
+           n_fp AS n_fingerprints, r_fp AS n_leaky_fingerprints,
+           r_docs AS n_leaky_docs,
+           round(r_docs / CAST(n_docs AS DOUBLE), 6) AS leak_frac
+    FROM tot
+    UNION ALL
+    SELECT kind, 'source_group', n_fp, g_fp, g_docs,
+           round(g_docs / CAST(n_docs AS DOUBLE), 6)
+    FROM tot
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit over the two split strategies the repo
+    ships, at two duplicate tiers: EXACT fingerprints (md5 of
+    normalized text, functions/text.fingerprint_md5) and BAG-OF-WORDS
+    fingerprints (md5 of the sorted distinct token set — catches
+    reordered/near-identical copies exact hashing misses). A
+    fingerprint landing in >= 2 splits is evaluation data leaked into
+    training. Row-id hashing leaks every duplicate pair that straddles
+    the 80/10/10 boundary; source-group hashing eliminates
+    within-source leaks by construction but still leaks mirrors shared
+    ACROSS sources — the audit quantifies all four cells, the number a
+    curator checks before blessing a split. One corpus scan computes
+    both labelings row-locally (the split IS a pure hash expression)
+    and both fingerprints; a 2-way unpivot then ONE
+    groupBy(kind, fingerprint) counts distinct splits per strategy; a
+    |kinds|-row aggregate + strategy unpivot emits the 4-row report —
+    no joins, no second scan, same shape at 100 TB. NOTE: registered
+    after the round-8 verify head (full with the 29-query backlog);
+    parity-proven locally at sf0.001 + sf0.01; heads the r09
+    rotation."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "source",
+        fingerprint_md5(F.col("text")).alias("fp_exact"),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col("text")))))
+        ).alias("fp_bow"),
+    )
+    base = hash_split(
+        base, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split"
+    ).withColumnRenamed("split", "row_split")
+    base = hash_split(
+        base, "source", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="gsplit"
+    ).withColumnRenamed("split", "group_split")
+    expanded = base.selectExpr(
+        "stack(2, 'exact', fp_exact, 'bow', fp_bow) AS (kind, fp)",
+        "row_split",
+        "group_split",
+    )
+    per_fp = expanded.groupBy("kind", "fp").agg(
+        F.countDistinct("row_split").alias("rs"),
+        F.countDistinct("group_split").alias("gs"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    tot = per_fp.groupBy("kind").agg(
+        F.count("*").cast("bigint").alias("n_fp"),
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.sum((F.col("rs") >= 2).cast("long")).cast("bigint").alias("r_fp"),
+        F.sum(F.when(F.col("rs") >= 2, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("r_docs"),
+        F.sum((F.col("gs") >= 2).cast("long")).cast("bigint").alias("g_fp"),
+        F.sum(F.when(F.col("gs") >= 2, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("g_docs"),
+    )
+    return tot.selectExpr(
+        "kind AS fingerprint_kind",
+        """stack(2,
+             'row_hash', n_fp, r_fp, r_docs,
+               round(r_docs / CAST(n_docs AS DOUBLE), 6),
+             'source_group', n_fp, g_fp, g_docs,
+               round(g_docs / CAST(n_docs AS DOUBLE), 6)
+           ) AS (strategy, n_fingerprints, n_leaky_fingerprints,
+                 n_leaky_docs, leak_frac)"""
+    )
+
+
+@register(
     "data_stratified_sample",
     oracle="""
     SELECT doc_id, lang FROM (
@@ -4267,6 +4387,99 @@ def data_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(tokens(F.col("text"))).alias("token_count")
     )
     return pack_documents(with_tc, "doc_id", "token_count", budget=512, shards=8)
+
+
+@register(
+    "data_token_budget_mixture",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source,
+             CAST(sum(len({_TOK})) AS BIGINT) AS avail
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(avail) AS BIGINT) AS total FROM tok),
+    s AS (SELECT source, avail,
+                 round(pow(avail / CAST(total AS DOUBLE), 0.5), 6) AS w,
+                 CAST(floor(0.6 * total) AS BIGINT) AS b,
+                 CAST(floor(avail * 2.0) AS BIGINT) AS cap
+          FROM tok, tot),
+    r AS (SELECT *, cap / w AS ratio FROM s),
+    c AS (SELECT *,
+                 row_number() OVER (ORDER BY ratio, source) AS rn,
+                 CAST(coalesce(sum(cap) OVER (
+                        ORDER BY ratio, source
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS c_prev,
+                 coalesce(sum(CAST(w AS DECIMAL(18,6))) OVER (
+                        ORDER BY ratio, source
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      CAST(0 AS DECIMAL(18,6))) AS v_prev,
+                 sum(CAST(w AS DECIMAL(18,6))) OVER () AS w_total,
+                 lag(ratio) OVER (ORDER BY ratio, source) AS ratio_prev
+          FROM r),
+    lamt AS (
+      SELECT (b - c_prev) / CAST(w_total - v_prev AS DOUBLE) AS lam
+      FROM c
+      WHERE (ratio_prev IS NULL
+             OR ratio_prev <= (b - c_prev) / CAST(w_total - v_prev AS DOUBLE))
+        AND ratio > (b - c_prev) / CAST(w_total - v_prev AS DOUBLE)
+      ORDER BY rn LIMIT 1)
+    SELECT source, avail AS available_tokens, round(w, 6) AS weight,
+           cap AS cap_tokens,
+           CASE WHEN ratio <= lam THEN cap
+                ELSE CAST(floor(lam * w) AS BIGINT) END AS allocated_tokens,
+           ratio <= lam AS capped,
+           round((CASE WHEN ratio <= lam THEN cap
+                       ELSE CAST(floor(lam * w) AS BIGINT) END)
+                 / CAST(avail AS DOUBLE), 6) AS epochs
+    FROM r, lamt
+    """,
+)
+def data_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining mixture PLAN (operators/mixture.
+    token_budget_allocation): waterfill a 0.6x-corpus token budget
+    over sources with temperature-flattened target weights
+    (alpha=0.5) under a 2-epoch repetition cap — allocated_s =
+    min(cap_s, lambda*w_s) with the water level lambda solved
+    DECLARATIVELY (candidate-prefix window scan over the ratio-sorted
+    strata table, no driver loop, no collect). This is the planning
+    step that turns 'we have N tokens per source' into 'sample THIS
+    many from each' before the stratified-hash sampler executes it.
+    Scale: the only corpus-sized work is one token-count aggregation;
+    the solver's global windows run on the |sources|-row aggregate
+    (the Pareto-frontier pattern). Weights 6dp-rounded and
+    decimal-summed; lambda is one double division of identical
+    operands; allocations floor() the product — bit-stable across
+    engines. NOTE: registered after the round-8 verify head (full
+    with the 29-query backlog); parity-proven locally at sf0.001 +
+    sf0.01; heads the r09 rotation."""
+    from evidence_images_etl_airflow_spark.operators.mixture import (
+        token_budget_allocation,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    stats = d.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("avail")
+    )
+    tot = stats.agg(F.sum("avail").cast("bigint").alias("total"))
+    stats = (
+        stats.crossJoin(F.broadcast(tot))  # 1-row totals
+        .withColumn(
+            "w", F.round(F.pow(F.col("avail") / F.col("total"), F.lit(0.5)), 6)
+        )
+        .withColumn("budget", F.floor(F.lit(0.6) * F.col("total")).cast("bigint"))
+    )
+    alloc = token_budget_allocation(
+        stats, "source", "avail", "w", "budget", max_epochs=2.0
+    )
+    return alloc.select(
+        F.col("stratum").alias("source"),
+        "available_tokens",
+        "weight",
+        "cap_tokens",
+        "allocated_tokens",
+        "capped",
+        "epochs",
+    )
 
 
 @register(

@@ -1,0 +1,62 @@
+"""Token-budget waterfilling mixture planner."""
+
+from __future__ import annotations
+
+from evidence_images_etl_airflow_spark.operators.mixture import (
+    token_budget_allocation,
+)
+
+
+def _plan(spark, rows, budget, max_epochs=2.0):
+    df = spark.createDataFrame(
+        [(k, a, w, budget) for k, a, w in rows],
+        "src string, avail long, w double, budget long",
+    )
+    return {
+        r.stratum: r
+        for r in token_budget_allocation(
+            df, "src", "avail", "w", "budget", max_epochs=max_epochs
+        ).collect()
+    }
+
+
+def test_waterfill_hand_computed_with_cap(spark):
+    """Uniform weights, B=3000, caps 200/2000/20000: the smallest
+    stratum caps at 2 epochs, the rest split the remainder at the
+    water level lambda=1400."""
+    got = _plan(
+        spark, [("a", 100, 1.0), ("b", 1000, 1.0), ("c", 10000, 1.0)], 3000
+    )
+    assert (got["a"].allocated_tokens, got["a"].capped) == (200, True)
+    assert (got["b"].allocated_tokens, got["b"].capped) == (1400, False)
+    assert (got["c"].allocated_tokens, got["c"].capped) == (1400, False)
+    assert got["a"].epochs == 2.0
+    assert got["b"].epochs == 1.4
+    assert got["c"].epochs == 0.14
+
+
+def test_waterfill_no_caps_is_proportional(spark):
+    """Budget small enough that nothing caps: allocations are
+    proportional to the weights (floor'd)."""
+    got = _plan(
+        spark, [("a", 10000, 1.0), ("b", 10000, 3.0)], 4000
+    )
+    assert not got["a"].capped and not got["b"].capped
+    assert got["a"].allocated_tokens == 1000
+    assert got["b"].allocated_tokens == 3000
+
+
+def test_waterfill_cascading_caps(spark):
+    """Two strata cap in ratio order before the level settles: caps
+    40/60/100000 with uniform weights and B=1100 -> a and b cap,
+    c takes the 1000 remainder."""
+    got = _plan(
+        spark,
+        [("a", 20, 1.0), ("b", 30, 1.0), ("c", 50000, 1.0)],
+        1100,
+    )
+    assert got["a"].allocated_tokens == 40 and got["a"].capped
+    assert got["b"].allocated_tokens == 60 and got["b"].capped
+    assert got["c"].allocated_tokens == 1000 and not got["c"].capped
+    total = sum(r.allocated_tokens for r in got.values())
+    assert total == 1100

@@ -48,6 +48,7 @@ EXPECTED_CROSS = {
     "profile_drift_psi",  # 1-row min/max edges + 1-row totals broadcasts
     "events_decay_trending",  # 1-row corpus-max anchor broadcast
     "graph_triangle_stats",  # 1-row edge-count x 1-row degree-stats report
+    "data_token_budget_mixture",  # 1-row totals + 1-row water-level broadcasts
 }
 
 
