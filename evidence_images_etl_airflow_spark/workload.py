@@ -35,6 +35,7 @@ from evidence_images_etl_airflow_spark.functions.text import (
     quality_score,
     rolling_hash,
     scrub_pii,
+    shingles_from_tokens,
     strip_markup,
     tokens,
 )
@@ -4214,6 +4215,105 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(g_docs / CAST(n_docs AS DOUBLE), 6)
            ) AS (strategy, n_fingerprints, n_leaky_fingerprints,
                  n_leaky_docs, leak_frac)"""
+    )
+
+
+@register(
+    "curation_template_ngrams",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOK} AS t FROM documents),
+    sh AS (SELECT doc_id, source,
+                  unnest([array_to_string(t[i:i+1], ' ')
+                          for i in range(1, len(t))]) AS g
+           FROM toks WHERE len(t) >= 2),
+    srcdocs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY source),
+    dfreq AS (SELECT source, g, CAST(count(*) AS BIGINT) AS df
+              FROM (SELECT DISTINCT doc_id, source, g FROM sh)
+              GROUP BY source, g),
+    bp AS (SELECT d.source, d.g
+           FROM dfreq d JOIN srcdocs s USING (source)
+           WHERE d.df >= greatest(2, (s.n_docs + 4) // 5)),
+    occ AS (SELECT doc_id, source, g, CAST(count(*) AS BIGINT) AS c
+            FROM sh GROUP BY doc_id, source, g),
+    per_doc AS (
+      SELECT o.doc_id, o.source,
+             CAST(sum(o.c) AS BIGINT) AS n_bigrams,
+             CAST(sum(CASE WHEN b.g IS NOT NULL THEN o.c ELSE 0 END)
+                  AS BIGINT) AS bp_hits
+      FROM occ o LEFT JOIN bp b ON b.source = o.source AND b.g = o.g
+      GROUP BY o.doc_id, o.source)
+    SELECT d.doc_id, d.source,
+           CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(p.bp_hits, 0) AS BIGINT) AS bp_hits,
+           round(coalesce(p.bp_hits / CAST(p.n_bigrams AS DOUBLE), 0), 6)
+             AS bp_frac,
+           coalesce(p.bp_hits / CAST(p.n_bigrams AS DOUBLE), 0) >= 0.2
+             AS templated
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def curation_template_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level TEMPLATE/boilerplate detection (the RefinedWeb/C4
+    family's 'remove the nav-bar text' step, adapted to token
+    streams): a bigram is boilerplate for a source when it appears in
+    >= max(2, ceil(n_docs/5)) of that source's documents — repeated
+    across documents is what separates template text from content.
+    Each document then gets the fraction of its bigram OCCURRENCES
+    covered by its source's boilerplate set; docs above 0.2 are
+    flagged templated (drop or strip candidates). Integer-exact
+    threshold ((n+4) div 5 — no float ceil knife edges); fractions
+    6dp-rounded. Scale: everything is keyed by (source, bigram) —
+    doc-frequency agg, boilerplate filter, occurrence join — so the
+    plan is three hash aggs + one shingle-keyed join, never a doc-pair
+    join; the boilerplate table is df-capped tiny but NOT force-
+    broadcast (AQE decides). NOTE: registered after the round-8
+    verify head (full with the 29-query backlog); parity-proven
+    locally at sf0.001 + sf0.01; heads the r09 rotation."""
+    d = _t(spark, sf_dir, "documents")
+    tk = d.select("doc_id", "source", tokens(F.col("text")).alias("__tk"))
+    sh = tk.select(
+        "doc_id",
+        "source",
+        F.explode(shingles_from_tokens(F.col("__tk"), 2)).alias("g"),
+    )
+    srcdocs = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    dfreq = (
+        sh.select("doc_id", "source", "g")
+        .distinct()
+        .groupBy("source", "g")
+        .agg(F.count("*").cast("bigint").alias("df"))
+    )
+    bp = (
+        dfreq.join(srcdocs, "source")
+        .filter(F.col("df") >= F.greatest(F.lit(2), F.expr("(n_docs + 4) div 5")))
+        .select("source", "g", F.lit(True).alias("is_bp"))
+    )
+    occ = sh.groupBy("doc_id", "source", "g").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    per_doc = (
+        occ.join(bp, ["source", "g"], "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.sum(F.when(F.col("is_bp"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("bp_hits"),
+        )
+    )
+    frac = F.col("bp_hits") / F.col("n_bigrams").cast("double")
+    return (
+        d.select("doc_id", "source")
+        .join(per_doc.drop("source"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("bp_hits", F.lit(0)).cast("bigint").alias("bp_hits"),
+            F.round(F.coalesce(frac, F.lit(0.0)), 6).alias("bp_frac"),
+            (F.coalesce(frac, F.lit(0.0)) >= 0.2).alias("templated"),
+        )
     )
 
 
