@@ -8139,6 +8139,86 @@ def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sketch_quantile_coarse_rollup",
+    oracle="""
+    WITH v AS (SELECT o_orderstatus, CAST(o_totalprice AS DOUBLE) AS val
+               FROM orders),
+    r AS (SELECT o_orderstatus, val,
+                 row_number() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY val) AS rn,
+                 count(*) OVER (PARTITION BY o_orderstatus) AS n
+          FROM v)
+    SELECT o_orderstatus, CAST(n AS BIGINT) AS n,
+           round(val, 2) AS exact_median, TRUE AS within_rank_band
+    FROM r WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+    """,
+)
+def sketch_quantile_coarse_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-GRAIN quantile rollup — the property that makes a stored
+    summary table worth storing: summaries built at the FINE grain
+    (status x priority = 15 groups) answer the COARSE per-status
+    median by plain union, no raw re-scan. This is the path the r07
+    ADVICE fix hardened: with several fine-grain summaries per (coarse
+    key, pid), the certified slack must sum EVERY merged summary's
+    step (distinct over identity columns), not max per pid — the
+    old bound was violated exactly here. Same oracle contract as
+    sketch_quantile_rollup: emitted rows are the exact rank-based
+    median (bit-for-bit cross-engine) plus the rank-theorem verdict
+    pinned TRUE — count(val <= est) must land in [target_rank,
+    target_rank + rank_slack] with the per-summary-summed slack.
+    Scale: the raw scan happens once at build; the rollup's windows
+    run over the summary table (O(groups x pids x max_points) rows).
+    NOTE: registered after the round-8 verify head (full with the
+    29-query backlog); parity-proven locally at sf0.001 + sf0.01;
+    heads the r09 rotation."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("val"),
+    )
+    summ = quantile_summaries(
+        o, ["o_orderstatus", "o_orderpriority"], "val", max_points=16
+    )
+    est = rollup_quantile_summaries(summ, ["o_orderstatus"], prob=0.5)
+    true_le = (
+        o.join(
+            F.broadcast(est.select("o_orderstatus", "est_value")), "o_orderstatus"
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum((F.col("val") <= F.col("est_value")).cast("long")).alias("__le")
+        )
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy("val")
+    exact = (
+        o.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("o_orderstatus")))
+        .filter(F.col("rn") == F.ceil(F.col("n") / 2.0).cast("bigint"))
+        .select(
+            "o_orderstatus",
+            F.col("n").cast("bigint").alias("n"),
+            F.round("val", 2).alias("exact_median"),
+        )
+    )
+    return (
+        exact.join(
+            F.broadcast(est.select("o_orderstatus", "target_rank", "rank_slack")),
+            "o_orderstatus",
+        )
+        .join(F.broadcast(true_le), "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "n",
+            "exact_median",
+            (
+                (F.col("__le") >= F.col("target_rank"))
+                & (F.col("__le") <= F.col("target_rank") + F.col("rank_slack"))
+            ).alias("within_rank_band"),
+        )
+    )
+
+
 _KMV_K = 256
 
 
