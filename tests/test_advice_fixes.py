@@ -219,3 +219,64 @@ def test_scd2_apply_collapses_duplicate_update_keys(spark):
     assert len(rows) == 2
     assert rows[0].attr == "old" and rows[0].valid_to == datetime.date(2022, 1, 1)
     assert rows[1].attr == "new" and rows[1].valid_to is None
+
+
+def test_store_swap_leaves_backup_recoverable(spark, tmp_path):
+    """r07 ADVICE: the old delete-then-rename swap had a crash window
+    that lost the store entirely. The backup-preserving swap keeps a
+    complete copy at every instant: simulate the crash state (current
+    store renamed aside, new one never landed) and _read_store must
+    recover the backup's contents."""
+    from evidence_images_etl_airflow_spark.streaming.file_stream import (
+        _read_store,
+        _swap_store,
+    )
+
+    path = str(tmp_path / "store")
+    df1 = spark.createDataFrame([("a", 1)], "item string, cnt long")
+    _swap_store(spark, df1, path)
+    assert {tuple(r) for r in _read_store(spark, path).collect()} == {("a", 1)}
+
+    df2 = spark.createDataFrame([("b", 2)], "item string, cnt long")
+    _swap_store(spark, df2, path)
+    assert {tuple(r) for r in _read_store(spark, path).collect()} == {("b", 2)}
+
+    # simulate the mid-swap crash: current renamed to backup, no new store
+    import shutil
+
+    shutil.move(path, path + "__backup")
+    got = _read_store(spark, path)
+    assert got is not None
+    assert {tuple(r) for r in got.collect()} == {("b", 2)}
+    # neither path exists -> None (first-batch bootstrap), not an error
+    shutil.rmtree(path + "__backup")
+    assert _read_store(spark, path) is None
+
+
+def test_heavy_hitters_store_skips_replayed_batch(spark, tmp_path):
+    """r07 ADVICE: foreachBatch is at-least-once and the MG store
+    update is read-modify-write — a replayed batch must NOT be folded
+    in twice (it would break est <= true). The per-row batch-id stamp
+    makes land() idempotent: invoking the update for an already-applied
+    batch id leaves the store unchanged."""
+    from evidence_images_etl_airflow_spark.streaming.file_stream import (
+        heavy_hitters_stream_available_now,
+    )
+
+    schema = "v string"
+    src = f"{tmp_path}/src"
+    store = f"{tmp_path}/store"
+    spark.createDataFrame([("hot",)] * 10, schema).coalesce(1).write.parquet(
+        f"{src}/f0"
+    )
+    heavy_hitters_stream_available_now(
+        spark, f"{src}/f*", schema, store, f"{tmp_path}/ck", "v", capacity=5
+    )
+    before = {(r.item, r.cnt) for r in spark.read.parquet(store).collect()}
+    # replay the SAME files through a FRESH checkpoint: batch ids repeat
+    # (0...), and the store-side guard must reject them all
+    heavy_hitters_stream_available_now(
+        spark, f"{src}/f*", schema, store, f"{tmp_path}/ck2", "v", capacity=5
+    )
+    after = {(r.item, r.cnt) for r in spark.read.parquet(store).collect()}
+    assert after == before  # no double count
