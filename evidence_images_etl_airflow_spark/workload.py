@@ -8991,7 +8991,11 @@ _VERIFY_FIRST = [
     # r05-green queries sit immediately after the cap (positions
     # 51-79, BPE's 10-min-oracle pair deliberately last among them)
     # and head the r09 rotation together with any r08 additions
-    # registered past the cap.
+    # registered past the cap. r09 should also promote
+    # dedup_winnowing_pairs, graph_triangle_stats, and
+    # ep3_training_data_pipeline to headline=True once their r08
+    # driver rows are committed (sketch_kmv_set_ops promoted this
+    # round on its green r07 row).
     #
     # -- 12 queries whose latest green row is r04 (three rounds stale)
     "streaming_static_enrich",

@@ -567,3 +567,50 @@ def test_permissive_quarantine_counts_corrupt_rows(spark, tmp_path):
         '{"id": 3, "v": }',
     }
     df.unpersist()
+
+
+def test_state_inspection_reads_live_checkpoint(spark, tmp_path):
+    """Spark 4 state data sources through the state_inspect facade:
+    after draining a watermarked windowed count, the checkpoint's
+    statestore read exposes exactly the open windows' state, and the
+    health report aggregates it with the metadata's batch range."""
+    from pyspark.sql import functions as F
+
+    from evidence_images_etl_airflow_spark.streaming.state_inspect import (
+        state_health_report,
+        state_metadata,
+        state_rows,
+    )
+
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00"), ("a", "2024-01-01 10:10:00"),
+         ("b", "2024-01-01 10:30:00")],
+        "k string, ts_s string",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts")).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = stream.withWatermark("ts", "1 hour").groupBy(
+        F.window("ts", "1 hour"), "k"
+    ).count()
+    q = (
+        agg.writeStream.format("memory").queryName("si_probe")
+        .outputMode("append").option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    meta = state_metadata(spark, ck).collect()
+    assert len(meta) == 1 and meta[0]["operatorName"] == "stateStoreSave"
+
+    st = state_rows(spark, ck)
+    got = {(r["key"]["k"], r["value"]["count"]) for r in st.collect()}
+    assert got == {("a", 2), ("b", 1)}  # both windows still open (watermark)
+
+    rep = state_health_report(spark, ck).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert r["n_state_rows"] == 2
+    assert r["maxBatchId"] >= r["minBatchId"]
+    assert r["max_partition_rows"] >= 1
+    assert r["skew_ratio"] >= 1.0
