@@ -199,6 +199,98 @@ def ngram_containment_pairs(
     return ab.unionByName(ba).filter(F.col("containment") >= threshold)
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LOSSLESS prefix-filtered shingle-Jaccard join — the AllPairs /
+    PPJoin candidate scheme (Bayardo et al., WWW'07; Xiao et al.,
+    WWW'08) as a third candidate generator beside the blocked join
+    (``ngram_jaccard_pairs``) and MinHash LSH.
+
+    Order every doc's shingle set by a single global canon (ascending
+    document frequency, shingle string tiebreak — rarest first) and
+    index only each doc's PREFIX: the first ``|x| - ceil(t*|x|) + 1``
+    shingles. The prefix-filter theorem guarantees any pair with
+    Jaccard >= t shares at least one prefix shingle, so joining
+    prefix-to-prefix loses nothing, while the candidate join runs on
+    the RAREST shingles only. That kills the two scale problems of the
+    plain blocked join at once: the index shrinks by ~t·|x| entries
+    per doc, and globally-hot shingles (the ones that alone generate
+    10^12 candidate pairs at crawl scale) sort to the END of the canon
+    and essentially never enter a prefix — the effect the
+    ``max_doc_freq`` stop-shingle cap approximates heuristically, but
+    obtained here WITHOUT the cap's false-negative risk (a capped join
+    silently loses pairs whose every common shingle is hot; prefix
+    filtering provably loses none). The symmetric size filter
+    ``t*max(|x|,|y|) <= min(|x|,|y|)`` prunes candidates further and,
+    being a necessary condition of J >= t, also cannot drop a true
+    pair. Exact Jaccard is then verified on candidates only.
+
+    Plan shape at 100 TB: one df agg + one per-doc window (both keyed
+    shuffles linear in corpus shingles), a self-join whose left/right
+    sides are the ~(1-t)-fraction prefix index, then a candidates ×
+    doc-shingle verify join. No O(N^2) phase, no lossy cap.
+    """
+    sh = _doc_shingles(df, id_col, text_col, n)
+    # feeds the df agg, the prefix index (twice), and the verify join
+    sh = _materialized(sh)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+    w_doc = Window.partitionBy("id")
+    w_rank = w_doc.orderBy(F.col("df_").asc(), F.col("shingle").asc())
+    ranked = (
+        sh.join(freq, "shingle")
+        .select(
+            "id",
+            "shingle",
+            F.row_number().over(w_rank).alias("pos"),
+            F.count("*").over(w_doc).alias("sz"),
+        )
+    )
+    # prefix length |x| - ceil(t*|x|) + 1; 9dp pre-round kills binary-
+    # float knife edges in t*|x| (e.g. t=0.1) before the ceil
+    need = F.ceil(F.round(F.lit(threshold) * F.col("sz"), 9)).cast("long")
+    prefix = ranked.filter(F.col("pos") + need <= F.col("sz") + F.lit(1))
+    a = prefix.select(F.col("id").alias("id_a"), "shingle", F.col("sz").alias("sz_a"))
+    b = prefix.select(F.col("id").alias("id_b"), "shingle", F.col("sz").alias("sz_b"))
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # necessary size condition of J>=t — pruning only, slack keeps
+        # it from ever false-dropping on float representation
+        .filter(
+            F.greatest("sz_a", "sz_b") * F.lit(threshold)
+            <= F.least("sz_a", "sz_b") + F.lit(1e-9)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ja = sh.select(F.col("id").alias("id_a"), "shingle")
+    jb = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(ja, "id_a")
+        .join(jb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "sz_a", "sz_b", "jaccard")
+    )
+
+
 _WINNOW_HASH_SPACE = 1 << 40  # folded k-gram hash domain
 _WINNOW_POS_SPACE = 1 << 20  # max gram position encodable per doc
 

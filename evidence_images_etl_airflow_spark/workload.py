@@ -69,6 +69,7 @@ from evidence_images_etl_airflow_spark.operators.dedup import (
     minhash_params,
     ngram_containment_pairs,
     ngram_jaccard_pairs,
+    prefix_filter_jaccard_pairs,
     winnowing_pairs,
     simhash64,
     simhash_near_pairs,
@@ -8970,6 +8971,56 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("rev", F.lit(0.0)).alias("revenue"),
         F.coalesce("n", F.lit(0)).alias("n_orders"),
         F.last("rev", ignorenulls=True).over(w).alias("last_seen_revenue"),
+    )
+
+
+@register(
+    "dedup_prefix_filter_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest([array_to_string(t[i:i+3], ' ')
+                          for i in range(1, len(t) - 2)]) AS shingle
+           FROM toks WHERE len(t) >= 4),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+              FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, sa.sz AS sz_a, sb.sz AS sz_b,
+           round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.6
+    """,
+)
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 4-token-shingle Jaccard >= 0.6 via LOSSLESS
+    prefix filtering (AllPairs/PPJoin — operators/dedup.py
+    prefix_filter_jaccard_pairs): docs are indexed only on the
+    ``|x| - ceil(0.6|x|) + 1`` globally-RAREST of their shingles, the
+    prefix-filter theorem guaranteeing no qualifying pair is missed.
+    The third candidate-generation scheme in the dedup family — vs the
+    blocked join (lossy stop-shingle cap at crawl scale) and MinHash
+    LSH (probabilistic recall), this one is exact AND hot-shingle-
+    immune: frequent shingles sort past every prefix, so the skew that
+    melts a plain shingle join never seeds a candidate. The oracle is
+    the brute shared-shingle join — identical output semantics is
+    precisely the losslessness claim under test. NOTE: registered
+    after the round-8 verify head (full with the 29-query backlog);
+    parity-proven locally at sf0.001 + sf0.01; heads the r09
+    rotation."""
+    d = _t(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(
+        d, "doc_id", "text", n=4, threshold=0.6
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("sz_a").cast("bigint").alias("sz_a"),
+        F.col("sz_b").cast("bigint").alias("sz_b"),
+        "jaccard",
     )
 
 

@@ -708,3 +708,58 @@ def test_audio_features_hand_computed_and_empty(spark):
     out = {r.doc_id: r for r in extract_audio_features(df).collect()}
     assert (out[1].n_frames, out[1].peak_energy) == (3, pe)
     assert (out[2].n_frames, out[2].mean_energy, out[2].peak_frame, out[2].peak_energy) == (0, 0.0, -1, 0)
+
+
+def test_prefix_filter_equals_uncapped_blocked_join(spark, docs):
+    """Losslessness of the AllPairs/PPJoin prefix filter: on any input
+    the prefix-filtered join must return EXACTLY the pairs of the
+    uncapped shared-shingle blocked join — same ids, same jaccard."""
+    from evidence_images_etl_airflow_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    # fixture docs + a deterministic overlapping-slice corpus (every
+    # doc shares sliding slices of a common token stream, so prefixes,
+    # size filter, and verify all get exercised at several thresholds)
+    base = "t%d"
+    stream = [base % (i % 17) for i in range(60)]
+    rows = [
+        (100 + i, " ".join(stream[i : i + 20 + (i % 5)])) for i in range(25)
+    ]
+    corpus = docs.unionByName(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    for t in (0.3, 0.5, 0.8):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in prefix_filter_jaccard_pairs(
+                corpus, "doc_id", "text", n=3, threshold=t
+            ).collect()
+        }
+        want = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(
+                corpus, "doc_id", "text", n=3, threshold=t, max_doc_freq=None
+            ).collect()
+        }
+        assert got == want, f"threshold {t}: prefix filter lost/added pairs"
+        assert want, f"threshold {t}: vacuous check"
+
+
+def test_prefix_filter_immune_to_hot_shingles(spark):
+    """The capped blocked join LOSES a pair whose every common shingle
+    is hot; the prefix filter keeps it — the exact failure mode the
+    operator exists to remove."""
+    from evidence_images_etl_airflow_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    hot = "alpha beta gamma"  # one 3-shingle shared by every doc
+    rows = [(i, hot) for i in range(1, 12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.9, max_doc_freq=10
+    )
+    assert capped.count() == 0  # df=11 > cap: every true pair lost
+    pf = prefix_filter_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.9)
+    assert pf.count() == 55  # all C(11,2) identical pairs found
