@@ -425,3 +425,107 @@ def kmv_jaccard(a: Column, b: Column, k: int, union: Column | None = None) -> Co
         F.filter(u, lambda x: F.array_contains(a, x) & F.array_contains(b, x))
     )
     return matches.cast("double") / F.size(u).cast("double")
+
+
+# --- count-min ---------------------------------------------------------------
+
+def _cm_bucket(value: Column, r: int, width: int, salt: str) -> Column:
+    """Row-``r`` bucket for a value: first 15 md5 hex chars of the
+    salted key as a bigint, mod width — the repo-wide cross-engine
+    hash, so the oracle reproduces every counter bit-for-bit."""
+    key = F.concat(F.lit(f"cm{salt}:{r}:"), value.cast("string"))
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") % width
+
+
+def countmin_table(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+    salt: str = "0",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as a relational
+    ``(r, bucket, cnt)`` table — the OVERestimating complement of the
+    Misra-Gries family above (MG: est <= true, bounded undercount;
+    CM: est >= true, overcount bounded by bucket collisions ~N/width
+    per row, min over ``depth`` independent rows).
+
+    Everything is one exploded projection + one hash agg whose group
+    count is capped at ``depth x width`` regardless of input size, so
+    map-side partial aggregation collapses each task's contribution to
+    at most that many rows before the shuffle — the shuffle carries
+    counter cells, never raw values. Unlike MG the table is exactly
+    LINEAR: cell counts are plain sums, so per-batch/per-partition
+    sketches merge by cell-wise addition with zero approximation drift
+    (``merge_countmin_tables``), and the merged table is bit-identical
+    to a single-pass build — the strongest mergeability in the sketch
+    family, which is why CM is the standard distributed frequency
+    sketch at stream scale."""
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cm_bucket(F.col(value_col), r, width, salt).alias(
+                            "bucket"
+                        ),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb")
+    ).select("rb.r", "rb.bucket")
+    return pairs.groupBy("r", "bucket").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+
+
+def merge_countmin_tables(*tables: DataFrame) -> DataFrame:
+    """Cell-wise sum of same-shaped CM tables: exactly the sketch a
+    single pass over the concatenated inputs would build (counter
+    cells are plain sums — no ordering or capacity interaction)."""
+    import functools as _ft
+
+    u = _ft.reduce(lambda a, b: a.unionByName(b), tables)
+    return u.groupBy("r", "bucket").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+
+
+def countmin_lookup(
+    table: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+    salt: str = "0",
+) -> DataFrame:
+    """Point-frequency estimates ``(value_col, est)`` for each item:
+    min over the sketch's rows of the item's bucket counter (absent
+    cell = 0). ``est >= true`` is a hard theorem — every occurrence of
+    the item incremented all of its ``depth`` cells, and counters are
+    never decremented. The probe set is typically tiny (a report's
+    top-k candidates), so the join broadcasts the probes against the
+    bounded-size counter table."""
+    probes = items.select(
+        F.col(value_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cm_bucket(F.col(value_col), r, width, salt).alias(
+                            "bucket"
+                        ),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(value_col, F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+    return (
+        probes.join(table, ["r", "bucket"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("est"))
+    )

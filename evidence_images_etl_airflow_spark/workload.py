@@ -89,6 +89,8 @@ from evidence_images_etl_airflow_spark.operators.recon import (
     md5_long,
 )
 from evidence_images_etl_airflow_spark.operators.sketches import (
+    countmin_lookup,
+    countmin_table,
     merge_mg_summaries,
     misra_gries_summaries,
     quantile_summaries,
@@ -9021,6 +9023,75 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sz_a").cast("bigint").alias("sz_a"),
         F.col("sz_b").cast("bigint").alias("sz_b"),
         "jaccard",
+    )
+
+
+@register(
+    "sketch_countmin_estimates",
+    oracle=r"""
+    WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+                  FROM documents),
+    rws AS (SELECT unnest(range(4)) AS r),
+    tbl AS (
+      SELECT r,
+             CAST('0x' || substr(md5('cm0:' || CAST(r AS VARCHAR) || ':' || tok),
+                                 1, 15) AS BIGINT) % 512 AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM toks CROSS JOIN rws
+      GROUP BY 1, 2),
+    exact AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS exact_n,
+             row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+      FROM toks GROUP BY tok),
+    top AS (SELECT tok, exact_n FROM exact WHERE rn <= 20),
+    est AS (
+      SELECT p.tok, CAST(min(coalesce(t.cnt, 0)) AS BIGINT) AS est_n
+      FROM (SELECT top.tok, r,
+                   CAST('0x' || substr(md5('cm0:' || CAST(r AS VARCHAR)
+                                            || ':' || top.tok), 1, 15)
+                        AS BIGINT) % 512 AS bucket
+            FROM top CROSS JOIN rws) p
+      LEFT JOIN tbl t ON t.r = p.r AND t.bucket = p.bucket
+      GROUP BY p.tok)
+    SELECT top.tok, top.exact_n, est.est_n,
+           est.est_n >= top.exact_n AS overestimate
+    FROM top JOIN est ON est.tok = top.tok
+    """,
+)
+def sketch_countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point-frequency estimates for the exact top-20 tokens
+    (operators/sketches.countmin_table / countmin_lookup) — the
+    OVERestimating complement of sketch_topk_heavy_hitters' Misra-
+    Gries path: MG certifies est <= true, CM certifies est >= true
+    (every occurrence incremented all depth cells; counters never
+    decrement), and the two sketches bracket the true count from
+    opposite sides for the same report. Unlike MG, the CM estimates
+    are PARTITIONING-INDEPENDENT (cells are plain sums), so the output
+    emits the estimates themselves — the oracle rebuilds all
+    depth x width counter cells from the identical md5 bucket hash and
+    must match them bit-for-bit, a far stronger check than a
+    tolerance verdict. Scale: the sketch agg's group count is capped
+    at depth x width (4 x 512), so map-side combine collapses each
+    task to <= 2048 cells before the shuffle — counter cells move,
+    raw tokens never do; probes join against the bounded cell
+    table."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    tbl = countmin_table(toks, "tok", depth=4, width=512, salt="0")
+    w = Window.orderBy(F.col("exact_n").desc(), F.col("tok"))
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("exact_n"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    est = countmin_lookup(tbl, top.select("tok"), "tok", depth=4, width=512, salt="0")
+    return top.join(est.withColumnRenamed("est", "est_n"), "tok").select(
+        "tok",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") >= F.col("exact_n")).alias("overestimate"),
     )
 
 

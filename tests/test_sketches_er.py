@@ -336,3 +336,51 @@ def test_golden_records_survivorship_rules(spark):
     # brand: B1 x2 vs B2 x2 -> tie breaks to lexicographically smaller
     assert (g.top_brand, g.top_brand_rows) == ("B1", 2)
     assert (g.max_price, g.min_size) == (40.0, 3)
+
+
+def test_countmin_merge_is_exact_and_estimates_overcount(spark):
+    """CM linearity: per-batch sketches merged cell-wise are
+    BIT-IDENTICAL to the single-pass sketch, and every point estimate
+    >= the true count (the CM overestimate theorem)."""
+    from evidence_images_etl_airflow_spark.operators.sketches import (
+        countmin_lookup,
+        countmin_table,
+        merge_countmin_tables,
+    )
+
+    rows = [(i, f"v{i % 7}") for i in range(300)]
+    df = spark.createDataFrame(rows, "i long, v string")
+    whole = countmin_table(df, "v", depth=3, width=16, salt="t")
+    merged = merge_countmin_tables(
+        countmin_table(df.filter("i % 2 = 0"), "v", depth=3, width=16, salt="t"),
+        countmin_table(df.filter("i % 2 = 1"), "v", depth=3, width=16, salt="t"),
+    )
+    as_set = lambda t: {(r.r, r.bucket, r.cnt) for r in t.collect()}  # noqa: E731
+    assert as_set(whole) == as_set(merged)
+
+    items = df.select("v").distinct()
+    est = {
+        r.v: r.est
+        for r in countmin_lookup(whole, items, "v", depth=3, width=16, salt="t").collect()
+    }
+    true = {r.v: r.n for r in df.groupBy("v").agg(F.count("*").alias("n")).collect()}
+    assert set(est) == set(true)
+    assert all(est[v] >= true[v] for v in true)
+    # width=16 >> 7 distinct values: with no cross-value collision in
+    # some row, the min recovers the exact count for at least one value
+    assert any(est[v] == true[v] for v in true)
+
+
+def test_countmin_absent_item_estimates_zero_without_collision(spark):
+    """An item never inserted whose buckets are all empty estimates 0 —
+    the left-join + coalesce path, not a dropped row."""
+    from evidence_images_etl_airflow_spark.operators.sketches import (
+        countmin_lookup,
+        countmin_table,
+    )
+
+    df = spark.createDataFrame([("only",)], "v string")
+    tbl = countmin_table(df, "v", depth=4, width=4096, salt="z")
+    probe = spark.createDataFrame([("never-seen-item",)], "v string")
+    out = countmin_lookup(tbl, probe, "v", depth=4, width=4096, salt="z").collect()
+    assert len(out) == 1 and out[0].est == 0
