@@ -9311,7 +9311,14 @@ _VERIFY_FIRST = [
     "text_quality_score",
     "text_token_stats",
     # ---- past the driver's 50-row cap: the 29 remaining r05-verified
-    # queries, next in line for the round-9 rotation
+    # queries, next in line for the round-9 rotation. The r09 head =
+    # the SEVEN r08 registrations with no driver row yet
+    # (data_token_budget_mixture, split_leakage_audit,
+    # curation_template_ngrams, sketch_quantile_coarse_rollup,
+    # dedup_prefix_filter_pairs, sketch_countmin_estimates,
+    # curation_dsir_selection — each parity-proven locally at
+    # sf0.001 + sf0.01) + these 29 = 36 slots; fill the rest from the
+    # oldest r06 cohort.
     "timeseries_gapfill",
     "dedup_span_exact",
     "zorder_locality_stats",

@@ -49,6 +49,7 @@ EXPECTED_CROSS = {
     "events_decay_trending",  # 1-row corpus-max anchor broadcast
     "graph_triangle_stats",  # 1-row edge-count x 1-row degree-stats report
     "data_token_budget_mixture",  # 1-row totals + 1-row water-level broadcasts
+    "curation_dsir_selection",  # 1-row token-totals aggregate broadcast
 }
 
 
