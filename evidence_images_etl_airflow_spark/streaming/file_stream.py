@@ -419,3 +419,71 @@ def heavy_hitters_stream_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def countmin_stream_available_now(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    table_path: str,
+    checkpoint_path: str,
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+    salt: str = "0",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming maintenance of a count-min frequency sketch — the
+    linear-sketch counterpart of ``heavy_hitters_stream_available_now``
+    and the simplest member of the store family, BECAUSE the sketch is
+    linear: each micro-batch's cells just ADD to the persisted
+    ``(r, bucket, cnt)`` table. No re-compression step, no threshold
+    collect, no error row — the store is <= depth x width rows forever
+    by construction, and after any number of batches it is
+    BIT-IDENTICAL to the single-pass sketch over everything streamed
+    (the exactness the MG store trades away for its top-k item list;
+    run both stores side by side for bracketed estimates: MG <= true
+    <= CM). Point lookups at any moment via
+    ``operators.sketches.countmin_lookup`` against the store.
+
+    Same durability contract as the other stores: the file-source
+    checkpoint feeds each input file to exactly one micro-batch, the
+    per-row batch-id stamp rejects foreachBatch's at-least-once
+    replays (double-adding cells would break est >= true being TIGHT
+    — est stays an overestimate but the merge-equals-single-pass
+    certificate dies), and the rewrite rides the backup-preserving
+    rename swap."""
+    from evidence_images_etl_airflow_spark.operators.sketches import (
+        countmin_table,
+        merge_countmin_tables,
+    )
+
+    reader = spark.readStream.format("parquet").schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(source_path)
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        store = _read_store(sess, table_path)
+        if store is not None and batch_id <= _applied_batch(store):
+            return  # replayed batch — cells are sums, a second add
+            # would double-count and break single-pass equivalence
+        partial = countmin_table(
+            batch_df.select(value_col), value_col, depth, width, salt
+        )
+        merged = (
+            partial
+            if store is None
+            else merge_countmin_tables(store.drop(_BATCH_COL), partial)
+        )
+        merged = merged.withColumn(_BATCH_COL, F.lit(batch_id).cast("bigint"))
+        _swap_store(sess, merged, table_path)
+
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -280,3 +280,69 @@ def test_heavy_hitters_store_skips_replayed_batch(spark, tmp_path):
     )
     after = {(r.item, r.cnt) for r in spark.read.parquet(store).collect()}
     assert after == before  # no double count
+
+
+def test_countmin_stream_store_equals_single_pass(spark, tmp_path):
+    """CM linearity end-to-end: stream three files through the store,
+    then the persisted cells must be BIT-IDENTICAL to one batch
+    countmin_table over the concatenated input — and a replayed run
+    through a fresh checkpoint must change nothing."""
+    from evidence_images_etl_airflow_spark.operators.sketches import (
+        countmin_lookup,
+        countmin_table,
+    )
+    from evidence_images_etl_airflow_spark.streaming.file_stream import (
+        countmin_stream_available_now,
+    )
+
+    schema = "v string"
+    src = f"{tmp_path}/src"
+    store = f"{tmp_path}/store"
+    batches = [
+        [("a",)] * 5 + [("b",)] * 2,
+        [("a",)] * 3 + [("c",)] * 4,
+        [("b",)] * 6,
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+    countmin_stream_available_now(
+        spark, f"{src}/f*", schema, store, f"{tmp_path}/ck", "v",
+        depth=3, width=32, salt="s",
+    )
+    got = {
+        (r.r, r.bucket, r.cnt)
+        for r in spark.read.parquet(store).drop("_last_batch").collect()
+    }
+    all_rows = spark.createDataFrame(
+        [t for b in batches for t in b], schema
+    )
+    want = {
+        (r.r, r.bucket, r.cnt)
+        for r in countmin_table(all_rows, "v", depth=3, width=32, salt="s").collect()
+    }
+    assert got == want
+
+    # replay through a fresh checkpoint: batch ids repeat, guard rejects
+    countmin_stream_available_now(
+        spark, f"{src}/f*", schema, store, f"{tmp_path}/ck2", "v",
+        depth=3, width=32, salt="s",
+    )
+    after = {
+        (r.r, r.bucket, r.cnt)
+        for r in spark.read.parquet(store).drop("_last_batch").collect()
+    }
+    assert after == got
+
+    # lookups against the store see the true totals (width=32 >> 3
+    # distinct values, so at least the min row is collision-free here)
+    est = {
+        r.v: r.est
+        for r in countmin_lookup(
+            spark.read.parquet(store).drop("_last_batch"),
+            all_rows.select("v").distinct(), "v",
+            depth=3, width=32, salt="s",
+        ).collect()
+    }
+    assert est["a"] >= 8 and est["b"] >= 8 and est["c"] >= 4
