@@ -217,7 +217,16 @@ def prefix_filter_jaccard_pairs(
     shingles. The prefix-filter theorem guarantees any pair with
     Jaccard >= t shares at least one prefix shingle, so joining
     prefix-to-prefix loses nothing, while the candidate join runs on
-    the RAREST shingles only. That kills the two scale problems of the
+    the RAREST shingles only. (Completeness, incl. the per-doc-alpha
+    subtlety: J(x,y) >= t forces overlap I >= ceil(t|x|) AND
+    >= ceil(t|y|) — the first since I >= t(|x|+|y|-I)/(1) rearranges
+    to I >= t(|x|+|y|)/(1+t) >= t|x| given |y| >= t|x| from the size
+    bound, symmetrically for y. Let w* be the canon-minimum shared
+    shingle: if w* sat in x's suffix of ceil(t|x|)-1 canon-largest
+    shingles, every shared shingle would — all are canon->= w* — so
+    I <= ceil(t|x|)-1, a contradiction; hence w* is in x's prefix,
+    and by the same argument in y's. Both prefix occurrences of w*
+    meet in the join.) That kills the two scale problems of the
     plain blocked join at once: the index shrinks by ~t·|x| entries
     per doc, and globally-hot shingles (the ones that alone generate
     10^12 candidate pairs at crawl scale) sort to the END of the canon

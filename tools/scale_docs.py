@@ -43,6 +43,18 @@ def main() -> None:
 
     spark = get_session("scale-docs")
     d = spark.read.parquet(f"{src}/documents.parquet")
+    # Refuse already-scaled input: shifting a corpus whose ids already
+    # carry an i*SHIFT offset lands copy (i, j) and copy (j, i) on the
+    # SAME id ((i+j)*SHIFT + orig) — colliding ids silently merge
+    # different docs in every id-grouped operator downstream. Scale
+    # from the pristine source with a larger `copies` instead.
+    max_id = d.agg(F.max("doc_id")).first()[0]
+    if max_id is not None and max_id >= SHIFT:
+        raise SystemExit(
+            f"source {src} already looks scaled (max doc_id {max_id} >= "
+            f"SHIFT {SHIFT}); re-run against the original corpus with "
+            f"copies={copies}0 instead of re-scaling a scaled output"
+        )
     parts = [
         d.select(
             (F.col("doc_id") + F.lit(i * SHIFT)).alias("doc_id"),
