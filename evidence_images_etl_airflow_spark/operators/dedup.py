@@ -104,6 +104,14 @@ def ngram_jaccard_pairs(
     10^12 candidate pairs on its own; dropping it loses only pairs
     whose *every* common shingle is that frequent. This is the standard
     frequency-cap guard for web-scale dedup.
+
+    Scale selection: this join indexes and self-joins EVERY shingle
+    occurrence — the cheapest plan on small/interactive corpora, but
+    the dominant cost term as the corpus grows; the measured crossover
+    vs :func:`prefix_filter_jaccard_pairs` (identical output, lossless,
+    rarest-shingle prefix index) sits between the 10x and 100x test
+    corpora (SCALING.md). Prefer the prefix filter once corpus size or
+    shingle skew is the bottleneck.
     """
     return (
         _shingle_pair_stats(df, id_col, text_col, n, max_doc_freq)
