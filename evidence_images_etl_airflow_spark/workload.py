@@ -9230,6 +9230,106 @@ def curation_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_countmin_estimates",
+    oracle=r"""
+    WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+                  FROM documents),
+    rws AS (SELECT unnest(range(4)) AS r),
+    tbl AS (
+      SELECT r,
+             CAST('0x' || substr(md5('cm0:' || CAST(r AS VARCHAR) || ':' || tok),
+                                 1, 15) AS BIGINT) % 512 AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM toks CROSS JOIN rws
+      GROUP BY 1, 2),
+    exact AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS exact_n,
+             row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+      FROM toks GROUP BY tok),
+    top AS (SELECT tok, exact_n FROM exact WHERE rn <= 20),
+    est AS (
+      SELECT p.tok, CAST(min(coalesce(t.cnt, 0)) AS BIGINT) AS est_n
+      FROM (SELECT top.tok, r,
+                   CAST('0x' || substr(md5('cm0:' || CAST(r AS VARCHAR)
+                                            || ':' || top.tok), 1, 15)
+                        AS BIGINT) % 512 AS bucket
+            FROM top CROSS JOIN rws) p
+      LEFT JOIN tbl t ON t.r = p.r AND t.bucket = p.bucket
+      GROUP BY p.tok)
+    SELECT top.tok, top.exact_n, est.est_n,
+           est.est_n >= top.exact_n AS overestimate
+    FROM top JOIN est ON est.tok = top.tok
+    """,
+)
+def streaming_countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CM sketch maintained by the STREAMING store
+    (streaming/file_stream.countmin_stream_available_now) instead of a
+    batch build — and verified against the SAME batch oracle as
+    sketch_countmin_estimates, because CM's linearity makes the
+    streamed store bit-identical to a one-shot sketch over everything
+    that flowed through it. The corpus's token stream lands in THREE
+    files, maxFilesPerTrigger=1 forces three separate micro-batches
+    through the checkpointed file source, each batch's cells ADD into
+    the persisted store, and the final report reads the store alone
+    (no raw re-scan) to estimate the exact top-20 tokens. One of the
+    few oracle-VERIFIED streaming queries anywhere in the registry:
+    stream/batch equivalence is the unified-engine contract, and for
+    a linear sketch it is exact, not approximate. Scale: per-batch
+    cost is one batch scan + a <= depth x width cell merge; the store
+    never exceeds 2048 cells however long the stream runs."""
+    import tempfile
+
+    from evidence_images_etl_airflow_spark.streaming.file_stream import (
+        countmin_stream_available_now,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(tokens(F.col("text"))).alias("tok"),
+        (F.col("doc_id") % 3).alias("__b"),
+    )
+    base = tempfile.mkdtemp(prefix="sg_cmstream_")
+    src, store, ck = f"{base}/src", f"{base}/store", f"{base}/ck"
+    for b in range(3):
+        (
+            toks.filter(F.col("__b") == b)
+            .select("tok")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{src}/f{b}")
+        )
+    countmin_stream_available_now(
+        spark,
+        f"{src}/f*",
+        "tok string",
+        store,
+        ck,
+        "tok",
+        depth=4,
+        width=512,
+        salt="0",
+        max_files_per_trigger=1,
+    )
+    tbl = spark.read.parquet(store).drop("_last_batch")
+    all_toks = toks.select("tok")
+    w = Window.orderBy(F.col("exact_n").desc(), F.col("tok"))
+    top = (
+        all_toks.groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("exact_n"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    est = countmin_lookup(tbl, top.select("tok"), "tok", depth=4, width=512, salt="0")
+    return top.join(est.withColumnRenamed("est", "est_n"), "tok").select(
+        "tok",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") >= F.col("exact_n")).alias("overestimate"),
+    )
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================
@@ -9312,13 +9412,13 @@ _VERIFY_FIRST = [
     "text_token_stats",
     # ---- past the driver's 50-row cap: the 29 remaining r05-verified
     # queries, next in line for the round-9 rotation. The r09 head =
-    # the SEVEN r08 registrations with no driver row yet
+    # the EIGHT r08 registrations with no driver row yet
     # (data_token_budget_mixture, split_leakage_audit,
     # curation_template_ngrams, sketch_quantile_coarse_rollup,
     # dedup_prefix_filter_pairs, sketch_countmin_estimates,
-    # curation_dsir_selection — each parity-proven locally at
-    # sf0.001 + sf0.01) + these 29 = 36 slots; fill the rest from the
-    # oldest r06 cohort.
+    # curation_dsir_selection, streaming_countmin_estimates — each
+    # parity-proven locally at sf0.001 + sf0.01) + these 29 = 37
+    # slots; fill the rest from the oldest r06 cohort.
     "timeseries_gapfill",
     "dedup_span_exact",
     "zorder_locality_stats",
