@@ -9330,6 +9330,103 @@ def streaming_countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq_benford_prices",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(regexp_extract(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                      AS VARCHAR), '[1-9]', 0) AS INT) AS digit
+      FROM lineitem),
+    counts AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+               FROM d GROUP BY digit),
+    spine AS (SELECT unnest(range(1, 10)) AS digit),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_n FROM counts),
+    j AS (SELECT s.digit, coalesce(c.n, 0) AS n, t.total_n
+          FROM spine s LEFT JOIN counts c ON c.digit = s.digit
+          CROSS JOIN tot t),
+    p AS (SELECT digit, n,
+                 round(n / CAST(total_n AS DOUBLE), 6) AS obs_share,
+                 round(log10(1.0 + 1.0 / digit), 6) AS exp_share, total_n
+          FROM j),
+    t2 AS (SELECT *,
+                  CAST(round(total_n * (obs_share - exp_share)
+                               * (obs_share - exp_share) / exp_share, 6)
+                       AS DECIMAL(18,6)) AS term
+           FROM p)
+    SELECT CAST(digit AS INT) AS digit, n, obs_share, exp_share,
+           round(abs(obs_share - exp_share), 6) AS abs_dev,
+           CAST(sum(term) OVER () AS DOUBLE) AS chi2,
+           CAST(sum(term) OVER () AS DOUBLE) <= 21.955 AS benford_like
+    FROM t2
+    """,
+)
+def dq_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit conformance on l_extendedprice
+    — the forensic-accounting data-quality screen (Benford 1938;
+    standard in fraud/generated-data detection): naturally-occurring
+    multiplicative amounts put digit d first with probability
+    log10(1 + 1/d); flat synthetic generators (like this corpus's)
+    don't, and the chi-square statistic catches it. Emits the full
+    9-digit diagnostic table plus the chi-square against the 8-dof
+    critical value at alpha=0.005 (21.955). Determinism: the first
+    digit comes from the DECIMAL(18,2) string rendering (fixed-point
+    in both engines — never double scientific notation), shares are
+    6dp-rounded BEFORE the chi-square terms, and the 9 terms sum as
+    DECIMAL(18,6) so the total is order-independent. Scale: one
+    row-local digit projection + a 9-group agg with map-side combine;
+    the spine/total composition is constant-size. NOTE: registered
+    after the round-8 verify head; parity-proven locally at sf0.001 +
+    sf0.01; heads the r09 rotation."""
+    li = _t(spark, sf_dir, "lineitem")
+    digit = F.regexp_extract(
+        _dec("l_extendedprice").cast("string"), "[1-9]", 0
+    ).cast("int")
+    counts = (
+        li.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    tot = counts.agg(F.sum("n").cast("bigint").alias("total_n"))
+    j = (
+        spine.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            "total_n",
+        )
+    )
+    obs = F.round(F.col("n") / F.col("total_n").cast("double"), 6)
+    exp = F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6)
+    p = j.select(
+        "digit",
+        "n",
+        obs.alias("obs_share"),
+        exp.alias("exp_share"),
+        "total_n",
+    )
+    term = F.round(
+        F.col("total_n")
+        * (F.col("obs_share") - F.col("exp_share"))
+        * (F.col("obs_share") - F.col("exp_share"))
+        / F.col("exp_share"),
+        6,
+    ).cast("decimal(18,6)")
+    chi2 = F.sum(term).over(Window.partitionBy()).cast("double")
+    return p.select(
+        "digit",
+        "n",
+        "obs_share",
+        "exp_share",
+        F.round(F.abs(F.col("obs_share") - F.col("exp_share")), 6).alias(
+            "abs_dev"
+        ),
+        chi2.alias("chi2"),
+        (chi2 <= 21.955).alias("benford_like"),
+    )
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================
@@ -9412,13 +9509,14 @@ _VERIFY_FIRST = [
     "text_token_stats",
     # ---- past the driver's 50-row cap: the 29 remaining r05-verified
     # queries, next in line for the round-9 rotation. The r09 head =
-    # the EIGHT r08 registrations with no driver row yet
+    # the NINE r08 registrations with no driver row yet
     # (data_token_budget_mixture, split_leakage_audit,
     # curation_template_ngrams, sketch_quantile_coarse_rollup,
     # dedup_prefix_filter_pairs, sketch_countmin_estimates,
-    # curation_dsir_selection, streaming_countmin_estimates — each
-    # parity-proven locally at sf0.001 + sf0.01) + these 29 = 37
-    # slots; fill the rest from the oldest r06 cohort.
+    # curation_dsir_selection, streaming_countmin_estimates,
+    # dq_benford_prices — each parity-proven locally at sf0.001 +
+    # sf0.01) + these 29 = 38 slots; fill the rest from the oldest
+    # r06 cohort.
     "timeseries_gapfill",
     "dedup_span_exact",
     "zorder_locality_stats",

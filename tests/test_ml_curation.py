@@ -176,3 +176,25 @@ def test_pca_moments_and_projection_match_numpy(spark):
     np.testing.assert_allclose(got, want, atol=1e-6)
     # whitening: unit population variance per kept axis
     np.testing.assert_allclose(got.var(axis=0), np.ones(3), atol=1e-3)
+
+
+def test_dsir_scores_target_like_docs_positive(spark, tmp_path):
+    """DSIR semantics on a corpus where target/raw distributions are
+    fully separable: docs made of target-slice tokens score positive
+    (selected), docs made of off-target tokens score negative."""
+    from evidence_images_etl_airflow_spark.workload import REGISTRY
+
+    rows = []
+    for i in range(20):  # target slice: lang=en, tokens drawn from tgtN
+        rows.append((i, " ".join(f"tgt{j}" for j in range(8)), "en", "s1", 40))
+    for i in range(20, 40):  # off-target: other lang, disjoint tokens
+        rows.append((i, " ".join(f"oth{j}" for j in range(8)), "de", "s2", 40))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    d = f"{tmp_path}/sf"
+    df.write.parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r for r in REGISTRY["curation_dsir_selection"].fn(spark, d).collect()}
+    assert len(out) == 40
+    assert all(out[i].dsir_score > 0 and out[i].selected for i in range(20))
+    assert all(out[i].dsir_score < 0 and not out[i].selected for i in range(20, 40))

@@ -50,6 +50,7 @@ EXPECTED_CROSS = {
     "graph_triangle_stats",  # 1-row edge-count x 1-row degree-stats report
     "data_token_budget_mixture",  # 1-row totals + 1-row water-level broadcasts
     "curation_dsir_selection",  # 1-row token-totals aggregate broadcast
+    "dq_benford_prices",  # 1-row grand-total aggregate broadcast
 }
 
 
