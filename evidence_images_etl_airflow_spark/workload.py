@@ -9427,6 +9427,106 @@ def dq_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_revenue_trend",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS priority,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1990-01-01' AS BIGINT)
+               AS x,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                  AS DECIMAL(18,2)) AS y
+      FROM orders GROUP BY 1, 2),
+    s AS (
+      SELECT priority,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y) AS DECIMAL(38,2)) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(18,0)) * y) AS DECIMAL(38,2)) AS sxy,
+             CAST(sum(y * y) AS DECIMAL(38,4)) AS syy
+      FROM base GROUP BY 1),
+    f AS (
+      SELECT priority, n_days,
+             CAST(n_days * sxy - sx * sy AS DOUBLE) AS num,
+             CAST(n_days * sxx - sx * sx AS DOUBLE) AS den,
+             CAST(n_days * syy - sy * sy AS DOUBLE) AS deny,
+             CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+      FROM s)
+    SELECT priority, n_days,
+           round(num / den, 6) AS slope,
+           round((syd - round(num / den, 6) * sxd) / n_days, 6) AS intercept,
+           round(num * num / (den * deny), 6) AS r2
+    FROM f
+    """,
+)
+def orders_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form per-group OLS: daily-revenue trend line (slope $/
+    day, intercept, r-squared) per order priority, from the five
+    classic sufficient statistics (n, Sx, Sxx, Sy, Sxy, Syy) — the
+    map-side-combinable way to fit millions of per-key regressions in
+    ONE aggregation pass, no MLlib, no iteration (the same shape that
+    fits a trend per SKU/store/sensor at warehouse scale; sufficient
+    statistics are also exactly what an incremental view maintains).
+    Determinism: x is an integer day index, y a DECIMAL(18,2) daily
+    sum, so every sufficient statistic is EXACT in both engines
+    (decimal/bigint sums — no float accumulation order anywhere); the
+    only floating-point steps are the final three divisions, applied
+    to identical exact operands, with the 6dp-rounded slope reused
+    inside the intercept so the two never diverge. Scale: groupBy
+    (priority, day) then groupBy(priority) — two keyed aggs, output
+    |priorities| rows. NOTE: registered after the round-8 verify
+    head; parity-proven locally at sf0.001 + sf0.01; heads the r09
+    rotation."""
+    o = _t(spark, sf_dir, "orders")
+    base = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff("o_orderdate", F.lit("1990-01-01"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(F.round(F.sum(_dec("o_totalprice")), 2).cast("decimal(18,2)").alias("y"))
+    )
+    s = base.groupBy("priority").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum("y").cast("decimal(38,2)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("y"))
+        .cast("decimal(38,2)")
+        .alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,4)").alias("syy"),
+    )
+    f = s.select(
+        "priority",
+        "n_days",
+        (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        .alias("num"),
+        (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        .alias("den"),
+        (F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("deny"),
+        F.col("sy").cast("double").alias("syd"),
+        F.col("sx").cast("double").alias("sxd"),
+    )
+    slope = F.round(F.col("num") / F.col("den"), 6)
+    return f.select(
+        "priority",
+        "n_days",
+        slope.alias("slope"),
+        F.round(
+            (F.col("syd") - slope * F.col("sxd")) / F.col("n_days"), 6
+        ).alias("intercept"),
+        F.round(
+            F.col("num") * F.col("num") / (F.col("den") * F.col("deny")), 6
+        ).alias("r2"),
+    )
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================
@@ -9509,14 +9609,14 @@ _VERIFY_FIRST = [
     "text_token_stats",
     # ---- past the driver's 50-row cap: the 29 remaining r05-verified
     # queries, next in line for the round-9 rotation. The r09 head =
-    # the NINE r08 registrations with no driver row yet
+    # the TEN r08 registrations with no driver row yet
     # (data_token_budget_mixture, split_leakage_audit,
     # curation_template_ngrams, sketch_quantile_coarse_rollup,
     # dedup_prefix_filter_pairs, sketch_countmin_estimates,
     # curation_dsir_selection, streaming_countmin_estimates,
-    # dq_benford_prices — each parity-proven locally at sf0.001 +
-    # sf0.01) + these 29 = 38 slots; fill the rest from the oldest
-    # r06 cohort.
+    # dq_benford_prices, orders_revenue_trend — each parity-proven
+    # locally at sf0.001 + sf0.01) + these 29 = 39 slots; fill the
+    # rest from the oldest r06 cohort.
     "timeseries_gapfill",
     "dedup_span_exact",
     "zorder_locality_stats",
