@@ -280,9 +280,14 @@ def prefix_filter_jaccard_pairs(
     )
     # feeds both prefix-join sides and both verify joins
     arr = _materialized(arr)
-    # prefix length |x| - ceil(t*|x|) + 1; 9dp pre-round kills binary-
-    # float knife edges in t*|x| (e.g. t=0.1) before the ceil
-    need = F.ceil(F.round(F.lit(threshold) * F.col("sz"), 9)).cast("int")
+    # prefix length |x| - ceil(t*|x|) + 1, computed EXACTLY: the
+    # threshold is recovered as a 9dp decimal (any human threshold is
+    # exact there) and decimal x int products never wobble — unlike
+    # float t*|x|, whose ulp error outgrows any fixed pre-round once
+    # |x| reaches the multi-million-shingle regime, silently shortening
+    # the prefix and breaking losslessness exactly at crawl scale
+    t_dec = F.lit(threshold).cast("decimal(12,9)")
+    need = F.ceil(t_dec * F.col("sz")).cast("int")
     prefix = arr.select(
         "id",
         "sz",
@@ -295,11 +300,13 @@ def prefix_filter_jaccard_pairs(
     cand = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        # necessary size condition of J>=t — pruning only, slack keeps
-        # it from ever false-dropping on float representation
+        # necessary size condition of J>=t, in exact decimal x integer
+        # arithmetic (no float slack needed, so it can never
+        # false-drop at any size)
         .filter(
-            F.greatest("sz_a", "sz_b") * F.lit(threshold)
-            <= F.least("sz_a", "sz_b") + F.lit(1e-9)
+            F.greatest("sz_a", "sz_b").cast("decimal(20,0)")
+            * F.lit(threshold).cast("decimal(12,9)")
+            <= F.least("sz_a", "sz_b").cast("decimal(20,0)")
         )
         .select("id_a", "id_b")
         .distinct()

@@ -461,32 +461,63 @@ def countmin_table(
     to a single-pass build — the strongest mergeability in the sketch
     family, which is why CM is the standard distributed frequency
     sketch at stream scale."""
-    pairs = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        _cm_bucket(F.col(value_col), r, width, salt).alias(
-                            "bucket"
-                        ),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("rb")
-    ).select("rb.r", "rb.bucket")
+    pairs = df.select(_cm_pairs(value_col, depth, width, salt)).select(
+        "rb.r", "rb.bucket"
+    )
     return pairs.groupBy("r", "bucket").agg(
         F.count("*").cast("bigint").alias("cnt")
     )
 
 
-def merge_countmin_tables(*tables: DataFrame) -> DataFrame:
+def _cm_pairs(value_col: str, depth: int, width: int, salt: str) -> Column:
+    """The depth (r, bucket) probes of a value as one exploded column.
+    Shared by build and lookup — the two MUST hash into the same cells
+    for ``est >= true`` to hold, so the construction lives in exactly
+    one place."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    _cm_bucket(F.col(value_col), r, width, salt).alias("bucket"),
+                )
+                for r in range(depth)
+            ]
+        )
+    ).alias("rb")
+
+
+def merge_countmin_tables(
+    *tables: DataFrame, depth: int | None = None, width: int | None = None
+) -> DataFrame:
     """Cell-wise sum of same-shaped CM tables: exactly the sketch a
     single pass over the concatenated inputs would build (counter
-    cells are plain sums — no ordering or capacity interaction)."""
+    cells are plain sums — no ordering or capacity interaction).
+
+    Cells carry no shape metadata, so merging tables built with
+    DIFFERENT (depth, width, salt) would silently misalign counters
+    and can make a later lookup's min() land on a foreign cell —
+    breaking est >= true without an error. Pass ``depth``/``width`` to
+    fail fast instead: each input (a <= depth x width-row frame, so
+    the check is one tiny job per table) is validated to fit the
+    declared grid before the union."""
     import functools as _ft
 
+    if depth is not None or width is not None:
+        for i, t in enumerate(tables):
+            mx = t.agg(
+                F.max("r").alias("mr"), F.max("bucket").alias("mb")
+            ).first()
+            if depth is not None and mx.mr is not None and mx.mr >= depth:
+                raise ValueError(
+                    f"merge_countmin_tables: input {i} has row {mx.mr} >= "
+                    f"declared depth {depth} — mixed-shape sketches"
+                )
+            if width is not None and mx.mb is not None and mx.mb >= width:
+                raise ValueError(
+                    f"merge_countmin_tables: input {i} has bucket {mx.mb} >= "
+                    f"declared width {width} — mixed-shape sketches"
+                )
     u = _ft.reduce(lambda a, b: a.unionByName(b), tables)
     return u.groupBy("r", "bucket").agg(
         F.sum("cnt").cast("bigint").alias("cnt")
@@ -509,20 +540,7 @@ def countmin_lookup(
     top-k candidates), so the join broadcasts the probes against the
     bounded-size counter table."""
     probes = items.select(
-        F.col(value_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        _cm_bucket(F.col(value_col), r, width, salt).alias(
-                            "bucket"
-                        ),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("rb"),
+        F.col(value_col), _cm_pairs(value_col, depth, width, salt)
     ).select(value_col, F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
     return (
         probes.join(table, ["r", "bucket"], "left")

@@ -384,3 +384,23 @@ def test_countmin_absent_item_estimates_zero_without_collision(spark):
     probe = spark.createDataFrame([("never-seen-item",)], "v string")
     out = countmin_lookup(tbl, probe, "v", depth=4, width=4096, salt="z").collect()
     assert len(out) == 1 and out[0].est == 0
+
+
+def test_countmin_merge_rejects_mixed_shapes(spark):
+    """Merging sketches built on different grids silently misaligns
+    cells; the declared-shape guard must fail fast instead."""
+    import pytest as _pytest
+
+    from evidence_images_etl_airflow_spark.operators.sketches import (
+        countmin_table,
+        merge_countmin_tables,
+    )
+
+    df = spark.createDataFrame([(f"v{i}",) for i in range(50)], "v string")
+    big = countmin_table(df, "v", depth=4, width=512, salt="g")
+    small = countmin_table(df, "v", depth=2, width=8, salt="g")
+    with _pytest.raises(ValueError, match="mixed-shape"):
+        merge_countmin_tables(big, small, depth=2, width=8)
+    # matching shapes with the guard on still merge fine
+    ok = merge_countmin_tables(small, small, depth=2, width=8)
+    assert ok.count() <= 2 * 8

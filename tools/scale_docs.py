@@ -52,8 +52,8 @@ def main() -> None:
     if max_id is not None and max_id >= SHIFT:
         raise SystemExit(
             f"source {src} already looks scaled (max doc_id {max_id} >= "
-            f"SHIFT {SHIFT}); re-run against the original corpus with "
-            f"copies={copies}0 instead of re-scaling a scaled output"
+            f"SHIFT {SHIFT}); re-run against the ORIGINAL corpus with the "
+            f"product of both copy counts instead of re-scaling this output"
         )
     parts = [
         d.select(
