@@ -189,3 +189,40 @@ def test_kmv_union_merge_equals_direct_sketch(spark, xs, ys, k):
         .u
     )
     assert merged == sk["u"]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(_doc, min_size=2, max_size=6),
+    threshold=st.sampled_from([0.2, 0.34, 0.5, 0.55, 0.75, 0.9]),
+)
+def test_prefix_filter_lossless_on_generated_corpora(spark, docs, threshold):
+    """The AllPairs/PPJoin completeness theorem, checked against the
+    same brute-force reference as the blocked join: for ANY generated
+    corpus and threshold, the prefix-filtered join returns exactly the
+    pairs with shingle-Jaccard >= t (after the repo's 6dp round)."""
+    from evidence_images_etl_airflow_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_jaccard_pairs(
+            df, "doc_id", "text", n=2, threshold=threshold
+        ).collect()
+    }
+
+    def shingles(d):
+        return {" ".join(d[i : i + 2]) for i in range(len(d) - 1)}
+
+    want = {}
+    for (i, a), (j, b) in itertools.combinations(enumerate(docs), 2):
+        sa, sb = shingles(a), shingles(b)
+        inter = len(sa & sb)
+        if inter:
+            jac = round(inter / len(sa | sb), 6)
+            if jac >= threshold:
+                want[(i, j)] = jac
+    assert out == want
