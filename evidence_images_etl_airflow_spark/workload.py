@@ -9529,6 +9529,93 @@ def orders_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sketch_join_size_estimate",
+    oracle=r"""
+    WITH rws AS (SELECT unnest(range(4)) AS r),
+    ka AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+    kb AS (SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+    ta AS (SELECT r,
+                  CAST('0x' || substr(md5('cmj:' || CAST(r AS VARCHAR)
+                                           || ':' || k), 1, 15)
+                       AS BIGINT) % 256 AS bucket,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM ka CROSS JOIN rws GROUP BY 1, 2),
+    tb AS (SELECT r,
+                  CAST('0x' || substr(md5('cmj:' || CAST(r AS VARCHAR)
+                                           || ':' || k), 1, 15)
+                       AS BIGINT) % 256 AS bucket,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM kb CROSS JOIN rws GROUP BY 1, 2),
+    ip AS (SELECT ta.r, CAST(sum(ta.cnt * tb.cnt) AS BIGINT) AS ip
+           FROM ta JOIN tb ON ta.r = tb.r AND ta.bucket = tb.bucket
+           GROUP BY ta.r),
+    est AS (SELECT CAST(min(ip) AS BIGINT) AS est_n FROM ip),
+    tru AS (SELECT CAST(count(*) AS BIGINT) AS true_n
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+    SELECT est_n, true_n,
+           est_n >= true_n AS overestimate,
+           round((est_n - true_n) / CAST(true_n AS DOUBLE), 6) AS rel_err
+    FROM est CROSS JOIN tru
+    """,
+)
+def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation WITHOUT running the join — the classic
+    count-min inner-product estimator (Cormode & Muthukrishnan 2005,
+    §4.2): sketch each side's join-key frequency vector, and
+    min over rows of the cell-wise inner product Σ_b A[r,b]·B[r,b]
+    OVERestimates |A ⋈ B| (every true key pairing lands in matching
+    cells; collisions only add). This is the planner's question —
+    "can I afford this join / which side do I broadcast / how many
+    shuffle partitions" — answered from two O(depth x width) counter
+    tables that can be maintained incrementally per partition/batch
+    (merge_countmin_tables) and stored beside the table like any other
+    statistic, with NO scan of the other side at decision time. The
+    verdict column pins the overestimate theorem; rel_err shows the
+    collision slack at width=256. Scale: two bounded-grid sketch aggs
+    (map-side combinable) + a <= depth x width cell join + a 4-row
+    min — the exact join runs here only because the oracle contract
+    demands the true count for comparison. NOTE: registered after the
+    round-8 verify head; parity-proven locally at sf0.001 + sf0.01;
+    heads the r09 rotation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    ta = countmin_table(
+        o.select(F.col("o_custkey").cast("string").alias("k")),
+        "k", depth=4, width=256, salt="j",
+    )
+    tb = countmin_table(
+        c.select(F.col("c_custkey").cast("string").alias("k")),
+        "k", depth=4, width=256, salt="j",
+    )
+    ip = (
+        ta.join(
+            tb.select("r", "bucket", F.col("cnt").alias("cnt_b")),
+            ["r", "bucket"],
+        )
+        .groupBy("r")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).cast("bigint").alias("ip"))
+    )
+    est = ip.agg(F.min("ip").cast("bigint").alias("est_n"))
+    tru = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .agg(F.count("*").cast("bigint").alias("true_n"))
+    )
+    return (
+        est.crossJoin(F.broadcast(tru))
+        .select(
+            "est_n",
+            "true_n",
+            (F.col("est_n") >= F.col("true_n")).alias("overestimate"),
+            F.round(
+                (F.col("est_n") - F.col("true_n"))
+                / F.col("true_n").cast("double"),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================
@@ -9611,14 +9698,15 @@ _VERIFY_FIRST = [
     "text_token_stats",
     # ---- past the driver's 50-row cap: the 29 remaining r05-verified
     # queries, next in line for the round-9 rotation. The r09 head =
-    # the TEN r08 registrations with no driver row yet
+    # the ELEVEN r08 registrations with no driver row yet
     # (data_token_budget_mixture, split_leakage_audit,
     # curation_template_ngrams, sketch_quantile_coarse_rollup,
     # dedup_prefix_filter_pairs, sketch_countmin_estimates,
     # curation_dsir_selection, streaming_countmin_estimates,
-    # dq_benford_prices, orders_revenue_trend — each parity-proven
-    # locally at sf0.001 + sf0.01) + these 29 = 39 slots; fill the
-    # rest from the oldest r06 cohort.
+    # dq_benford_prices, orders_revenue_trend,
+    # sketch_join_size_estimate — each parity-proven locally at
+    # sf0.001 + sf0.01) + these 29 = 40 slots; fill the rest from the
+    # oldest r06 cohort.
     "timeseries_gapfill",
     "dedup_span_exact",
     "zorder_locality_stats",

@@ -51,6 +51,7 @@ EXPECTED_CROSS = {
     "data_token_budget_mixture",  # 1-row totals + 1-row water-level broadcasts
     "curation_dsir_selection",  # 1-row token-totals aggregate broadcast
     "dq_benford_prices",  # 1-row grand-total aggregate broadcast
+    "sketch_join_size_estimate",  # 1-row est x 1-row true-count report
 }
 
 
