@@ -3529,10 +3529,10 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_tokens_dropped
     FROM t LEFT JOIN agg USING (doc_id)
     """,
-    # headline=False until a committed CORRECTNESS round records this
-    # query green (bench-hygiene rule, VERDICT r06 item 8: its r06
-    # headline registration crashed the whole bench sweep). Promote in
-    # round 8 once CORRECTNESS_r07 lands.
+    # promoted r09 on its green CORRECTNESS_r07 row, per the promise
+    # below (bench-hygiene rule, VERDICT r06 item 8: its r06 headline
+    # registration, pre-green, crashed the whole bench sweep).
+    headline=True,
 )
 def dedup_span_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window span dedup (operators/dedup.span_dedup_sliding):
@@ -3905,6 +3905,7 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     HAVING count(*) >= 2
     """,
+    headline=True,  # promoted r09: green CORRECTNESS_r08 row (VERDICT r08 item 2)
 )
 def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-fingerprint candidate pairs
@@ -4633,6 +4634,7 @@ def data_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS pack_id
     FROM cum
     """,
+    headline=True,  # promoted r09: green CORRECTNESS_r08 row (VERDICT r08 item 2)
 )
 def ep3_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full LLM training-data prep line, end to end: MinHash+LSH
@@ -7319,6 +7321,7 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 0.0 END AS global_clustering
     FROM st, ec, tri
     """,
+    headline=True,  # promoted r09: green CORRECTNESS_r08 row (VERDICT r08 item 2)
 )
 def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle census of the co-purchase graph (parts sharing an
@@ -9626,87 +9629,28 @@ def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # already-multiply-verified trivia trail past the cap. Everything not
 # listed follows in registration order.
 _VERIFY_FIRST = [
-    # ---- round-8 head (VERDICT r07 item 1, the verification-backlog
-    # round): 12 r04-stale + 17 never-driver-checked late-r07
-    # registrations + 21 oldest-r05 = exactly the driver's 50-query
-    # cap. After this round every query's latest green row is r05+
-    # and ALL 178 registrations have a driver row. The 29 remaining
-    # r05-green queries sit immediately after the cap (positions
-    # 51-79, BPE's 10-min-oracle pair deliberately last among them)
-    # and head the r09 rotation together with any r08 additions
-    # registered past the cap. r09 should also promote
-    # dedup_winnowing_pairs, graph_triangle_stats, and
-    # ep3_training_data_pipeline to headline=True once their r08
-    # driver rows are committed (sketch_kmv_set_ops promoted this
-    # round on its green r07 row).
-    #
-    # -- 12 queries whose latest green row is r04 (three rounds stale)
-    "streaming_static_enrich",
-    "streaming_windowed_counts",
-    "supplier_reliability_wilson",
-    "t8_interval_ship_delay",
-    "text_bm25_search",
-    "text_keyword_extract",
-    "text_zipf_fit",
-    "window_distribution_ranks",
-    "window_running_total",
-    "window_sliding_7d",
-    "window_topk_per_group",
-    "window_topk_salted",
-    # -- 17 late-round-7 registrations with NO driver row yet (each
-    # judge-verified oracle-green at sf0.01 in the r07 verdict; the
-    # driver row is still the hard signal)
-    "graph_triangle_stats",
-    "events_decay_trending",
-    "dedup_winnowing_pairs",
-    "data_shard_shuffle",
-    "sql_recursive_order_chain",
-    "ep3_training_data_pipeline",
-    "cdc_last_writer_wins",
-    "profile_pareto_frontier",
-    "curation_ensemble_score",
-    "multimodal_audio_features",
-    "intervals_merge_islands",
-    "events_anomaly_mad",
-    "curation_url_dedup",
-    "text_markup_extract",
-    "text_token_entropy",
-    "dedup_residual_report",
-    "curation_source_overlap",
-    # -- 21 of the 50-member r05 cohort (oldest remaining greens),
-    # type-sensitive and composite ops first
-    "t1_bool_coercion",
-    "t4_t5_arrays",
-    "t9_fold_concat",
-    "u1_union_by_name",
-    "ep1_fused_pipeline",
-    "dedup_exact",
-    "dedup_clusters_twophase",
-    "dedup_store_bloom_survivors",
-    "er_fuzzy_part_pairs",
-    "ann_pq_topk",
-    "ann_pq_rerank_topk",
-    "ann_ivf_pq_topk",
-    "sketch_hll_rollup",
-    "recon_table_diff",
-    "streaming_sliding_counts",
-    "agg_approx_distinct",
-    "agg_approx_percentiles",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_stats",
-    # ---- past the driver's 50-row cap: the 29 remaining r05-verified
-    # queries, next in line for the round-9 rotation. The r09 head =
-    # the ELEVEN r08 registrations with no driver row yet
-    # (data_token_budget_mixture, split_leakage_audit,
-    # curation_template_ngrams, sketch_quantile_coarse_rollup,
-    # dedup_prefix_filter_pairs, sketch_countmin_estimates,
-    # curation_dsir_selection, streaming_countmin_estimates,
-    # dq_benford_prices, orders_revenue_trend,
-    # sketch_join_size_estimate — each parity-proven locally at
-    # sf0.001 + sf0.01) + these 29 = 40 slots; fill the rest from the
-    # oldest r06 cohort.
+    # ---- round-9 head (VERDICT r08 item 1, run exactly as planned at
+    # the r08 head comment): the 11 round-8 registrations with no
+    # driver row yet (each parity-proven locally at sf0.001 + sf0.01
+    # and judge-verified oracle-green in the r08 verdict) + all 29
+    # r05-stale queries + 10 from the oldest-r06 cohort = exactly the
+    # driver's 50-query cap. After this round every registered query
+    # has a driver row and none is older than r06. BPE pair
+    # deliberately last in the head (their DuckDB oracles run ~10 min
+    # each at sf0.01).
+    # -- 11 round-8 registrations, never driver-checked
+    "data_token_budget_mixture",
+    "split_leakage_audit",
+    "curation_template_ngrams",
+    "sketch_quantile_coarse_rollup",
+    "dedup_prefix_filter_pairs",
+    "sketch_countmin_estimates",
+    "curation_dsir_selection",
+    "streaming_countmin_estimates",
+    "dq_benford_prices",
+    "orders_revenue_trend",
+    "sketch_join_size_estimate",
+    # -- 27 of the 29 r05-stale queries (BPE pair moved to the tail)
     "timeseries_gapfill",
     "dedup_span_exact",
     "zorder_locality_stats",
@@ -9734,10 +9678,64 @@ _VERIFY_FIRST = [
     "q5_nation_revenue",
     "q6_forecast_revenue",
     "q7_nation_trade_volume",
+    # -- 10 oldest-r06 fill: flagship + headline + composite ops first
+    "flagship_image_urls",
+    "ep2_curation_pipeline",
+    "dedup_minhash_lsh",
+    "curation_lm_perplexity",
+    "ann_ivf_pq_indexed",
+    "scd2_asof_lookup",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q21_late_supplier_alone",
+    # -- the BPE pair closes the head (slow oracles)
     "text_bpe_vocab",
     "text_bpe_encode",
+    # ---- past the driver's 50-row cap: the remaining 39 r06-green
+    # queries head the r10 rotation together with any r09
+    # registrations (which must carry the same parity-proven-locally
+    # note). Next-oldest r06 cohort, in SURVEY-coverage order:
+    "agg_grouping_sets",
+    "agg_pivot_nation_year",
+    "ann_brute_force_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "asof_join_last_view",
+    "curation_decontaminate",
+    "curation_source_filter",
+    "curation_source_reputation",
+    "data_hash_split",
+    "data_length_trim",
+    "data_pack_documents",
+    "data_stratified_sample",
+    "dedup_embedding_cosine",
+    "dedup_exact_keep_longest",
+    "dedup_minhash_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_guarded",
+    "dedup_simhash",
+    "dedup_simhash_near",
+    "events_json_extract",
+    "events_session_window",
+    "events_sessionization",
+    "j4_keyed_update",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "q11_important_stock",
+    "q16_supplier_counts",
+    "q20_excess_suppliers",
+    "sql_api_revenue_by_status",
+    "streaming_stateful_sessions",
+    "t2_t3_string_nan_normalization",
+    "text_contamination_check",
+    "text_dictionary_encode",
+    "text_nfkc_normalize",
+    "text_pii_scrub",
+    "text_repetition_signals",
+    "text_top_tokens",
+    "udtf_token_chunks",
 ]
-
 
 def _ordered() -> list[str]:
     first = [n for n in _VERIFY_FIRST if n in REGISTRY]
