@@ -36,10 +36,34 @@ def _host_cal() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+# Quiet-host calibration band documented in BASELINE.md: every usable
+# recorded run (r02-r08 quiet reruns) landed in [0.68, 1.47]; the one
+# official artifact outside it (r08, cal 2.342 on a host measured 3.3x
+# degraded) was unreadable without out-of-band reruns.
+CAL_BAND = (0.68, 1.47)
+
+
+def _calibrate(cal_fn=_host_cal, sleep_fn=time.sleep, wait_sec: float = 45.0):
+    """Noisy-host guard (VERDICT r08 item 3): measure host calibration
+    and, if it falls outside the documented quiet band, sleep once and
+    re-measure — a transient noisy-neighbor spike usually clears; a
+    genuinely degraded host doesn't, and then BOTH samples land in the
+    JSON artifact so it is self-certifying instead of needing
+    out-of-band quiet reruns to interpret.
+
+    Returns (operative_cal, all_samples). ``cal_fn``/``sleep_fn`` are
+    injectable for unit tests."""
+    samples = [cal_fn()]
+    if not (CAL_BAND[0] <= samples[0] <= CAL_BAND[1]):
+        sleep_fn(wait_sec)
+        samples.append(cal_fn())
+    return samples[-1], samples
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    cal = _host_cal()
+    cal, cal_samples = _calibrate()
     spark = get_session("bench")
 
     qs = headline_queries()
@@ -74,6 +98,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "host_cal_sec": cal,
+                "host_cal_samples": cal_samples,
+                "host_cal_in_band": CAL_BAND[0] <= cal <= CAL_BAND[1],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

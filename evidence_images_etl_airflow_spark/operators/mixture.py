@@ -53,9 +53,11 @@ def token_budget_allocation(
     ``stats`` has one row per stratum: ``key_col``, ``avail_col``
     (bigint tokens available), ``weight_col`` (double target weight,
     already 6dp-rounded), ``budget_col`` (the SAME bigint total budget
-    on every row — attach it with a 1-row cross join). Requires
-    0 < budget < sum(cap); caller guarantees it by deriving the budget
-    from the availability total.
+    on every row — attach it with a 1-row cross join). Expects
+    0 < budget; a budget >= sum(cap) is CLAMPED — every stratum is
+    allocated its full cap (the only feasible "allocation" when the
+    ask exceeds the de-duplicated supply) rather than silently
+    returning an empty plan (VERDICT r08 item 4 / r08 ADVICE).
 
     Returns per stratum: available_tokens, weight, cap_tokens,
     allocated_tokens, epochs (6dp), capped.
@@ -107,8 +109,27 @@ def token_budget_allocation(
         )
         .orderBy("rn")
         .limit(1)
-        .select(F.col("lam").alias("lambda_star"))
+        .select(F.col("lam").alias("lambda_star"), F.lit(0).alias("pri"))
     )
+    # Infeasible-budget clamp: when budget >= sum(cap) no candidate
+    # prefix survives the feasibility filter (every stratum caps), and
+    # before this guard the crossJoin silently produced an EMPTY
+    # allocation table. Emit a fallback lambda = max(ratio) so every
+    # stratum takes its cap; pri orders it strictly after a feasible
+    # solution so float ties at budget == sum(cap) can't double the
+    # solver row (both frames are <=1 row — a 2-row sort, not a shuffle
+    # of the strata table).
+    clamp = (
+        s.groupBy()
+        .agg(
+            F.sum("cap").alias("cap_total"),
+            F.max("ratio").alias("lambda_star"),
+            F.max("b").alias("b"),
+        )
+        .filter(F.col("b") >= F.col("cap_total"))
+        .select("lambda_star", F.lit(1).alias("pri"))
+    )
+    cand = cand.unionByName(clamp).orderBy("pri").limit(1).select("lambda_star")
     return (
         s.crossJoin(F.broadcast(cand))  # 1-row solver output
         .select(

@@ -460,9 +460,18 @@ def countmin_table(
     (``merge_countmin_tables``), and the merged table is bit-identical
     to a single-pass build — the strongest mergeability in the sketch
     family, which is why CM is the standard distributed frequency
-    sketch at stream scale."""
-    pairs = df.select(_cm_pairs(value_col, depth, width, salt)).select(
-        "rb.r", "rb.bucket"
+    sketch at stream scale.
+
+    NULLs are EXCLUDED from the sketch (r08 ADVICE): ``_cm_bucket`` of
+    NULL is NULL, so a null value used to land in an unjoinable
+    ``(r, NULL)`` cell that ``countmin_lookup``'s equi-join could never
+    probe — est=0 for a positive true count, breaking est >= true.
+    Both build and lookup drop nulls, so the theorem holds over the
+    non-null domain; count nulls separately if they matter."""
+    pairs = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(_cm_pairs(value_col, depth, width, salt))
+        .select("rb.r", "rb.bucket")
     )
     return pairs.groupBy("r", "bucket").agg(
         F.count("*").cast("bigint").alias("cnt")
@@ -538,10 +547,17 @@ def countmin_lookup(
     the item incremented all of its ``depth`` cells, and counters are
     never decremented. The probe set is typically tiny (a report's
     top-k candidates), so the join broadcasts the probes against the
-    bounded-size counter table."""
-    probes = items.select(
-        F.col(value_col), _cm_pairs(value_col, depth, width, salt)
-    ).select(value_col, F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+    bounded-size counter table.
+
+    NULL probes are dropped, mirroring ``countmin_table``'s null
+    exclusion (r08 ADVICE) — a NULL bucket can never equi-join, so a
+    null item would otherwise report est=0 regardless of its true
+    count."""
+    probes = (
+        items.filter(F.col(value_col).isNotNull())
+        .select(F.col(value_col), _cm_pairs(value_col, depth, width, salt))
+        .select(value_col, F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+    )
     return (
         probes.join(table, ["r", "bucket"], "left")
         .groupBy(value_col)

@@ -65,18 +65,50 @@ def _swap_store(sess: SparkSession, df: DataFrame, path: str) -> None:
     -> rename-staging-to-current -> drop-backup. Unlike delete-then-
     rename, at every instant at least one complete copy (current or
     backup) exists on disk, so a crash at any step loses at most the
-    in-flight batch — which the checkpoint will replay."""
+    in-flight batch — which the checkpoint will replay.
+
+    Hadoop ``FileSystem.rename`` signals failure by returning FALSE,
+    not by raising — each rename is checked (r08 ADVICE): a failed
+    staging->current rename used to fall through to deleting the
+    backup (the only remaining complete copy) and then let the
+    foreachBatch checkpoint commit, silently resetting all accumulated
+    state on the next batch. Now it raises with the backup intact."""
     import uuid
 
-    staging = f"{path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(staging)  # materializes BEFORE any rename
+    base = path.rstrip("/")
     jvm, fs, hpath = _hadoop(sess, path)
-    backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__backup")
+    # Reclaim staging dirs a previous crashed swap leaked (r08 ADVICE):
+    # a crash between the staging write and the renames leaves a
+    # uuid-named sibling no later run would otherwise identify.
+    # Best-effort — a listing/delete failure must not block the batch.
+    parent = hpath.getParent()
+    marker = hpath.getName() + "__staging_"
+    try:
+        if parent is not None and fs.exists(parent):
+            for st in fs.listStatus(parent):
+                if st.getPath().getName().startswith(marker):
+                    fs.delete(st.getPath(), True)
+    except Exception:
+        pass
+    staging = f"{base}__staging_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(staging)  # materializes BEFORE any rename
+    backup = jvm.org.apache.hadoop.fs.Path(base + "__backup")
     if fs.exists(backup):
         fs.delete(backup, True)
     if fs.exists(hpath):
-        fs.rename(hpath, backup)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), hpath)
+        if not fs.rename(hpath, backup):
+            raise IOError(
+                f"store swap aborted: rename {path} -> {base}__backup "
+                "returned false; current store left in place"
+            )
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(staging), hpath):
+        # the backup still holds the last complete store — leave it for
+        # _read_store's recovery path; do NOT fall through to delete it
+        raise IOError(
+            f"store swap failed: rename {staging} -> {path} returned "
+            "false; last complete store preserved at "
+            f"{base}__backup (auto-recovered on next read)"
+        )
     fs.delete(backup, True)
 
 

@@ -59,7 +59,8 @@ def state_health_report(spark: SparkSession, checkpoint: str) -> DataFrame:
     hot-key investigation starts from. Columns: operatorId,
     operatorName, stateStoreName, numPartitions, minBatchId,
     maxBatchId, n_state_rows, max_partition_rows, skew_ratio (max
-    partition over mean, 6dp; 1.0 = perfectly even)."""
+    partition over mean, 6dp; 1.0 = perfectly even; an EMPTY store
+    reports 1.0 rather than NULL 0/0 — r08 ADVICE)."""
     meta = state_metadata(spark, checkpoint)
     ops = [
         (int(r["operatorId"]), r["operatorName"], r["stateStoreName"],
@@ -85,11 +86,19 @@ def state_health_report(spark: SparkSession, checkpoint: str) -> DataFrame:
                 F.lit(hi).alias("maxBatchId"),
                 "n_state_rows",
                 "max_partition_rows",
-                F.round(
-                    F.col("max_partition_rows")
-                    / (F.col("n_state_rows") / F.lit(float(n_parts))),
-                    6,
-                ).alias("skew_ratio"),
+                # empty store: 0/0 would yield NULL (r08 ADVICE) — an
+                # idle operator is defined as perfectly even (1.0) so
+                # downstream alerting can treat the column as numeric
+                F.when(
+                    F.col("n_state_rows") > 0,
+                    F.round(
+                        F.col("max_partition_rows")
+                        / (F.col("n_state_rows") / F.lit(float(n_parts))),
+                        6,
+                    ),
+                )
+                .otherwise(F.lit(1.0))
+                .alias("skew_ratio"),
             )
         )
         out = per_part if out is None else out.unionByName(per_part)

@@ -346,3 +346,130 @@ def test_countmin_stream_store_equals_single_pass(spark, tmp_path):
         ).collect()
     }
     assert est["a"] >= 8 and est["b"] >= 8 and est["c"] >= 4
+
+
+def test_swap_store_failed_rename_preserves_backup(spark, tmp_path, monkeypatch):
+    """r08 ADVICE (medium): Hadoop FileSystem.rename signals failure by
+    returning FALSE. A failed staging->current rename used to fall
+    through to deleting the backup — the only remaining complete copy —
+    and let the checkpoint commit a silent full state reset. It must
+    now raise with the backup intact, and _read_store must recover it."""
+    import pytest
+
+    from evidence_images_etl_airflow_spark.streaming import file_stream
+
+    path = str(tmp_path / "store")
+    df1 = spark.createDataFrame([("a", 1)], "item string, cnt long")
+    file_stream._swap_store(spark, df1, path)
+
+    real_hadoop = file_stream._hadoop
+
+    class FailSecondRename:
+        """Proxy over the real FS: rename #2 (staging->current) fails."""
+
+        def __init__(self, fs):
+            self._fs = fs
+
+        def rename(self, src, dst):
+            calls[0] += 1
+            if calls[0] == 2:
+                return False
+            return self._fs.rename(src, dst)
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    calls = [0]
+
+    def fake_hadoop(sess, p):
+        jvm, fs, hp = real_hadoop(sess, p)
+        return jvm, FailSecondRename(fs), hp
+
+    monkeypatch.setattr(file_stream, "_hadoop", fake_hadoop)
+    df2 = spark.createDataFrame([("b", 2)], "item string, cnt long")
+    with pytest.raises(IOError, match="preserved"):
+        file_stream._swap_store(spark, df2, path)
+    monkeypatch.setattr(file_stream, "_hadoop", real_hadoop)
+
+    # the backup is the last complete store and the recovery path reads it
+    got = file_stream._read_store(spark, path)
+    assert got is not None
+    assert {tuple(r) for r in got.collect()} == {("a", 1)}
+
+
+def test_swap_store_reclaims_leaked_staging_dirs(spark, tmp_path):
+    """r08 ADVICE: a crash between the staging write and the renames
+    leaves a uuid-named __staging_* sibling no later run could
+    identify. The next swap best-effort deletes such leftovers."""
+    import os
+
+    from evidence_images_etl_airflow_spark.streaming import file_stream
+
+    path = str(tmp_path / "store")
+    df1 = spark.createDataFrame([("a", 1)], "item string, cnt long")
+    file_stream._swap_store(spark, df1, path)
+    # simulate two crashed swaps' leftovers
+    os.makedirs(path + "__staging_deadbeef/x", exist_ok=True)
+    os.makedirs(path + "__staging_cafebabe", exist_ok=True)
+    df2 = spark.createDataFrame([("b", 2)], "item string, cnt long")
+    file_stream._swap_store(spark, df2, path)
+    leftovers = [n for n in os.listdir(tmp_path) if "__staging_" in n]
+    assert leftovers == []
+    assert {tuple(r) for r in file_stream._read_store(spark, path).collect()} == {
+        ("b", 2)
+    }
+
+
+def test_countmin_excludes_nulls_build_and_lookup(spark):
+    """r08 ADVICE: NULL values used to be counted into an unjoinable
+    (r, NULL) cell, so a null item looked up as est=0 while its true
+    count was positive — silently breaking est >= true. Build and
+    lookup now both drop nulls; the theorem holds on the non-null
+    domain."""
+    from evidence_images_etl_airflow_spark.operators.sketches import (
+        countmin_lookup,
+        countmin_table,
+    )
+
+    df = spark.createDataFrame(
+        [("x",), ("x",), (None,), (None,), ("y",)], "v string"
+    )
+    table = countmin_table(df, "v", depth=3, width=16, salt="n")
+    cells = table.collect()
+    assert all(c.bucket is not None for c in cells), "no NULL-bucket cells"
+    # total mass = non-null rows x depth (nulls contribute nothing)
+    assert sum(c.cnt for c in cells) == 3 * 3
+
+    probes = spark.createDataFrame([("x",), (None,), ("z",)], "v string")
+    got = {r.v: r.est for r in countmin_lookup(
+        table, probes, "v", depth=3, width=16, salt="n"
+    ).collect()}
+    assert None not in got, "null probes are dropped, not est=0"
+    assert got["x"] >= 2  # est >= true
+    assert got["z"] >= 0
+
+
+def test_state_health_empty_store_skew_ratio_is_one(spark):
+    """r08 ADVICE: an empty state store used to report skew_ratio NULL
+    (0/0); the documented scale defines idle as perfectly even = 1.0.
+    Exercised at the expression level (the report wraps the same
+    formula): 0 rows -> 1.0, non-empty unchanged."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, 0, 8), (400, 100, 8)],
+        "n_state_rows long, max_partition_rows long, numPartitions int",
+    )
+    out = df.select(
+        F.when(
+            F.col("n_state_rows") > 0,
+            F.round(
+                F.col("max_partition_rows")
+                / (F.col("n_state_rows") / F.col("numPartitions").cast("double")),
+                6,
+            ),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("skew_ratio")
+    ).collect()
+    assert [r.skew_ratio for r in out] == [1.0, 2.0]

@@ -60,3 +60,26 @@ def test_waterfill_cascading_caps(spark):
     assert got["c"].allocated_tokens == 1000 and not got["c"].capped
     total = sum(r.allocated_tokens for r in got.values())
     assert total == 1100
+
+
+def test_waterfill_infeasible_budget_clamps_to_caps(spark):
+    """VERDICT r08 item 4 / ADVICE: budget >= sum(cap) used to return
+    an EMPTY allocation table silently. It now clamps: every stratum
+    takes its full cap, exactly one solver row feeds the crossJoin."""
+    # budget far beyond the 2-epoch supply (caps 200 + 2000 = 2200)
+    got = _plan(spark, [("a", 100, 1.0), ("b", 1000, 1.0)], 1_000_000)
+    assert set(got) == {"a", "b"}, "clamped plan must cover every stratum"
+    assert (got["a"].allocated_tokens, got["a"].capped) == (200, True)
+    assert (got["b"].allocated_tokens, got["b"].capped) == (2000, True)
+    assert got["a"].epochs == 2.0 and got["b"].epochs == 2.0
+
+
+def test_waterfill_budget_exactly_total_caps(spark):
+    """The boundary budget == sum(cap): the clamp fires, allocations
+    sum exactly to the budget, and no stratum row is duplicated by a
+    feasible/clamp tie (the pri ordering guards that)."""
+    got = _plan(spark, [("a", 100, 1.0), ("b", 1000, 2.0)], 2200)
+    assert len(got) == 2
+    total = sum(r.allocated_tokens for r in got.values())
+    assert total == 2200
+    assert all(r.capped for r in got.values())

@@ -99,3 +99,34 @@ def test_headline_queries_have_green_correctness_rows():
     assert not unproven, (
         f"headline queries without a committed green CORRECTNESS row: {unproven}"
     )
+
+
+def test_bench_calibrate_noisy_host_guard():
+    """bench.py's noisy-host guard (VERDICT r08 item 3): an in-band
+    first calibration is used as-is; an out-of-band one triggers
+    exactly one sleep-and-retry, and BOTH samples are reported so the
+    BENCH artifact is self-certifying (the official r08 artifact, cal
+    2.342, was unreadable without out-of-band quiet reruns)."""
+    import bench
+
+    # in-band first sample: no sleep, single sample
+    slept = []
+    cal, samples = bench._calibrate(
+        cal_fn=iter([0.70]).__next__, sleep_fn=slept.append
+    )
+    assert cal == 0.70 and samples == [0.70] and slept == []
+
+    # out-of-band first sample that clears after the wait
+    slept = []
+    cal, samples = bench._calibrate(
+        cal_fn=iter([2.342, 0.69]).__next__, sleep_fn=slept.append
+    )
+    assert cal == 0.69 and samples == [2.342, 0.69] and slept == [45.0]
+
+    # genuinely degraded host: retry once, keep the second sample, and
+    # the artifact shows both (caller emits host_cal_in_band=False)
+    cal, samples = bench._calibrate(
+        cal_fn=iter([2.3, 2.4]).__next__, sleep_fn=lambda _t: None
+    )
+    assert cal == 2.4 and samples == [2.3, 2.4]
+    assert not (bench.CAL_BAND[0] <= cal <= bench.CAL_BAND[1])
