@@ -52,6 +52,7 @@ EXPECTED_CROSS = {
     "curation_dsir_selection",  # 1-row token-totals aggregate broadcast
     "dq_benford_prices",  # 1-row grand-total aggregate broadcast
     "sketch_join_size_estimate",  # 1-row est x 1-row true-count report
+    "join_autoplan_strategy",  # 3x 1-row joined-count aggregate broadcasts
 }
 
 
