@@ -106,10 +106,19 @@ def pack_documents(
     token_count_col: str,
     budget: int,
     shards: int = 64,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Sequence packing: assign documents to fixed-token-budget packs
     for training (pack = the unit a data loader concatenates into one
-    context window). Returns (id, token_count, shard, pack_id).
+    context window). Returns (id, token_count, shard, pack_id[,
+    *keep_cols]).
+
+    ``keep_cols`` carries extra columns of ``df`` through the packing
+    window, so a pipeline that needs them downstream doesn't have to
+    join the packed table back to its own (possibly expensive) input —
+    before this, ep3 recomputed its full quality-scored survivor scan a
+    second time just to re-attach (lang, quality), doubling the
+    pipeline's dominant linear pass (r09 profiling, SCALING.md).
 
     Packing is inherently sequential (a running total), so the
     distributed form shards first — ``md5('pack:' || id) % shards``,
@@ -142,7 +151,7 @@ def pack_documents(
     )
     cum = F.sum(token_count_col).over(w)
     return (
-        df.select(c_id, F.col(token_count_col), shard)
+        df.select(c_id, F.col(token_count_col), shard, *[F.col(c) for c in keep_cols])
         .withColumn(
             "pack_id",
             F.col("shard").cast("long") * F.lit(1 << 32)

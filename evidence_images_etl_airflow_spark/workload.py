@@ -4654,12 +4654,18 @@ def ep3_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering included, in one SQL statement. Scale: the dedup
     stages carry the blocked/banded costs documented in SCALING.md;
     curation is row-local; packing is per-shard windows — nothing
-    global anywhere."""
+    global anywhere. r09 profiling (SCALING.md round-9 section)
+    re-attributed the 100x cost: clustering uses the two-phase
+    large-star/small-star CC (6.2 s vs 16.0 s label-prop at 500k
+    docs, identical labels), and (lang, quality) ride THROUGH the
+    packing window via keep_cols instead of a join back to the
+    survivor scan — which silently recomputed the pipeline's
+    dominant 75 s quality-scoring pass a second time."""
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(
         d, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3, verify_threshold=0.5
     )
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, algorithm="two_phase")
     dropped = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
@@ -4677,10 +4683,11 @@ def ep3_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     filt = scored.filter(
         (F.col("quality") >= 0.65) & (F.col("token_count") >= 20)
     )
-    packed = pack_documents(filt, "doc_id", "token_count", budget=512, shards=8)
-    return packed.join(
-        filt.select("doc_id", "lang", "quality"), "doc_id"
-    ).select(
+    packed = pack_documents(
+        filt, "doc_id", "token_count", budget=512, shards=8,
+        keep_cols=("lang", "quality"),
+    )
+    return packed.select(
         "doc_id",
         "lang",
         "quality",

@@ -548,3 +548,24 @@ def test_source_overlap_detects_mirror(spark):
         for r in REGISTRY["curation_source_overlap"].fn(spark, tmp).collect()
     }
     assert out == {("src_b", "src_a"): (2, 1), ("src_a", "src_b"): (1, 1)}
+
+
+def test_pack_documents_keep_cols_passthrough(spark):
+    """keep_cols (r09): extra columns ride through the packing window
+    unchanged, and pack assignment is identical to a run without them —
+    so pipelines need no join back to their (expensive) input."""
+    df = spark.createDataFrame(
+        [(i, 100, f"lang{i % 3}", i / 10.0) for i in range(20)],
+        "doc_id long, tok int, lang string, quality double",
+    )
+    plain = pack_documents(df, "doc_id", "tok", budget=300, shards=4)
+    kept = pack_documents(
+        df, "doc_id", "tok", budget=300, shards=4, keep_cols=("lang", "quality")
+    )
+    assert set(kept.columns) == {"doc_id", "tok", "shard", "pack_id", "lang", "quality"}
+    got = {r["doc_id"]: r for r in kept.collect()}
+    for r in plain.collect():
+        k = got[r["doc_id"]]
+        assert (k["shard"], k["pack_id"]) == (r["shard"], r["pack_id"])
+    for i in range(20):
+        assert (got[i]["lang"], got[i]["quality"]) == (f"lang{i % 3}", i / 10.0)
