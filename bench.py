@@ -37,10 +37,13 @@ def _host_cal() -> float:
 
 
 # Quiet-host calibration band documented in BASELINE.md: every usable
-# recorded run (r02-r08 quiet reruns) landed in [0.68, 1.47]; the one
-# official artifact outside it (r08, cal 2.342 on a host measured 3.3x
-# degraded) was unreadable without out-of-band reruns.
-CAL_BAND = (0.68, 1.47)
+# recorded run (r02-r08 quiet reruns) landed in [0.68, 1.47]; round-9
+# quiet observations of 0.634-0.668 extended the lower edge (a FAST
+# cal is an idler host, not noise — only the slow side signals a
+# degraded host). The one official artifact outside the band (r08,
+# cal 2.342 on a host measured 3.3x degraded) was unreadable without
+# out-of-band reruns.
+CAL_BAND = (0.63, 1.47)
 
 
 def _calibrate(cal_fn=_host_cal, sleep_fn=time.sleep, wait_sec: float = 45.0):

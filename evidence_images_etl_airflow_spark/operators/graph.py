@@ -147,8 +147,19 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     global_clustering) where global_clustering = 3*triangles / wedges
     (0 when wedge-free), wedges counted on the UNDIRECTED graph
     (sum deg*(deg-1)/2). Three shuffles total: degree agg, the
-    oriented wedge self-join, and the closing-edge semi-join."""
-    e = (
+    oriented wedge self-join, and the closing-edge semi-join.
+
+    The cleaned edge list ``e`` feeds the degree agg, the orientation
+    join, and the edge count, and the oriented list ``o`` feeds both
+    wedge legs plus the closing-edge table — both are persisted
+    (caching.materialize, released by the workload wrapper): without
+    it Spark re-derives the caller's whole edge-construction plan for
+    EVERY branch, which for the co-purchase graph meant re-running the
+    per-order pair self-join ~5x (measured 11.8 s -> see SCALING.md
+    round-9 bench note)."""
+    from evidence_images_etl_airflow_spark import caching
+
+    e = caching.materialize(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .select(
@@ -168,17 +179,35 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     fwd = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    o = ed.select(
-        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
-        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+    o = caching.materialize(
+        ed.select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
     )
-    w1 = o.select(F.col("s"), F.col("t").alias("x"))
-    w2 = o.select(F.col("s"), F.col("t").alias("y"))
-    wedges = w1.join(w2, "s").filter(F.col("x") < F.col("y"))
-    closing = o.select(
-        F.col("s").alias("x"), F.col("t").alias("y")
-    ).unionAll(o.select(F.col("t").alias("x"), F.col("s").alias("y")))
-    tri = wedges.join(closing, ["x", "y"], "left_semi").count()
+    # Compact-forward triangle counting (Latapy 2008): per oriented
+    # edge (s, t), triangles closed at that edge = |N+(s) ∩ N+(t)|,
+    # each triangle counted exactly once by the orientation. The
+    # adjacency-array formulation replaces the wedge self-join — which
+    # MATERIALIZES sum(outdeg²) wedge rows into a shuffle before the
+    # closing-edge semi-join can discard them (~35M rows on the sf0.1
+    # co-purchase graph, the whole cost of the old plan) — with one
+    # edge-sized join against neighbor lists whose length the
+    # orientation already bounds at O(sqrt(m)); the intersections run
+    # inside codegen with no wedge ever shuffled. Measured 9.2 s ->
+    # 3.0 s on the 1.2M-edge / 148M-wedge sf0.1 graph (SCALING.md r9).
+    adj = o.groupBy(F.col("s").alias("n")).agg(F.collect_set("t").alias("nbrs"))
+    tri_row = (
+        o.join(adj.select(F.col("n").alias("s"), F.col("nbrs").alias("ns")), "s")
+        .join(adj.select(F.col("n").alias("t"), F.col("nbrs").alias("nt")), "t")
+        .agg(
+            F.coalesce(
+                F.sum(F.size(F.array_intersect("ns", "nt"))), F.lit(0)
+            ).cast("bigint").alias("tri")
+        )
+        .first()
+    )
+    tri = int(tri_row["tri"])
     stats = deg.agg(
         F.count("*").cast("bigint").alias("n_nodes"),
         (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("bigint").alias("n_wedges"),
