@@ -580,26 +580,41 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cands
-    # exact Jaccard over candidate pairs only: route each pair through
-    # the two docs' shingle sets and count matches
-    sha = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
-    shb = sh.select(F.col("id").alias("__idb"), F.col("shingle").alias("sh_b"))
-    inter = (
-        cands.join(sha, "id_a")
-        .join(shb, (F.col("id_b") == F.col("__idb")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+    # Exact Jaccard over candidate pairs only, via per-doc shingle
+    # ARRAYS (r09 rewrite; the same per-doc-array idiom the prefix
+    # filter join proved at 100x): one collect_set agg turns the
+    # shingle table into |docs| array rows, the (small) candidate list
+    # joins it twice by id — AQE broadcasts the candidates, so the
+    # arrays never re-shuffle — and the intersection runs in-task with
+    # array_intersect. The previous shape routed candidate pairs
+    # through the exploded shingle table with an (id, shingle)-keyed
+    # join, which re-shuffled EVERY shingle occurrence on the string
+    # key and then needed a separate sizes agg + two more joins; at
+    # the 500k-doc corpus that exchange was most of the verify cost
+    # (SCALING.md round-9). inter and the set sizes are the identical
+    # integers, so the rounded Jaccard — and the oracle contract — is
+    # bit-for-bit unchanged. Per-doc array length is |distinct
+    # shingles| ~ doc tokens, the bound every per-doc-array op in this
+    # module already carries.
+    arrs = _materialized(
+        sh.groupBy("id").agg(F.collect_set("shingle").alias("__shs"))
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        cands.join(
+            arrs.select(F.col("id").alias("id_a"), F.col("__shs").alias("__sa")),
+            "id_a",
+        )
+        .join(
+            arrs.select(F.col("id").alias("id_b"), F.col("__shs").alias("__sb")),
+            "id_b",
+        )
+        .withColumn("__inter", F.size(F.array_intersect("__sa", "__sb")))
         .withColumn(
             "jaccard",
             F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+                F.col("__inter")
+                / (F.size("__sa") + F.size("__sb") - F.col("__inter")),
+                6,
             ),
         )
         .filter(F.col("jaccard") >= verify_threshold)
