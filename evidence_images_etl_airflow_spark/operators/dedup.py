@@ -609,6 +609,10 @@ def minhash_lsh_pairs(
             "id_b",
         )
         .withColumn("__inter", F.size(F.array_intersect("__sa", "__sb")))
+        # zero-overlap band collisions never survived the old
+        # intersection inner-join for ANY threshold; keep that contract
+        # even for verify_threshold <= 0 ("score all candidates")
+        .filter(F.col("__inter") > 0)
         .withColumn(
             "jaccard",
             F.round(

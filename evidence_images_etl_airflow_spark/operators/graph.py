@@ -146,8 +146,10 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     here). Returns one row: (n_nodes, n_edges, n_wedges, n_triangles,
     global_clustering) where global_clustering = 3*triangles / wedges
     (0 when wedge-free), wedges counted on the UNDIRECTED graph
-    (sum deg*(deg-1)/2). Three shuffles total: degree agg, the
-    oriented wedge self-join, and the closing-edge semi-join.
+    (sum deg*(deg-1)/2). Three shuffles total: the degree agg, the
+    orientation join, and the oriented-adjacency collect_set agg —
+    the triangle intersections themselves never shuffle (see the
+    compact-forward note below).
 
     The cleaned edge list ``e`` feeds the degree agg, the orientation
     join, and the edge count, and the oriented list ``o`` feeds both
@@ -195,7 +197,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     # edge-sized join against neighbor lists whose length the
     # orientation already bounds at O(sqrt(m)); the intersections run
     # inside codegen with no wedge ever shuffled. Measured 9.2 s ->
-    # 3.0 s on the 1.2M-edge / 148M-wedge sf0.1 graph (SCALING.md r9).
+    # 4.3 s on the 1.2M-edge / 148M-wedge sf0.1 graph (SCALING.md r9).
     adj = o.groupBy(F.col("s").alias("n")).agg(F.collect_set("t").alias("nbrs"))
     tri_row = (
         o.join(adj.select(F.col("n").alias("s"), F.col("nbrs").alias("ns")), "s")

@@ -122,25 +122,33 @@ def plan_equi_join(
     order:
 
     1. BROADCAST the smaller side when its row count fits
-       ``broadcast_max_rows`` (build-left only for inner joins —
-       Spark cannot build-left a LEFT OUTER BroadcastHashJoin);
+       ``broadcast_max_rows`` AND Spark can actually build that side
+       for this join type (only the NON-preserved side of an outer
+       join is buildable; a hint on the preserved side is silently
+       ignored, so recording it would misreport the executed plan);
     2. SALT when the bigger side's hottest key alone both exceeds
        ``skew_share`` of that side's rows AND overflows a shuffle
        task's row budget — the salt factor is DERIVED,
        ceil(hot_rows / target_rows_per_task) clamped to [2,
        max_salts], instead of the caller-guessed constant
        ``salted_join`` alone requires. Only shapes ``salted_join``
-       supports (skewed side on the left, or inner) are salted;
+       supports are salted (skewed side on the left for inner/left;
+       a right-skewed INNER join flips sides);
     3. otherwise PLAIN shuffle join (AQE skew splitting still
-       applies at runtime).
+       applies at runtime) — including skewed shapes salting can't
+       express (e.g. right/full outer), which fall through rather
+       than raise.
 
     Returns ``(joined, decision)``: the joined frame has exactly
     ``left.join(right, on, how)``'s columns/semantics regardless of
-    strategy, and ``decision`` records the stats and choice
-    (strategy, num_salts, per-side n_rows/n_keys/max_degree) so a
-    pipeline can log or assert its planning. Cost: one degree
-    aggregation per side — the pre-flight a 100 TB fact-fact join
-    pays anyway before committing an executor-killing shuffle."""
+    strategy (when the two sides share a non-key column name the
+    plain join's ambiguous-by-name output is returned as-is, and the
+    side-flipping salted shape is disabled), and ``decision`` records
+    the stats and choice (strategy, num_salts, per-side
+    n_rows/n_keys/max_degree) so a pipeline can log or assert its
+    planning. Cost: one degree aggregation per side — the pre-flight
+    a 100 TB fact-fact join pays anyway before committing an
+    executor-killing shuffle."""
     on = list(on)
     ls, rs = _key_stats(left, on), _key_stats(right, on)
     decision = {
@@ -148,18 +156,34 @@ def plan_equi_join(
         "right": {"n_rows": rs.n_rows, "n_keys": rs.n_keys, "max_degree": rs.max_degree},
         "num_salts": None,
     }
+    h = how.lower().replace("_", "")
+    # Spark can only build the NON-preserved side of an outer
+    # BroadcastHashJoin: a broadcast hint on the preserved side is
+    # silently ignored and a shuffle join runs anyway — recording
+    # "broadcast" for those shapes would misreport the executed plan
+    # (r09 review), so the decision rule itself is eligibility-gated.
+    can_broadcast_right = h in ("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti", "cross")
+    can_broadcast_left = h in ("inner", "right", "rightouter", "cross")
+    # duplicate non-key names: the plain join keeps both (ambiguous by
+    # name), so no by-name reorder is possible — and the side-flipped
+    # salted shape would change column ORDER, so flipping is disabled.
+    dup_names = bool(
+        {c for c in left.columns if c not in on} & set(right.columns)
+    )
 
     def _canonical(j: DataFrame) -> DataFrame:
+        if dup_names:
+            return j
         return j.select(
             *on,
             *[c for c in left.columns if c not in on],
             *[c for c in right.columns if c not in on],
         )
 
-    if rs.n_rows <= broadcast_max_rows:
+    if can_broadcast_right and rs.n_rows <= broadcast_max_rows:
         decision["strategy"] = "broadcast_right"
         return _canonical(left.join(F.broadcast(right), on, how)), decision
-    if how == "inner" and ls.n_rows <= broadcast_max_rows:
+    if can_broadcast_left and ls.n_rows <= broadcast_max_rows:
         decision["strategy"] = "broadcast_left"
         return _canonical(F.broadcast(left).join(right, on, how)), decision
 
@@ -169,10 +193,16 @@ def plan_equi_join(
         bs.max_degree > skew_share * bs.n_rows
         and bs.max_degree > target_rows_per_task
     )
-    # salted_join puts the skewed side on the LEFT; a right-skewed
-    # non-inner join can't flip sides, so it falls through to plain
-    # (where AQE's runtime skew split still catches it).
-    if skewed and (big_is_left or how == "inner"):
+    # salted_join supports inner/left with the skewed side on the LEFT;
+    # a right-skewed join may flip sides only when inner (and when no
+    # duplicate names would make the flipped column order observable).
+    # Everything else falls through to plain (AQE's runtime skew split
+    # still catches it) instead of raising mid-pipeline (r09 review).
+    saltable = (
+        (big_is_left and h in ("inner", "left", "leftouter"))
+        or (not big_is_left and h == "inner" and not dup_names)
+    )
+    if skewed and saltable:
         n = -(-bs.max_degree // target_rows_per_task)  # ceil div
         n = int(max(2, min(max_salts, n)))
         decision["strategy"] = "salted"

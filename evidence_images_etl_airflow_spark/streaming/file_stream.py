@@ -93,9 +93,14 @@ def _swap_store(sess: SparkSession, df: DataFrame, path: str) -> None:
     staging = f"{base}__staging_{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(staging)  # materializes BEFORE any rename
     backup = jvm.org.apache.hadoop.fs.Path(base + "__backup")
-    if fs.exists(backup):
-        fs.delete(backup, True)
     if fs.exists(hpath):
+        # a live current store supersedes any stale backup; only THEN
+        # is the old backup safe to drop (r09 review: deleting it while
+        # current is MISSING — the recovery-replay state where the
+        # backup IS the last complete copy — re-opened the exact silent
+        # state-reset hole the rename checks below close)
+        if fs.exists(backup):
+            fs.delete(backup, True)
         if not fs.rename(hpath, backup):
             raise IOError(
                 f"store swap aborted: rename {path} -> {base}__backup "

@@ -9652,7 +9652,7 @@ def _autoplan_case_sql(
     SELECT '{case}' AS case_name,
            CASE WHEN r.n <= {bcast_max} THEN 'broadcast_right'
                 WHEN l.n <= {bcast_max} THEN 'broadcast_left'
-                WHEN {big_md} > 0.2 * {big_n}
+                WHEN {big_md} > CAST(0.2 AS DOUBLE) * {big_n}
                  AND {big_md} > {target} THEN 'salted'
                 ELSE 'shuffle' END AS strategy,
            l.n AS n_left, r.n AS n_right,

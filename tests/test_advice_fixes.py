@@ -473,3 +473,60 @@ def test_state_health_empty_store_skew_ratio_is_one(spark):
         .alias("skew_ratio")
     ).collect()
     assert [r.skew_ratio for r in out] == [1.0, 2.0]
+
+
+def test_swap_store_recovery_state_keeps_backup_on_failure(spark, tmp_path, monkeypatch):
+    """r09 review: in the recovery-replay state (current store missing,
+    __backup = the only complete copy) a retried swap used to delete
+    the backup BEFORE promoting staging — a second rename failure then
+    left no complete copy at all. The backup must now survive a failed
+    swap in that state."""
+    import shutil
+
+    import pytest
+
+    from evidence_images_etl_airflow_spark.streaming import file_stream
+
+    path = str(tmp_path / "store")
+    df1 = spark.createDataFrame([("a", 1)], "item string, cnt long")
+    file_stream._swap_store(spark, df1, path)
+    # simulate the crashed-swap recovery state
+    shutil.move(path, path + "__backup")
+
+    real_hadoop = file_stream._hadoop
+
+    class FailAllRenames:
+        def __init__(self, fs):
+            self._fs = fs
+
+        def rename(self, src, dst):
+            return False
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    def fake_hadoop(sess, p):
+        jvm, fs, hp = real_hadoop(sess, p)
+        return jvm, FailAllRenames(fs), hp
+
+    monkeypatch.setattr(file_stream, "_hadoop", fake_hadoop)
+    df2 = spark.createDataFrame([("b", 2)], "item string, cnt long")
+    with pytest.raises(IOError):
+        file_stream._swap_store(spark, df2, path)
+    monkeypatch.setattr(file_stream, "_hadoop", real_hadoop)
+
+    got = file_stream._read_store(spark, path)
+    assert got is not None, "backup must survive the failed recovery swap"
+    assert {tuple(r) for r in got.collect()} == {("a", 1)}
+
+
+def test_bench_calibrate_fast_host_no_retry():
+    """r09 review: only the SLOW side of the cal band signals a
+    degraded host — a fast host must not sleep or get flagged."""
+    import bench
+
+    slept = []
+    cal, samples = bench._calibrate(
+        cal_fn=iter([0.40]).__next__, sleep_fn=slept.append
+    )
+    assert (cal, samples, slept) == (0.40, [0.40], [])

@@ -116,6 +116,15 @@ def test_bench_calibrate_noisy_host_guard():
     )
     assert cal == 0.70 and samples == [0.70] and slept == []
 
+    # FAST host (below the band's lower edge): an idler machine, not
+    # noise — no retry, no flag (slow-side-only check, r09 review)
+    slept = []
+    cal, samples = bench._calibrate(
+        cal_fn=iter([0.55]).__next__, sleep_fn=slept.append
+    )
+    assert cal == 0.55 and samples == [0.55] and slept == []
+    assert cal <= bench.CAL_BAND[1]
+
     # out-of-band first sample that clears after the wait
     slept = []
     cal, samples = bench._calibrate(

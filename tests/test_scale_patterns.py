@@ -242,3 +242,55 @@ def test_plan_equi_join_right_skew_inner_flips_sides(spark):
 
     _, d2 = plan_equi_join(small, hot, ["k"], "left", **kw)
     assert d2["strategy"] == "shuffle"
+
+
+def test_plan_equi_join_unsupported_skew_shapes_fall_through(spark):
+    """r09 review: skewed shapes salting can't express must fall
+    through to plain shuffle, not raise; broadcast eligibility follows
+    what Spark can actually build for the join type."""
+    from evidence_images_etl_airflow_spark.operators.skew import plan_equi_join
+
+    kw = dict(broadcast_max_rows=100, target_rows_per_task=500, skew_share=0.2)
+    skewed = spark.range(5_000).select(
+        F.when(F.col("id") < 3_000, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("rowid"),
+    )
+    other = spark.range(2_000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("val")
+    )
+    # left-skewed RIGHT OUTER: salted_join can't express it -> shuffle
+    j, d = plan_equi_join(skewed, other, ["k"], "right", **kw)
+    assert d["strategy"] == "shuffle"
+    plain = skewed.join(other, ["k"], "right")
+    assert j.count() == plain.count()
+
+    # small right side of a RIGHT OUTER join is the preserved side:
+    # Spark cannot build it, so the planner must not claim broadcast
+    dim = spark.range(50).select(F.col("id").alias("k"), F.lit("d").alias("attr"))
+    _, d2 = plan_equi_join(skewed, dim, ["k"], "right", **kw)
+    assert d2["strategy"] != "broadcast_right"
+    # ...but the left side of a RIGHT OUTER is buildable
+    small_left = spark.range(50).select(F.col("id").alias("k"), F.lit("x").alias("a"))
+    big_right = spark.range(5_000).select((F.col("id") % 1000).alias("k"), F.col("id").alias("b"))
+    _, d3 = plan_equi_join(small_left, big_right, ["k"], "right", **kw)
+    assert d3["strategy"] == "broadcast_left"
+
+
+def test_plan_equi_join_duplicate_nonkey_names_no_crash(spark):
+    """r09 review: sides sharing a non-key column name crash a by-name
+    reorder; the planner must return the plain join's ambiguous-by-name
+    output instead of raising."""
+    from evidence_images_etl_airflow_spark.operators.skew import plan_equi_join
+
+    left = spark.range(500).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("updated_at")
+    )
+    right = spark.range(300).select(
+        (F.col("id") % 100).alias("k"), (F.col("id") * 2).alias("updated_at")
+    )
+    j, d = plan_equi_join(
+        left, right, ["k"], broadcast_max_rows=10, target_rows_per_task=10_000
+    )
+    plain = left.join(right, ["k"])
+    assert d["strategy"] == "shuffle"
+    assert j.count() == plain.count()
