@@ -29,11 +29,32 @@ def _host_cal() -> float:
     TPC-H plans) in a uniform ~2-3x band over round 2's numbers on a
     100%-idle machine, i.e. the host itself was slower. This constant
     lets a cross-round reader normalize before calling a regression."""
+    return _cal_loop(None)
+
+
+def _cal_loop(_arg) -> float:
     t0 = time.perf_counter()
     s = 0
     for i in range(20_000_000):
         s += i
     return round(time.perf_counter() - t0, 3)
+
+
+def _host_cal_parallel(procs: int = 8) -> float:
+    """MAX wall seconds across ``procs`` forked concurrent copies of
+    the calibration loop — the multi-core companion to the 1-thread
+    cal. Needed because the single-thread number is blind to
+    noisy-neighbor load on OTHER cores: r09 observed back-to-back runs
+    at cal 0.672/0.674 (identical, in band) whose bench totals differed
+    31% — the contention was multi-core only, invisible to one pinned
+    loop but fatal to a 32-thread Spark local run. Forked processes
+    (not threads: the pure-Python loop would serialize on the GIL)
+    sample that contention directly. Recorded in the JSON for reading,
+    not gating."""
+    import multiprocessing as mp
+
+    with mp.get_context("fork").Pool(procs) as pool:
+        return round(max(pool.map(_cal_loop, range(procs))), 3)
 
 
 # Quiet-host calibration band documented in BASELINE.md: every usable
@@ -70,6 +91,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     cal, cal_samples = _calibrate()
+    cal_par = _host_cal_parallel()
     spark = get_session("bench")
 
     qs = headline_queries()
@@ -107,6 +129,7 @@ def main() -> None:
                 "host_cal_samples": cal_samples,
                 # slow-side check only: see _calibrate
                 "host_cal_in_band": cal <= CAL_BAND[1],
+                "host_cal_par_sec": cal_par,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
