@@ -215,3 +215,88 @@ def plan_equi_join(
         return _canonical(j), decision
     decision["strategy"] = "shuffle"
     return _canonical(left.join(right, on, how)), decision
+
+
+# payload bytes per atomic Spark type (simpleString form). This is the
+# EXACT on-wire payload estimate (what a shuffle row carries as data),
+# not Tungsten's in-memory layout — the stable, engine-portable number
+# a partition advisor can be oracled against.
+_FIXED_WIDTH = {
+    "bigint": 8, "long": 8, "double": 8, "timestamp": 8,
+    "timestamp_ntz": 8, "int": 4, "integer": 4, "date": 4, "float": 4,
+    "smallint": 2, "short": 2, "tinyint": 1, "byte": 1, "boolean": 1,
+}
+
+
+def table_size_stats(df: DataFrame) -> DataFrame:
+    """One-row ``(n_rows, est_total_bytes)`` payload-size statistics of
+    a frame, computed EXACTLY in one aggregation pass: fixed-width
+    types contribute width x n_rows (nulls counted at full width —
+    a deliberate overestimate, the safe direction for sizing);
+    string/binary columns contribute their exact ``octet_length`` sum.
+    Decimals count 16 bytes. Nested types are refused rather than
+    silently under-counted. All integer math — bit-identical across
+    engines, which is what lets the partition advisor be oracled."""
+    fixed = 0
+    sums = []
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        if t in ("string", "binary"):
+            sums.append(
+                F.coalesce(
+                    F.sum(F.octet_length(F.col(f.name))), F.lit(0)
+                ).cast("bigint")
+            )
+        elif t.startswith("decimal"):
+            fixed += 16
+        elif t in _FIXED_WIDTH:
+            fixed += _FIXED_WIDTH[t]
+        else:
+            raise ValueError(
+                f"table_size_stats: unsupported column type {t!r} for "
+                f"{f.name!r} — project nested/complex columns away or "
+                "serialize them first"
+            )
+    n = F.count("*").cast("bigint")
+    total = n * F.lit(fixed)
+    for s in sums:
+        total = total + s
+    return df.agg(
+        n.alias("n_rows"), total.cast("bigint").alias("est_total_bytes")
+    )
+
+
+def plan_shuffle_partitions(
+    stats: DataFrame,
+    target_bytes_per_partition: int = 128 << 20,
+    min_partitions: int = 1,
+    max_partitions: int = 200_000,
+) -> DataFrame:
+    """Size a shuffle from measured statistics instead of the default
+    200 (or a hand-tuned constant): given :func:`table_size_stats`
+    output, recommend ``partitions = clamp(ceil(bytes / target))`` and
+    report the resulting rows-per-task. Declarative integer math over
+    the 1-row stats frame — composes with any upstream that produces
+    (n_rows, est_total_bytes), including merged per-batch stats. The
+    128 MiB default target matches the parquet-split convention
+    (`spark.sql.files.maxPartitionBytes`); at 100 TB this is the
+    operator that turns 'guess spark.sql.shuffle.partitions' into a
+    statistic-driven setting, the same closing-the-loop move as
+    :func:`plan_equi_join`."""
+    t = int(target_bytes_per_partition)
+    if t <= 0:
+        raise ValueError(f"target_bytes_per_partition must be positive, got {t}")
+    parts = F.greatest(
+        F.lit(int(min_partitions)).cast("bigint"),
+        F.least(
+            F.lit(int(max_partitions)).cast("bigint"),
+            F.floor((F.col("est_total_bytes") + F.lit(t - 1)) / F.lit(t)).cast(
+                "bigint"
+            ),
+        ),
+    )
+    return stats.select(
+        "*",
+        parts.alias("partitions"),
+        F.floor(F.col("n_rows") / parts).cast("bigint").alias("rows_per_partition"),
+    )

@@ -9785,6 +9785,74 @@ def join_autoplan_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b).unionByName(c).orderBy("case_name")
 
 
+@register(
+    "shuffle_partition_advisor",
+    oracle="""
+    WITH li AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(68 * count(*)
+                  + coalesce(sum(strlen(l_returnflag)), 0)
+                  + coalesce(sum(strlen(l_linestatus)), 0)
+                  AS BIGINT) AS est_total_bytes
+      FROM lineitem),
+    o AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(32 * count(*)
+                  + coalesce(sum(strlen(o_orderstatus)), 0)
+                  + coalesce(sum(strlen(o_orderpriority)), 0)
+                  AS BIGINT) AS est_total_bytes
+      FROM orders),
+    both_t AS (
+      SELECT 'lineitem' AS tbl, * FROM li
+      UNION ALL
+      SELECT 'orders' AS tbl, * FROM o),
+    sized AS (
+      SELECT tbl, n_rows, est_total_bytes,
+             greatest(CAST(1 AS BIGINT),
+                      least(CAST(4096 AS BIGINT),
+                            (est_total_bytes + 1048575) // 1048576))
+               AS partitions
+      FROM both_t)
+    SELECT tbl, n_rows, est_total_bytes,
+           CAST(partitions AS BIGINT) AS partitions,
+           CAST(n_rows // partitions AS BIGINT) AS rows_per_partition
+    FROM sized
+    ORDER BY tbl
+    """,
+)
+def shuffle_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistic-driven shuffle sizing (operators/skew.
+    plan_shuffle_partitions over table_size_stats): measure each
+    table's exact payload bytes in ONE aggregation pass (fixed widths
+    for fixed types, exact octet_length sums for strings — all integer
+    math, hence oracle-able bit-for-bit) and recommend partitions =
+    clamp(ceil(bytes / target)). This closes the second planner loop
+    after join_autoplan_strategy: `spark.sql.shuffle.partitions` and
+    file-split sizing stop being guessed constants and become outputs
+    of the same statistics pass a warehouse keeps anyway. Target here
+    is 1 MiB so the recommendation is non-trivial at test scales; at
+    100 TB the same math with the 128 MiB default sizes every exchange
+    to the executor-memory budget, and the stats compose (per-batch
+    stats merge by addition). NOTE: registered after the round-9
+    verify head (rotation-slot rule); parity-proven locally at
+    sf0.001 + sf0.01; heads the r10 rotation."""
+    from evidence_images_etl_airflow_spark.operators.skew import (
+        plan_shuffle_partitions,
+        table_size_stats,
+    )
+
+    def _one(name: str) -> DataFrame:
+        stats = table_size_stats(_t(spark, sf_dir, name))
+        return plan_shuffle_partitions(
+            stats,
+            target_bytes_per_partition=1 << 20,
+            min_partitions=1,
+            max_partitions=4096,
+        ).select(F.lit(name).alias("tbl"), "*")
+
+    return _one("lineitem").unionByName(_one("orders")).orderBy("tbl")
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================

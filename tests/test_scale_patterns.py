@@ -294,3 +294,43 @@ def test_plan_equi_join_duplicate_nonkey_names_no_crash(spark):
     plain = left.join(right, ["k"])
     assert d["strategy"] == "shuffle"
     assert j.count() == plain.count()
+
+
+def test_table_size_stats_and_partition_advisor(spark):
+    """r09: exact payload-byte statistics and the shuffle-partition
+    recommendation derived from them — hand-computed values."""
+    from evidence_images_etl_airflow_spark.operators.skew import (
+        plan_shuffle_partitions,
+        table_size_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ab", 1.5), (2, "xyz", 2.5), (3, None, None)],
+        "k long, s string, v double",
+    )
+    row = table_size_stats(df).first()
+    # 3 rows x (8 + 8) fixed + (2 + 3 + 0) string bytes = 53
+    assert (row.n_rows, row.est_total_bytes) == (3, 53)
+
+    plan = plan_shuffle_partitions(
+        table_size_stats(df), target_bytes_per_partition=16
+    ).first()
+    # ceil(53 / 16) = 4 partitions, 3 // 4 = 0 rows per task
+    assert (plan.partitions, plan.rows_per_partition) == (4, 0)
+
+    # clamps on both ends
+    hi = plan_shuffle_partitions(
+        table_size_stats(df), target_bytes_per_partition=1, max_partitions=8
+    ).first()
+    assert hi.partitions == 8
+    lo = plan_shuffle_partitions(
+        table_size_stats(df), target_bytes_per_partition=1 << 30
+    ).first()
+    assert lo.partitions == 1
+
+    # nested columns are refused, not under-counted
+    import pytest
+
+    nested = spark.createDataFrame([(1, [1, 2])], "k long, a array<int>")
+    with pytest.raises(ValueError, match="unsupported column type"):
+        table_size_stats(nested)
