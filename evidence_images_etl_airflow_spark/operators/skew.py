@@ -20,6 +20,7 @@ partition layouts before a bucketed write).
 from __future__ import annotations
 
 from collections.abc import Sequence
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -86,6 +87,56 @@ def key_skew_profile(df: DataFrame, keys: Sequence[str], top: int = 10) -> DataF
     )
 
 
+class _SketchStats(NamedTuple):
+    n_rows: int
+    n_keys: int | None
+    max_degree: int
+    err_bound: int
+
+
+def _key_stats_sketch(df: DataFrame, on: Sequence[str], capacity: int) -> _SketchStats:
+    """Bounded-memory degree statistics: the exact ``_key_stats`` agg
+    shuffles one row per DISTINCT key — billions of rows for a 100 TB
+    fact table, just to plan the join. This variant spends one scan +
+    a Misra-Gries heavy-hitter pass instead (``operators/sketches``):
+    per-partition summaries of <= capacity counters, merged in a
+    shuffle of O(partitions x capacity) rows regardless of key
+    cardinality. ``max_degree`` is reported as the MG UPPER bound
+    (max merged estimate + summed compression error): every true key
+    count is <= its estimate + err_bound, so the planner OVERestimates
+    the hot key and errs toward salting — the safe direction (an
+    unnecessary salt costs a small-side replication; a missed hot key
+    costs an executor). When ``capacity`` >= per-partition distinct
+    keys the summaries never compress, err_bound is 0, and the sketch
+    decision EQUALS the exact one (what makes the sketch-mode query
+    oracle-able). Join keys are serialized to one string with a
+    non-printing separator; NULL components map to a sentinel so
+    (NULL, x) and ('', x) stay distinct."""
+    from evidence_images_etl_airflow_spark.operators.sketches import (
+        merge_mg_summaries,
+        misra_gries_summaries,
+    )
+
+    key = F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in on],
+    )
+    keyed = df.select(key.alias("__k"))
+    n_rows = keyed.count()
+    ests, err = merge_mg_summaries(
+        misra_gries_summaries(keyed, "__k", capacity)
+    )
+    top = (
+        ests.agg(F.coalesce(F.max("est"), F.lit(0)).cast("bigint").alias("m"))
+        .first()
+        .m
+    )
+    e = int(err.first().err_bound)
+    return _SketchStats(
+        n_rows=int(n_rows), n_keys=None, max_degree=int(top) + e, err_bound=e
+    )
+
+
 def _key_stats(df: DataFrame, on: Sequence[str]):
     """(n_rows, n_keys, max_degree) of a join side — one map-side-
     combinable degree aggregation per side, shuffled at distinct-key
@@ -114,6 +165,8 @@ def plan_equi_join(
     skew_share: float = 0.2,
     max_salts: int = 64,
     salt_cols: Sequence[str] | None = None,
+    stats_mode: str = "exact",
+    mg_capacity: int = 4096,
 ) -> tuple[DataFrame, dict]:
     """Statistics-driven equi-join: measure both sides' key-degree
     profiles, then pick the physical strategy — closing the loop
@@ -150,12 +203,24 @@ def plan_equi_join(
     a 100 TB fact-fact join pays anyway before committing an
     executor-killing shuffle."""
     on = list(on)
-    ls, rs = _key_stats(left, on), _key_stats(right, on)
+    if stats_mode == "exact":
+        ls, rs = _key_stats(left, on), _key_stats(right, on)
+    elif stats_mode == "sketch":
+        ls = _key_stats_sketch(left, on, mg_capacity)
+        rs = _key_stats_sketch(right, on, mg_capacity)
+    else:
+        raise ValueError(
+            f"stats_mode must be 'exact' or 'sketch', got {stats_mode!r}"
+        )
     decision = {
         "left": {"n_rows": ls.n_rows, "n_keys": ls.n_keys, "max_degree": ls.max_degree},
         "right": {"n_rows": rs.n_rows, "n_keys": rs.n_keys, "max_degree": rs.max_degree},
         "num_salts": None,
+        "stats_mode": stats_mode,
     }
+    if stats_mode == "sketch":
+        decision["left"]["err_bound"] = ls.err_bound
+        decision["right"]["err_bound"] = rs.err_bound
     h = how.lower().replace("_", "")
     # Spark can only build the NON-preserved side of an outer
     # BroadcastHashJoin: a broadcast hint on the preserved side is
@@ -171,8 +236,15 @@ def plan_equi_join(
         {c for c in left.columns if c not in on} & set(right.columns)
     )
 
+    # Semi/anti joins output ONLY the left side's columns — selecting
+    # right-side non-key columns would raise UNRESOLVED_COLUMN (r09
+    # ADVICE). No strategy reorders columns for these shapes (salting
+    # is never chosen for them and a broadcast hint is order-neutral),
+    # so the plain join's output is already canonical.
+    semi_anti = h in ("leftsemi", "semi", "leftanti", "anti")
+
     def _canonical(j: DataFrame) -> DataFrame:
-        if dup_names:
+        if dup_names or semi_anti:
             return j
         return j.select(
             *on,
@@ -207,10 +279,15 @@ def plan_equi_join(
         n = int(max(2, min(max_salts, n)))
         decision["strategy"] = "salted"
         decision["num_salts"] = n
+        # salted_join accepts only the exact spellings inner/left —
+        # forward the NORMALIZED type, not the caller's raw string, so
+        # Spark-accepted variants like "leftouter"/"LEFT" that pass the
+        # saltable gate don't raise mid-pipeline (r09 ADVICE).
+        sh = "inner" if h == "inner" else "left"
         j = (
-            salted_join(left, right, on, num_salts=n, how=how, salt_cols=salt_cols)
+            salted_join(left, right, on, num_salts=n, how=sh, salt_cols=salt_cols)
             if big_is_left
-            else salted_join(right, left, on, num_salts=n, how=how, salt_cols=salt_cols)
+            else salted_join(right, left, on, num_salts=n, how=sh, salt_cols=salt_cols)
         )
         return _canonical(j), decision
     decision["strategy"] = "shuffle"
@@ -286,17 +363,23 @@ def plan_shuffle_partitions(
     t = int(target_bytes_per_partition)
     if t <= 0:
         raise ValueError(f"target_bytes_per_partition must be positive, got {t}")
+    # ceil-div in INTEGER math (`div`, not F.floor of a double
+    # quotient): above ~2^53 bytes — the 100 TB regime this advisor
+    # exists for — the double rounds and the recommendation can differ
+    # by one partition from the exact `//` the oracle uses (r09 ADVICE).
     parts = F.greatest(
         F.lit(int(min_partitions)).cast("bigint"),
         F.least(
             F.lit(int(max_partitions)).cast("bigint"),
-            F.floor((F.col("est_total_bytes") + F.lit(t - 1)) / F.lit(t)).cast(
-                "bigint"
-            ),
+            F.expr(
+                f"(est_total_bytes + {t - 1}) div {t}"
+            ).cast("bigint"),
         ),
     )
-    return stats.select(
+    sized = stats.select("*", parts.alias("partitions"))
+    return sized.select(
         "*",
-        parts.alias("partitions"),
-        F.floor(F.col("n_rows") / parts).cast("bigint").alias("rows_per_partition"),
+        F.expr("n_rows div partitions").cast("bigint").alias(
+            "rows_per_partition"
+        ),
     )

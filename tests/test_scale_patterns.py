@@ -334,3 +334,133 @@ def test_table_size_stats_and_partition_advisor(spark):
     nested = spark.createDataFrame([(1, [1, 2])], "k long, a array<int>")
     with pytest.raises(ValueError, match="unsupported column type"):
         table_size_stats(nested)
+
+
+def test_plan_equi_join_semi_anti_no_reorder_crash(spark):
+    """r09 ADVICE: semi/anti joins output ONLY left columns, so the
+    by-name canonical reorder used to raise UNRESOLVED_COLUMN on every
+    strategy path. The planner must return the plain join's columns."""
+    from evidence_images_etl_airflow_spark.operators.skew import plan_equi_join
+
+    left = spark.range(500).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("rowid")
+    )
+    right = spark.range(60).select(
+        (F.col("id") % 80).alias("k"), F.col("id").alias("val")
+    )
+    for how in ("leftsemi", "semi", "leftanti", "anti"):
+        j, d = plan_equi_join(
+            left, right, ["k"], how,
+            broadcast_max_rows=100, target_rows_per_task=500,
+        )
+        plain = left.join(right, ["k"], how)
+        assert d["strategy"] == "broadcast_right"
+        assert j.columns == plain.columns
+        assert (
+            j.exceptAll(plain).count() == 0
+            and plain.exceptAll(j).count() == 0
+        )
+    # shuffle path too (right side over the broadcast budget)
+    j, d = plan_equi_join(
+        left, right, ["k"], "leftsemi",
+        broadcast_max_rows=10, target_rows_per_task=10_000,
+    )
+    assert d["strategy"] == "shuffle"
+    assert j.columns == left.columns
+
+
+def test_plan_equi_join_salted_accepts_spark_spellings(spark):
+    """r09 ADVICE: the saltable gate normalizes the join type but the
+    salted path used to forward the caller's RAW spelling to
+    salted_join, which only accepts inner/left/left_outer — so
+    "leftouter" (or any casing) passed the gate then raised mid-
+    pipeline. The normalized type must be forwarded."""
+    from evidence_images_etl_airflow_spark.operators.skew import plan_equi_join
+
+    kw = dict(broadcast_max_rows=100, target_rows_per_task=500, skew_share=0.2)
+    skewed = spark.range(5_000).select(
+        F.when(F.col("id") < 3_000, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("rowid"),
+    )
+    other = spark.range(2_000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("val")
+    )
+    plain = skewed.join(other, ["k"], "left")
+    for how in ("leftouter", "LEFT", "left_outer", "Inner"):
+        j, d = plan_equi_join(skewed, other, ["k"], how, **kw)
+        assert d["strategy"] == "salted", how
+        ref = plain if how != "Inner" else skewed.join(other, ["k"])
+        assert j.columns == ["k", "rowid", "val"]
+        assert (
+            j.exceptAll(ref).count() == 0 and ref.exceptAll(j).count() == 0
+        )
+
+
+def test_plan_shuffle_partitions_integer_math_beyond_2_53(spark):
+    """r09 ADVICE: ceil(bytes/target) via double division rounds above
+    ~2^53 bytes (the 100 TB regime), drifting one partition off the
+    oracle's exact `//`. 2^60+2 is not double-representable: the old
+    F.floor path recommended 2^59, exact integer math says 2^59+1."""
+    from evidence_images_etl_airflow_spark.operators.skew import (
+        plan_shuffle_partitions,
+    )
+
+    stats = spark.createDataFrame(
+        [(10, (1 << 60) + 1)], "n_rows long, est_total_bytes long"
+    )
+    plan = plan_shuffle_partitions(
+        stats,
+        target_bytes_per_partition=2,
+        max_partitions=1 << 62,
+    ).first()
+    assert plan.partitions == (1 << 59) + 1  # exact ceil((2^60+1)/2)
+    assert plan.rows_per_partition == 0
+
+
+def test_plan_equi_join_sketch_stats_mode(spark):
+    """r10: sketch stats mode plans from Misra-Gries heavy-hitter
+    bounds instead of the exact per-key degree shuffle. With capacity
+    above per-partition distinct keys the summaries never compress and
+    the decision EQUALS the exact one; under forced compression the
+    reported max_degree is an UPPER bound (errs toward salting)."""
+    from evidence_images_etl_airflow_spark.operators.skew import (
+        _key_stats_sketch,
+        plan_equi_join,
+    )
+
+    kw = dict(broadcast_max_rows=100, target_rows_per_task=500, skew_share=0.2)
+    skewed = spark.range(5_000).select(
+        F.when(F.col("id") < 3_000, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("rowid"),
+    )
+    other = spark.range(2_000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("val")
+    )
+    # ample capacity: identical decision + identical derived salt count
+    _, ds = plan_equi_join(
+        skewed, other, ["k"], stats_mode="sketch", mg_capacity=8192, **kw
+    )
+    _, de = plan_equi_join(skewed, other, ["k"], stats_mode="exact", **kw)
+    assert ds["stats_mode"] == "sketch"
+    assert ds["left"]["err_bound"] == 0 and ds["right"]["err_bound"] == 0
+    assert (ds["strategy"], ds["num_salts"]) == (de["strategy"], de["num_salts"])
+    assert ds["left"]["max_degree"] == de["left"]["max_degree"] == 3000
+
+    # uniform corpus stays a plain shuffle under sketch stats too
+    uniform = spark.range(5_000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("rowid")
+    )
+    _, du = plan_equi_join(
+        uniform, other, ["k"], stats_mode="sketch", mg_capacity=8192, **kw
+    )
+    assert du["strategy"] == "shuffle"
+
+    # forced compression (capacity 2, one partition): still a valid
+    # UPPER bound on the true hot degree, never an underestimate
+    st = _key_stats_sketch(skewed.repartition(1), ["k"], capacity=2)
+    assert st.n_rows == 5_000
+    assert st.max_degree >= 3000
+    assert st.err_bound > 0
+
+    with pytest.raises(ValueError, match="stats_mode"):
+        plan_equi_join(skewed, other, ["k"], stats_mode="guess", **kw)
