@@ -654,3 +654,68 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def retrieval_metrics(
+    retrieved: DataFrame,
+    truth: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Graded ranking evaluation of a retrieval run against exact
+    ground truth: per query, hits, MRR, and nDCG@k — the metrics that
+    decide an ANN index's quality dial beyond recall (recall treats a
+    rank-1 and a rank-k hit alike; nDCG does not).
+
+    Both inputs carry ``(query_id, neighbor_id, rank)`` — the shared
+    output shape of every top-k operator in this module (truth is
+    normally :func:`brute_force_topk` on a sampled query panel).
+    Relevance is graded by ground-truth position (``k+1-true_rank``),
+    DCG discounts by ``ln``-based log2 of the retrieved rank, and
+    every floating term is rounded to 6dp BEFORE the exact DECIMAL
+    accumulation (the repo's cross-engine fp idiom), so the report is
+    oracle-able bit-for-bit. Queries the approximate leg missed
+    entirely still appear (zeros) via the left join from the truth
+    query set. Cost: joins over |queries| x k rows — broadcast-sized
+    next to either retrieval leg."""
+    t = truth.filter(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", F.col("rank").alias("true_rank")
+    )
+    r = retrieved.filter(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", F.col("rank").alias("ret_rank")
+    )
+    ln2 = F.log(F.lit(2.0))
+    term = F.round(
+        (F.lit(k + 1) - F.col("true_rank")) * ln2
+        / F.log(F.col("ret_rank") + 1),
+        6,
+    ).cast("decimal(18,6)")
+    hits = r.join(t, ["query_id", "neighbor_id"], "left")
+    perq = hits.groupBy("query_id").agg(
+        F.count("true_rank").cast("bigint").alias("n_hit"),
+        F.sum(term).alias("__dcg"),
+        F.min(
+            F.when(F.col("true_rank").isNotNull(), F.col("ret_rank"))
+        ).alias("__first_hit"),
+    )
+    # the ideal DCG is a k-term constant; fold it engine-side with the
+    # same per-term 6dp rounding + exact decimal accumulation
+    idcg = F.expr(
+        f"aggregate(sequence(1, {k}), cast(0 as decimal(38,6)), "
+        f"(acc, i) -> acc + cast(round(({k + 1} - i) * ln(2) / ln(i + 1), 6) "
+        "as decimal(38,6)))"
+    )
+    qs = t.select("query_id").distinct()
+    return qs.join(perq, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("__first_hit"), F.lit(0.0)), 6
+        ).alias("mrr"),
+        F.round(
+            F.coalesce(
+                F.col("__dcg").cast("double") / idcg.cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias(f"ndcg_at_{k}"),
+    )

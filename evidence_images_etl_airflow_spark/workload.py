@@ -9853,6 +9853,331 @@ def shuffle_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _one("lineitem").unionByName(_one("orders")).orderBy("tbl")
 
 
+@register(
+    "events_pattern_journey",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS u, event_id,
+             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                  WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e'
+                  WHEN 'signup' THEN 's' ELSE 'x' END AS sym
+      FROM events),
+    j AS (SELECT user_id, string_agg(sym, '' ORDER BY u, event_id) AS journey
+          FROM e GROUP BY user_id)
+    SELECT user_id,
+           CAST(length(journey) AS BIGINT) AS journey_len,
+           CAST(len(regexp_extract_all(journey, 'v[cs]*p')) AS BIGINT)
+             AS n_conversions,
+           CAST(len(regexp_extract_all(journey, 'ee+')) AS BIGINT)
+             AS n_error_bursts,
+           CAST(len(regexp_extract_all(journey, 's[^p]*p')) AS BIGINT)
+             AS n_signup_to_purchase
+    FROM j
+    """,
+)
+def events_pattern_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence analytics (operators/sequence):
+    each user's ordered event journey becomes a symbol string — total
+    order pinned by (ts_us, event_id) so concurrent events can't make
+    the journey nondeterministic — and business patterns are REGEXES
+    counted per journey: clean view->purchase conversions ('v[cs]*p'),
+    error bursts ('ee+'), signup-to-first-purchase spans ('s[^p]*p').
+    events_funnel's three-way self-join is the special case 'vc*p';
+    the regex form adds negation and repetition without another join
+    per step. One shuffle on user_id, row-local JVM regexp_count, no
+    window functions — at 100 TB the same plan runs per session key
+    (compose with events_sessionization) so journeys stay bounded.
+    NOTE: registered after the round-10 verify head (rotation-slot
+    rule); parity-proven locally at sf0.001 + sf0.01; heads the r11
+    rotation."""
+    from evidence_images_etl_airflow_spark.operators.sequence import (
+        journey_pattern_counts,
+        symbolize,
+    )
+
+    ev = _events(spark, sf_dir)
+    sym = symbolize(
+        {"view": "v", "click": "c", "purchase": "p", "error": "e",
+         "signup": "s"},
+        "event_type",
+    )
+    return journey_pattern_counts(
+        ev,
+        group_cols=["user_id"],
+        order_cols=["ts_us", "event_id"],
+        symbol=sym,
+        patterns={
+            "n_conversions": "v[cs]*p",
+            "n_error_bursts": "ee+",
+            "n_signup_to_purchase": "s[^p]*p",
+        },
+    )
+
+
+@register(
+    "maintenance_compaction_plan",
+    oracle="""
+    WITH f AS (SELECT source, doc_id,
+                      CAST(strlen(text) AS BIGINT) AS file_bytes
+               FROM documents),
+    c AS (SELECT source, doc_id, file_bytes,
+                 CAST(COALESCE(SUM(file_bytes) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS strt
+          FROM f)
+    SELECT source, CAST(strt // 65536 AS BIGINT) AS group_id,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(file_bytes) AS BIGINT) AS group_bytes
+    FROM c GROUP BY source, group_id
+    """,
+)
+def maintenance_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (operators/maintenance): the
+    engine-side half of OPTIMIZE. Files are offset-binned into merge
+    groups — deterministic window cumsum inside each table partition,
+    ``group = start_offset div target`` — so every group except a
+    partition's last reaches the target and overflows by at most one
+    file, without the iterative fold greedy first-fit needs. Here each
+    document stands in for a data file (file_bytes = octet_length of
+    its payload, partitioned by source, 64 KiB target) so the binning
+    math is oracle-able bit-for-bit; the production entry point reads
+    REAL footer stats via the scan's ``_metadata`` column
+    (maintenance.file_inventory, unit-tested on the test parquet) —
+    same plan either way. Window shuffles at FILE cardinality, not row
+    cardinality. NOTE: registered after the round-10 verify head
+    (rotation-slot rule); parity-proven locally at sf0.001 + sf0.01;
+    heads the r11 rotation."""
+    from evidence_images_etl_airflow_spark.operators.maintenance import (
+        compaction_summary,
+        plan_compaction,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.octet_length("text").cast("bigint").alias("file_bytes"),
+    )
+    planned = plan_compaction(
+        d,
+        size_col="file_bytes",
+        order_cols=("doc_id",),
+        partition_cols=("source",),
+        target_bytes=65536,
+    )
+    return compaction_summary(
+        planned, size_col="file_bytes", partition_cols=("source",)
+    )
+
+
+@register(
+    "ann_ranking_metrics",
+    oracle=f"""
+    WITH {_ivf_scored_ctes()},
+    ivf AS (
+      SELECT query_id, neighbor_id, rank AS ret_rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored)
+      WHERE rank <= 5),
+    bf_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_cos_nrm_sql('q', 'c')}, 6) AS cos_sim
+      FROM e c CROSS JOIN q
+      WHERE c.vec_id <> q.vec_id),
+    bf AS (
+      SELECT query_id, neighbor_id, rank AS true_rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM bf_scored)
+      WHERE rank <= 5),
+    hits AS (
+      SELECT i.query_id, i.ret_rank, b.true_rank
+      FROM ivf i LEFT JOIN bf b
+        ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id),
+    perq AS (
+      SELECT query_id,
+             CAST(count(true_rank) AS BIGINT) AS n_hit,
+             SUM(CAST(round((6 - true_rank) * ln(2) / ln(ret_rank + 1), 6)
+                      AS DECIMAL(18,6))) AS dcg,
+             min(CASE WHEN true_rank IS NOT NULL THEN ret_rank END)
+               AS first_hit
+      FROM hits GROUP BY query_id),
+    idcg AS (
+      SELECT SUM(CAST(round((6 - i) * ln(2) / ln(i + 1), 6)
+                      AS DECIMAL(18,6))) AS v
+      FROM range(1, 6) t(i)),
+    qs AS (SELECT DISTINCT query_id FROM bf)
+    SELECT qs.query_id,
+           CAST(COALESCE(p.n_hit, 0) AS BIGINT) AS n_hit,
+           round(COALESCE(CAST(1 AS DOUBLE) / p.first_hit, 0.0), 6) AS mrr,
+           round(COALESCE(CAST(p.dcg AS DOUBLE) / CAST(i.v AS DOUBLE), 0.0),
+                 6) AS ndcg_at_5
+    FROM qs LEFT JOIN perq p ON qs.query_id = p.query_id
+    CROSS JOIN idcg i
+    """,
+)
+def ann_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded retrieval evaluation (operators/similarity.
+    retrieval_metrics): per-query MRR and nDCG@5 of the IVF search
+    (nprobe=2 of 16 cells) against exact brute-force ground truth —
+    the companion to ann_recall_report's recall@k, completing the
+    evaluation harness an approximate index needs before serving
+    100 TB (recall says WHETHER the truth was found; nDCG says WHERE
+    it ranked). Relevance graded by true rank, per-term 6dp rounding
+    before exact DECIMAL accumulation so both engines agree
+    bit-for-bit; queries the probe set misses entirely still report
+    zeros. Scale: both legs are the existing broadcast-query
+    operators; the metrics join touches |queries| x 5 rows. NOTE:
+    registered after the round-10 verify head (rotation-slot rule);
+    parity-proven locally at sf0.001 + sf0.01; heads the r11
+    rotation."""
+    from evidence_images_etl_airflow_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        retrieval_metrics,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    ivf = ivf_topk(
+        emb, queries, centroids, "vec_id", "embedding", "cid", k=5, nprobe=2
+    )
+    bf = brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    return retrieval_metrics(ivf, bf, k=5)
+
+
+@register(
+    "join_autoplan_sketch",
+    oracle=f"""
+    WITH a AS ({_autoplan_case_sql(
+        "dim_broadcast",
+        _DEG_SQL.format(src="(SELECT o_custkey AS k FROM orders) s"),
+        _DEG_SQL.format(src="(SELECT c_custkey AS k FROM customer) s"),
+        "SELECT CAST(count(*) AS BIGINT) AS joined_rows FROM orders "
+        "JOIN customer ON o_custkey = c_custkey",
+        bcast_max=2000, target=256,
+    )}),
+    b AS ({_autoplan_case_sql(
+        "fact_fact_uniform",
+        _DEG_SQL.format(src="(SELECT l_orderkey AS k FROM lineitem) s"),
+        _DEG_SQL.format(src="(SELECT o_orderkey AS k FROM orders) s"),
+        "SELECT CAST(count(*) AS BIGINT) AS joined_rows FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey",
+        bcast_max=1000, target=256,
+    )}),
+    c AS ({_autoplan_case_sql(
+        "fact_hot_salted",
+        _DEG_SQL.format(src=f"({_HOT_LI}) s"),
+        _DEG_SQL.format(src="(SELECT s_suppkey AS k FROM supplier) s"),
+        f"SELECT CAST(count(*) AS BIGINT) AS joined_rows FROM ({_HOT_LI}) h "
+        "JOIN supplier ON h.k = s_suppkey",
+        bcast_max=5, target=256,
+    )})
+    SELECT *, CAST(0 AS BIGINT) AS err_bound_left,
+              CAST(0 AS BIGINT) AS err_bound_right
+    FROM (SELECT * FROM a UNION ALL SELECT * FROM b
+          UNION ALL SELECT * FROM c)
+    ORDER BY case_name
+    """,
+)
+def join_autoplan_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join_autoplan_strategy with the pre-flight degree statistics
+    computed by BOUNDED-MEMORY sketches instead of the exact per-key
+    aggregation (operators/skew._key_stats_sketch): a Misra-Gries
+    heavy-hitter pass reduces each partition to <= capacity counters
+    map-side, so planning a 100 TB fact-fact join no longer shuffles
+    one row per distinct key — the merge carries
+    O(partitions x capacity) rows at ANY key cardinality, and the
+    hot-key degree is reported as the MG upper bound (estimate +
+    compression error), which errs toward salting — the safe
+    direction. At gate scales capacity (16384) exceeds per-partition
+    distinct keys, the summaries never compress, err bounds are 0,
+    and the sketch decision provably EQUALS the exact cascade — which
+    is what the oracle pins (same decision SQL as
+    join_autoplan_strategy, zero error columns). The forced-
+    compression regime is unit-pinned instead
+    (test_plan_equi_join_sketch_stats_mode). NOTE: registered after
+    the round-10 verify head (rotation-slot rule); parity-proven
+    locally at sf0.001 + sf0.01; heads the r11 rotation."""
+    from evidence_images_etl_airflow_spark.operators.skew import plan_equi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+
+    def _case(name, left, right, bcast_max):
+        joined, dec = plan_equi_join(
+            left, right, ["k"],
+            broadcast_max_rows=bcast_max,
+            target_rows_per_task=256,
+            skew_share=0.2,
+            max_salts=64,
+            stats_mode="sketch",
+            mg_capacity=16384,
+        )
+        big = (
+            dec["left"]
+            if dec["left"]["n_rows"] >= dec["right"]["n_rows"]
+            else dec["right"]
+        )
+        meta = spark.createDataFrame(
+            [(
+                name, dec["strategy"], dec["num_salts"],
+                dec["left"]["n_rows"], dec["right"]["n_rows"],
+                big["max_degree"],
+                dec["left"]["err_bound"], dec["right"]["err_bound"],
+            )],
+            "case_name string, strategy string, num_salts bigint, "
+            "n_left bigint, n_right bigint, big_max_degree bigint, "
+            "err_bound_left bigint, err_bound_right bigint",
+        )
+        cnt = joined.agg(F.count("*").cast("bigint").alias("joined_rows"))
+        return meta.crossJoin(F.broadcast(cnt))
+
+    a = _case(
+        "dim_broadcast",
+        orders.select(F.col("o_custkey").alias("k"), "o_orderkey"),
+        customer.select(F.col("c_custkey").alias("k"), "c_acctbal"),
+        bcast_max=2000,
+    )
+    b = _case(
+        "fact_fact_uniform",
+        li.select(F.col("l_orderkey").alias("k"), "l_linenumber"),
+        orders.select(F.col("o_orderkey").alias("k"), "o_totalprice"),
+        bcast_max=1000,
+    )
+    c = _case(
+        "fact_hot_salted",
+        li.select(
+            F.when(F.col("l_suppkey") % 4 == 0, F.col("l_suppkey"))
+            .otherwise(F.lit(-1))
+            .cast("bigint")
+            .alias("k"),
+            "l_orderkey",
+            "l_linenumber",
+        ),
+        supplier.select(F.col("s_suppkey").alias("k"), "s_name"),
+        bcast_max=5,
+    )
+    return (
+        a.unionByName(b)
+        .unionByName(c)
+        .select(
+            "case_name", "strategy", "num_salts", "n_left", "n_right",
+            "big_max_degree", "joined_rows", "err_bound_left",
+            "err_bound_right",
+        )
+        .orderBy("case_name")
+    )
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================
@@ -9863,73 +10188,17 @@ def shuffle_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # already-multiply-verified trivia trail past the cap. Everything not
 # listed follows in registration order.
 _VERIFY_FIRST = [
-    # ---- round-9 head (VERDICT r08 item 1, run exactly as planned at
-    # the r08 head comment): the 11 round-8 registrations with no
-    # driver row yet (each parity-proven locally at sf0.001 + sf0.01
-    # and judge-verified oracle-green in the r08 verdict) + all 29
-    # r05-stale queries + 10 from the oldest-r06 cohort = exactly the
-    # driver's 50-query cap. After this round every registered query
-    # has a driver row and none is older than r06. BPE pair
-    # deliberately last in the head (their DuckDB oracles run ~10 min
-    # each at sf0.01).
-    # -- 11 round-8 registrations, never driver-checked
-    "data_token_budget_mixture",
-    "split_leakage_audit",
-    "curation_template_ngrams",
-    "sketch_quantile_coarse_rollup",
-    "dedup_prefix_filter_pairs",
-    "sketch_countmin_estimates",
-    "curation_dsir_selection",
-    "streaming_countmin_estimates",
-    "dq_benford_prices",
-    "orders_revenue_trend",
-    "sketch_join_size_estimate",
-    # -- 27 of the 29 r05-stale queries (BPE pair moved to the tail)
-    "timeseries_gapfill",
-    "dedup_span_exact",
-    "zorder_locality_stats",
-    "data_group_split",
-    "data_quality_weighted_sample",
-    "dedup_semantic_kmeans",
-    "j2_conflict_skip",
-    "j3_merge_upsert",
-    "ml_quality_classifier",
-    "multimodal_phash_near",
-    "p1_projection",
-    "p2_nonempty_filter",
-    "p4_like_predicate",
-    "profile_key_candidates",
-    "q10_returned_revenue",
-    "q12_priority_shipping",
-    "q13_outer_join_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_scalar_subquery",
-    "q18_large_volume_orders",
-    "q19_disjunctive_predicates",
-    "q22_idle_rich_customers",
-    "q4_semi_join",
-    "q5_nation_revenue",
-    "q6_forecast_revenue",
-    "q7_nation_trade_volume",
-    # -- 10 oldest-r06 fill: flagship + headline + composite ops first
-    "flagship_image_urls",
-    "ep2_curation_pipeline",
-    "dedup_minhash_lsh",
-    "curation_lm_perplexity",
-    "ann_ivf_pq_indexed",
-    "scd2_asof_lookup",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q21_late_supplier_alone",
-    # -- the BPE pair closes the head (slow oracles)
-    "text_bpe_vocab",
-    "text_bpe_encode",
-    # ---- past the driver's 50-row cap: the remaining 39 r06-green
-    # queries head the r10 rotation together with any r09
-    # registrations (which must carry the same parity-proven-locally
-    # note). Next-oldest r06 cohort, in SURVEY-coverage order:
+    # ---- round-10 head (VERDICT r08 item 1's standing rotation rule,
+    # continued): the 2 round-9 registrations with no driver row yet
+    # (each parity-proven locally at sf0.001 + sf0.01 per the r09
+    # ledger) + all 39 r06-stale queries + 9 oldest-r07 fill
+    # (headline + composite ops first) = exactly the driver's 50-query
+    # cap. After this round no registered query's latest green is
+    # older than r07.
+    # -- 2 round-9 registrations, never driver-checked
+    "join_autoplan_strategy",
+    "shuffle_partition_advisor",
+    # -- all 39 r06-stale queries, SURVEY-coverage order
     "agg_grouping_sets",
     "agg_pivot_nation_year",
     "ann_brute_force_topk",
@@ -9969,7 +10238,63 @@ _VERIFY_FIRST = [
     "text_repetition_signals",
     "text_top_tokens",
     "udtf_token_chunks",
+    # -- 9 oldest-r07 fill: headline + composite ops first
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "events_hourly_rollup",
+    "dedup_span_sliding",
+    "graph_pagerank_bipartite",
+    "sketch_kmv_set_ops",
+    "er_golden_record",
+    "embedding_pca_whiten",
+    "scd2_customer_history",
+    # ---- past the driver's 50-row cap: the remaining 41 r07-green
+    # queries head the r11 rotation together with any r10
+    # registrations (which must carry the same parity-proven-locally
+    # note). Next-oldest r07 cohort, in registration order:
+    "sql_pipe_priority_revenue",
+    "sql_lateral_topk_orders",
+    "agg_exact_percentiles",
+    "setops_intersect_except",
+    "agg_cube",
+    "sort_limit_topk",
+    "agg_rollup",
+    "agg_distinct_counts",
+    "events_rollup_cascade",
+    "range_join_error_context",
+    "streaming_interval_join",
+    "streaming_dedup",
+    "dedup_ngram_containment",
+    "dedup_recall_report",
+    "data_weighted_reservoir",
+    "events_funnel",
+    "ann_recall_report",
+    "embedding_matryoshka_recall",
+    "events_cohort_retention",
+    "profile_table_stats",
+    "profile_price_histogram",
+    "profile_drift_psi",
+    "streaming_drift_psi",
+    "agg_trimmed_mean",
+    "events_rolling_users_7d",
+    "events_variant_shred",
+    "dq_constraint_report",
+    "orders_open_interval_count",
+    "basket_type_affinity",
+    "events_anomaly_zscore",
+    "data_negative_sampling",
+    "events_markov_transitions",
+    "customers_rfm_segments",
+    "curation_report_card",
+    "orders_seasonality_profile",
+    "sketch_topk_heavy_hitters",
+    "sketch_mg_incremental",
+    "sketch_quantile_rollup",
+    "join_bloom_prefilter",
+    "join_size_skew_report",
+    "incremental_rollup_equivalence",
 ]
+
 
 def _ordered() -> list[str]:
     first = [n for n in _VERIFY_FIRST if n in REGISTRY]

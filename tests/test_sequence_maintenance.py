@@ -1,0 +1,126 @@
+"""Round-10 additions: sequence pattern matching (operators/sequence)
+and compaction planning (operators/maintenance) — hand-computed
+semantics plus the real-footer inventory path."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from evidence_images_etl_airflow_spark.operators.maintenance import (
+    compaction_summary,
+    file_inventory,
+    plan_compaction,
+)
+from evidence_images_etl_airflow_spark.operators.sequence import (
+    journey_pattern_counts,
+    symbolize,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def test_symbolize_rejects_bad_alphabets(spark):
+    with pytest.raises(ValueError, match="single characters"):
+        symbolize({"view": "vw"}, "event_type")
+    with pytest.raises(ValueError, match="duplicate"):
+        symbolize({"view": "v", "click": "v"}, "event_type")
+
+
+def test_journey_pattern_counts_hand_case(spark):
+    """Journey v c p v e e p for user 1 (with a timestamp TIE pinned by
+    event_id), v p for user 2. Patterns counted non-overlapping."""
+    rows = [
+        # user 1 — events 3 and 4 share ts 40: event_id must order them
+        (1, 10, 1, "view"), (1, 20, 2, "click"), (1, 30, 3, "purchase"),
+        (1, 40, 4, "view"), (1, 40, 5, "error"), (1, 50, 6, "error"),
+        (1, 60, 7, "purchase"),
+        (2, 10, 8, "view"), (2, 20, 9, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts_us long, event_id long, event_type string"
+    )
+    sym = symbolize(
+        {"view": "v", "click": "c", "purchase": "p", "error": "e"},
+        "event_type",
+    )
+    out = journey_pattern_counts(
+        ev,
+        group_cols=["user_id"],
+        order_cols=["ts_us", "event_id"],
+        symbol=sym,
+        patterns={"n_conv": "vc*p", "n_err_burst": "ee+"},
+        include_journey=True,
+    )
+    got = {r.user_id: r for r in out.collect()}
+    # user 1: sorted journey is v c p v e e p
+    assert got[1].journey == "vcpveep"
+    assert got[1].journey_len == 7
+    assert got[1].n_conv == 1  # 'vcp' matches; second v is cut by 'ee'
+    assert got[1].n_err_burst == 1
+    assert got[2].journey == "vp" and got[2].n_conv == 1
+
+
+def test_journey_unmapped_symbols_fall_to_default(spark):
+    ev = spark.createDataFrame(
+        [(1, 1, 1, "view"), (1, 2, 2, "refund")],
+        "user_id long, ts_us long, event_id long, event_type string",
+    )
+    out = journey_pattern_counts(
+        ev, ["user_id"], ["ts_us", "event_id"],
+        symbolize({"view": "v"}, "event_type"),
+        patterns={"n_x": "x"}, include_journey=True,
+    ).first()
+    assert out.journey == "vx" and out.n_x == 1
+
+
+def test_plan_compaction_offset_binning_hand_case(spark):
+    """target=100: files of 60,60,60 bin at offsets 0,60,120 ->
+    groups 0,0,1; a 250-byte giant starting at 180 gets group 1 (at
+    most one file of overflow per group), next file starts at 430 ->
+    group 4."""
+    files = spark.createDataFrame(
+        [("a", 1, 60), ("a", 2, 60), ("a", 3, 60), ("a", 4, 250),
+         ("a", 5, 10), ("b", 1, 10)],
+        "part string, fid long, file_bytes long",
+    )
+    planned = plan_compaction(
+        files, order_cols=("fid",), partition_cols=("part",),
+        target_bytes=100,
+    )
+    got = {(r.part, r.fid): r.group_id for r in planned.collect()}
+    assert got == {
+        ("a", 1): 0, ("a", 2): 0, ("a", 3): 1, ("a", 4): 1, ("a", 5): 4,
+        ("b", 1): 0,
+    }
+    summary = {
+        (r.part, r.group_id): (r.n_files, r.group_bytes)
+        for r in compaction_summary(
+            planned, partition_cols=("part",)
+        ).collect()
+    }
+    assert summary[("a", 0)] == (2, 120)
+    assert summary[("a", 1)] == (2, 310)
+    assert summary[("a", 4)] == (1, 10)
+    assert summary[("b", 0)] == (1, 10)
+    # conservation: planned bytes == inventory bytes
+    assert sum(v[1] for v in summary.values()) == 60 * 3 + 250 + 10 + 10
+
+
+def test_plan_compaction_validates_args(spark):
+    files = spark.createDataFrame([("f", 1)], "file_path string, file_bytes long")
+    with pytest.raises(ValueError, match="target_bytes"):
+        plan_compaction(files, target_bytes=0)
+    with pytest.raises(ValueError, match="order_cols"):
+        plan_compaction(files, order_cols=())
+
+
+def test_file_inventory_reads_real_footers(spark):
+    """The _metadata path against the driver-generated parquet: sizes
+    must match the filesystem byte-for-byte."""
+    path = os.path.join(SF_DIR, "documents.parquet")
+    inv = file_inventory(spark, path).collect()
+    assert len(inv) >= 1
+    for r in inv:
+        local = r.file_path.removeprefix("file://").removeprefix("file:")
+        assert os.path.getsize(local) == r.file_bytes
