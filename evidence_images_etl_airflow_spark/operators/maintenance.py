@@ -96,3 +96,96 @@ def compaction_summary(
             F.sum(size_col).cast("bigint").alias("group_bytes"),
         )
     )
+
+
+def execute_compaction(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 << 20,
+    max_groups: int = 100,
+) -> dict:
+    """INCREMENTAL compaction: rewrite only the merge groups that
+    actually contain >= 2 files, leaving already-compact files
+    byte-untouched — the property that makes OPTIMIZE affordable on a
+    100 TB table (``sinks.writers.compact_parquet`` rewrites the whole
+    dataset; this touches only the small-file tail). Work is bounded
+    per run by ``max_groups`` (largest file-count groups first), the
+    standard incremental-OPTIMIZE batching, which also bounds the
+    driver-side file list this function materializes (every table
+    format's compactor plans over the file manifest driver-side; the
+    repo's constant-bounded-collect rule is met through the explicit
+    ``max_groups`` cap, not by luck).
+
+    One Spark job rewrites all selected groups: the selected files are
+    re-read, each row joined (broadcast, file-cardinality) back to its
+    group, hash-repartitioned BY group and written ``partitionBy``
+    group — one output file per group. The swap is
+    write-tmp-first / delete-originals / move-in (Hadoop FileSystem
+    API, storage-agnostic); a crash between delete and move leaves the
+    tmp directory intact for manual recovery — same non-transactional
+    caveat as ``compact_parquet``'s directory swap, documented there.
+    Returns ``{"groups_rewritten", "files_removed", "files_added"}``;
+    a second run under the same target is a no-op (every rewritten
+    group is now a single file).
+    """
+    inv = file_inventory(spark, path)
+    planned = plan_compaction(inv, target_bytes=target_bytes)
+    todo = (
+        compaction_summary(planned)
+        .filter(F.col("n_files") >= 2)
+        .orderBy(F.col("n_files").desc(), "group_id")
+        .limit(int(max_groups))
+        .select("group_id")
+    )
+    sel = planned.join(F.broadcast(todo), "group_id").select(
+        "group_id", "file_path"
+    )
+    rows = sel.collect()  # bounded: max_groups groups x files-per-group
+    if not rows:
+        return {"groups_rewritten": 0, "files_removed": 0, "files_added": 0}
+
+    paths = sorted({r.file_path for r in rows})
+    fmap = spark.createDataFrame(
+        [(r.group_id, r.file_path) for r in rows],
+        "group_id bigint, __path string",
+    )
+    df = (
+        spark.read.parquet(*paths)
+        .withColumn("__path", F.col("_metadata.file_path"))
+        .join(F.broadcast(fmap), "__path")
+        .drop("__path")
+    )
+    tmp = f"{path.rstrip('/')}__compact_groups"
+    (
+        df.repartition(F.col("group_id"))
+        .write.mode("overwrite")
+        .partitionBy("group_id")
+        .parquet(tmp)
+    )
+
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    target_dir = hadoop_path(path)
+    fs = target_dir.getFileSystem(jsc.hadoopConfiguration())
+    for p in paths:
+        fs.delete(hadoop_path(p), False)
+    added = 0
+    it = fs.listFiles(hadoop_path(tmp), True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if not name.endswith(".parquet"):
+            continue
+        gid = f.getPath().getParent().getName()  # "group_id=N"
+        fs.rename(
+            f.getPath(),
+            hadoop_path(f"{path.rstrip('/')}/compacted-{gid.split('=')[-1]}-{name}"),
+        )
+        added += 1
+    fs.delete(hadoop_path(tmp), True)
+    return {
+        "groups_rewritten": int(len({r.group_id for r in rows})),
+        "files_removed": len(paths),
+        "files_added": added,
+    }

@@ -38,6 +38,11 @@ def symbolize(mapping: Mapping[str, str], col: str | Column, default: str = "x")
         raise ValueError(f"symbols must be single characters, got {syms!r}")
     if len(set(mapping.values())) != len(mapping):
         raise ValueError(f"duplicate symbols in {mapping!r}")
+    if default in set(mapping.values()):
+        raise ValueError(
+            f"default symbol {default!r} collides with a mapped symbol — "
+            "unmapped values would silently count as that category"
+        )
     c = F.col(col) if isinstance(col, str) else col
     expr = F.lit(default)
     for value, sym in reversed(list(mapping.items())):
@@ -66,6 +71,10 @@ def journey_pattern_counts(
     """
     if not order_cols:
         raise ValueError("order_cols must pin a total order within each group")
+    reserved = {*group_cols, "journey", "journey_len"}
+    clash = reserved & set(patterns)
+    if clash:
+        raise ValueError(f"pattern names collide with output columns: {sorted(clash)}")
     ordered = events.select(
         *group_cols, F.struct(*order_cols, symbol.alias("__sym")).alias("__e")
     )

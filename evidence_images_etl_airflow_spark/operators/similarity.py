@@ -675,7 +675,11 @@ def retrieval_metrics(
     accumulation (the repo's cross-engine fp idiom), so the report is
     oracle-able bit-for-bit. Queries the approximate leg missed
     entirely still appear (zeros) via the left join from the truth
-    query set. Cost: joins over |queries| x k rows — broadcast-sized
+    query set. Normalization convention: the ideal DCG is that of a
+    FULL k-list — supply k ground-truth rows per query
+    (:func:`brute_force_topk` does whenever the corpus has k
+    non-self rows); with fewer, nDCG deflates conservatively rather
+    than inflating against a shrunken ideal. Cost: joins over |queries| x k rows — broadcast-sized
     next to either retrieval leg."""
     t = truth.filter(F.col("rank") <= k).select(
         "query_id", "neighbor_id", F.col("rank").alias("true_rank")

@@ -124,3 +124,76 @@ def test_file_inventory_reads_real_footers(spark):
     for r in inv:
         local = r.file_path.removeprefix("file://").removeprefix("file:")
         assert os.path.getsize(local) == r.file_bytes
+
+
+def test_symbolize_default_collision_and_pattern_name_clash(spark):
+    """r10 self-review: a default symbol equal to a mapped one would
+    silently count unmapped values as that category; a pattern named
+    like an output column would shadow it."""
+    with pytest.raises(ValueError, match="collides"):
+        symbolize({"view": "v"}, "event_type", default="v")
+    ev = spark.createDataFrame(
+        [(1, 1, 1, "view")],
+        "user_id long, ts_us long, event_id long, event_type string",
+    )
+    with pytest.raises(ValueError, match="collide with output"):
+        journey_pattern_counts(
+            ev, ["user_id"], ["ts_us", "event_id"],
+            symbolize({"view": "v"}, "event_type"),
+            patterns={"journey_len": "v"},
+        )
+
+
+def test_execute_compaction_incremental(spark, tmp_path):
+    """r10: incremental OPTIMIZE — rewrite only multi-file groups, one
+    output file per group, data byte-identical, second run a no-op."""
+    d = str(tmp_path / "tbl")
+    df = spark.range(1200).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    df.repartition(12).write.parquet(d)
+    before = spark.read.parquet(d)
+    assert before.rdd.getNumPartitions() >= 1
+    n_before = len([p for p in os.listdir(d) if p.endswith(".parquet")])
+    assert n_before == 12
+
+    from evidence_images_etl_airflow_spark.operators.maintenance import (
+        execute_compaction,
+    )
+
+    stats = execute_compaction(spark, d, target_bytes=1 << 30)
+    assert stats["groups_rewritten"] == 1
+    assert stats["files_removed"] == 12 and stats["files_added"] == 1
+    after = spark.read.parquet(d)
+    assert after.exceptAll(df).count() == 0 and df.exceptAll(after).count() == 0
+    n_after = len([p for p in os.listdir(d) if p.endswith(".parquet")])
+    assert n_after == 1
+
+    # second run: every group is a single file now -> no-op
+    stats2 = execute_compaction(spark, d, target_bytes=1 << 30)
+    assert stats2 == {
+        "groups_rewritten": 0, "files_removed": 0, "files_added": 0,
+    }
+
+
+def test_execute_compaction_respects_max_groups(spark, tmp_path):
+    """Bounded incremental batch: with max_groups=1 only the largest
+    group is rewritten; the rest of the layout is untouched."""
+    d = str(tmp_path / "tbl2")
+    spark.range(2000).select("id").repartition(10).write.parquet(d)
+    from evidence_images_etl_airflow_spark.operators.maintenance import (
+        execute_compaction,
+        file_inventory,
+    )
+
+    one_file = file_inventory(spark, d).agg(
+        F.max("file_bytes").alias("m")
+    ).first().m
+    # target ~ 3 files per group -> several multi-file groups
+    stats = execute_compaction(
+        spark, d, target_bytes=int(one_file * 3), max_groups=1
+    )
+    assert stats["groups_rewritten"] == 1
+    assert stats["files_removed"] >= 2 and stats["files_added"] == 1
+    total = spark.read.parquet(d).count()
+    assert total == 2000
