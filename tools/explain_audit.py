@@ -53,6 +53,8 @@ EXPECTED_CROSS = {
     "dq_benford_prices",  # 1-row grand-total aggregate broadcast
     "sketch_join_size_estimate",  # 1-row est x 1-row true-count report
     "join_autoplan_strategy",  # 3x 1-row joined-count aggregate broadcasts
+    "join_autoplan_sketch",  # same 3x 1-row joined-count broadcasts
+    "ann_ranking_metrics",  # query-batch broadcasts of both retrieval legs
 }
 
 
