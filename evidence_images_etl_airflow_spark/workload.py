@@ -10178,6 +10178,102 @@ def join_autoplan_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_session_journeys",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS te,
+             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                  WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e'
+                  WHEN 'signup' THEN 's' ELSE 'x' END AS sym
+      FROM events),
+    gaps AS (
+      SELECT user_id, event_id, te, sym,
+             CASE WHEN lag(te) OVER w IS NULL OR te - lag(te) OVER w
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY te, event_id)),
+    sess AS (
+      SELECT user_id, event_id, te, sym,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY te, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS sid
+      FROM gaps),
+    agg AS (
+      SELECT user_id, sid,
+             min(te) AS session_start_us, max(te) AS session_end_us,
+             CAST(count(*) AS BIGINT) AS n_events,
+             string_agg(sym, '' ORDER BY te, event_id) AS journey
+      FROM sess GROUP BY user_id, sid),
+    marked AS (
+      SELECT *, max(session_end_us) OVER (PARTITION BY user_id) AS last_end
+      FROM agg),
+    wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events)
+    SELECT user_id, session_start_us, session_end_us, n_events, journey,
+           CAST(len(regexp_extract_all(journey, 'v[cs]*p')) AS BIGINT)
+             AS n_conversions
+    FROM marked, wm
+    WHERE session_end_us < last_end
+       OR (session_end_us + 1800000000) // 1000 + 1 < wm_ms
+    """,
+)
+def streaming_session_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequence analytics: the applyInPandasWithState
+    sessionizer extended to accumulate each open session's symbol
+    journey in the state store
+    (streaming/stateful.journey_sessions_stateful) — the streaming
+    twin of events_pattern_journey composed with sessionization.
+    Emission contract identical to streaming_stateful_sessions
+    (closed-by-event or event-time timeout vs the final watermark);
+    the journey string is built in (ts_us, event_id) order inside the
+    state machine, and pattern counting stays OUTSIDE it — the
+    emitted journeys get a sink-side JVM regexp_count, exactly the
+    batch operator's hot path. The oracle replays sessionized,
+    order-pinned string_agg journeys plus the same watermark-close
+    predicate in SQL. Scale: state is one open session per key plus
+    its journey (bounded by the gap); each micro-batch shuffles only
+    its own events by key. NOTE: registered after the round-10 verify
+    head (rotation-slot rule); parity-proven locally at sf0.001 +
+    sf0.01; heads the r11 rotation."""
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from evidence_images_etl_airflow_spark.operators.sequence import symbolize
+    from evidence_images_etl_airflow_spark.streaming.stateful import (
+        journey_sessions_stateful,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parque*")
+    stream = stream.withColumn("ts_us", _event_micros(stream))
+    stream = stream.withColumn("ts_utc", F.timestamp_micros(F.col("ts_us")))
+    stream = stream.withColumn(
+        "sym",
+        symbolize(
+            {"view": "v", "click": "c", "purchase": "p", "error": "e",
+             "signup": "s"},
+            "event_type",
+        ),
+    )
+    name = f"journey_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        journey_sessions_stateful(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "*",
+        F.regexp_count(F.col("journey"), F.lit("v[cs]*p"))
+        .cast("bigint")
+        .alias("n_conversions"),
+    )
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================
