@@ -257,3 +257,51 @@ def weighted_reservoir_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def length_bucket_plan(
+    df: DataFrame,
+    length_col: str | Column,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Equal-width length bucketing for padded-batch planning: assign
+    each row ``bucket = min(n-1, len * n div (max_len + 1))`` (all
+    integer math against one broadcast 1-row max) and report, per
+    bucket, the padding economics a training/inference batcher cares
+    about — every sequence in a batch pays the batch's max length, so
+    ``padding_waste = max_len_in_bucket * n_rows - sum_len`` is the
+    FLOP overhead bucketing exists to remove. Compare the per-bucket
+    waste sum against the single-bucket (unbucketed) waste to price a
+    bucket count.
+
+    Scale: one aggregation for the max (broadcast, 1 row), one
+    groupBy over ``n_buckets`` keys with map-side combine — never a
+    global sort, unlike NTILE bucketing, which funnels 100 TB through
+    one window partition. Equal-width (not equal-count) is the right
+    shape for padding: waste is bounded by bucket WIDTH, and a skewed
+    length distribution concentrating rows in few buckets wastes
+    nothing extra — empty buckets are free."""
+    from pyspark.sql import functions as F
+
+    if int(n_buckets) <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    n = int(n_buckets)
+    c = F.col(length_col) if isinstance(length_col, str) else length_col
+    lens = df.select(c.cast("bigint").alias("len"))
+    mx = lens.agg(F.coalesce(F.max("len"), F.lit(0)).alias("max_len"))
+    bucketed = lens.crossJoin(F.broadcast(mx)).select(
+        "len",
+        F.least(
+            F.lit(n - 1),
+            F.expr(f"(len * {n}) div (max_len + 1)"),
+        ).cast("int").alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("len").cast("bigint").alias("min_len"),
+        F.max("len").cast("bigint").alias("max_len"),
+        F.sum("len").cast("bigint").alias("sum_len"),
+        (F.max("len") * F.count("*") - F.sum("len"))
+        .cast("bigint")
+        .alias("padding_waste"),
+    )

@@ -145,3 +145,48 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     return out.select(
         "check_name", F.col("violations").cast("long").alias("violations"), "n_rows"
     )
+
+
+def mad_outlier_screen(
+    df: DataFrame,
+    col: str,
+    k: float = 3.0,
+    cents_scale: int = 100,
+) -> DataFrame:
+    """Robust outlier screen on a monetary/metric column: median +
+    MAD (median absolute deviation), the estimator that doesn't move
+    when the outliers it hunts get bigger — unlike mean/stddev
+    z-scores (events_anomaly_zscore), which a single extreme row can
+    drag until it masks itself.
+
+    Exactness discipline: values are scaled to INTEGER units first
+    (``round(col * cents_scale)``), so both medians are interpolations
+    of integers — exact dyadic doubles that agree bit-for-bit across
+    engines, with no 6dp tolerance needed anywhere. Two exact-median
+    passes (Spark ``median`` is the exact sort-based percentile) + two
+    1-row broadcasts; at 100 TB swap ``median`` for
+    ``approx_percentile`` and accept the sketch bound — the screen's
+    decision threshold moves by at most the sketch error.
+
+    Returns one report row: n_rows, n_outliers (|x - med| > k * MAD),
+    median / MAD / cutoffs in original units (2dp)."""
+    v = df.select(
+        F.round(F.col(col) * cents_scale).cast("bigint").alias("c")
+    )
+    med = v.agg(F.median("c").alias("med"))
+    d = v.crossJoin(F.broadcast(med)).select(
+        "c", "med", F.abs(F.col("c") - F.col("med")).alias("dev")
+    )
+    mad = d.agg(F.median("dev").alias("mad"))
+    r = d.crossJoin(F.broadcast(mad))
+    s = float(cents_scale)
+    return r.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(
+            F.when(F.col("dev") > F.lit(k) * F.col("mad"), 1).otherwise(0)
+        ).cast("bigint").alias("n_outliers"),
+        F.round(F.max("med") / s, 2).alias("median_value"),
+        F.round(F.max("mad") / s, 2).alias("mad_value"),
+        F.round((F.max("med") - F.lit(k) * F.max("mad")) / s, 2).alias("lo_cut"),
+        F.round((F.max("med") + F.lit(k) * F.max("mad")) / s, 2).alias("hi_cut"),
+    )

@@ -10274,6 +10274,88 @@ def streaming_session_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "data_length_buckets",
+    oracle=f"""
+    WITH lens AS (SELECT CAST(len({_TOK}) AS BIGINT) AS len
+                  FROM documents),
+    mx AS (SELECT max(len) AS max_len FROM lens),
+    b AS (SELECT len,
+                 CAST(least(7, (len * 8) // (max_len + 1)) AS INT) AS bucket
+          FROM lens, mx)
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(len) AS BIGINT) AS min_len,
+           CAST(max(len) AS BIGINT) AS max_len,
+           CAST(sum(len) AS BIGINT) AS sum_len,
+           CAST(max(len) * count(*) - sum(len) AS BIGINT) AS padding_waste
+    FROM b GROUP BY bucket
+    """,
+)
+def data_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padded-batch planning (functions/partitioning.
+    length_bucket_plan): equal-width token-length buckets with
+    per-bucket padding economics — every sequence in a batch pays the
+    batch max, so padding_waste = max*n - sum is the FLOP overhead
+    bucketed batching removes. All integer math against ONE broadcast
+    1-row max; a groupBy over 8 keys with map-side combine — never
+    the global-sort NTILE funnel. Equal-width (not equal-count) is
+    the right shape for padding: waste is bounded by bucket WIDTH and
+    empty buckets are free. NOTE: registered after the round-10
+    verify head (rotation-slot rule); parity-proven locally at
+    sf0.001 + sf0.01; heads the r11 rotation."""
+    from evidence_images_etl_airflow_spark.functions.partitioning import (
+        length_bucket_plan,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    lens = d.select(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
+    )
+    return length_bucket_plan(lens, "n_tokens", n_buckets=8)
+
+
+@register(
+    "dq_mad_outliers",
+    oracle="""
+    WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+               FROM orders),
+    m AS (SELECT quantile_cont(c, 0.5) AS med FROM v),
+    d AS (SELECT c, med, abs(c - med) AS dev FROM v, m),
+    md AS (SELECT quantile_cont(dev, 0.5) AS mad FROM d)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           round(max(med) / 100, 2) AS median_value,
+           round(max(mad) / 100, 2) AS mad_value,
+           round((max(med) - 3.0 * max(mad)) / 100, 2) AS lo_cut,
+           round((max(med) + 3.0 * max(mad)) / 100, 2) AS hi_cut
+    FROM d, md
+    """,
+)
+def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen (operators/quality.mad_outlier_screen):
+    median + MAD on order totals — the estimator a single extreme row
+    cannot drag into masking itself, unlike the mean/stddev z-score
+    screen (events_anomaly_zscore). Values scale to integer cents
+    first so both exact medians are interpolations of integers —
+    dyadic doubles that agree bit-for-bit across engines with no
+    tolerance band (the deterministic-sketch discipline applied to
+    order statistics). Two exact-median passes + two 1-row
+    broadcasts; at 100 TB swap in approx_percentile and the decision
+    threshold moves by at most the sketch bound. NOTE: registered
+    after the round-10 verify head (rotation-slot rule);
+    parity-proven locally at sf0.001 + sf0.01; heads the r11
+    rotation."""
+    from evidence_images_etl_airflow_spark.operators.quality import (
+        mad_outlier_screen,
+    )
+
+    return mad_outlier_screen(
+        _t(spark, sf_dir, "orders"), "o_totalprice", k=3.0
+    )
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================

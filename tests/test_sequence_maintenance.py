@@ -197,3 +197,43 @@ def test_execute_compaction_respects_max_groups(spark, tmp_path):
     assert stats["files_removed"] >= 2 and stats["files_added"] == 1
     total = spark.read.parquet(d).count()
     assert total == 2000
+
+
+def test_length_bucket_plan_hand_case(spark):
+    """Equal-width buckets over lengths 1..8 with max 8, n=4:
+    bucket = min(3, len*4 div 9)."""
+    from evidence_images_etl_airflow_spark.functions.partitioning import (
+        length_bucket_plan,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(1, 9)], "l long")
+    got = {
+        r.bucket: (r.n_rows, r.min_len, r.max_len, r.padding_waste)
+        for r in length_bucket_plan(df, "l", n_buckets=4).collect()
+    }
+    # len*4//9: 1,2->0; 3,4->1; 5,6->2; 7,8->3
+    assert got == {
+        0: (2, 1, 2, 1), 1: (2, 3, 4, 1), 2: (2, 5, 6, 1), 3: (2, 7, 8, 1),
+    }
+    with pytest.raises(ValueError, match="n_buckets"):
+        length_bucket_plan(df, "l", n_buckets=0)
+
+
+def test_mad_outlier_screen_hand_case(spark):
+    """9 values around 10.00 plus one 1000.00 outlier: median 10.00,
+    MAD driven by the 0.50-step spread; the z-score screen's mean
+    would be dragged to ~109 — MAD is not."""
+    from evidence_images_etl_airflow_spark.operators.quality import (
+        mad_outlier_screen,
+    )
+
+    vals = [9.50, 9.50, 10.00, 10.00, 10.00, 10.00, 10.50, 10.50, 11.00,
+            1000.00]
+    df = spark.createDataFrame([(v,) for v in vals], "price double")
+    r = mad_outlier_screen(df, "price", k=3.0).first()
+    assert r.n_rows == 10
+    assert r.median_value == 10.0
+    # deviations in cents: 50,50,0,0,0,0,50,50,100,99000 -> median 50
+    assert r.mad_value == 0.5
+    assert (r.lo_cut, r.hi_cut) == (8.5, 11.5)
+    assert r.n_outliers == 1  # only the 1000.00 row

@@ -55,6 +55,8 @@ EXPECTED_CROSS = {
     "join_autoplan_strategy",  # 3x 1-row joined-count aggregate broadcasts
     "join_autoplan_sketch",  # same 3x 1-row joined-count broadcasts
     "ann_ranking_metrics",  # query-batch broadcasts of both retrieval legs
+    "data_length_buckets",  # 1-row max-length aggregate broadcast
+    "dq_mad_outliers",  # 1-row median + 1-row MAD broadcasts
 }
 
 
