@@ -105,12 +105,18 @@ def main() -> None:
     # best-of-2 per query: steady-state throughput, not a one-shot
     # sample — this host is shared and a single pass can catch a
     # noisy-neighbor spike (measured 4x swings on identical plans)
+    # opt-in experiment (r10): a JVM full-GC hint before each timing,
+    # probing whether cross-query heap pressure (graph_triangle_stats
+    # measures ~60% above its solo time in-sweep) is reclaimable
+    gc_between = os.environ.get("SPARK_GRAFT_GC_BETWEEN") == "1"
     timings: dict[str, float] = {}
     for _ in range(2):
         # drop persisted intermediates so pass 2 recomputes the same
         # work instead of reading pass 1's cache
         spark.catalog.clearCache()
         for name, fn in qs.items():
+            if gc_between:
+                spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
