@@ -10492,5 +10492,11 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
+# r11 promotion candidates (headline requires a committed green
+# CORRECTNESS row first — test_pipeline.py guard): once the r10 driver
+# rows land, promote `join_autoplan_strategy` (the planner surface) and
+# `events_pattern_journey` (the sequence-analytics family) — one
+# representative per new family, keeping the headline set
+# representative rather than exhaustive.
 def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items() if q.headline}
