@@ -327,3 +327,24 @@ def merge_publish(
         return publish(spark, updates, table)
     merged = merge_upsert(read_latest(spark, table), updates, keys, update_cols)
     return publish(spark, merged, table)
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table: str,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str],
+):
+    """Change data feed between two published versions:
+    ``operators/recon.table_diff`` over ``read_version`` of each — the
+    time-travel question ("what changed between v3 and v7?") the
+    pointer-file layout can answer without any change log, because
+    every version's full snapshot is retained until vacuum."""
+    from evidence_images_etl_airflow_spark.operators.recon import table_diff
+
+    return table_diff(
+        read_version(spark, table, v_from),
+        read_version(spark, table, v_to),
+        key_cols,
+    )

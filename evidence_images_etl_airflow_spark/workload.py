@@ -10492,6 +10492,81 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
+@register(
+    "recon_table_diff",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    v2 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM o WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT -o_orderkey, o_orderstatus, o_totalprice
+      FROM o WHERE o_orderkey % 103 = 0),
+    j AS (SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                 a.o_orderstatus AS pre_s, a.o_totalprice AS pre_p,
+                 b.o_orderstatus AS post_s, b.o_totalprice AS post_p,
+                 a.o_orderkey IS NULL AS ins, b.o_orderkey IS NULL AS del
+          FROM o a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey),
+    c AS (SELECT o_orderkey,
+                 CASE WHEN ins THEN 'insert' WHEN del THEN 'delete'
+                      WHEN pre_s IS DISTINCT FROM post_s
+                        OR pre_p IS DISTINCT FROM post_p THEN 'update'
+                 END AS change_type,
+                 COALESCE(post_s, pre_s) AS o_orderstatus,
+                 round(COALESCE(post_p, pre_p), 2) AS total_price
+          FROM j)
+    SELECT * FROM c WHERE change_type IS NOT NULL
+    """,
+)
+def recon_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot change-data-feed (operators/recon.table_diff +
+    sinks/versioned.snapshot_diff): full-outer key join classifies
+    every row as insert/delete/update with NULL-SAFE struct payload
+    comparison — no hash-collision caveat — emitting post-images for
+    insert/update and pre-images for delete, the compact form a
+    downstream MERGE consumes. Here v2 is derived deterministically
+    from orders (~1% deletes at key%97, ~1% price updates at key%101,
+    ~1% inserts as negated keys at key%103) so the classification is
+    oracle-able bit-for-bit; the versioned-table wrapper
+    (snapshot_diff over read_version) is unit-tested against publish
+    history. ONE shuffle on the key — the same co-partitioning a
+    bucketed snapshot layout makes exchange-free. Complements
+    recon's bucket checksums: checksums prove equality cheaply,
+    table_diff names the rows when they don't. NOTE: registered after
+    the round-10 verify head (rotation-slot rule); parity-proven
+    locally at sf0.001 + sf0.01; heads the r11 rotation."""
+    from evidence_images_etl_airflow_spark.operators.recon import table_diff
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 103 == 0).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    d = table_diff(o, v2, ["o_orderkey"])
+    return d.select(
+        "o_orderkey",
+        "change_type",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total_price"),
+    )
+
+
 # r11 promotion candidates (headline requires a committed green
 # CORRECTNESS row first — test_pipeline.py guard): once the r10 driver
 # rows land, promote `join_autoplan_strategy` (the planner surface) and

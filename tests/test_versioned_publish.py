@@ -243,3 +243,47 @@ def test_write_training_shards_null_shard_partition(spark, tmp_path):
     assert m["total_rows"] == 3
     assert m["shards"]["__HIVE_DEFAULT_PARTITION__"]["rows"] == 1
     assert m["shards"]["0"]["rows"] == 2
+
+
+def test_table_diff_classifies_changes(spark):
+    """r10: CDF classification — insert/delete/update with null-safe
+    payload comparison (NULL->value and value->NULL are updates)."""
+    from evidence_images_etl_airflow_spark.operators.recon import table_diff
+
+    before = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "id long, s string, v double",
+    )
+    after = spark.createDataFrame(
+        [(1, "a", 10.0),      # unchanged -> dropped
+         (2, "b", 20.0),      # NULL -> value: update
+         (3, None, 30.0),     # value -> NULL: update
+         (5, "e", 50.0)],     # new key: insert  (4 deleted)
+        "id long, s string, v double",
+    )
+    got = {r.id: r for r in table_diff(before, after, ["id"]).collect()}
+    assert set(got) == {2, 3, 4, 5}
+    assert got[2].change_type == "update" and got[2].v == 20.0
+    assert got[3].change_type == "update" and got[3].s is None
+    assert got[4].change_type == "delete" and got[4].s == "d"  # pre-image
+    assert got[5].change_type == "insert" and got[5].s == "e"
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="non-key schemas differ"):
+        table_diff(before, after.withColumnRenamed("v", "w"), ["id"])
+    with _pt.raises(ValueError, match="non-key column"):
+        table_diff(before.select("id"), after.select("id"), ["id"])
+
+
+def test_snapshot_diff_between_published_versions(spark, table):
+    """snapshot_diff answers 'what changed between v1 and v2' from
+    retained snapshots alone — no change log."""
+    r1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    r2 = spark.createDataFrame([(2, "B"), (3, "c")], "id long, s string")
+    v1 = V.publish(spark, r1, table)
+    v2 = V.publish(spark, r2, table)
+    got = {
+        r.id: r.change_type
+        for r in V.snapshot_diff(spark, table, v1, v2, ["id"]).collect()
+    }
+    assert got == {1: "delete", 2: "update", 3: "insert"}
