@@ -723,3 +723,61 @@ def retrieval_metrics(
             6,
         ).alias(f"ndcg_at_{k}"),
     )
+
+
+def rrf_fuse(
+    legs: dict,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of multiple retrieval legs — the
+    standard hybrid-search combiner (lexical BM25 + vector ANN, or any
+    mix): each leg contributes ``1/(k + rank)`` per candidate, summed.
+    RRF needs no score calibration between legs (ranks only), which is
+    why it is the default fusion everywhere from Elastic to vector
+    DBs; k=60 is the constant from the original Cormack et al. TREC
+    work.
+
+    ``legs`` maps leg name -> DataFrame carrying ``(id_col,
+    rank_col)``; output: one row per candidate with each leg's rank
+    (``<name>_rank``, NULL where absent), the fused ``rrf_score``
+    (per-term 6dp rounding + exact DECIMAL accumulation — the
+    cross-engine fp idiom) and ``fused_rank`` (score desc, id asc).
+    Scale: the union is bounded by Σ leg top-k — tens of rows per
+    query — so the global fusion window is free; the heavy lifting
+    stays in the legs."""
+    if not legs:
+        raise ValueError("rrf_fuse needs at least one leg")
+    parts = []
+    for name, df in legs.items():
+        parts.append(
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(rank_col).cast("bigint").alias("rank"),
+                F.lit(name).alias("leg"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    term = F.round(F.lit(1.0) / (F.lit(int(k)) + F.col("rank")), 6).cast(
+        "decimal(18,6)"
+    )
+    aggs = [F.sum(term).alias("__score")] + [
+        F.max(F.when(F.col("leg") == name, F.col("rank"))).alias(f"{name}_rank")
+        for name in legs
+    ]
+    fused = u.groupBy("id").agg(*aggs)
+    w = Window.orderBy(F.col("__score").desc(), F.col("id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= int(top))
+        .select(
+            F.col("id").alias(id_col),
+            *[F.col(f"{name}_rank") for name in legs],
+            F.round(F.col("__score").cast("double"), 6).alias("rrf_score"),
+            F.col("fused_rank").cast("bigint").alias("fused_rank"),
+        )
+    )

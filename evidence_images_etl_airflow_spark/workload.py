@@ -10567,6 +10567,101 @@ def recon_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "retrieval_hybrid_rrf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, tok AS term FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) AS tok
+        FROM documents) WHERE tok <> ''),
+    dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+           WHERE term IN ('vector','stream','merge') GROUP BY doc_id, term),
+    idf AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM toks
+            WHERE term IN ('vector','stream','merge') GROUP BY term),
+    lexs AS (
+      SELECT doc_id, score FROM (
+        SELECT tf.doc_id,
+               round(sum(ln((stats.n_docs - idf.df + 0.5) / (idf.df + 0.5) + 1)
+                         * tf.tf * ({_BM25_K1} + 1)
+                         / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))),
+                     4) AS score
+        FROM tf
+        JOIN idf ON tf.term = idf.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id)
+      ORDER BY score DESC, doc_id LIMIT 20),
+    lex AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+            FROM lexs),
+    e AS (SELECT vec_id, embedding, {_norm_expr_sql()} AS nrm FROM embeddings),
+    q AS (SELECT vec_id, embedding, nrm FROM e WHERE vec_id = 0),
+    vs AS (SELECT c.vec_id AS doc_id,
+                  round({_cos_nrm_sql('q', 'c')}, 6) AS cs
+           FROM e c CROSS JOIN q WHERE c.vec_id <> q.vec_id),
+    vec AS (SELECT doc_id, rank FROM (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY cs DESC, doc_id) AS rank
+              FROM vs)
+            WHERE rank <= 20),
+    u AS (SELECT doc_id, rank, 'lex' AS leg FROM lex
+          UNION ALL
+          SELECT doc_id, rank, 'vec' AS leg FROM vec),
+    f AS (SELECT doc_id,
+                 SUM(CAST(round(CAST(1 AS DOUBLE) / (60 + rank), 6)
+                          AS DECIMAL(18,6))) AS score,
+                 max(CASE WHEN leg = 'lex' THEN rank END) AS lex_rank,
+                 max(CASE WHEN leg = 'vec' THEN rank END) AS vec_rank
+          FROM u GROUP BY doc_id),
+    r AS (SELECT doc_id, lex_rank, vec_rank,
+                 round(CAST(score AS DOUBLE), 6) AS rrf_score,
+                 row_number() OVER (ORDER BY score DESC, doc_id)
+                   AS fused_rank
+          FROM f)
+    SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(vec_rank AS BIGINT) AS vec_rank, rrf_score,
+           CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM r WHERE fused_rank <= 10
+    """,
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search (operators/similarity.rrf_fuse): reciprocal-rank
+    fusion of the BM25 lexical leg (text_bm25_search's exact scoring,
+    top-20) and the exact vector leg (brute_force_topk for the
+    vec_id=0 query, top-20) over the shared doc/vec id space — the
+    standard no-calibration combiner (1/(60+rank) per leg, Cormack et
+    al.) that every hybrid retrieval stack ships. Per-term 6dp
+    rounding + exact DECIMAL accumulation keeps the fused ranking
+    engine-reproducible; the fusion window runs over at most
+    Σ leg top-k rows, so all heavy lifting stays in the legs (one tf
+    shuffle, one broadcast corpus scan). NOTE: registered after the
+    round-10 verify head (rotation-slot rule); parity-proven locally
+    at sf0.001 + sf0.01; heads the r11 rotation."""
+    from evidence_images_etl_airflow_spark.operators.similarity import (
+        brute_force_topk,
+        rrf_fuse,
+    )
+
+    lex20 = text_bm25_search(spark, sf_dir)
+    lex = lex20.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .alias("rank"),
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=20
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse(
+        {"lex": lex, "vec": vec}, id_col="doc_id", rank_col="rank",
+        k=60, top=10,
+    )
+
+
 # r11 promotion candidates (headline requires a committed green
 # CORRECTNESS row first — test_pipeline.py guard): once the r10 driver
 # rows land, promote `join_autoplan_strategy` (the planner surface) and

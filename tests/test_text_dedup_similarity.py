@@ -763,3 +763,31 @@ def test_prefix_filter_immune_to_hot_shingles(spark):
     assert capped.count() == 0  # df=11 > cap: every true pair lost
     pf = prefix_filter_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.9)
     assert pf.count() == 55  # all C(11,2) identical pairs found
+
+
+def test_rrf_fuse_hand_case(spark):
+    """r10: reciprocal-rank fusion — doc in both legs outranks either
+    leg's solo #1; per-leg ranks surfaced, absences NULL."""
+    from evidence_images_etl_airflow_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank long"
+    )
+    vec = spark.createDataFrame(
+        [(20, 1), (40, 2), (30, 3)], "doc_id long, rank long"
+    )
+    out = {r.doc_id: r for r in rrf_fuse(
+        {"lex": lex, "vec": vec}, top=4
+    ).collect()}
+    # doc 20: 1/62 + 1/61 beats doc 10 (1/61) and doc 30 (2/63)
+    assert out[20].fused_rank == 1
+    assert out[20].lex_rank == 2 and out[20].vec_rank == 1
+    assert out[30].fused_rank == 2  # 1/63 + 1/63 = 0.031746
+    assert abs(out[30].rrf_score - 0.031746) < 1e-9
+    assert out[10].vec_rank is None and out[40].lex_rank is None
+    # deterministic tie-break: 10 and 40 tie at 1/61 vs 1/62 -> 10 first
+    assert out[10].fused_rank == 3 and out[40].fused_rank == 4
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="at least one leg"):
+        rrf_fuse({})

@@ -57,6 +57,7 @@ EXPECTED_CROSS = {
     "ann_ranking_metrics",  # query-batch broadcasts of both retrieval legs
     "data_length_buckets",  # 1-row max-length aggregate broadcast
     "dq_mad_outliers",  # 1-row median + 1-row MAD broadcasts
+    "retrieval_hybrid_rrf",  # BM25 stats + vector query-batch broadcasts
 }
 
 
