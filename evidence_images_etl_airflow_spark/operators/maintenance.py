@@ -103,6 +103,7 @@ def execute_compaction(
     path: str,
     target_bytes: int = 128 << 20,
     max_groups: int = 100,
+    small_file_bytes: int | None = None,
 ) -> dict:
     """INCREMENTAL compaction: rewrite only the merge groups that
     actually contain >= 2 files, leaving already-compact files
@@ -128,7 +129,18 @@ def execute_compaction(
     a second run under the same target is a no-op (every rewritten
     group is now a single file).
     """
-    inv = file_inventory(spark, path)
+    # Only files BELOW the small-file threshold enter the plan (the
+    # Delta/Iceberg OPTIMIZE minFileSize semantics): an
+    # already-target-sized file must never be rewritten just because it
+    # sits path-adjacent to a small-file run — without this filter the
+    # offset binning absorbs big neighbors into small-tail groups and
+    # the "incremental" pass degrades toward a whole-table rewrite
+    # (measured in SCALING.md round-10).
+    if small_file_bytes is None:
+        small_file_bytes = int(target_bytes) // 2
+    inv = file_inventory(spark, path).filter(
+        F.col("file_bytes") < int(small_file_bytes)
+    )
     planned = plan_compaction(inv, target_bytes=target_bytes)
     todo = (
         compaction_summary(planned)

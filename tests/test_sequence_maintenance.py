@@ -237,3 +237,29 @@ def test_mad_outlier_screen_hand_case(spark):
     assert r.mad_value == 0.5
     assert (r.lo_cut, r.hi_cut) == (8.5, 11.5)
     assert r.n_outliers == 1  # only the 1000.00 row
+
+
+def test_execute_compaction_skips_big_files(spark, tmp_path):
+    """r10 A/B finding: files at-or-above the small-file threshold must
+    never be rewritten just because they neighbor a small-file run —
+    OPTIMIZE minFileSize semantics."""
+    d = str(tmp_path / "tbl3")
+    # one big file + 10 tiny files
+    spark.range(500_000).select("id").coalesce(1).write.parquet(d)
+    spark.range(500_000, 501_000).select("id").repartition(10).write.mode(
+        "append"
+    ).parquet(d)
+    from evidence_images_etl_airflow_spark.operators.maintenance import (
+        execute_compaction,
+        file_inventory,
+    )
+
+    big = file_inventory(spark, d).agg(F.max("file_bytes").alias("m")).first().m
+    stats = execute_compaction(
+        spark, d, target_bytes=1 << 30, small_file_bytes=big,  # big excluded
+    )
+    assert stats["groups_rewritten"] == 1
+    assert stats["files_removed"] == 10 and stats["files_added"] == 1
+    inv = {r.file_bytes for r in file_inventory(spark, d).collect()}
+    assert big in inv  # the big file is byte-untouched
+    assert spark.read.parquet(d).count() == 501_000
