@@ -147,3 +147,46 @@ def token_budget_allocation(
             F.round(F.col("allocated_tokens") / F.col("available_tokens"), 6),
         )
     )
+
+
+def select_token_budget(
+    docs: DataFrame,
+    alloc: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    alloc_col: str = "allocated_tokens",
+) -> DataFrame:
+    """EXECUTE a token allocation (the step after
+    :func:`token_budget_allocation` plans one): per source, select the
+    deterministic pseudo-random document prefix whose cumulative
+    tokens stay within the allocation.
+
+    Order within a source is ``(md5(id), id)`` — a content hash, so
+    the selection is reproducible across runs/engines and unbiased
+    with respect to any meaningful document ordering (ingest time,
+    quality rank), which a naive ``ORDER BY id`` prefix is not. A
+    document whose inclusion would cross the budget is dropped (strict
+    prefix — the same never-overshoot contract the waterfill's epoch
+    cap makes; undershoot is at most one document's tokens per
+    source).
+
+    ``alloc`` carries ``(source_col, alloc_col)`` — feed it the
+    waterfill plan's output to close the plan→execute loop, or any
+    hand-set quota table. Returns the selected rows with
+    ``cum_tokens`` attached. Scale: one window per source partition
+    over the docs (the shuffle a per-source quota fundamentally
+    requires) + a broadcast of the allocation table (|sources| rows).
+    """
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(tokens_col)).over(w).cast("bigint")
+    return (
+        docs.join(F.broadcast(alloc), source_col)
+        .withColumn("cum_tokens", cum)
+        .filter(F.col("cum_tokens") <= F.col(alloc_col))
+        .drop(alloc_col)
+    )

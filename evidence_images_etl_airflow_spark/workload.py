@@ -10662,6 +10662,69 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mixture_select_budget",
+    oracle=f"""
+    WITH d AS (SELECT source, doc_id,
+                      CAST(len({_TOK}) AS BIGINT) AS n_tokens
+               FROM documents),
+    c AS (SELECT source, doc_id, n_tokens,
+                 CAST(SUM(n_tokens) OVER (
+                        PARTITION BY source
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_tokens
+          FROM d),
+    s AS (SELECT * FROM c WHERE cum_tokens <= 2000)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(cum_tokens) AS BIGINT) AS tokens_selected,
+           round(CAST(max(cum_tokens) AS DOUBLE) / 2000, 6) AS utilization
+    FROM s GROUP BY source
+    """,
+)
+def mixture_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTION of a token allocation (operators/mixture.
+    select_token_budget) — the step the waterfill planner
+    (data_token_budget_mixture) stops short of: per source, select
+    the deterministic pseudo-random document prefix whose cumulative
+    tokens stay within the quota. Order is (md5(doc_id), doc_id) — a
+    content hash, reproducible across engines and unbiased w.r.t.
+    ingest order or quality rank, where a naive ORDER BY id prefix is
+    not; a document that would cross the budget is dropped (strict
+    prefix, never-overshoot). Here the quota table is a uniform
+    2000-token budget per source so the selection math is oracled
+    bit-for-bit; feeding the waterfill plan's allocated_tokens column
+    instead is the composition the operator exists for. One window
+    per source partition + a broadcast |sources|-row quota table.
+    NOTE: registered after the round-10 verify head (rotation-slot
+    rule); parity-proven locally at sf0.001 + sf0.01; heads the r11
+    rotation."""
+    from evidence_images_etl_airflow_spark.operators.mixture import (
+        select_token_budget,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    alloc = (
+        d.select("source")
+        .distinct()
+        .withColumn("allocated_tokens", F.lit(2000).cast("bigint"))
+    )
+    sel = select_token_budget(d, alloc)
+    return sel.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.max("cum_tokens").cast("bigint").alias("tokens_selected"),
+        F.round(F.max("cum_tokens").cast("double") / 2000, 6).alias(
+            "utilization"
+        ),
+    )
+
+
 # r11 promotion candidates (headline requires a committed green
 # CORRECTNESS row first — test_pipeline.py guard): once the r10 driver
 # rows land, promote `join_autoplan_strategy` (the planner surface) and

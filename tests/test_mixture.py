@@ -83,3 +83,35 @@ def test_waterfill_budget_exactly_total_caps(spark):
     total = sum(r.allocated_tokens for r in got.values())
     assert total == 2200
     assert all(r.capped for r in got.values())
+
+
+def test_select_token_budget_strict_prefix(spark):
+    """r10: the executor takes the md5-ordered prefix within quota; a
+    doc that would cross the budget is dropped (never-overshoot), and
+    selection is deterministic across runs."""
+    from evidence_images_etl_airflow_spark.operators.mixture import (
+        select_token_budget,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [("a", i, 40) for i in range(10)] + [("b", 100, 500)],
+        "source string, doc_id long, n_tokens long",
+    )
+    alloc = spark.createDataFrame(
+        [("a", 100), ("b", 100)], "source string, allocated_tokens long"
+    )
+    sel = select_token_budget(docs, alloc)
+    rows = sel.collect()
+    a = [r for r in rows if r.source == "a"]
+    # 100-token quota over 40-token docs -> exactly 2 selected (80 <= 100,
+    # a third would reach 120)
+    assert len(a) == 2 and max(r.cum_tokens for r in a) == 80
+    # source b's only doc (500 tokens) overshoots -> nothing selected
+    assert not [r for r in rows if r.source == "b"]
+    # deterministic: same selection on a rerun
+    again = {(r.source, r.doc_id) for r in select_token_budget(docs, alloc).collect()}
+    assert again == {(r.source, r.doc_id) for r in rows}
+    # never exceeds quota
+    j = sel.groupBy("source").agg(F.max("cum_tokens").alias("m")).collect()
+    assert all(r.m <= 100 for r in j)
