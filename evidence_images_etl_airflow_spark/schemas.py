@@ -165,3 +165,118 @@ def ddl_for(table: str) -> str:
     schema = REGISTRY[table]
     cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
     return f"CREATE TABLE IF NOT EXISTS {table} ({cols}) USING parquet"
+
+
+# --- schema evolution (r10) -------------------------------------------------
+# Safe-widening rules, Iceberg's evolution matrix: int family widens up,
+# float->double, decimal grows precision at FIXED scale. Nothing lossy
+# (long->double drops precision above 2^53 and is NOT allowed), nothing
+# narrowing. A long-lived 100 TB table's readers see old files through
+# the evolved schema, so only promotions every engine can apply at scan
+# time belong here.
+_INT_ORDER = ["byte", "short", "int", "long"]
+
+
+def _widen_atomic(a: T.DataType, b: T.DataType) -> T.DataType | None:
+    """Least common SAFELY-widened type of two atomic types, or None
+    when no lossless promotion exists."""
+    if a == b:
+        return a
+    sa, sb = a.simpleString(), b.simpleString()
+    ints = {"tinyint": "byte", "smallint": "short", "integer": "int",
+            "bigint": "long"}
+    sa, sb = ints.get(sa, sa), ints.get(sb, sb)
+    if sa in _INT_ORDER and sb in _INT_ORDER:
+        return {
+            "byte": T.ByteType(), "short": T.ShortType(),
+            "int": T.IntegerType(), "long": T.LongType(),
+        }[_INT_ORDER[max(_INT_ORDER.index(sa), _INT_ORDER.index(sb))]]
+    if {sa, sb} == {"float", "double"}:
+        return T.DoubleType()
+    if isinstance(a, T.DecimalType) and isinstance(b, T.DecimalType):
+        if a.scale == b.scale:
+            return T.DecimalType(max(a.precision, b.precision), a.scale)
+        return None
+    return None
+
+
+def merge_schemas(a: T.StructType, b: T.StructType) -> T.StructType:
+    """Union of two schema versions with per-field safe widening:
+    fields present in both must widen to a common type (ValueError
+    otherwise — silent narrowing/coercion is how long-lived tables rot);
+    fields in only one side come through nullable. Field order: a's
+    fields first, then b's additions — deterministic, so repeated
+    merges are stable."""
+    out: list[T.StructField] = []
+    b_by_name = {f.name.lower(): f for f in b.fields}
+    seen = set()
+    for f in a.fields:
+        other = b_by_name.get(f.name.lower())
+        if other is None:
+            out.append(T.StructField(f.name, f.dataType, True))
+        else:
+            seen.add(f.name.lower())
+            w = _widen_atomic(f.dataType, other.dataType)
+            if w is None:
+                raise ValueError(
+                    f"no safe widening for {f.name!r}: "
+                    f"{f.dataType.simpleString()} vs "
+                    f"{other.dataType.simpleString()}"
+                )
+            out.append(
+                T.StructField(f.name, w, f.nullable or other.nullable)
+            )
+    for f in b.fields:
+        if f.name.lower() not in seen and f.name.lower() not in {
+            x.name.lower() for x in a.fields
+        }:
+            out.append(T.StructField(f.name, f.dataType, True))
+    return T.StructType(out)
+
+
+def evolve_to(df, target: T.StructType):
+    """Cast a frame to an evolved target schema: existing columns must
+    widen safely (ValueError otherwise), missing columns are added as
+    typed NULLs, extra columns are rejected (an unplanned column in a
+    long-lived pipeline is a bug, not data — project it away
+    explicitly upstream). Case-insensitive matching, same as the
+    projection operator (reference filter_columns.py:10)."""
+    from pyspark.sql import functions as F
+
+    have = {c.lower(): c for c in df.columns}
+    want = {f.name.lower() for f in target.fields}
+    extra = [c for c in df.columns if c.lower() not in want]
+    if extra:
+        raise ValueError(f"unplanned columns {extra!r} — project away first")
+    cols = []
+    for f in target.fields:
+        src = have.get(f.name.lower())
+        if src is None:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            continue
+        cur = df.schema[src].dataType
+        if _widen_atomic(cur, f.dataType) != f.dataType:
+            raise ValueError(
+                f"cannot safely evolve {src!r} "
+                f"{cur.simpleString()} -> {f.dataType.simpleString()}"
+            )
+        cols.append(F.col(src).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+def union_evolved(frames):
+    """Union frames written under different schema versions: merge all
+    their schemas pairwise (safe widening + additions), evolve each
+    frame to the merged shape, unionByName. The read-side half of
+    schema evolution — how a decade of parquet vintages is scanned as
+    one table."""
+    frames = list(frames)
+    if not frames:
+        raise ValueError("union_evolved needs at least one frame")
+    merged = frames[0].schema
+    for f in frames[1:]:
+        merged = merge_schemas(merged, f.schema)
+    out = evolve_to(frames[0], merged)
+    for f in frames[1:]:
+        out = out.unionByName(evolve_to(f, merged))
+    return out

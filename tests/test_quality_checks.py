@@ -235,3 +235,63 @@ def test_mad_resists_the_outlier_that_moves_the_mean(spark):
     # while the classical mean shifts by ~110 with one point
     import statistics
     assert statistics.mean(with_spike) - statistics.mean(base) > 100
+
+
+def test_schema_evolution_widening(spark):
+    """r10: Iceberg-matrix safe widening — int family up, float->double,
+    decimal precision growth at fixed scale; lossy promotions refused."""
+    import pytest as _pt
+    from pyspark.sql import types as T
+
+    from evidence_images_etl_airflow_spark import schemas as S
+
+    a = T.StructType([
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("v", T.FloatType(), True),
+        T.StructField("d", T.DecimalType(10, 2), True),
+        T.StructField("only_a", T.StringType(), True),
+    ])
+    b = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("v", T.DoubleType(), True),
+        T.StructField("d", T.DecimalType(14, 2), True),
+        T.StructField("only_b", T.StringType(), True),
+    ])
+    m = S.merge_schemas(a, b)
+    got = {f.name: f.dataType.simpleString() for f in m.fields}
+    assert got == {"id": "bigint", "v": "double", "d": "decimal(14,2)",
+                   "only_a": "string", "only_b": "string"}
+    # long -> double is lossy above 2^53: refused
+    with _pt.raises(ValueError, match="no safe widening"):
+        S.merge_schemas(
+            T.StructType([T.StructField("x", T.LongType())]),
+            T.StructType([T.StructField("x", T.DoubleType())]),
+        )
+    # decimal scale change: refused
+    with _pt.raises(ValueError, match="no safe widening"):
+        S.merge_schemas(
+            T.StructType([T.StructField("x", T.DecimalType(10, 2))]),
+            T.StructType([T.StructField("x", T.DecimalType(10, 3))]),
+        )
+
+
+def test_union_evolved_reads_vintages_as_one_table(spark):
+    """Two schema vintages (int id + float v) vs (long id + new col)
+    scan as one evolved table; unplanned columns are rejected."""
+    import pytest as _pt
+    from pyspark.sql import types as T
+
+    from evidence_images_etl_airflow_spark import schemas as S
+
+    v1 = spark.createDataFrame([(1, 1.5)], "id int, v float")
+    v2 = spark.createDataFrame([(2**40, "x")], "id long, tag string")
+    u = S.union_evolved([v1, v2])
+    assert [f.simpleString() for f in u.schema.fields] == [
+        "id:bigint", "v:float", "tag:string"
+    ]
+    rows = {r.id: (r.v, r.tag) for r in u.collect()}
+    assert rows[1] == (1.5, None)
+    assert rows[2**40] == (None, "x")
+
+    with _pt.raises(ValueError, match="unplanned columns"):
+        S.evolve_to(v2, T.StructType([T.StructField("id", T.LongType())]))
