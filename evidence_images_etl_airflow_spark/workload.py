@@ -145,7 +145,16 @@ def register(name: str, oracle: str | None, headline: bool = False):
     records it green — a brand-new operator entering the bench sweep
     in the same round it first executes crashed BENCH_r06 outright.
     Enforced by tests/test_pipeline.py::
-    test_headline_queries_have_green_correctness_rows."""
+    test_headline_queries_have_green_correctness_rows.
+
+    Duplicate names are an ERROR, not a shadow: a round-10 registration
+    reusing an existing name silently replaced the original query in
+    the registry (caught only by a total-count mismatch in the final
+    sweep) — at 200 queries no one notices a disappearance by eye."""
+    if name in REGISTRY:
+        raise ValueError(
+            f"query {name!r} is already registered — pick a distinct name"
+        )
 
     def deco(fn):
         # Each registry invocation hard-releases the PREVIOUS query's
@@ -10493,7 +10502,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 @register(
-    "recon_table_diff",
+    "recon_snapshot_cdf",
     oracle="""
     WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
     v2 AS (
@@ -10520,7 +10529,7 @@ def oracle_sql() -> dict[str, str]:
     SELECT * FROM c WHERE change_type IS NOT NULL
     """,
 )
-def recon_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+def recon_snapshot_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot change-data-feed (operators/recon.table_diff +
     sinks/versioned.snapshot_diff): full-outer key join classifies
     every row as insert/delete/update with NULL-SAFE struct payload
