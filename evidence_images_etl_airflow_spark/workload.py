@@ -10435,10 +10435,16 @@ _VERIFY_FIRST = [
     "er_golden_record",
     "embedding_pca_whiten",
     "scd2_customer_history",
-    # ---- past the driver's 50-row cap: the remaining 41 r07-green
-    # queries head the r11 rotation together with any r10
-    # registrations (which must carry the same parity-proven-locally
-    # note). Next-oldest r07 cohort, in registration order:
+    # ---- past the driver's 50-row cap: the r11 head = the 10
+    # round-10 registrations with no driver row yet
+    # (events_pattern_journey, maintenance_compaction_plan,
+    # ann_ranking_metrics, join_autoplan_sketch,
+    # streaming_session_journeys, data_length_buckets,
+    # dq_mad_outliers, recon_snapshot_cdf, retrieval_hybrid_rrf,
+    # mixture_select_budget — each parity-proven locally at sf0.001 +
+    # sf0.01, r10 ledger) + 40 of the 41 r07-green queries below (the
+    # 41st spills to the r12 head). Next-oldest r07 cohort, in
+    # registration order:
     "sql_pipe_priority_revenue",
     "sql_lateral_topk_orders",
     "agg_exact_percentiles",
