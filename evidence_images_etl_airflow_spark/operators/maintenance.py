@@ -190,10 +190,19 @@ def execute_compaction(
         if not name.endswith(".parquet"):
             continue
         gid = f.getPath().getParent().getName()  # "group_id=N"
-        fs.rename(
-            f.getPath(),
-            hadoop_path(f"{path.rstrip('/')}/compacted-{gid.split('=')[-1]}-{name}"),
+        dest = hadoop_path(
+            f"{path.rstrip('/')}/compacted-{gid.split('=')[-1]}-{name}"
         )
+        # Hadoop rename reports failure by RETURN VALUE, not exception
+        # (r10 self-review): a silent false here would strand the
+        # group's rewritten file in the tmp dir, which the final
+        # cleanup then deletes — data loss. Fail loudly instead; the
+        # tmp dir survives for recovery.
+        if not fs.rename(f.getPath(), dest):
+            raise IOError(
+                f"compaction move failed: {f.getPath()} -> {dest} "
+                f"(rewritten data retained in {tmp})"
+            )
         added += 1
     fs.delete(hadoop_path(tmp), True)
     return {

@@ -119,14 +119,18 @@ def table_diff(
     they don't."""
     nb = [c for c in before.columns if c not in key_cols]
     na = [c for c in after.columns if c not in key_cols]
-    if nb != na:
+    if set(nb) != set(na):
         raise ValueError(
-            f"non-key schemas differ: before={nb!r} after={na!r}"
+            f"non-key schemas differ: before={sorted(nb)!r} "
+            f"after={sorted(na)!r}"
         )
     if not nb:
         raise ValueError("table_diff needs at least one non-key column")
+    # same column SET in either order diffs fine — the after side's
+    # struct is built in the before side's field order so the
+    # null-safe struct comparison lines up (r10 self-review)
     b = before.select(*key_cols, F.struct(*nb).alias("__pre"))
-    a = after.select(*key_cols, F.struct(*na).alias("__post"))
+    a = after.select(*key_cols, F.struct(*nb).alias("__post"))
     j = b.join(a, list(key_cols), "full_outer")
     change = (
         F.when(F.col("__pre").isNull(), F.lit("insert"))

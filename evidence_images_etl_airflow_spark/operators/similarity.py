@@ -750,6 +750,13 @@ def rrf_fuse(
     stays in the legs."""
     if not legs:
         raise ValueError("rrf_fuse needs at least one leg")
+    clash = {n for n in legs if f"{n}_rank" in ("fused_rank", "rrf_score")} | {
+        n for n in legs if n in (id_col, "rrf_score", "fused_rank")
+    }
+    if clash:
+        raise ValueError(
+            f"leg names collide with output columns: {sorted(clash)}"
+        )
     parts = []
     for name, df in legs.items():
         parts.append(

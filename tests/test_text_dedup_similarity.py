@@ -791,3 +791,12 @@ def test_rrf_fuse_hand_case(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="at least one leg"):
         rrf_fuse({})
+
+
+def test_rrf_fuse_rejects_colliding_leg_names(spark):
+    from evidence_images_etl_airflow_spark.operators.similarity import rrf_fuse
+
+    leg = spark.createDataFrame([(1, 1)], "doc_id long, rank long")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="collide"):
+        rrf_fuse({"fused": leg})

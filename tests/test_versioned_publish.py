@@ -287,3 +287,17 @@ def test_snapshot_diff_between_published_versions(spark, table):
         for r in V.snapshot_diff(spark, table, v1, v2, ["id"]).collect()
     }
     assert got == {1: "delete", 2: "update", 3: "insert"}
+
+
+def test_table_diff_tolerates_column_order(spark):
+    """r10 self-review: the same non-key column SET in a different
+    order must diff fine (the after struct is built in the before
+    side's field order)."""
+    from evidence_images_etl_airflow_spark.operators.recon import table_diff
+
+    before = spark.createDataFrame([(1, "a", 1.0)], "id long, s string, v double")
+    after = spark.createDataFrame([(1, 1.0, "a")], "id long, v double, s string")
+    assert table_diff(before, after, ["id"]).count() == 0  # unchanged
+    after2 = spark.createDataFrame([(1, 2.0, "a")], "id long, v double, s string")
+    d = table_diff(before, after2, ["id"]).first()
+    assert d.change_type == "update" and d.v == 2.0
