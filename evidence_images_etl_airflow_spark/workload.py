@@ -6264,6 +6264,47 @@ _BM25_TERMS = ["vector", "stream", "merge"]
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
+def _bm25_topk(docs: DataFrame, k: int = 20) -> DataFrame:
+    """BM25 top-k (doc_id, score) for the fixed query-term set over
+    any (doc_id, text) frame — the single scoring implementation
+    shared by text_bm25_search (full corpus) and
+    ep4_retrieval_pipeline (curated corpus). Shapes documented at
+    text_bm25_search."""
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), "[^a-z0-9]+")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    toks = caching.materialize(toks)
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qt = toks.filter(F.col("term").isin(_BM25_TERMS))
+    tf = qt.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
+    idf = qt.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("double").alias("df")
+    )
+    k1, b = _BM25_K1, _BM25_B
+    contrib = (
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+        * F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(k)
+
+
 @register(
     "text_bm25_search",
     oracle=f"""
@@ -6304,39 +6345,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-k boundary is engine-independent; top-k itself is
     TakeOrderedAndProject (per-partition survivors only). 100 TB: a
     corpus-sized shuffle for tf, nothing else grows."""
-    d = _t(spark, sf_dir, "documents")
-    toks = (
-        d.select(
-            "doc_id",
-            F.explode(F.split(F.lower(F.trim(F.col("text"))), "[^a-z0-9]+")).alias("term"),
-        )
-        .filter(F.col("term") != "")
-    )
-    toks = caching.materialize(toks)
-    dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    qt = toks.filter(F.col("term").isin(_BM25_TERMS))
-    tf = qt.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
-    idf = (
-        qt.groupBy("term")
-        .agg(F.count_distinct("doc_id").cast("double").alias("df"))
-    )
-    k1, b = _BM25_K1, _BM25_B
-    contrib = (
-        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
-        * F.col("tf") * (k1 + 1)
-        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
-    )
-    scored = (
-        tf.join(F.broadcast(idf), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(contrib), 4).alias("score"))
-    )
-    return scored.orderBy(F.desc("score"), "doc_id").limit(20)
+    return _bm25_topk(_t(spark, sf_dir, "documents"), k=20)
 
 
 @register(
@@ -10435,16 +10444,16 @@ _VERIFY_FIRST = [
     "er_golden_record",
     "embedding_pca_whiten",
     "scd2_customer_history",
-    # ---- past the driver's 50-row cap: the r11 head = the 10
+    # ---- past the driver's 50-row cap: the r11 head = the 11
     # round-10 registrations with no driver row yet
     # (events_pattern_journey, maintenance_compaction_plan,
     # ann_ranking_metrics, join_autoplan_sketch,
     # streaming_session_journeys, data_length_buckets,
     # dq_mad_outliers, recon_snapshot_cdf, retrieval_hybrid_rrf,
-    # mixture_select_budget — each parity-proven locally at sf0.001 +
-    # sf0.01, r10 ledger) + 40 of the 41 r07-green queries below (the
-    # 41st spills to the r12 head). Next-oldest r07 cohort, in
-    # registration order:
+    # mixture_select_budget, ep4_retrieval_pipeline — each
+    # parity-proven locally at sf0.001 + sf0.01, r10 ledger) + 39 of
+    # the 41 r07-green queries below (the last two spill to the r12
+    # head). Next-oldest r07 cohort, in registration order:
     "sql_pipe_priority_revenue",
     "sql_lateral_topk_orders",
     "agg_exact_percentiles",
@@ -10737,6 +10746,127 @@ def mixture_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("cum_tokens").cast("double") / 2000, 6).alias(
             "utilization"
         ),
+    )
+
+
+@register(
+    "ep4_retrieval_pipeline",
+    oracle=f"""
+    WITH surv AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (
+                 PARTITION BY md5(lower(regexp_replace(trim(text),
+                                                       '\\s+', ' ', 'g')))
+                 ORDER BY doc_id) AS rn
+        FROM documents) t
+      WHERE rn = 1
+        AND len(string_split_regex(trim(text), '\\s+')) >= 10),
+    toks AS (
+      SELECT doc_id, tok AS term FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) AS tok
+        FROM surv) WHERE tok <> ''),
+    dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+           WHERE term IN ('vector','stream','merge') GROUP BY doc_id, term),
+    idf AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM toks
+            WHERE term IN ('vector','stream','merge') GROUP BY term),
+    lexs AS (
+      SELECT doc_id, score FROM (
+        SELECT tf.doc_id,
+               round(sum(ln((stats.n_docs - idf.df + 0.5) / (idf.df + 0.5) + 1)
+                         * tf.tf * ({_BM25_K1} + 1)
+                         / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))),
+                     4) AS score
+        FROM tf
+        JOIN idf ON tf.term = idf.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id)
+      ORDER BY score DESC, doc_id LIMIT 20),
+    lex AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+            FROM lexs),
+    e AS (SELECT vec_id, embedding, {_norm_expr_sql()} AS nrm
+          FROM embeddings WHERE vec_id IN (SELECT doc_id FROM surv)),
+    q AS (SELECT vec_id, embedding, {_norm_expr_sql()} AS nrm
+          FROM embeddings WHERE vec_id = 0),
+    vs AS (SELECT c.vec_id AS doc_id,
+                  round({_cos_nrm_sql('q', 'c')}, 6) AS cs
+           FROM e c CROSS JOIN q WHERE c.vec_id <> q.vec_id),
+    vec AS (SELECT doc_id, rank FROM (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY cs DESC, doc_id) AS rank
+              FROM vs)
+            WHERE rank <= 20),
+    u AS (SELECT doc_id, rank, 'lex' AS leg FROM lex
+          UNION ALL
+          SELECT doc_id, rank, 'vec' AS leg FROM vec),
+    f AS (SELECT doc_id,
+                 SUM(CAST(round(CAST(1 AS DOUBLE) / (60 + rank), 6)
+                          AS DECIMAL(18,6))) AS score,
+                 max(CASE WHEN leg = 'lex' THEN rank END) AS lex_rank,
+                 max(CASE WHEN leg = 'vec' THEN rank END) AS vec_rank
+          FROM u GROUP BY doc_id),
+    r AS (SELECT doc_id, lex_rank, vec_rank,
+                 round(CAST(score AS DOUBLE), 6) AS rrf_score,
+                 row_number() OVER (ORDER BY score DESC, doc_id)
+                   AS fused_rank
+          FROM f)
+    SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(vec_rank AS BIGINT) AS vec_rank, rrf_score,
+           CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM r WHERE fused_rank <= 10
+    """,
+)
+def ep4_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-10 end-to-end: raw corpus -> curated retrieval index
+    -> hybrid search, in ONE lazy plan. Stage 1 curation: exact dedup
+    (operators/dedup.dedup_exact, lowest-id survivor per normalized
+    fingerprint — dedup BEFORE the quality floor, ep3's ordering
+    rationale) then a 10-token minimum. Stage 2 legs over the
+    SURVIVING corpus only: BM25 top-20 (the same _bm25_topk scoring
+    text_bm25_search uses) and exact cosine top-20 for the vec_id=0
+    query over the surviving embeddings (id spaces shared by
+    construction). Stage 3: reciprocal-rank fusion top-10
+    (similarity.rrf_fuse). The oracle replays all three stages —
+    dedup window, BM25, cosine, fusion — in one SQL statement.
+    Scale: dedup is one fingerprint shuffle; both legs are the
+    broadcast shapes their standalone queries audit; fusion touches
+    Σ top-k rows. NOTE: registered after the round-10 verify head
+    (rotation-slot rule); parity-proven locally at sf0.001 + sf0.01;
+    heads the r11 rotation."""
+    from evidence_images_etl_airflow_spark.operators.dedup import dedup_exact
+    from evidence_images_etl_airflow_spark.operators.similarity import (
+        brute_force_topk,
+        rrf_fuse,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    surv = (
+        dedup_exact(d, "doc_id", "text")
+        .filter(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 10)
+        .select("doc_id", "text")
+    )
+    surv = caching.materialize(surv)
+    lex = _bm25_topk(surv, k=20).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .alias("rank"),
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.join(
+        surv.select(F.col("doc_id").alias("vec_id")), "vec_id", "leftsemi"
+    )
+    vec = brute_force_topk(
+        corpus, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=20
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse(
+        {"lex": lex, "vec": vec}, id_col="doc_id", rank_col="rank",
+        k=60, top=10,
     )
 
 

@@ -58,6 +58,7 @@ EXPECTED_CROSS = {
     "data_length_buckets",  # 1-row max-length aggregate broadcast
     "dq_mad_outliers",  # 1-row median + 1-row MAD broadcasts
     "retrieval_hybrid_rrf",  # BM25 stats + vector query-batch broadcasts
+    "ep4_retrieval_pipeline",  # same two legs over the curated corpus
 }
 
 
