@@ -383,3 +383,30 @@ def plan_shuffle_partitions(
             "rows_per_partition"
         ),
     )
+
+
+def repartition_by_stats(
+    df: DataFrame,
+    target_bytes_per_partition: int = 128 << 20,
+    min_partitions: int = 1,
+    max_partitions: int = 200_000,
+) -> tuple[DataFrame, int]:
+    """EXECUTE the shuffle-partition recommendation (the step
+    :func:`plan_shuffle_partitions` stops short of): measure the
+    frame's exact payload bytes, derive partitions =
+    clamp(ceil(bytes/target)), and return
+    ``(df.repartition(n), n)`` — statistic-driven layout instead of
+    inheriting ``spark.sql.shuffle.partitions``. The 1-row stats
+    collect is the same constant-bounded driver read every planner
+    performs. Use before a bucketed/partitioned write or a wide
+    downstream stage whose input size the session default badly
+    mismatches; the measurement pass costs one scan, which the write
+    it sizes amortizes."""
+    plan = plan_shuffle_partitions(
+        table_size_stats(df),
+        target_bytes_per_partition=target_bytes_per_partition,
+        min_partitions=min_partitions,
+        max_partitions=max_partitions,
+    ).first()
+    n = int(plan.partitions)
+    return df.repartition(n), n

@@ -464,3 +464,24 @@ def test_plan_equi_join_sketch_stats_mode(spark):
 
     with pytest.raises(ValueError, match="stats_mode"):
         plan_equi_join(skewed, other, ["k"], stats_mode="guess", **kw)
+
+
+def test_repartition_by_stats_executes_the_plan(spark):
+    """r10: the advisor's recommendation drives an actual repartition
+    (plan -> execute symmetry with the join autoplanner)."""
+    from evidence_images_etl_airflow_spark.operators.skew import (
+        plan_shuffle_partitions,
+        repartition_by_stats,
+        table_size_stats,
+    )
+
+    df = spark.range(10_000).select(
+        "id", F.concat(F.lit("v"), F.col("id")).alias("s")
+    )
+    want = plan_shuffle_partitions(
+        table_size_stats(df), target_bytes_per_partition=16 << 10
+    ).first().partitions
+    out, n = repartition_by_stats(df, target_bytes_per_partition=16 << 10)
+    assert n == want > 1
+    assert out.rdd.getNumPartitions() == n
+    assert out.count() == 10_000
