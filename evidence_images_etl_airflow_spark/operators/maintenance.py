@@ -157,6 +157,22 @@ def execute_compaction(
         return {"groups_rewritten": 0, "files_removed": 0, "files_added": 0}
 
     paths = sorted({r.file_path for r in rows})
+    # Hive-partitioned layouts are refused (r10 self-review): partition
+    # values live in the DIRECTORY names, so moving a rewritten file to
+    # the table root would silently detach its rows from their
+    # partition — corruption, not compaction. Compact each partition
+    # directory as its own dataset instead (same call, partition path).
+    import os as _os
+
+    root = _os.path.abspath(path).rstrip("/")
+    for p in paths:
+        parent = _os.path.dirname(p.removeprefix("file://").removeprefix("file:"))
+        if _os.path.abspath(parent).rstrip("/") != root:
+            raise ValueError(
+                f"execute_compaction: {p!r} sits in a subdirectory of "
+                f"{path!r} (hive-partitioned or nested layout) — compact "
+                "each partition directory separately"
+            )
     fmap = spark.createDataFrame(
         [(r.group_id, r.file_path) for r in rows],
         "group_id bigint, __path string",

@@ -115,3 +115,44 @@ def test_select_token_budget_strict_prefix(spark):
     # never exceeds quota
     j = sel.groupBy("source").agg(F.max("cum_tokens").alias("m")).collect()
     assert all(r.m <= 100 for r in j)
+
+
+def test_waterfill_plan_feeds_budget_selection(spark):
+    """r10: the composition the executor exists for — the waterfill
+    plan's allocated_tokens drive the per-source selection, and no
+    source ever exceeds its planned allocation."""
+    from pyspark.sql import functions as F
+
+    from evidence_images_etl_airflow_spark.operators.mixture import (
+        select_token_budget,
+        token_budget_allocation,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", i, 50) for i in range(20)]  # 1000 avail
+        + [("b", 100 + i, 50) for i in range(4)],  # 200 avail
+        "source string, doc_id long, n_tokens long",
+    )
+    stats = docs.groupBy("source").agg(
+        F.sum("n_tokens").alias("avail"), F.lit(1.0).alias("w")
+    ).withColumn("budget", F.lit(600).cast("bigint"))
+    plan = token_budget_allocation(
+        stats, key_col="source", avail_col="avail",
+        weight_col="w", max_epochs=1.0,
+    )
+    alloc = plan.select(
+        F.col("stratum").alias("source"), "allocated_tokens"
+    )
+    sel = select_token_budget(docs, alloc)
+    got = {
+        r.source: r.m
+        for r in sel.groupBy("source")
+        .agg(F.max("cum_tokens").alias("m"))
+        .collect()
+    }
+    limits = {r.source: r.allocated_tokens for r in alloc.collect()}
+    assert set(got) <= set(limits)
+    for s, used in got.items():
+        assert used <= limits[s]
+    # equal weights, epoch cap 1: b is capped at 200, a gets the rest
+    assert limits["b"] <= 200 and sum(limits.values()) <= 600

@@ -263,3 +263,23 @@ def test_execute_compaction_skips_big_files(spark, tmp_path):
     inv = {r.file_bytes for r in file_inventory(spark, d).collect()}
     assert big in inv  # the big file is byte-untouched
     assert spark.read.parquet(d).count() == 501_000
+
+
+def test_execute_compaction_refuses_partitioned_layouts(spark, tmp_path):
+    """r10 self-review: partition values live in directory names —
+    moving rewritten files to the table root would detach rows from
+    their partitions. The executor must refuse, not corrupt."""
+    d = str(tmp_path / "ptbl")
+    spark.range(100).select(
+        "id", (F.col("id") % 3).alias("p")
+    ).repartition(4).write.partitionBy("p").parquet(d)
+    from evidence_images_etl_airflow_spark.operators.maintenance import (
+        execute_compaction,
+    )
+
+    with pytest.raises(ValueError, match="partition"):
+        execute_compaction(spark, d, target_bytes=1 << 30)
+    # per-partition-directory compaction works fine
+    stats = execute_compaction(spark, d + "/p=0", target_bytes=1 << 30)
+    assert stats["files_added"] == 1
+    assert spark.read.parquet(d).count() == 100
