@@ -614,3 +614,64 @@ def test_state_inspection_reads_live_checkpoint(spark, tmp_path):
     assert r["maxBatchId"] >= r["minBatchId"]
     assert r["max_partition_rows"] >= 1
     assert r["skew_ratio"] >= 1.0
+
+
+def test_journey_sessions_stateful_cross_batch_append(spark, tmp_path):
+    """r10: the journey state machine's CROSS-BATCH append path — a
+    session spanning micro-batches accumulates its symbol string in
+    the state store (the single-batch parity run never exercises
+    state.exists=True on entry)."""
+    import uuid
+
+    from evidence_images_etl_airflow_spark.streaming.stateful import (
+        journey_sessions_stateful,
+    )
+
+    sec = 1_000_000
+    t0 = 3600 * sec
+    files = [
+        # batch 1: user A starts a session v, c (state left open)
+        [("A", 1, t0, "v"), ("A", 2, t0 + 10 * sec, "c")],
+        # batch 2: p EXTENDS the open session via state append, then a
+        # 2000s-later event closes it by gap -> journey must be "vcp"
+        [("A", 3, t0 + 20 * sec, "p"), ("A", 4, t0 + 3000 * sec, "e")],
+    ]
+    src = f"{tmp_path}/journeys_src"
+    for i, rows in enumerate(files):
+        pdf = [
+            (u, e, ts, dt.datetime.fromtimestamp(ts / sec, dt.timezone.utc).replace(tzinfo=None), s)
+            for u, e, ts, s in rows
+        ]
+        spark.createDataFrame(
+            pdf,
+            "user_id string, event_id long, ts_us long, ts_utc timestamp, sym string",
+        ).coalesce(1).write.parquet(f"{src}/f{i}")
+        t = dt.datetime(2024, 1, 1 + i).timestamp()
+        for root, _, fs in os.walk(f"{src}/f{i}"):
+            for f in fs:
+                os.utime(os.path.join(root, f), (t, t))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id string, event_id long, ts_us long, ts_utc timestamp, sym string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        journey_sessions_stateful(stream, gap_minutes=1)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.journey, r.n_events) for r in spark.table(name).collect()
+    }
+    # session 1 accumulated ACROSS batches: v,c (batch 1) + p (batch 2);
+    # session 2 ('e', timeout 3060s > final watermark 3000s) correctly
+    # STAYS in the state store, not emitted
+    assert got == {("A", "vcp", 3)}
