@@ -9719,6 +9719,7 @@ _HOT_LI = (
     SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c
     ORDER BY case_name
     """,
+    headline=True,  # promoted r11 (VERDICT r10 item 2): green r10 driver row committed
 )
 def join_autoplan_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The join-size statistic WIRED INTO the physical decision
@@ -10384,76 +10385,35 @@ def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # already-multiply-verified trivia trail past the cap. Everything not
 # listed follows in registration order.
 _VERIFY_FIRST = [
-    # ---- round-10 head (VERDICT r08 item 1's standing rotation rule,
-    # continued): the 2 round-9 registrations with no driver row yet
-    # (each parity-proven locally at sf0.001 + sf0.01 per the r09
-    # ledger) + all 39 r06-stale queries + 9 oldest-r07 fill
-    # (headline + composite ops first) = exactly the driver's 50-query
-    # cap. After this round no registered query's latest green is
-    # older than r07.
-    # -- 2 round-9 registrations, never driver-checked
-    "join_autoplan_strategy",
-    "shuffle_partition_advisor",
-    # -- all 39 r06-stale queries, SURVEY-coverage order
-    "agg_grouping_sets",
-    "agg_pivot_nation_year",
-    "ann_brute_force_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "asof_join_last_view",
-    "curation_decontaminate",
-    "curation_source_filter",
-    "curation_source_reputation",
-    "data_hash_split",
-    "data_length_trim",
-    "data_pack_documents",
-    "data_stratified_sample",
-    "dedup_embedding_cosine",
-    "dedup_exact_keep_longest",
-    "dedup_minhash_clusters",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_guarded",
-    "dedup_simhash",
-    "dedup_simhash_near",
-    "events_json_extract",
-    "events_session_window",
-    "events_sessionization",
-    "j4_keyed_update",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "q11_important_stock",
-    "q16_supplier_counts",
-    "q20_excess_suppliers",
-    "sql_api_revenue_by_status",
-    "streaming_stateful_sessions",
-    "t2_t3_string_nan_normalization",
-    "text_contamination_check",
-    "text_dictionary_encode",
-    "text_nfkc_normalize",
-    "text_pii_scrub",
-    "text_repetition_signals",
-    "text_top_tokens",
-    "udtf_token_chunks",
-    # -- 9 oldest-r07 fill: headline + composite ops first
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "events_hourly_rollup",
-    "dedup_span_sliding",
-    "graph_pagerank_bipartite",
-    "sketch_kmv_set_ops",
-    "er_golden_record",
-    "embedding_pca_whiten",
-    "scd2_customer_history",
-    # ---- past the driver's 50-row cap: the r11 head = the 11
-    # round-10 registrations with no driver row yet
-    # (events_pattern_journey, maintenance_compaction_plan,
-    # ann_ranking_metrics, join_autoplan_sketch,
-    # streaming_session_journeys, data_length_buckets,
-    # dq_mad_outliers, recon_snapshot_cdf, retrieval_hybrid_rrf,
-    # mixture_select_budget, ep4_retrieval_pipeline — each
-    # parity-proven locally at sf0.001 + sf0.01, r10 ledger) + 39 of
-    # the 41 r07-green queries below (the last two spill to the r12
-    # head). Next-oldest r07 cohort, in registration order:
+    # ---- round-11 head (VERDICT r10 item 1, the standing rotation
+    # rule continued): the 11 round-10 registrations with no driver
+    # row yet (each parity-proven locally at sf0.001 + sf0.01 per the
+    # r10 ledger, and judge-parity-green at sf0.01 in the r10 verdict)
+    # + 39 of the 41 r07-stale queries = exactly the driver's 50-query
+    # cap. Per VERDICT r10 "What's wrong" item 1, the two r07 queries
+    # that would otherwise go five rounds unchecked
+    # (join_size_skew_report, incremental_rollup_equivalence) LEAD the
+    # r07 block; the two newest r07-cohort entries
+    # (sketch_quantile_rollup, join_bloom_prefilter) spill to the r12
+    # head instead. After this round no registered query's latest
+    # green is older than r08.
+    # -- 11 round-10 registrations, never driver-checked
+    "events_pattern_journey",
+    "maintenance_compaction_plan",
+    "ann_ranking_metrics",
+    "join_autoplan_sketch",
+    "streaming_session_journeys",
+    "data_length_buckets",
+    "dq_mad_outliers",
+    "recon_snapshot_cdf",
+    "retrieval_hybrid_rrf",
+    "mixture_select_budget",
+    "ep4_retrieval_pipeline",
+    # -- r07-stale block: the two oldest-risk queries first (would hit
+    # five rounds unchecked if they spilled again), then the remaining
+    # 37 in registration order
+    "join_size_skew_report",
+    "incremental_rollup_equivalence",
     "sql_pipe_priority_revenue",
     "sql_lateral_topk_orders",
     "agg_exact_percentiles",
@@ -10491,10 +10451,12 @@ _VERIFY_FIRST = [
     "orders_seasonality_profile",
     "sketch_topk_heavy_hitters",
     "sketch_mg_incremental",
+    # ---- past the driver's 50-row cap: the r12 head = the two
+    # r07-cohort spills below + any round-11 registrations (each must
+    # carry sf0.001 + sf0.01 parity proof in its commit message per
+    # the registration-time ledger rule).
     "sketch_quantile_rollup",
     "join_bloom_prefilter",
-    "join_size_skew_report",
-    "incremental_rollup_equivalence",
 ]
 
 
@@ -10870,11 +10832,10 @@ def ep4_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# r11 promotion candidates (headline requires a committed green
-# CORRECTNESS row first — test_pipeline.py guard): once the r10 driver
-# rows land, promote `join_autoplan_strategy` (the planner surface) and
-# `events_pattern_journey` (the sequence-analytics family) — one
-# representative per new family, keeping the headline set
-# representative rather than exhaustive.
+# r11: `join_autoplan_strategy` promoted (green r10 driver row landed).
+# r12 promotion candidate: `events_pattern_journey` (the
+# sequence-analytics family) the moment its r11 driver row lands — it
+# heads the r11 rotation, so the row is queued. One representative per
+# new family, keeping the headline set representative, not exhaustive.
 def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items() if q.headline}
