@@ -98,12 +98,89 @@ def compaction_summary(
     )
 
 
+def _fs_for(spark: SparkSession, path: str):
+    """(jvm Path class, FileSystem) for ``path`` — the storage-agnostic
+    Hadoop handles every swap/recovery helper below shares."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    fs = hadoop_path(path).getFileSystem(jsc.hadoopConfiguration())
+    return hadoop_path, fs
+
+
+def _manifest_path(path: str) -> str:
+    return f"{path.rstrip('/')}__compact_manifest.json"
+
+
+def _write_manifest(spark, fs, hadoop_path, path: str, manifest: dict) -> None:
+    import json
+
+    out = fs.create(hadoop_path(_manifest_path(path)), True)
+    out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+    out.close()
+
+
+def _read_manifest(spark, fs, hadoop_path, path: str) -> dict | None:
+    import json
+
+    mp = hadoop_path(_manifest_path(path))
+    if not fs.exists(mp):
+        return None
+    stream = fs.open(mp)
+    try:
+        jvm = spark.sparkContext._jvm
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return json.loads(bytes(data).decode("utf-8"))
+
+
+def recover_compaction(spark: SparkSession, path: str) -> dict:
+    """Finish (or no-op) a compaction swap interrupted after its commit
+    manifest was written: replay every recorded move whose tmp source
+    still exists (skipping ones whose destination already landed),
+    delete every recorded original that still exists, then drop the
+    manifest and tmp dir. Idempotent — safe to call on a clean table
+    (returns zeros) or repeatedly on the same crash. Rename-first
+    ordering means the crash window holds transient DUPLICATES, never
+    missing rows; this replay removes the duplicates mechanically.
+    Returns ``{"moves_replayed", "deletes_replayed"}``."""
+    hadoop_path, fs = _fs_for(spark, path)
+    manifest = _read_manifest(spark, fs, hadoop_path, path)
+    if manifest is None:
+        return {"moves_replayed": 0, "deletes_replayed": 0}
+    moves = deletes = 0
+    for mv in manifest["moves"]:
+        src, dest = hadoop_path(mv["src"]), hadoop_path(mv["dest"])
+        if fs.exists(dest):
+            continue  # this move completed before the crash
+        if not fs.exists(src):
+            raise IOError(
+                f"compaction recovery: move source {mv['src']} and "
+                f"destination {mv['dest']} BOTH missing — manifest does "
+                "not describe this table's state; not touching anything"
+            )
+        if not fs.rename(src, dest):
+            raise IOError(f"compaction recovery move failed: {mv['src']}")
+        moves += 1
+    for orig in manifest["deletes"]:
+        op = hadoop_path(orig)
+        if fs.exists(op):
+            fs.delete(op, False)
+            deletes += 1
+    fs.delete(hadoop_path(manifest["tmp_dir"]), True)
+    fs.delete(hadoop_path(_manifest_path(path)), False)
+    return {"moves_replayed": moves, "deletes_replayed": deletes}
+
+
 def execute_compaction(
     spark: SparkSession,
     path: str,
     target_bytes: int = 128 << 20,
     max_groups: int = 100,
     small_file_bytes: int | None = None,
+    _crash_after_moves: int | None = None,
+    _crash_after_deletes: int | None = None,
 ) -> dict:
     """INCREMENTAL compaction: rewrite only the merge groups that
     actually contain >= 2 files, leaving already-compact files
@@ -120,14 +197,23 @@ def execute_compaction(
     One Spark job rewrites all selected groups: the selected files are
     re-read, each row joined (broadcast, file-cardinality) back to its
     group, hash-repartitioned BY group and written ``partitionBy``
-    group — one output file per group. The swap is
-    write-tmp-first / delete-originals / move-in (Hadoop FileSystem
-    API, storage-agnostic); a crash between delete and move leaves the
-    tmp directory intact for manual recovery — same non-transactional
-    caveat as ``compact_parquet``'s directory swap, documented there.
+    group — one output file per group. The swap (r11, VERDICT r10 item
+    3 + ADVICE): write-tmp-first, persist a COMMIT MANIFEST (the full
+    move list + the originals to delete) next to the tmp dir, move the
+    rewritten files into the table root, THEN delete the originals,
+    then the manifest. Ordering guarantee: no point in the swap loses
+    rows — a crash before the manifest leaves the table byte-untouched
+    (stray tmp dir only); a crash after it leaves at worst transiently
+    DUPLICATED rows (moved copies + surviving originals), and the next
+    call (or :func:`recover_compaction`) replays the manifest to
+    finish the swap mechanically. Readers during the window may see
+    duplicates; true snapshot isolation needs a manifest-log table
+    format (Delta/Iceberg), out of engine scope.
     Returns ``{"groups_rewritten", "files_removed", "files_added"}``;
     a second run under the same target is a no-op (every rewritten
-    group is now a single file).
+    group is now a single file). ``_crash_after_moves`` /
+    ``_crash_after_deletes`` are test-only fault-injection points for
+    the crash-recovery unit tests.
     """
     # Only files BELOW the small-file threshold enter the plan (the
     # Delta/Iceberg OPTIMIZE minFileSize semantics): an
@@ -138,6 +224,9 @@ def execute_compaction(
     # (measured in SCALING.md round-10).
     if small_file_bytes is None:
         small_file_bytes = int(target_bytes) // 2
+    # A manifest left by a crashed prior run is finished FIRST, so this
+    # run plans over the recovered (duplicate-free) table.
+    recover_compaction(spark, path)
     inv = file_inventory(spark, path).filter(
         F.col("file_bytes") < int(small_file_bytes)
     )
@@ -191,14 +280,12 @@ def execute_compaction(
         .parquet(tmp)
     )
 
-    jvm = spark.sparkContext._jvm
-    jsc = spark.sparkContext._jsc
-    hadoop_path = jvm.org.apache.hadoop.fs.Path
-    target_dir = hadoop_path(path)
-    fs = target_dir.getFileSystem(jsc.hadoopConfiguration())
-    for p in paths:
-        fs.delete(hadoop_path(p), False)
-    added = 0
+    hadoop_path, fs = _fs_for(spark, path)
+    # Enumerate the full move list BEFORE touching the table, then
+    # persist it as the commit manifest: after this point the swap is
+    # replayable from the manifest alone (recover_compaction), so a
+    # crash anywhere below leaves at worst transient duplicates.
+    moves: list[dict] = []
     it = fs.listFiles(hadoop_path(tmp), True)
     while it.hasNext():
         f = it.next()
@@ -206,23 +293,37 @@ def execute_compaction(
         if not name.endswith(".parquet"):
             continue
         gid = f.getPath().getParent().getName()  # "group_id=N"
-        dest = hadoop_path(
-            f"{path.rstrip('/')}/compacted-{gid.split('=')[-1]}-{name}"
+        moves.append(
+            {
+                "src": str(f.getPath().toString()),  # keeps the scheme (hdfs://, s3a://)
+                "dest": f"{path.rstrip('/')}"
+                f"/compacted-{gid.split('=')[-1]}-{name}",
+            }
         )
-        # Hadoop rename reports failure by RETURN VALUE, not exception
-        # (r10 self-review): a silent false here would strand the
-        # group's rewritten file in the tmp dir, which the final
-        # cleanup then deletes — data loss. Fail loudly instead; the
-        # tmp dir survives for recovery.
-        if not fs.rename(f.getPath(), dest):
+    manifest = {"tmp_dir": tmp, "moves": moves, "deletes": list(paths)}
+    _write_manifest(spark, fs, hadoop_path, path, manifest)
+
+    # Rename-first (ADVICE r10): originals stay until every rewritten
+    # file has landed, so no crash point loses rows. Hadoop rename
+    # reports failure by RETURN VALUE, not exception (r10 self-review)
+    # — fail loudly; the manifest + tmp dir make recovery mechanical.
+    for done, mv in enumerate(moves, start=1):
+        if not fs.rename(hadoop_path(mv["src"]), hadoop_path(mv["dest"])):
             raise IOError(
-                f"compaction move failed: {f.getPath()} -> {dest} "
-                f"(rewritten data retained in {tmp})"
+                f"compaction move failed: {mv['src']} -> {mv['dest']} "
+                f"(replay via recover_compaction; manifest at "
+                f"{_manifest_path(path)})"
             )
-        added += 1
+        if _crash_after_moves is not None and done >= _crash_after_moves:
+            raise RuntimeError("injected crash: after move")
+    for done, orig in enumerate(paths, start=1):
+        fs.delete(hadoop_path(orig), False)
+        if _crash_after_deletes is not None and done >= _crash_after_deletes:
+            raise RuntimeError("injected crash: after delete")
     fs.delete(hadoop_path(tmp), True)
+    fs.delete(hadoop_path(_manifest_path(path)), False)
     return {
         "groups_rewritten": int(len({r.group_id for r in rows})),
         "files_removed": len(paths),
-        "files_added": added,
+        "files_added": len(moves),
     }

@@ -283,3 +283,74 @@ def test_execute_compaction_refuses_partitioned_layouts(spark, tmp_path):
     stats = execute_compaction(spark, d + "/p=0", target_bytes=1 << 30)
     assert stats["files_added"] == 1
     assert spark.read.parquet(d).count() == 100
+
+def test_execute_compaction_crash_between_move_and_delete(spark, tmp_path):
+    """r11 (VERDICT r10 item 3 + ADVICE): the swap persists a commit
+    manifest and renames BEFORE deleting, so a crash anywhere in the
+    window leaves transient DUPLICATES, never missing rows, and
+    recover_compaction replays the manifest to finish mechanically."""
+    import os
+
+    from evidence_images_etl_airflow_spark.operators.maintenance import (
+        execute_compaction,
+        recover_compaction,
+    )
+
+    d = str(tmp_path / "ctbl")
+    df = spark.range(600).select("id", (F.col("id") % 5).alias("v"))
+    df.repartition(6).write.parquet(d)
+
+    # crash after the first rename, before any delete
+    with pytest.raises(RuntimeError, match="injected crash: after move"):
+        execute_compaction(spark, d, target_bytes=1 << 30,
+                           _crash_after_moves=1)
+    # loss-window guarantee: every original row still present (dupes OK)
+    mid = spark.read.parquet(d)
+    assert df.exceptAll(mid).count() == 0  # nothing lost
+    assert os.path.exists(d + "__compact_manifest.json")
+
+    stats = recover_compaction(spark, d)
+    assert stats["moves_replayed"] == 0  # the one move already landed
+    assert stats["deletes_replayed"] == 6
+    after = spark.read.parquet(d)
+    assert after.exceptAll(df).count() == 0 and df.exceptAll(after).count() == 0
+    assert not os.path.exists(d + "__compact_manifest.json")
+    assert not os.path.exists(d + "__compact_groups")
+    # fully compacted: the interrupted plan still completed
+    assert len([p for p in os.listdir(d) if p.endswith(".parquet")]) == 1
+
+    # clean-table recovery is a no-op
+    assert recover_compaction(spark, d) == {
+        "moves_replayed": 0, "deletes_replayed": 0,
+    }
+
+
+def test_execute_compaction_crash_mid_delete_auto_recovers(spark, tmp_path):
+    """A crash mid-delete (all moves landed, some originals gone) is
+    healed by the NEXT execute_compaction call itself — recovery runs
+    before planning, so the rerun plans over a duplicate-free table."""
+    import os
+
+    from evidence_images_etl_airflow_spark.operators.maintenance import (
+        execute_compaction,
+    )
+
+    d = str(tmp_path / "ctbl2")
+    df = spark.range(900).select("id", (F.col("id") % 3).alias("v"))
+    df.repartition(9).write.parquet(d)
+
+    with pytest.raises(RuntimeError, match="injected crash: after delete"):
+        execute_compaction(spark, d, target_bytes=1 << 30,
+                           _crash_after_deletes=2)
+    mid = spark.read.parquet(d)
+    assert df.exceptAll(mid).count() == 0  # nothing lost in the window
+
+    # rerun with no injection: auto-recovery + (no-op) plan
+    stats = execute_compaction(spark, d, target_bytes=1 << 30)
+    assert stats == {
+        "groups_rewritten": 0, "files_removed": 0, "files_added": 0,
+    }
+    after = spark.read.parquet(d)
+    assert after.exceptAll(df).count() == 0 and df.exceptAll(after).count() == 0
+    assert not os.path.exists(d + "__compact_manifest.json")
+    assert len([p for p in os.listdir(d) if p.endswith(".parquet")]) == 1
