@@ -152,6 +152,7 @@ def mad_outlier_screen(
     col: str,
     k: float = 3.0,
     cents_scale: int = 100,
+    approx_accuracy: int | None = None,
 ) -> DataFrame:
     """Robust outlier screen on a monetary/metric column: median +
     MAD (median absolute deviation), the estimator that doesn't move
@@ -164,20 +165,41 @@ def mad_outlier_screen(
     of integers — exact dyadic doubles that agree bit-for-bit across
     engines, with no 6dp tolerance needed anywhere. Two exact-median
     passes (Spark ``median`` is the exact sort-based percentile) + two
-    1-row broadcasts; at 100 TB swap ``median`` for
-    ``approx_percentile`` and accept the sketch bound — the screen's
-    decision threshold moves by at most the sketch error.
+    1-row broadcasts.
+
+    The 100 TB dial (VERDICT r10 item 4) is ``approx_accuracy``: when
+    set, both median passes run as ``approx_percentile(c, 0.5,
+    accuracy)`` — a mergeable Greenwald-Khanna sketch with map-side
+    combine and rank error <= 1/accuracy, instead of two full
+    sort-based aggregations. The decision threshold then moves by at
+    most the sketch's rank error at the median (the screen's verdict
+    on any row changes only if its deviation sits inside that band).
+    ``None`` (exact) stays the default and the cross-engine-oracle
+    mode; ``10_000`` (0.01% rank error) is the recommended at-scale
+    setting.
 
     Returns one report row: n_rows, n_outliers (|x - med| > k * MAD),
     median / MAD / cutoffs in original units (2dp)."""
+    if approx_accuracy is not None and int(approx_accuracy) < 1:
+        raise ValueError(
+            f"approx_accuracy must be >= 1, got {approx_accuracy}"
+        )
+
+    def _median(c: str):
+        if approx_accuracy is None:
+            return F.median(c)
+        return F.expr(
+            f"approx_percentile({c}, 0.5, {int(approx_accuracy)})"
+        ).cast("double")
+
     v = df.select(
         F.round(F.col(col) * cents_scale).cast("bigint").alias("c")
     )
-    med = v.agg(F.median("c").alias("med"))
+    med = v.agg(_median("c").alias("med"))
     d = v.crossJoin(F.broadcast(med)).select(
         "c", "med", F.abs(F.col("c") - F.col("med")).alias("dev")
     )
-    mad = d.agg(F.median("dev").alias("mad"))
+    mad = d.agg(_median("dev").alias("mad"))
     r = d.crossJoin(F.broadcast(mad))
     s = float(cents_scale)
     return r.agg(

