@@ -750,12 +750,17 @@ def rrf_fuse(
     stays in the legs."""
     if not legs:
         raise ValueError("rrf_fuse needs at least one leg")
-    clash = {n for n in legs if f"{n}_rank" in ("fused_rank", "rrf_score")} | {
-        n for n in legs if n in (id_col, "rrf_score", "fused_rank")
-    }
-    if clash:
+    # r11 (ADVICE r10): validate the FULL output column list for
+    # duplicates — the per-case checks missed a leg whose '<name>_rank'
+    # equals id_col (e.g. id_col='vec_rank', leg 'vec'), which silently
+    # produced a duplicate output column.
+    out_cols = [id_col, *[f"{n}_rank" for n in legs], "rrf_score", "fused_rank"]
+    dupes = sorted({c for c in out_cols if out_cols.count(c) > 1})
+    clash = {n for n in legs if n in (id_col, "rrf_score", "fused_rank")}
+    if dupes or clash:
         raise ValueError(
-            f"leg names collide with output columns: {sorted(clash)}"
+            f"rrf_fuse output columns collide: duplicates={dupes}, "
+            f"leg names shadowing outputs={sorted(clash)}"
         )
     parts = []
     for name, df in legs.items():

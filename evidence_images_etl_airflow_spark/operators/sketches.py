@@ -63,7 +63,10 @@ def rollup_sketches(
 
 
 def misra_gries_summaries(
-    df: DataFrame, value_col: str, capacity: int = 256
+    df: DataFrame,
+    value_col: str,
+    capacity: int = 256,
+    emit_row_count: bool = False,
 ) -> DataFrame:
     """Per-partition Misra-Gries (space-saving family) heavy-hitter
     summaries — the mergeable counterpart of ``sketch_at_grain`` for
@@ -96,6 +99,15 @@ def misra_gries_summaries(
     exact global agg": the exact path shuffles every distinct key,
     this path shuffles a constant per partition. NULLs in
     ``value_col`` are ignored (not counted, not erred).
+
+    ``emit_row_count=True`` (r11, ADVICE r10): adds an ``n_rows``
+    column carrying the partition's EXACT non-null row count on the
+    error-sentinel row (0 elsewhere) — the same single scan then
+    yields estimates, error bound, AND the exact total, so a planner
+    (``skew._key_stats_sketch``) never pays a second full pass just
+    for ``count()``. Off by default: the 2-column schema is the
+    mergeable contract ``merge_mg_summaries`` and the registered
+    sketch queries consume.
     """
     import pandas as pd
 
@@ -104,22 +116,29 @@ def misra_gries_summaries(
     def mg(batches):
         counters: dict = {}
         err = 0
+        rows = 0
         for pdf in batches:
-            for item, c in pdf[value_col].value_counts().items():
+            vc = pdf[value_col].value_counts()
+            rows += int(vc.sum())
+            for item, c in vc.items():
                 counters[item] = counters.get(item, 0) + int(c)
             if len(counters) > cap:
                 sub = sorted(counters.values(), reverse=True)[cap]
                 err += sub
                 counters = {i: c - sub for i, c in counters.items() if c > sub}
-        yield pd.DataFrame(
-            {
-                "item": [str(i) for i in counters] + [None],
-                "cnt": list(counters.values()) + [err],
-            }
-        )
+        out = {
+            "item": [str(i) for i in counters] + [None],
+            "cnt": list(counters.values()) + [err],
+        }
+        if emit_row_count:
+            out["n_rows"] = [0] * len(counters) + [rows]
+        yield pd.DataFrame(out)
 
+    schema = "item string, cnt bigint" + (
+        ", n_rows bigint" if emit_row_count else ""
+    )
     return df.select(F.col(value_col).cast("string").alias(value_col)).mapInPandas(
-        mg, schema="item string, cnt bigint"
+        mg, schema=schema
     )
 
 

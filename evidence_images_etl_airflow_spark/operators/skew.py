@@ -111,9 +111,15 @@ def _key_stats_sketch(df: DataFrame, on: Sequence[str], capacity: int) -> _Sketc
     decision EQUALS the exact one (what makes the sketch-mode query
     oracle-able). Join keys are serialized to one string with a
     non-printing separator; NULL components map to a sentinel so
-    (NULL, x) and ('', x) stay distinct."""
+    (NULL, x) and ('', x) stay distinct.
+
+    ONE scan total (r11, ADVICE r10): the MG stage's
+    ``emit_row_count`` sentinel carries each partition's exact batch
+    row sum, so n_rows, the estimates, and the error bound all come
+    out of the same pass + one O(partitions x capacity) merge — where
+    this previously paid a separate full ``count()`` per join side,
+    doubling the pre-flight cost the sketch mode exists to avoid."""
     from evidence_images_etl_airflow_spark.operators.sketches import (
-        merge_mg_summaries,
         misra_gries_summaries,
     )
 
@@ -122,18 +128,27 @@ def _key_stats_sketch(df: DataFrame, on: Sequence[str], capacity: int) -> _Sketc
         *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in on],
     )
     keyed = df.select(key.alias("__k"))
-    n_rows = keyed.count()
-    ests, err = merge_mg_summaries(
-        misra_gries_summaries(keyed, "__k", capacity)
-    )
-    top = (
-        ests.agg(F.coalesce(F.max("est"), F.lit(0)).cast("bigint").alias("m"))
+    summ = misra_gries_summaries(keyed, "__k", capacity, emit_row_count=True)
+    row = (
+        summ.groupBy("item")
+        .agg(F.sum("cnt").alias("est"), F.sum("n_rows").alias("nr"))
+        .agg(
+            F.coalesce(F.sum("nr"), F.lit(0)).cast("bigint").alias("n_rows"),
+            F.coalesce(
+                F.max(F.when(F.col("item").isNotNull(), F.col("est"))),
+                F.lit(0),
+            ).cast("bigint").alias("top"),
+            F.coalesce(
+                F.sum(F.when(F.col("item").isNull(), F.col("est"))), F.lit(0)
+            ).cast("bigint").alias("err"),
+        )
         .first()
-        .m
     )
-    e = int(err.first().err_bound)
     return _SketchStats(
-        n_rows=int(n_rows), n_keys=None, max_degree=int(top) + e, err_bound=e
+        n_rows=int(row.n_rows),
+        n_keys=None,
+        max_degree=int(row.top) + int(row.err),
+        err_bound=int(row.err),
     )
 
 
@@ -363,6 +378,14 @@ def plan_shuffle_partitions(
     t = int(target_bytes_per_partition)
     if t <= 0:
         raise ValueError(f"target_bytes_per_partition must be positive, got {t}")
+    # r11 (ADVICE r10): an unvalidated min_partitions=0 yields
+    # partitions=0 and a silently-NULL `n_rows div partitions`, which
+    # only surfaces downstream as repartition_by_stats(int(None)).
+    if not 1 <= int(min_partitions) <= int(max_partitions):
+        raise ValueError(
+            "need 1 <= min_partitions <= max_partitions, got "
+            f"min={min_partitions} max={max_partitions}"
+        )
     # ceil-div in INTEGER math (`div`, not F.floor of a double
     # quotient): above ~2^53 bytes — the 100 TB regime this advisor
     # exists for — the double rounds and the recommendation can differ

@@ -10503,8 +10503,13 @@ def oracle_sql() -> dict[str, str]:
                       WHEN pre_s IS DISTINCT FROM post_s
                         OR pre_p IS DISTINCT FROM post_p THEN 'update'
                  END AS change_type,
-                 COALESCE(post_s, pre_s) AS o_orderstatus,
-                 round(COALESCE(post_p, pre_p), 2) AS total_price
+                 -- ROW-level image selection (r11, ADVICE r10):
+                 -- table_diff emits the whole post-image STRUCT for
+                 -- updates; a per-COLUMN coalesce would diverge the
+                 -- moment an update sets one payload column to NULL.
+                 CASE WHEN del THEN pre_s ELSE post_s END AS o_orderstatus,
+                 round(CASE WHEN del THEN pre_p ELSE post_p END, 2)
+                   AS total_price
           FROM j)
     SELECT * FROM c WHERE change_type IS NOT NULL
     """,

@@ -485,3 +485,45 @@ def test_repartition_by_stats_executes_the_plan(spark):
     assert n == want > 1
     assert out.rdd.getNumPartitions() == n
     assert out.count() == 10_000
+
+
+def test_plan_shuffle_partitions_validates_bounds(spark):
+    """r11 (ADVICE r10): min_partitions=0 used to yield partitions=0
+    and a silently-NULL rows_per_partition."""
+    import pytest as _pt
+
+    from evidence_images_etl_airflow_spark.operators.skew import (
+        plan_shuffle_partitions,
+        table_size_stats,
+    )
+
+    stats = table_size_stats(spark.range(10))
+    with _pt.raises(ValueError, match="min_partitions"):
+        plan_shuffle_partitions(stats, min_partitions=0)
+    with _pt.raises(ValueError, match="min_partitions"):
+        plan_shuffle_partitions(stats, min_partitions=5, max_partitions=4)
+
+
+def test_misra_gries_emit_row_count_single_scan(spark):
+    """r11 (ADVICE r10): the MG pass can carry each partition's exact
+    row count on its error-sentinel row, so a planner gets n_rows +
+    estimates + err_bound from ONE scan."""
+    from pyspark.sql import functions as F
+
+    from evidence_images_etl_airflow_spark.operators.sketches import (
+        misra_gries_summaries,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).cast("string").alias("v")
+    ).repartition(4)
+    summ = misra_gries_summaries(df, "v", capacity=16, emit_row_count=True)
+    assert summ.columns == ["item", "cnt", "n_rows"]
+    rows = summ.collect()
+    # exact total rides only the sentinel rows
+    assert sum(r.n_rows for r in rows if r.item is None) == 1000
+    assert all(r.n_rows == 0 for r in rows if r.item is not None)
+    # default: schema unchanged (the mergeable contract)
+    assert misra_gries_summaries(df, "v", capacity=16).columns == [
+        "item", "cnt",
+    ]

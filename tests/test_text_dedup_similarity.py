@@ -800,3 +800,14 @@ def test_rrf_fuse_rejects_colliding_leg_names(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="collide"):
         rrf_fuse({"fused": leg})
+
+
+def test_rrf_fuse_rejects_leg_rank_shadowing_id_col(spark):
+    """r11 (ADVICE r10): a leg whose '<name>_rank' output equals
+    id_col silently produced a duplicate output column."""
+    from evidence_images_etl_airflow_spark.operators.similarity import rrf_fuse
+
+    leg = spark.createDataFrame([(1, 1)], "vec_rank long, rank long")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="collide"):
+        rrf_fuse({"vec": leg}, id_col="vec_rank")
