@@ -527,3 +527,42 @@ def test_misra_gries_emit_row_count_single_scan(spark):
     assert misra_gries_summaries(df, "v", capacity=16).columns == [
         "item", "cnt",
     ]
+
+
+def test_plan_equi_join_lazy_stats_skips_big_side(spark):
+    """r11 (VERDICT r10 item 5): lazy_stats measures the right side
+    first and never scans the left when the right already fits the
+    broadcast budget — decision['left'] is None, strategy broadcast."""
+    from evidence_images_etl_airflow_spark.operators.skew import plan_equi_join
+
+    big = spark.range(10_000).select(F.col("id").alias("k"), (F.col("id") % 9).alias("v"))
+    dim = spark.range(50).select(F.col("id").alias("k"))
+    joined, dec = plan_equi_join(
+        big, dim, ["k"], how="leftsemi", lazy_stats=True
+    )
+    assert dec["strategy"] == "broadcast_right"
+    assert dec["left"] is None and dec["right"]["n_rows"] == 50
+    assert joined.count() == 50
+    assert "BroadcastHashJoin" in joined._jdf.queryExecution().executedPlan().toString()
+
+    # when the right side does NOT fit, the left side IS measured
+    j2, dec2 = plan_equi_join(
+        big, dim, ["k"], how="leftsemi", lazy_stats=True,
+        broadcast_max_rows=10,
+    )
+    assert dec2["strategy"] == "shuffle"
+    assert dec2["left"]["n_rows"] == 10_000
+    assert j2.count() == 50
+
+
+def test_ep4_corpus_semijoin_is_autoplanned(spark):
+    """r11 dogfood assertion: ep4's curated-corpus semi-join goes
+    through plan_equi_join(lazy_stats=True) and the executed plan
+    carries the planner-chosen BroadcastHashJoin on the curated-id
+    side — statistic -> decision -> production plan, closed."""
+    from evidence_images_etl_airflow_spark import workload
+
+    out = workload.ep4_retrieval_pipeline(spark, SF_DIR)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert out.count() == 10
