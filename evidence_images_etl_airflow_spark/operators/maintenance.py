@@ -327,3 +327,4 @@ def execute_compaction(
         "files_removed": len(paths),
         "files_added": len(moves),
     }
+

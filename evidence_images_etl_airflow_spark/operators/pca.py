@@ -126,3 +126,78 @@ def project_embeddings(
             dot = dot / F.lit(float(np.sqrt(eigenvalues[i] + eps)))
         coords.append(dot)
     return df.withColumn(out_col, F.array(*coords))
+
+
+def embedding_drift_profile(
+    df: "DataFrame",
+    vec_col: str,
+    vintage_col: "F.Column",
+) -> "DataFrame":
+    """Per-dimension drift profile between two vintages of an
+    embedding corpus (r11): the vector-space counterpart of the scalar
+    PSI monitors (profile_drift_psi) — when the embedding MODEL or the
+    upstream corpus shifts, retrieval quality degrades silently unless
+    the embedding distribution itself is watched. ``vintage_col`` must
+    evaluate to 0/1 (old/new). Output, one row per dimension: counts,
+    per-vintage means and variances, and the absolute mean shift, plus
+    ``z_shift`` — the two-sample z statistic of the mean difference
+    (shift / sqrt(var_a/n_a + var_b/n_b)), the dimension-level alarm
+    dial.
+
+    Exactness discipline: elements round to 6dp and accumulate as
+    DECIMAL(18,6) (the order-independent float-sum idiom), so the sums
+    are bit-identical across engines/partitionings; means/variances
+    are then single IEEE double ops on identical inputs.
+
+    Scale shape (100 TB): posexplode feeds a map-side-combinable
+    aggregation onto ``dim`` keys — each partition reduces to <= dim
+    rows before the exchange, so the shuffle carries O(partitions x
+    dim) rows no matter how many vectors scanned. No join, no window,
+    no Python."""
+    x = df.select(
+        vintage_col.cast("int").alias("__vin"),
+        F.posexplode(vec_col).alias("dim", "__v0"),
+    ).select(
+        "__vin",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("__v0").cast("double").alias("__v"),
+    )
+    d6 = F.round(F.col("__v"), 6).cast("decimal(18,6)")
+    s6 = F.round(F.col("__v") * F.col("__v"), 6).cast("decimal(18,6)")
+
+    def _side(v: int, e):
+        return F.sum(F.when(F.col("__vin") == v, e))
+
+    per = x.groupBy("dim").agg(
+        F.sum(F.when(F.col("__vin") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("__vin") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_b"),
+        _side(0, d6).alias("__sa"),
+        _side(1, d6).alias("__sb"),
+        _side(0, s6).alias("__qa"),
+        _side(1, s6).alias("__qb"),
+    )
+    mean_a = F.round(F.col("__sa").cast("double") / F.col("n_a"), 6)
+    mean_b = F.round(F.col("__sb").cast("double") / F.col("n_b"), 6)
+    out = per.select(
+        "dim", "n_a", "n_b",
+        mean_a.alias("mean_a"), mean_b.alias("mean_b"),
+        F.round(F.col("__qa").cast("double") / F.col("n_a"), 6).alias("__m2a"),
+        F.round(F.col("__qb").cast("double") / F.col("n_b"), 6).alias("__m2b"),
+    )
+    var_a = F.round(F.col("__m2a") - F.col("mean_a") * F.col("mean_a"), 6)
+    var_b = F.round(F.col("__m2b") - F.col("mean_b") * F.col("mean_b"), 6)
+    out = out.select(
+        "dim", "n_a", "n_b", "mean_a", "mean_b",
+        F.round(F.abs(F.col("mean_a") - F.col("mean_b")), 6).alias("mean_shift"),
+        var_a.alias("var_a"),
+        var_b.alias("var_b"),
+    )
+    se = F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b"))
+    return out.select(
+        "*",
+        F.round(
+            F.col("mean_shift") / F.nullif(se, F.lit(0.0)), 4
+        ).alias("z_shift"),
+    )

@@ -147,3 +147,41 @@ def table_diff(
         .filter(F.col("change_type").isNotNull())
         .select(*key_cols, "change_type", "__img.*")
     )
+
+
+def apply_table_diff(
+    base: DataFrame,
+    diff: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Apply a :func:`table_diff` change-data-feed to the ``before``
+    snapshot, reconstructing the ``after`` snapshot exactly — the
+    consumer half of the CDF contract (r11; Delta calls this MERGE-ing
+    the change feed). Algebra: drop every base row whose key appears
+    in the diff (deletes AND update pre-images go in one pass), then
+    union the insert/update post-images. Identity law:
+    ``apply_table_diff(a, table_diff(a, b), keys) == b`` for any keyed
+    snapshots — pinned by the registered ``recon_cdf_apply`` query's
+    oracle and a unit test.
+
+    Scale: ONE left-anti join on the keys plus a union — the anti
+    join's build side is the diff's key set (changed rows only, which
+    is why shipping a CDF beats shipping the snapshot); when the diff
+    is small relative to the base Spark broadcasts it, and a bucketed
+    base co-partitions the shuffle away entirely. No window, no
+    driver-side state.
+
+    Precondition: ``diff`` has table_diff's exact shape (key cols +
+    ``change_type`` + the payload columns); keys unique per side."""
+    payload = [c for c in base.columns if c not in key_cols]
+    want = set(key_cols) | {"change_type"} | set(payload)
+    if set(diff.columns) != want:
+        raise ValueError(
+            f"diff schema {sorted(diff.columns)!r} does not match "
+            f"table_diff's shape for this base: {sorted(want)!r}"
+        )
+    keep = base.join(diff.select(*key_cols), list(key_cols), "left_anti")
+    add = diff.filter(
+        F.col("change_type").isin("insert", "update")
+    ).select(*base.columns)
+    return keep.unionByName(add)

@@ -10851,6 +10851,190 @@ def ep4_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "recon_cdf_apply",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    v2 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM o WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT -o_orderkey, o_orderstatus, o_totalprice
+      FROM o WHERE o_orderkey % 103 = 0),
+    j AS (SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                 a.o_orderstatus AS pre_s, a.o_totalprice AS pre_p,
+                 b.o_orderstatus AS post_s, b.o_totalprice AS post_p,
+                 a.o_orderkey IS NULL AS ins, b.o_orderkey IS NULL AS del
+          FROM o a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey),
+    d AS (SELECT o_orderkey,
+                 CASE WHEN ins THEN 'insert' WHEN del THEN 'delete'
+                      WHEN pre_s IS DISTINCT FROM post_s
+                        OR pre_p IS DISTINCT FROM post_p THEN 'update'
+                 END AS change_type,
+                 CASE WHEN del THEN pre_s ELSE post_s END AS o_orderstatus,
+                 CASE WHEN del THEN pre_p ELSE post_p END AS o_totalprice
+          FROM j),
+    diff AS (SELECT * FROM d WHERE change_type IS NOT NULL),
+    applied AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM o
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM diff)
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM diff
+      WHERE change_type IN ('insert', 'update')),
+    sig AS (SELECT CAST(('0x' || substr(md5(concat_ws('|',
+                     CAST(o_orderkey AS VARCHAR), o_orderstatus,
+                     CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+            FROM applied),
+    cs AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(h % 1073741824) AS BIGINT) AS checksum
+           FROM sig),
+    cc AS (SELECT CAST(sum(CASE WHEN change_type = 'insert' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_inserts,
+                  CAST(sum(CASE WHEN change_type = 'update' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_updates,
+                  CAST(sum(CASE WHEN change_type = 'delete' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_deletes
+           FROM diff)
+    SELECT n_rows, checksum, n_inserts, n_updates, n_deletes FROM cs, cc
+    """,
+)
+def recon_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDF consumer half (operators/recon.apply_table_diff, r11):
+    derive the same deterministic v2 as recon_snapshot_cdf, diff it
+    against v1, APPLY the diff back onto v1, and report the
+    reconstructed snapshot's row count + order-insensitive checksum
+    (md5-row-hash sum — the recon module's Merkle discipline, exact in
+    both engines via integer cents) alongside the per-change-type
+    counts. The identity apply(v1, diff(v1, v2)) == v2 is additionally
+    pinned row-for-row by a unit test; here the checksum proves it
+    cross-engine at any SF. Scale: diff is one key shuffle; apply is
+    one left-anti join whose build side is only the CHANGED keys (why
+    shipping a CDF beats shipping the snapshot) plus a union — both
+    co-partition with a bucketed base. NOTE: registered after the r11
+    verify head (rotation-slot rule); parity-proven locally at
+    sf0.001 + sf0.01; heads the r12 rotation."""
+    from evidence_images_etl_airflow_spark.operators.recon import (
+        apply_table_diff,
+        md5_long,
+        row_signature,
+        table_diff,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 103 == 0).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    diff = caching.materialize(table_diff(o, v2, ["o_orderkey"]))
+    applied = apply_table_diff(o, diff, ["o_orderkey"])
+    sig = row_signature(
+        [
+            F.col("o_orderkey"),
+            F.col("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint"),
+        ]
+    )
+    cs = applied.select((md5_long(sig) % (1 << 30)).alias("h")).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("h").cast("bigint").alias("checksum"),
+    )
+    cc = diff.agg(
+        F.sum(F.when(F.col("change_type") == "insert", 1).otherwise(0))
+        .cast("bigint").alias("n_inserts"),
+        F.sum(F.when(F.col("change_type") == "update", 1).otherwise(0))
+        .cast("bigint").alias("n_updates"),
+        F.sum(F.when(F.col("change_type") == "delete", 1).otherwise(0))
+        .cast("bigint").alias("n_deletes"),
+    )
+    return cs.crossJoin(F.broadcast(cc))  # two 1-row reports
+
+
+@register(
+    "embedding_drift_monitor",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id % 2 AS vin, CAST(i - 1 AS BIGINT) AS dim,
+             CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+      FROM embeddings, range(1, 65) t(i)),
+    per AS (
+      SELECT dim,
+             CAST(sum(CASE WHEN vin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN vin = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             sum(CASE WHEN vin = 0
+                 THEN CAST(round(v, 6) AS DECIMAL(18,6)) END) AS sa,
+             sum(CASE WHEN vin = 1
+                 THEN CAST(round(v, 6) AS DECIMAL(18,6)) END) AS sb,
+             sum(CASE WHEN vin = 0
+                 THEN CAST(round(v * v, 6) AS DECIMAL(18,6)) END) AS qa,
+             sum(CASE WHEN vin = 1
+                 THEN CAST(round(v * v, 6) AS DECIMAL(18,6)) END) AS qb
+      FROM x GROUP BY dim),
+    m AS (
+      SELECT dim, n_a, n_b,
+             round(CAST(sa AS DOUBLE) / n_a, 6) AS mean_a,
+             round(CAST(sb AS DOUBLE) / n_b, 6) AS mean_b,
+             round(CAST(qa AS DOUBLE) / n_a, 6) AS m2a,
+             round(CAST(qb AS DOUBLE) / n_b, 6) AS m2b
+      FROM per),
+    s AS (
+      SELECT dim, n_a, n_b, mean_a, mean_b,
+             round(abs(mean_a - mean_b), 6) AS mean_shift,
+             round(m2a - mean_a * mean_a, 6) AS var_a,
+             round(m2b - mean_b * mean_b, 6) AS var_b
+      FROM m)
+    SELECT *,
+           round(mean_shift / nullif(sqrt(var_a / n_a + var_b / n_b), 0.0), 4)
+             AS z_shift
+    FROM s
+    """,
+)
+def embedding_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-space drift monitor (operators/pca.embedding_drift_profile,
+    r11): per-dimension mean/variance comparison between two corpus
+    vintages (here the deterministic vec_id parity split), with the
+    two-sample z statistic of each dimension's mean shift as the alarm
+    dial — the embedding-space counterpart of the scalar PSI monitors
+    (profile_drift_psi / streaming_drift_psi). When the embedding
+    model or the upstream corpus shifts, ANN recall and RRF fusion
+    degrade silently; this is the check a production retrieval
+    pipeline schedules next to its index rebuilds. Exactness: 6dp
+    round + DECIMAL accumulation for every float sum (the repo's
+    order-independent fp idiom), then identical single IEEE double
+    ops for means/variances/z. Scale: posexplode feeds a
+    map-side-combinable agg onto 64 dim keys — the exchange carries
+    O(partitions x dim) rows regardless of corpus size; no join, no
+    window, no Python. The oracle replays all moments per dimension
+    (the corpus's fixed dim=64 is frozen into its range()).
+    NOTE: registered after the r11 verify head (rotation-slot rule);
+    parity-proven locally at sf0.001 + sf0.01; heads the r12
+    rotation."""
+    from evidence_images_etl_airflow_spark.operators.pca import (
+        embedding_drift_profile,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_drift_profile(
+        e, "embedding", F.col("vec_id") % 2
+    )
+
+
 # r11: `join_autoplan_strategy` promoted (green r10 driver row landed).
 # r12 promotion candidate: `events_pattern_journey` (the
 # sequence-analytics family) the moment its r11 driver row lands — it

@@ -64,3 +64,65 @@ def test_checksum_is_partitioning_insensitive(spark):
         df.repartition(13), F.col("k"), [df["k"], df["v"]], n_buckets=8
     )
     assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+
+
+def test_apply_table_diff_identity(spark):
+    """r11: apply(v1, table_diff(v1, v2)) == v2 row-for-row — the CDF
+    consumer half's contract, covering insert/update/delete plus a
+    NULLed payload column (the case the r10 oracle review flagged)."""
+    from evidence_images_etl_airflow_spark.operators.recon import (
+        apply_table_diff,
+        table_diff,
+    )
+
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, s string, p double",
+    )
+    # 1 unchanged, 2 updated (payload to NULL), 3 deleted, 5 inserted
+    v2 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, 20.0), (4, "d", 40.0), (5, "e", 50.0)],
+        "k long, s string, p double",
+    )
+    d = table_diff(v1, v2, ["k"])
+    got = apply_table_diff(v1, d, ["k"])
+    assert got.exceptAll(v2).count() == 0 and v2.exceptAll(got).count() == 0
+
+    # idempotent on an empty diff
+    empty = table_diff(v2, v2, ["k"])
+    same = apply_table_diff(v2, empty, ["k"])
+    assert same.exceptAll(v2).count() == 0 and v2.exceptAll(same).count() == 0
+
+    # schema mismatch is refused, not silently misapplied
+    import pytest as _pt
+    with _pt.raises(ValueError, match="shape"):
+        apply_table_diff(v1, d.drop("change_type"), ["k"])
+
+
+def test_embedding_drift_profile_hand_case(spark):
+    """r11: two 2-dim vintages with a known dim-0 mean shift; dim-1
+    identical. Exact decimal sums make the moments bit-predictable."""
+    from pyspark.sql import functions as F
+
+    from evidence_images_etl_airflow_spark.operators.pca import (
+        embedding_drift_profile,
+    )
+
+    rows = [
+        (0, [1.0, 5.0]), (2, [2.0, 6.0]),   # vintage 0: dim0 mean 1.5
+        (1, [3.0, 5.0]), (3, [4.0, 6.0]),   # vintage 1: dim0 mean 3.5
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.dim: r
+        for r in embedding_drift_profile(
+            df, "embedding", F.col("vec_id") % 2
+        ).collect()
+    }
+    d0, d1 = out[0], out[1]
+    assert (d0.n_a, d0.n_b) == (2, 2)
+    assert (d0.mean_a, d0.mean_b, d0.mean_shift) == (1.5, 3.5, 2.0)
+    assert d0.var_a == d0.var_b == 0.25  # E[x^2]-m^2 = 2.5-2.25
+    assert d0.z_shift == 4.0  # 2.0 / sqrt(0.25/2 + 0.25/2)
+    assert (d1.mean_a, d1.mean_b, d1.mean_shift) == (5.5, 5.5, 0.0)
+    assert d1.z_shift == 0.0

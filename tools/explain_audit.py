@@ -59,6 +59,7 @@ EXPECTED_CROSS = {
     "dq_mad_outliers",  # 1-row median + 1-row MAD broadcasts
     "retrieval_hybrid_rrf",  # BM25 stats + vector query-batch broadcasts
     "ep4_retrieval_pipeline",  # same two legs over the curated corpus
+    "recon_cdf_apply",  # 1-row checksum x 1-row change-count report
 }
 
 
