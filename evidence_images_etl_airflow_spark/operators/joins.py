@@ -129,3 +129,143 @@ def join_size_by_degree(
             "rank",
         )
     )
+
+
+def estimate_join_rows(left: DataFrame, right: DataFrame, key: str) -> int:
+    """EXACT |left ⋈ right| on ``key`` without executing the join:
+    sum over distinct keys of deg_left(k) * deg_right(k) — the scalar
+    form of :func:`join_size_by_degree` (which additionally names the
+    heavy keys). Two map-side-combinable degree aggregations + one
+    join at distinct-key cardinality; pure integer math, so the
+    estimate is bit-identical cross-engine."""
+    da = left.groupBy(key).agg(F.count("*").cast("bigint").alias("__nl"))
+    db = right.groupBy(key).agg(F.count("*").cast("bigint").alias("__nr"))
+    r = (
+        da.join(db, key)
+        .agg(
+            F.coalesce(F.sum(F.col("__nl") * F.col("__nr")), F.lit(0))
+            .cast("bigint")
+            .alias("n")
+        )
+        .first()
+    )
+    return int(r.n)
+
+
+def plan_join_chain(
+    tables: dict[str, DataFrame],
+    edges: list[tuple[str, str, str]],
+) -> tuple[DataFrame, dict]:
+    """Statistics-driven JOIN-ORDER planning for a chain/tree of
+    equi-joins (r11) — the step above :func:`plan_equi_join`'s
+    physical-strategy choice: before any strategy matters, joining in
+    the wrong ORDER (two facts first, the dimension last) can
+    materialize an intermediate orders of magnitude larger than the
+    final result. Spark's CBO reorders joins only with pre-collected
+    ANALYZE TABLE statistics, which ad-hoc pipeline inputs never have;
+    this derives the needed cardinalities from the data itself.
+
+    ``edges`` are ``(table_a, table_b, key)`` with ``key`` a column
+    present in both frames (alias beforehand); the edge set must form
+    a connected acyclic graph over ``tables`` (a chain or star — the
+    shapes a key-structured pipeline join has).
+
+    Algorithm (classic System R greedy, left-deep):
+
+    1. price every edge EXACTLY: |A ⋈ B| via :func:`estimate_join_rows`
+       (degree aggregations at distinct-key cardinality — the
+       pre-flight cost, never the join output);
+    2. start from the cheapest edge (ties: lexicographic edge label);
+    3. repeatedly attach the frontier table minimizing the CHAINED
+       estimate ``est(R ⋈ T) = est(R) * |X ⋈ T| div |X|`` where X is
+       the already-joined endpoint — the textbook
+       containment/uniformity assumption, in integer math so the
+       whole decision is cross-engine oracle-able.
+
+    Returns ``(joined, decision)``: the left-deep join in the chosen
+    order (output rows/semantics identical to any other order), and
+    ``decision`` = {"edge_rows": {label: exact}, "n_rows": {table:
+    exact}, "order": [labels], "est_rows": [chained ints]}. Execute
+    each step through :func:`plan_equi_join` afterwards if per-step
+    physical planning is also wanted (the two planners compose:
+    ORDER here, strategy there)."""
+    if not edges:
+        raise ValueError("plan_join_chain needs at least one edge")
+    names = set(tables)
+    for a, b, _k in edges:
+        if a not in names or b not in names:
+            raise ValueError(f"edge ({a}, {b}) references unknown table")
+    if len(edges) != len(names) - 1:
+        raise ValueError(
+            f"{len(names)} tables need exactly {len(names) - 1} edges "
+            f"(a connected acyclic chain/tree), got {len(edges)}"
+        )
+
+    def _label(a: str, b: str) -> str:
+        return f"{a}*{b}"
+
+    # 1. exact per-edge pricing + per-table row counts (the row count
+    # is the degree sum, so it falls out of the same aggregations; a
+    # plain count() keeps the code obvious — both are one scan).
+    edge_rows = {
+        _label(a, b): estimate_join_rows(tables[a], tables[b], k)
+        for a, b, k in edges
+    }
+    n_rows = {t: int(df.count()) for t, df in tables.items()}
+
+    # 2. cheapest starting edge
+    start = min(edges, key=lambda e: (edge_rows[_label(e[0], e[1])], _label(e[0], e[1])))
+    a0, b0, k0 = start
+    joined = tables[a0].join(tables[b0], k0)
+    in_plan = {a0, b0}
+    order = [_label(a0, b0)]
+    est = edge_rows[_label(a0, b0)]
+    est_rows = [est]
+
+    # 3. greedily attach the frontier table with the smallest chained
+    # estimate until every table is in the plan
+    remaining = [e for e in edges if e is not start]
+    while remaining:
+        best = None
+        for e in remaining:
+            a, b, k = e
+            if (a in in_plan) == (b in in_plan):
+                continue  # not a frontier edge (yet), or would cycle
+            anchor, new = (a, b) if a in in_plan else (b, a)
+            chained = est * edge_rows[_label(a, b)] // max(n_rows[anchor], 1)
+            cand = (chained, _label(a, b), e, new, k)
+            if best is None or cand[:2] < best[:2]:
+                best = cand
+        if best is None:
+            raise ValueError("edges do not form a connected chain/tree")
+        chained, label, e, new, k = best
+        joined = joined.join(tables[new], k)
+        in_plan.add(new)
+        order.append(label)
+        est = chained
+        est_rows.append(est)
+        remaining.remove(e)
+
+    # canonical column order, independent of the chosen join order:
+    # join keys in edge-list order, then each table's remaining
+    # columns in the caller's ``tables`` order (so two different
+    # plans over the same inputs produce position-identical frames).
+    keys_in_order: list[str] = []
+    for _a, _b, k in edges:
+        if k not in keys_in_order:
+            keys_in_order.append(k)
+    rest = [
+        c
+        for t in tables
+        for c in tables[t].columns
+        if c not in keys_in_order
+    ]
+    joined = joined.select(*keys_in_order, *rest)
+
+    decision = {
+        "edge_rows": edge_rows,
+        "n_rows": n_rows,
+        "order": order,
+        "est_rows": est_rows,
+    }
+    return joined, decision

@@ -11035,6 +11035,107 @@ def embedding_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chain_case_sql(case: str, li_where: str) -> str:
+    """One join_chain_autoplan case: replicate the greedy System-R
+    decision (exact edge pricing, lexicographic tiebreak, integer
+    chained estimate) and the order-invariant actual count in SQL."""
+    return f"""
+    WITH li AS (SELECT l_orderkey FROM lineitem {li_where}),
+    dl AS (SELECT l_orderkey AS k, count(*) AS n FROM li GROUP BY 1),
+    do_ AS (SELECT o_orderkey AS k, count(*) AS n FROM orders GROUP BY 1),
+    oc AS (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1),
+    dc AS (SELECT c_custkey AS k, count(*) AS n FROM customer GROUP BY 1),
+    e1 AS (SELECT CAST(COALESCE(sum(dl.n * do_.n), 0) AS BIGINT) AS v
+           FROM dl JOIN do_ USING (k)),
+    e2 AS (SELECT CAST(COALESCE(sum(oc.n * dc.n), 0) AS BIGINT) AS v
+           FROM oc JOIN dc USING (k)),
+    no_ AS (SELECT CAST(count(*) AS BIGINT) AS v FROM orders),
+    act AS (SELECT CAST(count(*) AS BIGINT) AS v
+            FROM li JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey),
+    steps AS (
+      SELECT 1 AS step,
+             CASE WHEN e1.v <= e2.v THEN 'lineitem*orders'
+                  ELSE 'orders*customer' END AS edge,
+             CASE WHEN e1.v <= e2.v THEN e1.v ELSE e2.v END AS est_rows
+      FROM e1, e2
+      UNION ALL
+      SELECT 2,
+             CASE WHEN e1.v <= e2.v THEN 'orders*customer'
+                  ELSE 'lineitem*orders' END,
+             (CASE WHEN e1.v <= e2.v THEN e1.v ELSE e2.v END)
+               * (CASE WHEN e1.v <= e2.v THEN e2.v ELSE e1.v END)
+               // greatest(no_.v, 1)
+      FROM e1, e2, no_)
+    SELECT '{case}' AS case_name, CAST(step AS BIGINT) AS step, edge,
+           CAST(est_rows AS BIGINT) AS est_rows, act.v AS actual_rows
+    FROM steps, act
+    """
+
+
+@register(
+    "join_chain_autoplan",
+    oracle=f"""
+    WITH a AS ({_chain_case_sql("dims_last", "")}),
+    b AS ({_chain_case_sql("facts_first", "WHERE l_quantity = 1")})
+    SELECT * FROM a UNION ALL SELECT * FROM b
+    ORDER BY case_name, step
+    """,
+)
+def join_chain_autoplan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-ORDER planning from measured statistics
+    (operators/joins.plan_join_chain, r11) — the level above
+    join_autoplan_strategy's physical choice: for the
+    lineitem–orders–customer chain, price both edges EXACTLY (degree
+    aggregations at distinct-key cardinality, never the join output),
+    start from the cheapest edge, and attach the frontier table with
+    the smallest System-R chained estimate (est * edge div anchor
+    rows — integer math end to end, which is what lets a JOIN-ORDER
+    decision be cross-engine oracle-checked). Spark's CBO only
+    reorders joins when ANALYZE TABLE statistics exist; this derives
+    them from the data. Two cases pin both branches: unfiltered, the
+    planner correctly joins orders*customer first (|O| < |L|); with
+    lineitem filtered to quantity 1, the shrunken fact edge wins and
+    the order flips. actual_rows (identical across steps and
+    plan-order-invariant) proves each chosen order computes the same
+    join. Scale: the pre-flight costs two degree joins + three counts
+    — the insurance against materializing a two-fact intermediate
+    orders of magnitude over the result. NOTE: registered after the
+    r11 verify head (rotation-slot rule); parity-proven locally at
+    sf0.001 + sf0.01; heads the r12 rotation."""
+    from evidence_images_etl_airflow_spark.operators.joins import (
+        plan_join_chain,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+
+    def _case(name: str, li: DataFrame) -> DataFrame:
+        L = li.select(F.col("l_orderkey").alias("ok"))
+        O = orders.select(
+            F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("ck")
+        )
+        C = customer.select(F.col("c_custkey").alias("ck"))
+        joined, dec = plan_join_chain(
+            {"lineitem": L, "orders": O, "customer": C},
+            [("lineitem", "orders", "ok"), ("orders", "customer", "ck")],
+        )
+        actual = joined.agg(F.count("*").cast("bigint").alias("actual_rows"))
+        meta = spark.createDataFrame(
+            [
+                (name, i + 1, dec["order"][i], int(dec["est_rows"][i]))
+                for i in range(len(dec["order"]))
+            ],
+            "case_name string, step bigint, edge string, est_rows bigint",
+        )
+        return meta.crossJoin(F.broadcast(actual))  # 1-row count
+
+    a = _case("dims_last", lineitem)
+    b = _case("facts_first", lineitem.filter(F.col("l_quantity") == 1))
+    return a.unionByName(b).orderBy("case_name", "step")
+
+
 # r11: `join_autoplan_strategy` promoted (green r10 driver row landed).
 # r12 promotion candidate: `events_pattern_journey` (the
 # sequence-analytics family) the moment its r11 driver row lands — it

@@ -211,3 +211,65 @@ def test_join_size_by_degree_hand_computed(spark):
     assert r.pct_of_total == 1.0
     # cross-check against the actually-executed join
     assert left.join(right, "k").count() == r.total_pairs
+
+
+def test_plan_join_chain_orders_by_estimates(spark):
+    """r11: the greedy System-R planner joins the cheap edge first and
+    chains estimates in integer math; the executed result equals the
+    plain any-order join."""
+    from pyspark.sql import functions as F
+
+    from evidence_images_etl_airflow_spark.operators.joins import (
+        plan_join_chain,
+    )
+
+    # fact: 1000 rows over 10 bridge keys; bridge: 10 rows mapping to
+    # 2 dim keys; dim: 2 rows. Joining fact*bridge first materializes
+    # 1000 rows; bridge*dim first materializes 10.
+    fact = spark.range(1000).select((F.col("id") % 10).alias("k1"))
+    bridge = spark.range(10).select(
+        F.col("id").alias("k1"), (F.col("id") % 2).alias("k2")
+    )
+    dim = spark.range(2).select(F.col("id").alias("k2"))
+    joined, dec = plan_join_chain(
+        {"fact": fact, "bridge": bridge, "dim": dim},
+        [("fact", "bridge", "k1"), ("bridge", "dim", "k2")],
+    )
+    assert dec["order"] == ["bridge*dim", "fact*bridge"]
+    assert dec["edge_rows"] == {"fact*bridge": 1000, "bridge*dim": 10}
+    # chained: est(bridge*dim)=10, then 10 * 1000 // n_rows[bridge]=10
+    assert dec["est_rows"] == [10, 1000]
+    assert joined.count() == 1000
+    # canonical column order: keys in edge-list order -> (k1, k2)
+    assert joined.columns == ["k1", "k2"]
+    plain = fact.join(bridge, "k1").join(dim, "k2").select("k1", "k2")
+    assert joined.exceptAll(plain).count() == 0
+    assert plain.exceptAll(joined).count() == 0
+
+
+def test_plan_join_chain_validates_shape(spark):
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from evidence_images_etl_airflow_spark.operators.joins import (
+        plan_join_chain,
+    )
+
+    a = spark.range(5).select(F.col("id").alias("k"))
+    b = spark.range(5).select(F.col("id").alias("k"))
+    c = spark.range(5).select(F.col("id").alias("j"))
+    with _pt.raises(ValueError, match="at least one edge"):
+        plan_join_chain({"a": a}, [])
+    with _pt.raises(ValueError, match="unknown table"):
+        plan_join_chain({"a": a, "b": b}, [("a", "x", "k")])
+    with _pt.raises(ValueError, match="exactly"):
+        plan_join_chain({"a": a, "b": b, "c": c}, [("a", "b", "k")])
+    # disconnected: 4 tables, 3 edges but c-d island not reachable
+    d = spark.range(5).select(F.col("id").alias("j"))
+    e = spark.range(5).select(F.col("id").alias("k"))
+    with _pt.raises(ValueError, match="connected"):
+        plan_join_chain(
+            {"a": a, "b": b, "c": c, "d": d, "e": e},
+            [("a", "b", "k"), ("c", "d", "j"), ("a", "e", "k"),
+             ("c", "d", "j")],
+        )

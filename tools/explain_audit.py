@@ -60,6 +60,7 @@ EXPECTED_CROSS = {
     "retrieval_hybrid_rrf",  # BM25 stats + vector query-batch broadcasts
     "ep4_retrieval_pipeline",  # same two legs over the curated corpus
     "recon_cdf_apply",  # 1-row checksum x 1-row change-count report
+    "join_chain_autoplan",  # 2x 1-row actual-count aggregate broadcasts
 }
 
 
