@@ -155,6 +155,7 @@ def estimate_join_rows(left: DataFrame, right: DataFrame, key: str) -> int:
 def plan_join_chain(
     tables: dict[str, DataFrame],
     edges: list[tuple[str, str, str]],
+    step_joiner=None,
 ) -> tuple[DataFrame, dict]:
     """Statistics-driven JOIN-ORDER planning for a chain/tree of
     equi-joins (r11) — the step above :func:`plan_equi_join`'s
@@ -185,10 +186,15 @@ def plan_join_chain(
     Returns ``(joined, decision)``: the left-deep join in the chosen
     order (output rows/semantics identical to any other order), and
     ``decision`` = {"edge_rows": {label: exact}, "n_rows": {table:
-    exact}, "order": [labels], "est_rows": [chained ints]}. Execute
-    each step through :func:`plan_equi_join` afterwards if per-step
-    physical planning is also wanted (the two planners compose:
-    ORDER here, strategy there)."""
+    exact}, "order": [labels], "est_rows": [chained ints]}.
+
+    ``step_joiner(left, right, key) -> DataFrame`` (optional) executes
+    each step instead of the plain ``.join`` — pass a
+    ``skew.plan_equi_join`` wrapper to compose the two planners
+    (ORDER here, physical strategy per step there); it must preserve
+    inner-equi-join semantics. The wrapper's decisions land in
+    ``decision["step_decisions"]`` if the callable returns
+    ``(df, dict)`` pairs."""
     if not edges:
         raise ValueError("plan_join_chain needs at least one edge")
     names = set(tables)
@@ -213,10 +219,21 @@ def plan_join_chain(
     }
     n_rows = {t: int(df.count()) for t, df in tables.items()}
 
+    step_decisions: list = []
+
+    def _join(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
+        if step_joiner is None:
+            return left.join(right, key)
+        out = step_joiner(left, right, key)
+        if isinstance(out, tuple):  # (df, decision) — plan_equi_join shape
+            step_decisions.append(out[1])
+            return out[0]
+        return out
+
     # 2. cheapest starting edge
     start = min(edges, key=lambda e: (edge_rows[_label(e[0], e[1])], _label(e[0], e[1])))
     a0, b0, k0 = start
-    joined = tables[a0].join(tables[b0], k0)
+    joined = _join(tables[a0], tables[b0], k0)
     in_plan = {a0, b0}
     order = [_label(a0, b0)]
     est = edge_rows[_label(a0, b0)]
@@ -239,7 +256,7 @@ def plan_join_chain(
         if best is None:
             raise ValueError("edges do not form a connected chain/tree")
         chained, label, e, new, k = best
-        joined = joined.join(tables[new], k)
+        joined = _join(joined, tables[new], k)
         in_plan.add(new)
         order.append(label)
         est = chained
@@ -268,4 +285,6 @@ def plan_join_chain(
         "order": order,
         "est_rows": est_rows,
     }
+    if step_decisions:
+        decision["step_decisions"] = step_decisions
     return joined, decision

@@ -273,3 +273,42 @@ def test_plan_join_chain_validates_shape(spark):
             [("a", "b", "k"), ("c", "d", "j"), ("a", "e", "k"),
              ("c", "d", "j")],
         )
+
+
+def test_plan_join_chain_composes_with_plan_equi_join(spark):
+    """r11: ORDER planning (plan_join_chain) composes with per-step
+    PHYSICAL planning (plan_equi_join) via step_joiner — each step's
+    strategy decision is surfaced, and the result is unchanged."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    from evidence_images_etl_airflow_spark.operators.joins import (
+        plan_join_chain,
+    )
+    from evidence_images_etl_airflow_spark.operators.skew import (
+        plan_equi_join,
+    )
+
+    fact = spark.range(1000).select((F.col("id") % 10).alias("k1"))
+    bridge = spark.range(10).select(
+        F.col("id").alias("k1"), (F.col("id") % 2).alias("k2")
+    )
+    dim = spark.range(2).select(F.col("id").alias("k2"))
+
+    step = functools.partial(plan_equi_join, how="inner")
+
+    def joiner(left, right, key):
+        return step(left, right, [key])
+
+    joined, dec = plan_join_chain(
+        {"fact": fact, "bridge": bridge, "dim": dim},
+        [("fact", "bridge", "k1"), ("bridge", "dim", "k2")],
+        step_joiner=joiner,
+    )
+    assert dec["order"] == ["bridge*dim", "fact*bridge"]
+    assert [d["strategy"] for d in dec["step_decisions"]] == [
+        "broadcast_right", "broadcast_right",
+    ]
+    assert joined.count() == 1000
+    assert joined.columns == ["k1", "k2"]
