@@ -10454,10 +10454,38 @@ _VERIFY_FIRST = [
     "orders_seasonality_profile",
     "sketch_topk_heavy_hitters",
     "sketch_mg_incremental",
-    # ---- past the driver's 50-row cap: the r12 head = the two
-    # r07-cohort spills below + any round-11 registrations (each must
-    # carry sf0.001 + sf0.01 parity proof in its commit message per
-    # the registration-time ledger rule).
+    # ---- past the driver's 50-row cap: the r12 head, fully
+    # enumerated (the r10→r11 precedent — hold the r12 builder to it):
+    # the two r07-cohort spills below, then the 3 round-11
+    # registrations with no driver row yet (recon_cdf_apply,
+    # embedding_drift_monitor, join_chain_autoplan — each
+    # parity-proven at sf0.001 + sf0.01, r11 ledger), then the first
+    # 45 of the 50-query r08-green cohort in registration order:
+    # t1_bool_coercion, t4_t5_arrays, u1_union_by_name,
+    # t9_fold_concat, t8_interval_ship_delay, ep1_fused_pipeline,
+    # sql_recursive_order_chain, agg_approx_percentiles,
+    # agg_approx_distinct, window_running_total, window_sliding_7d,
+    # window_topk_per_group, cdc_last_writer_wins,
+    # events_decay_trending, streaming_windowed_counts,
+    # streaming_sliding_counts, text_token_stats, text_quality_score,
+    # text_lang_id, text_fingerprint, curation_ensemble_score,
+    # text_markup_extract, dedup_exact, dedup_store_bloom_survivors,
+    # text_token_entropy, dedup_residual_report,
+    # curation_source_overlap, dedup_winnowing_pairs,
+    # ep3_training_data_pipeline, curation_url_dedup,
+    # dedup_clusters_twophase, ann_pq_rerank_topk, ann_pq_topk,
+    # ann_ivf_pq_topk, multimodal_audio_features, text_bm25_search,
+    # window_distribution_ranks, profile_pareto_frontier,
+    # streaming_static_enrich, text_keyword_extract,
+    # window_topk_salted, intervals_merge_islands,
+    # graph_triangle_stats, events_anomaly_mad,
+    # supplier_reliability_wilson. That is 2+3+45 = exactly the
+    # 50-slot cap; the 5 NEWEST r08-cohort entries (text_zipf_fit,
+    # sketch_hll_rollup, er_fuzzy_part_pairs, data_shard_shuffle,
+    # recon_table_diff) spill to the r13 head — put them FIRST there
+    # so nothing goes five rounds unchecked (the r11 reorder rule).
+    # Any r12 registration goes past the cap with two-scale parity
+    # proof per the registration-time ledger rule.
     "sketch_quantile_rollup",
     "join_bloom_prefilter",
 ]
