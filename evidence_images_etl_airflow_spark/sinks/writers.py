@@ -403,3 +403,55 @@ def write_training_shards(
     stream.write(bytearray(json.dumps(manifest, indent=1).encode("utf-8")))
     stream.close()
     return manifest
+
+
+def bloom_filter_options(
+    cols: "Sequence[str] | list[str]",
+    expected_ndv: int | dict[str, int],
+) -> dict[str, str]:
+    """Parquet per-column Bloom-filter writer options (r11): the
+    point-lookup counterpart of min/max skipping. Footer min/max stats
+    (sources/manifest.py) prune files for RANGE predicates but are
+    useless for `key = X` on a high-cardinality unclustered column —
+    every file's [min, max] contains X. A written Bloom filter lets
+    any parquet reader (Spark's vectorized scan included) skip row
+    groups that certainly lack the key, paying ~1.2 bytes/NDV of
+    footer space — the OBJECT-STORAGE economics: one footer read vs a
+    full row-group fetch per file. ``expected_ndv`` sizes each
+    filter (int = same for all cols; dict = per column); undersizing
+    inflates the false-positive rate, oversizing wastes footer bytes.
+    Returns the exact `parquet.bloom.filter.*` option map —
+    unit-testable without a write, and composable with any
+    DataFrameWriter."""
+    if not cols:
+        raise ValueError("bloom_filter_options needs at least one column")
+    opts: dict[str, str] = {}
+    for c in cols:
+        ndv = expected_ndv[c] if isinstance(expected_ndv, dict) else expected_ndv
+        if int(ndv) < 1:
+            raise ValueError(f"expected_ndv for {c!r} must be >= 1, got {ndv}")
+        opts[f"parquet.bloom.filter.enabled#{c}"] = "true"
+        opts[f"parquet.bloom.filter.expected.ndv#{c}"] = str(int(ndv))
+    return opts
+
+
+def write_with_bloom_filters(
+    df: DataFrame,
+    path: str,
+    bloom_cols: "Sequence[str] | list[str]",
+    expected_ndv: int | dict[str, int],
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet with per-column Bloom filters for point-lookup
+    columns (see :func:`bloom_filter_options`). Use for id/key columns
+    that point queries probe but no layout clusters — the manifest's
+    min/max pruning handles the clustered/range columns, Bloom footers
+    handle `WHERE id = X` on everything else."""
+    missing = [c for c in bloom_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"bloom columns not in frame: {missing}")
+    (
+        df.write.mode(mode)
+        .options(**bloom_filter_options(bloom_cols, expected_ndv))
+        .parquet(path)
+    )
