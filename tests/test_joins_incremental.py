@@ -312,3 +312,45 @@ def test_plan_join_chain_composes_with_plan_equi_join(spark):
     ]
     assert joined.count() == 1000
     assert joined.columns == ["k1", "k2"]
+
+
+def test_plan_join_chain_four_table_star(spark):
+    """r11: a 4-table star (two frontier candidates after the first
+    step) — the greedy step must compare CHAINED estimates across
+    frontier edges, not raw edge sizes."""
+    from pyspark.sql import functions as F
+
+    from evidence_images_etl_airflow_spark.operators.joins import (
+        plan_join_chain,
+    )
+
+    # hub: 100 rows, key a uniform over 10, key b uniform over 4
+    hub = spark.range(100).select(
+        (F.col("id") % 10).alias("a"), (F.col("id") % 4).alias("b")
+    )
+    # wide: fans out 5x on a (edge size 100*5=500)
+    wide = spark.range(50).select((F.col("id") % 10).alias("a"))
+    # narrow: 1:many-but-small on b (edge size 100*1=100)
+    narrow = spark.range(4).select(F.col("id").alias("b"))
+    # tail hangs off wide's key a
+    tail = spark.range(10).select(F.col("id").alias("a"))
+    joined, dec = plan_join_chain(
+        {"hub": hub, "wide": wide, "narrow": narrow, "tail": tail},
+        [("hub", "wide", "a"), ("hub", "narrow", "b"), ("wide", "tail", "a")],
+    )
+    # edge pricing: wide 5-per-a x tail 1-per-a over 10 keys = 50;
+    # hub 25-per-b x narrow 1-per-b over 4 keys = 100;
+    # hub 10-per-a x wide 5-per-a over 10 keys = 500
+    assert dec["edge_rows"] == {
+        "hub*wide": 500, "hub*narrow": 100, "wide*tail": 50,
+    }
+    assert dec["order"][0] == "wide*tail"
+    # frontier after step 1 = only hub*wide (narrow not yet reachable);
+    # chained: 50 * 500 // n_rows[wide]=50 -> 500, then BOTH remaining
+    # frontier edges compete and narrow attaches:
+    # 500 * 100 // n_rows[hub]=100 -> 500
+    assert dec["order"] == ["wide*tail", "hub*wide", "hub*narrow"]
+    assert dec["est_rows"] == [50, 500, 500]
+    n = joined.count()
+    plain = hub.join(narrow, "b").join(wide, "a").join(tail, "a")
+    assert n == plain.count()

@@ -226,3 +226,37 @@ def test_prefix_filter_lossless_on_generated_corpora(spark, docs, threshold):
             if jac >= threshold:
                 want[(i, j)] = jac
     assert out == want
+
+
+_snapshot_rows = st.dictionaries(
+    st.integers(min_value=0, max_value=30),  # key
+    st.tuples(
+        st.sampled_from(["a", "b", None]),   # payload s (NULLs included)
+        st.integers(min_value=-5, max_value=5),  # payload p
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(v1=_snapshot_rows, v2=_snapshot_rows)
+def test_apply_table_diff_identity_property(spark, v1, v2):
+    """r11 CDF law, property form: for ANY two keyed snapshots —
+    arbitrary inserts/deletes/updates, NULL payloads included —
+    apply(v1, table_diff(v1, v2)) reconstructs v2 exactly."""
+    from evidence_images_etl_airflow_spark.operators.recon import (
+        apply_table_diff,
+        table_diff,
+    )
+
+    def frame(d):
+        rows = [(k, s, p) for k, (s, p) in sorted(d.items())]
+        return spark.createDataFrame(
+            rows, "k long, s string, p long"
+        ) if rows else spark.createDataFrame([], "k long, s string, p long")
+
+    f1, f2 = frame(v1), frame(v2)
+    got = apply_table_diff(f1, table_diff(f1, f2, ["k"]), ["k"])
+    assert got.exceptAll(f2).count() == 0
+    assert f2.exceptAll(got).count() == 0
