@@ -214,6 +214,12 @@ def execute_compaction(
     group is now a single file). ``_crash_after_moves`` /
     ``_crash_after_deletes`` are test-only fault-injection points for
     the crash-recovery unit tests.
+
+    SINGLE-WRITER assumption: the manifest path is fixed per table, so
+    two concurrent compactions of the same table would clobber each
+    other's manifests — serialize compaction per table (every table
+    format's OPTIMIZE holds a table lock for the same reason; a lock
+    is out of engine scope here).
     """
     # Only files BELOW the small-file threshold enter the plan (the
     # Delta/Iceberg OPTIMIZE minFileSize semantics): an
