@@ -10456,11 +10456,12 @@ _VERIFY_FIRST = [
     "sketch_mg_incremental",
     # ---- past the driver's 50-row cap: the r12 head, fully
     # enumerated (the r10→r11 precedent — hold the r12 builder to it):
-    # the two r07-cohort spills below, then the 3 round-11
+    # the two r07-cohort spills below, then the 4 round-11
     # registrations with no driver row yet (recon_cdf_apply,
-    # embedding_drift_monitor, join_chain_autoplan — each
-    # parity-proven at sf0.001 + sf0.01, r11 ledger), then the first
-    # 45 of the 50-query r08-green cohort in registration order:
+    # embedding_drift_monitor, join_chain_autoplan,
+    # events_experiment_lift — each parity-proven at sf0.001 +
+    # sf0.01, r11 ledger), then the first
+    # 44 of the 50-query r08-green cohort in registration order:
     # t1_bool_coercion, t4_t5_arrays, u1_union_by_name,
     # t9_fold_concat, t8_interval_ship_delay, ep1_fused_pipeline,
     # sql_recursive_order_chain, agg_approx_percentiles,
@@ -10478,10 +10479,10 @@ _VERIFY_FIRST = [
     # window_distribution_ranks, profile_pareto_frontier,
     # streaming_static_enrich, text_keyword_extract,
     # window_topk_salted, intervals_merge_islands,
-    # graph_triangle_stats, events_anomaly_mad,
-    # supplier_reliability_wilson. That is 2+3+45 = exactly the
-    # 50-slot cap; the 5 NEWEST r08-cohort entries (text_zipf_fit,
-    # sketch_hll_rollup, er_fuzzy_part_pairs, data_shard_shuffle,
+    # graph_triangle_stats, events_anomaly_mad. That is 2+4+44 =
+    # exactly the 50-slot cap; the 6 NEWEST r08-cohort entries
+    # (supplier_reliability_wilson, text_zipf_fit, sketch_hll_rollup,
+    # er_fuzzy_part_pairs, data_shard_shuffle,
     # recon_table_diff) spill to the r13 head — put them FIRST there
     # so nothing goes five rounds unchecked (the r11 reorder rule).
     # Any r12 registration goes past the cap with two-scale parity
@@ -11162,6 +11163,99 @@ def join_chain_autoplan(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = _case("dims_last", lineitem)
     b = _case("facts_first", lineitem.filter(F.col("l_quantity") == 1))
     return a.unionByName(b).orderBy("case_name", "step")
+
+
+@register(
+    "events_experiment_lift",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS variant,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id),
+    v AS (
+      SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+                  AS BIGINT) AS conv_a,
+             CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+                  AS BIGINT) AS conv_b
+      FROM u),
+    r AS (
+      SELECT n_a, n_b, conv_a, conv_b,
+             round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+             round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+             round(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b), 6) AS pooled
+      FROM v)
+    SELECT n_a, n_b, conv_a, conv_b, rate_a, rate_b,
+           round(rate_b - rate_a, 6) AS lift,
+           round((rate_b - rate_a)
+                 / nullif(sqrt(pooled * (1 - pooled)
+                               * (1.0 / n_a + 1.0 / n_b)), 0.0), 4)
+             AS z_score
+    FROM r
+    """,
+)
+def events_experiment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion experiment analysis (r11): deterministic variant
+    assignment (user_id parity — the md5-bucket discipline's simplest
+    form), per-user conversion (any purchase), and the pooled
+    two-sample z statistic of the conversion-rate lift — the readout
+    every product experiment ends with, and the same z discipline as
+    embedding_drift_monitor (rates/z are single IEEE double ops over
+    exact integer counts, so no tolerance band anywhere). ONE pass:
+    a user-grain conditional aggregation (map-side combinable, one
+    shuffle at user cardinality) collapsed to a single row by
+    conditional sums — no join, no window, no second scan. At 100 TB
+    the user agg IS the cost and it co-partitions with any
+    user-bucketed layout. NOTE: registered after the r11 verify head
+    (rotation-slot rule); parity-proven locally at sf0.001 + sf0.01;
+    heads the r12 rotation behind the enumerated head."""
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+        .select((F.col("user_id") % 2).alias("variant"), "converted")
+    )
+    v = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint").alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint").alias("conv_b"),
+    )
+    rate_a = F.round(F.col("conv_a").cast("double") / F.col("n_a"), 6)
+    rate_b = F.round(F.col("conv_b").cast("double") / F.col("n_b"), 6)
+    pooled = F.round(
+        (F.col("conv_a") + F.col("conv_b")).cast("double")
+        / (F.col("n_a") + F.col("n_b")),
+        6,
+    )
+    r = v.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        rate_a.alias("rate_a"), rate_b.alias("rate_b"),
+        pooled.alias("pooled"),
+    )
+    se = F.sqrt(
+        F.col("pooled") * (F.lit(1.0) - F.col("pooled"))
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return r.select(
+        "n_a", "n_b", "conv_a", "conv_b", "rate_a", "rate_b",
+        F.round(F.col("rate_b") - F.col("rate_a"), 6).alias("lift"),
+        F.round(
+            (F.col("rate_b") - F.col("rate_a")) / F.nullif(se, F.lit(0.0)), 4
+        ).alias("z_score"),
+    )
 
 
 # r11: `join_autoplan_strategy` promoted (green r10 driver row landed).
