@@ -210,6 +210,37 @@ def plan_join_chain(
     def _label(a: str, b: str) -> str:
         return f"{a}*{b}"
 
+    # Up-front shape validation (ADVICE r11): (a) parallel edges
+    # between the same table pair collide in the 'a*b' label and would
+    # silently overwrite edge_rows; (b) the canonical final select is
+    # by NAME over all tables' non-key columns, so a non-key column
+    # name shared by two tables would only surface as an
+    # ambiguous-reference error at execution time. Fail loudly now,
+    # like the other shape checks.
+    seen_labels: set[str] = set()
+    for a, b, _k in edges:
+        for lbl in (_label(a, b), _label(b, a)):
+            if lbl in seen_labels:
+                raise ValueError(
+                    f"duplicate edge between tables {a!r} and {b!r} — "
+                    "parallel edges are not a chain/tree; pre-join or "
+                    "alias one side"
+                )
+        seen_labels.add(_label(a, b))
+    edge_keys = {k for _a, _b, k in edges}
+    col_owner: dict[str, str] = {}
+    for t, df in tables.items():
+        for c in df.columns:
+            if c in edge_keys:
+                continue
+            if c in col_owner:
+                raise ValueError(
+                    f"non-key column {c!r} appears in both tables "
+                    f"{col_owner[c]!r} and {t!r} — the joined frame would "
+                    "carry duplicate names; rename/alias before planning"
+                )
+            col_owner[c] = t
+
     # 1. exact per-edge pricing + per-table row counts (the row count
     # is the degree sum, so it falls out of the same aggregations; a
     # plain count() keeps the code obvious — both are one scan).

@@ -113,11 +113,22 @@ def _manifest_path(path: str) -> str:
 
 
 def _write_manifest(spark, fs, hadoop_path, path: str, manifest: dict) -> None:
+    """Write the commit manifest ATOMICALLY: stream to a ``.tmp`` name,
+    then ``fs.rename`` into place, so a complete manifest is the commit
+    point (ADVICE r11). A crash mid-write leaves only the tmp file —
+    never a truncated JSON at the final path that would wedge
+    :func:`recover_compaction` on every later call."""
     import json
 
-    out = fs.create(hadoop_path(_manifest_path(path)), True)
+    final = hadoop_path(_manifest_path(path))
+    tmp = hadoop_path(_manifest_path(path) + ".tmp")
+    out = fs.create(tmp, True)
     out.write(bytearray(json.dumps(manifest).encode("utf-8")))
     out.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise IOError(f"compaction manifest rename failed: {_manifest_path(path)}")
 
 
 def _read_manifest(spark, fs, hadoop_path, path: str) -> dict | None:
@@ -132,7 +143,15 @@ def _read_manifest(spark, fs, hadoop_path, path: str) -> dict | None:
         data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
     finally:
         stream.close()
-    return json.loads(bytes(data).decode("utf-8"))
+    try:
+        return json.loads(bytes(data).decode("utf-8"))
+    except (ValueError, UnicodeDecodeError):
+        # Defense-in-depth behind the atomic tmp+rename write: an
+        # unparseable manifest can only be pre-commit garbage (nothing
+        # is moved or deleted before a complete manifest exists), so
+        # deleting it is safe and un-wedges recovery (ADVICE r11).
+        fs.delete(mp, False)
+        return None
 
 
 def recover_compaction(spark: SparkSession, path: str) -> dict:
@@ -146,6 +165,9 @@ def recover_compaction(spark: SparkSession, path: str) -> dict:
     missing rows; this replay removes the duplicates mechanically.
     Returns ``{"moves_replayed", "deletes_replayed"}``."""
     hadoop_path, fs = _fs_for(spark, path)
+    stray_tmp = hadoop_path(_manifest_path(path) + ".tmp")
+    if fs.exists(stray_tmp):
+        fs.delete(stray_tmp, False)  # pre-commit garbage from a crash mid-write
     manifest = _read_manifest(spark, fs, hadoop_path, path)
     if manifest is None:
         return {"moves_replayed": 0, "deletes_replayed": 0}

@@ -186,8 +186,18 @@ def embedding_drift_profile(
         F.round(F.col("__qa").cast("double") / F.col("n_a"), 6).alias("__m2a"),
         F.round(F.col("__qb").cast("double") / F.col("n_b"), 6).alias("__m2b"),
     )
-    var_a = F.round(F.col("__m2a") - F.col("mean_a") * F.col("mean_a"), 6)
-    var_b = F.round(F.col("__m2b") - F.col("mean_b") * F.col("mean_b"), 6)
+    # clamp at 0: 6dp rounding can push m2 - mean^2 slightly negative
+    # for near-constant dimensions, and sqrt(negative) would NaN the
+    # z_shift while the oracle engine diverges (ADVICE r11). The
+    # oracle applies the identical greatest(..., 0).
+    var_a = F.greatest(
+        F.round(F.col("__m2a") - F.col("mean_a") * F.col("mean_a"), 6),
+        F.lit(0.0),
+    )
+    var_b = F.greatest(
+        F.round(F.col("__m2b") - F.col("mean_b") * F.col("mean_b"), 6),
+        F.lit(0.0),
+    )
     out = out.select(
         "dim", "n_a", "n_b", "mean_a", "mean_b",
         F.round(F.abs(F.col("mean_a") - F.col("mean_b")), 6).alias("mean_shift"),

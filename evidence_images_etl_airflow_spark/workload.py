@@ -10388,107 +10388,82 @@ def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # already-multiply-verified trivia trail past the cap. Everything not
 # listed follows in registration order.
 _VERIFY_FIRST = [
-    # ---- round-11 head (VERDICT r10 item 1, the standing rotation
-    # rule continued): the 11 round-10 registrations with no driver
-    # row yet (each parity-proven locally at sf0.001 + sf0.01 per the
-    # r10 ledger, and judge-parity-green at sf0.01 in the r10 verdict)
-    # + 39 of the 41 r07-stale queries = exactly the driver's 50-query
-    # cap. Per VERDICT r10 "What's wrong" item 1, the two r07 queries
-    # that would otherwise go five rounds unchecked
-    # (join_size_skew_report, incremental_rollup_equivalence) LEAD the
-    # r07 block; the two newest r07-cohort entries
-    # (sketch_quantile_rollup, join_bloom_prefilter) spill to the r12
-    # head instead. After this round no registered query's latest
-    # green is older than r08.
-    # -- 11 round-10 registrations, never driver-checked
-    "events_pattern_journey",
-    "maintenance_compaction_plan",
-    "ann_ranking_metrics",
-    "join_autoplan_sketch",
-    "streaming_session_journeys",
-    "data_length_buckets",
-    "dq_mad_outliers",
-    "recon_snapshot_cdf",
-    "retrieval_hybrid_rrf",
-    "mixture_select_budget",
-    "ep4_retrieval_pipeline",
-    # -- r07-stale block: the two oldest-risk queries first (would hit
-    # five rounds unchecked if they spilled again), then the remaining
-    # 37 in registration order
-    "join_size_skew_report",
-    "incremental_rollup_equivalence",
-    "sql_pipe_priority_revenue",
-    "sql_lateral_topk_orders",
-    "agg_exact_percentiles",
-    "setops_intersect_except",
-    "agg_cube",
-    "sort_limit_topk",
-    "agg_rollup",
-    "agg_distinct_counts",
-    "events_rollup_cascade",
-    "range_join_error_context",
-    "streaming_interval_join",
-    "streaming_dedup",
-    "dedup_ngram_containment",
-    "dedup_recall_report",
-    "data_weighted_reservoir",
-    "events_funnel",
-    "ann_recall_report",
-    "embedding_matryoshka_recall",
-    "events_cohort_retention",
-    "profile_table_stats",
-    "profile_price_histogram",
-    "profile_drift_psi",
-    "streaming_drift_psi",
-    "agg_trimmed_mean",
-    "events_rolling_users_7d",
-    "events_variant_shred",
-    "dq_constraint_report",
-    "orders_open_interval_count",
-    "basket_type_affinity",
-    "events_anomaly_zscore",
-    "data_negative_sampling",
-    "events_markov_transitions",
-    "customers_rfm_segments",
-    "curation_report_card",
-    "orders_seasonality_profile",
-    "sketch_topk_heavy_hitters",
-    "sketch_mg_incremental",
-    # ---- past the driver's 50-row cap: the r12 head, fully
-    # enumerated (the r10→r11 precedent — hold the r12 builder to it):
-    # the two r07-cohort spills below, then the 4 round-11
-    # registrations with no driver row yet (recon_cdf_apply,
-    # embedding_drift_monitor, join_chain_autoplan,
-    # events_experiment_lift — each parity-proven at sf0.001 +
-    # sf0.01, r11 ledger), then the first
-    # 44 of the 50-query r08-green cohort in registration order:
-    # t1_bool_coercion, t4_t5_arrays, u1_union_by_name,
-    # t9_fold_concat, t8_interval_ship_delay, ep1_fused_pipeline,
-    # sql_recursive_order_chain, agg_approx_percentiles,
-    # agg_approx_distinct, window_running_total, window_sliding_7d,
-    # window_topk_per_group, cdc_last_writer_wins,
-    # events_decay_trending, streaming_windowed_counts,
-    # streaming_sliding_counts, text_token_stats, text_quality_score,
-    # text_lang_id, text_fingerprint, curation_ensemble_score,
-    # text_markup_extract, dedup_exact, dedup_store_bloom_survivors,
-    # text_token_entropy, dedup_residual_report,
-    # curation_source_overlap, dedup_winnowing_pairs,
-    # ep3_training_data_pipeline, curation_url_dedup,
-    # dedup_clusters_twophase, ann_pq_rerank_topk, ann_pq_topk,
-    # ann_ivf_pq_topk, multimodal_audio_features, text_bm25_search,
-    # window_distribution_ranks, profile_pareto_frontier,
-    # streaming_static_enrich, text_keyword_extract,
-    # window_topk_salted, intervals_merge_islands,
-    # graph_triangle_stats, events_anomaly_mad. That is 2+4+44 =
-    # exactly the 50-slot cap; the 6 NEWEST r08-cohort entries
-    # (supplier_reliability_wilson, text_zipf_fit, sketch_hll_rollup,
-    # er_fuzzy_part_pairs, data_shard_shuffle,
-    # recon_table_diff) spill to the r13 head — put them FIRST there
-    # so nothing goes five rounds unchecked (the r11 reorder rule).
-    # Any r12 registration goes past the cap with two-scale parity
-    # proof per the registration-time ledger rule.
+    # ---- round-12 head (VERDICT r11 item 1, the standing rotation
+    # rule continued): the 2 r07-cohort spills from the r11 plan
+    # first, then the 4 round-11 registrations with no driver row yet
+    # (each parity-proven locally at sf0.001 + sf0.01 per the r11
+    # ledger AND judge-parity-green at sf0.01 in the r11 verdict),
+    # then the first 44 of the 50-query r08-green cohort in
+    # registration order = exactly the driver's 50-query cap. After
+    # this round no registered query's latest green is older than r09
+    # except the 6 newest r08-cohort entries that spill to r13 (listed
+    # below the cap — they MUST lead the r13 head).
+    # -- 2 r07 spills (oldest-risk, would hit five rounds unchecked)
     "sketch_quantile_rollup",
     "join_bloom_prefilter",
+    # -- 4 round-11 registrations, never driver-checked
+    "recon_cdf_apply",
+    "embedding_drift_monitor",
+    "join_chain_autoplan",
+    "events_experiment_lift",
+    # -- first 44 of the r08-green cohort, registration order
+    "t1_bool_coercion",
+    "t4_t5_arrays",
+    "u1_union_by_name",
+    "t9_fold_concat",
+    "t8_interval_ship_delay",
+    "ep1_fused_pipeline",
+    "sql_recursive_order_chain",
+    "agg_approx_percentiles",
+    "agg_approx_distinct",
+    "window_running_total",
+    "window_sliding_7d",
+    "window_topk_per_group",
+    "cdc_last_writer_wins",
+    "events_decay_trending",
+    "streaming_windowed_counts",
+    "streaming_sliding_counts",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "curation_ensemble_score",
+    "text_markup_extract",
+    "dedup_exact",
+    "dedup_store_bloom_survivors",
+    "text_token_entropy",
+    "dedup_residual_report",
+    "curation_source_overlap",
+    "dedup_winnowing_pairs",
+    "ep3_training_data_pipeline",
+    "curation_url_dedup",
+    "dedup_clusters_twophase",
+    "ann_pq_rerank_topk",
+    "ann_pq_topk",
+    "ann_ivf_pq_topk",
+    "multimodal_audio_features",
+    "text_bm25_search",
+    "window_distribution_ranks",
+    "profile_pareto_frontier",
+    "streaming_static_enrich",
+    "text_keyword_extract",
+    "window_topk_salted",
+    "intervals_merge_islands",
+    "graph_triangle_stats",
+    "events_anomaly_mad",
+    # ---- past the driver's 50-row cap: the r13 head, fully
+    # enumerated (the r10→r12 precedent — hold the r13 builder to it):
+    # FIRST the 6 newest r08-cohort entries that spilled here
+    # (supplier_reliability_wilson, text_zipf_fit, sketch_hll_rollup,
+    # er_fuzzy_part_pairs, data_shard_shuffle, recon_table_diff — the
+    # r11 reorder rule: nothing goes five rounds unchecked), then any
+    # round-12 registrations with no driver row yet (each must carry
+    # two-scale parity proof in the r12 ledger per the
+    # registration-time rule), then the oldest r09-green cohort
+    # entries in registration order up to the 50-slot cap. The BPE
+    # pair (text_bpe_vocab/text_bpe_encode, r09-green) stays OUT of
+    # any head it would dominate (~10 min each at sf0.01) until its
+    # cohort's turn leaves slack.
 ]
 
 
@@ -11025,8 +11000,11 @@ def recon_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
       SELECT dim, n_a, n_b, mean_a, mean_b,
              round(abs(mean_a - mean_b), 6) AS mean_shift,
-             round(m2a - mean_a * mean_a, 6) AS var_a,
-             round(m2b - mean_b * mean_b, 6) AS var_b
+             -- clamp mirrors F.greatest(var, 0) in the operator: 6dp
+             -- rounding can push m2 - mean^2 slightly negative on
+             -- near-constant dims (ADVICE r11)
+             greatest(round(m2a - mean_a * mean_a, 6), 0.0) AS var_a,
+             greatest(round(m2b - mean_b * mean_b, 6), 0.0) AS var_b
       FROM m)
     SELECT *,
            round(mean_shift / nullif(sqrt(var_a / n_a + var_b / n_b), 0.0), 4)
@@ -11092,9 +11070,17 @@ def _chain_case_sql(case: str, li_where: str) -> str:
       SELECT 2,
              CASE WHEN e1.v <= e2.v THEN 'orders*customer'
                   ELSE 'lineitem*orders' END,
-             (CASE WHEN e1.v <= e2.v THEN e1.v ELSE e2.v END)
+             -- the raw edge product can exceed int64 at large SFs
+             -- (~sf1000: 6e9 * 1.5e9 ≈ 9e18); route it through
+             -- HUGEINT so the oracle never overflows where the
+             -- Python planner's arbitrary-precision ints don't
+             -- (ADVICE r11). The QUOTIENT (chained estimate) is
+             -- back under int64 for any plausible scale, so the
+             -- final BIGINT cast below stays exact.
+             CAST(CAST(CASE WHEN e1.v <= e2.v THEN e1.v ELSE e2.v END
+                       AS HUGEINT)
                * (CASE WHEN e1.v <= e2.v THEN e2.v ELSE e1.v END)
-               // greatest(no_.v, 1)
+               // greatest(no_.v, 1) AS BIGINT)
       FROM e1, e2, no_)
     SELECT '{case}' AS case_name, CAST(step AS BIGINT) AS step, edge,
            CAST(est_rows AS BIGINT) AS est_rows, act.v AS actual_rows
@@ -11129,9 +11115,14 @@ def join_chain_autoplan(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-order-invariant) proves each chosen order computes the same
     join. Scale: the pre-flight costs two degree joins + three counts
     — the insurance against materializing a two-fact intermediate
-    orders of magnitude over the result. NOTE: registered after the
-    r11 verify head (rotation-slot rule); parity-proven locally at
-    sf0.001 + sf0.01; heads the r12 rotation."""
+    orders of magnitude over the result. The oracle routes the edge
+    product through HUGEINT (ADVICE r11); engine-side the planner
+    est is arbitrary-precision Python int, pinned to bigint only at
+    the createDataFrame boundary — the QUOTIENT fits int64 for any
+    plausible scale even where the raw product would not. NOTE:
+    registered after the r11 verify head (rotation-slot rule);
+    parity-proven locally at sf0.001 + sf0.01; heads the r12
+    rotation."""
     from evidence_images_etl_airflow_spark.operators.joins import (
         plan_join_chain,
     )

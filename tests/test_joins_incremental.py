@@ -264,15 +264,32 @@ def test_plan_join_chain_validates_shape(spark):
         plan_join_chain({"a": a, "b": b}, [("a", "x", "k")])
     with _pt.raises(ValueError, match="exactly"):
         plan_join_chain({"a": a, "b": b, "c": c}, [("a", "b", "k")])
-    # disconnected: 4 tables, 3 edges but c-d island not reachable
+    # disconnected: 5 tables, 4 distinct edges, but the a-b-e cycle
+    # leaves the c-d island unreachable
     d = spark.range(5).select(F.col("id").alias("j"))
     e = spark.range(5).select(F.col("id").alias("k"))
     with _pt.raises(ValueError, match="connected"):
         plan_join_chain(
             {"a": a, "b": b, "c": c, "d": d, "e": e},
             [("a", "b", "k"), ("c", "d", "j"), ("a", "e", "k"),
-             ("c", "d", "j")],
+             ("b", "e", "k")],
         )
+    # ADVICE r11: parallel edges collide in the 'a*b' label (would
+    # silently overwrite edge_rows) — rejected up front, either
+    # orientation
+    with _pt.raises(ValueError, match="duplicate edge"):
+        plan_join_chain(
+            {"a": a, "b": b, "c": c},
+            [("a", "b", "k"), ("b", "a", "k")],
+        )
+    # ADVICE r11: shared NON-KEY column names would make the canonical
+    # final select ambiguous only at execution time — rejected up front
+    a2 = spark.range(5).select(F.col("id").alias("k"),
+                               F.lit(1).alias("payload"))
+    b2 = spark.range(5).select(F.col("id").alias("k"),
+                               F.lit(2).alias("payload"))
+    with _pt.raises(ValueError, match="non-key column 'payload'"):
+        plan_join_chain({"a": a2, "b": b2}, [("a", "b", "k")])
 
 
 def test_plan_join_chain_composes_with_plan_equi_join(spark):

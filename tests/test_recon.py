@@ -126,3 +126,31 @@ def test_embedding_drift_profile_hand_case(spark):
     assert d0.z_shift == 4.0  # 2.0 / sqrt(0.25/2 + 0.25/2)
     assert (d1.mean_a, d1.mean_b, d1.mean_shift) == (5.5, 5.5, 0.0)
     assert d1.z_shift == 0.0
+
+
+def test_embedding_drift_profile_clamps_negative_variance(spark):
+    """ADVICE r11: 6dp rounding can push m2 - mean^2 slightly negative
+    on a near-constant dimension; the clamp (F.greatest(var, 0), mirrored
+    in the registered oracle) keeps variance at 0 and z_shift finite/NULL
+    instead of NaN."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from evidence_images_etl_airflow_spark.operators.pca import (
+        embedding_drift_profile,
+    )
+
+    # Constant v = 0.7071075: elements round to mean 0.707108 (HALF_UP)
+    # while v*v = 0.5000010169 rounds to m2 = 0.500001, so unclamped
+    # var = round(0.500001 - 0.707108^2, 6) = round(-7.24e-7, 6)
+    # = -0.000001 — strictly negative, sqrt would NaN the z.
+    v = 0.7071075
+    rows = [(i, [v]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_drift_profile(df, "embedding", F.col("vec_id") % 2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.var_a == 0.0 and r.var_b == 0.0  # clamped, not -0.000001
+    # se = 0 -> nullif makes z NULL, never NaN
+    assert r.z_shift is None or not math.isnan(r.z_shift)

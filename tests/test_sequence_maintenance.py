@@ -356,6 +356,43 @@ def test_execute_compaction_crash_mid_delete_auto_recovers(spark, tmp_path):
     assert len([p for p in os.listdir(d) if p.endswith(".parquet")]) == 1
 
 
+def test_recover_compaction_truncated_manifest_is_pre_commit_garbage(
+        spark, tmp_path):
+    """ADVICE r11 (medium): the manifest write is now atomic (tmp +
+    rename), and — defense in depth — an unparseable manifest at the
+    final path is treated as pre-commit garbage: deleted, recovery
+    no-ops, and the next execute_compaction proceeds instead of
+    wedging on JSONDecodeError forever."""
+    import os
+
+    from evidence_images_etl_airflow_spark.operators.maintenance import (
+        execute_compaction,
+        recover_compaction,
+    )
+
+    d = str(tmp_path / "ctbl3")
+    df = spark.range(300).select("id", (F.col("id") % 4).alias("v"))
+    df.repartition(5).write.parquet(d)
+
+    # simulate the old crash window: a truncated JSON at the final path
+    with open(d + "__compact_manifest.json", "w") as fh:
+        fh.write('{"moves": [{"src": "x", "de')
+    # and a stray tmp from a crash mid-atomic-write
+    with open(d + "__compact_manifest.json.tmp", "w") as fh:
+        fh.write('{"mo')
+
+    stats = recover_compaction(spark, d)
+    assert stats == {"moves_replayed": 0, "deletes_replayed": 0}
+    assert not os.path.exists(d + "__compact_manifest.json")
+    assert not os.path.exists(d + "__compact_manifest.json.tmp")
+    # table untouched, and compaction is un-wedged
+    assert spark.read.parquet(d).exceptAll(df).count() == 0
+    out = execute_compaction(spark, d, target_bytes=1 << 30)
+    assert out["groups_rewritten"] == 1
+    after = spark.read.parquet(d)
+    assert after.exceptAll(df).count() == 0 and df.exceptAll(after).count() == 0
+
+
 def test_mad_outlier_screen_approx_dial(spark):
     """r11 (VERDICT r10 item 4): approx_accuracy switches both median
     passes to mergeable approx_percentile sketches — the 100 TB mode.
