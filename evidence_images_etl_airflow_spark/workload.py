@@ -9874,6 +9874,7 @@ def shuffle_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_pattern_journey",
+    headline=True,  # promoted r12 (VERDICT r11 item 2): green r11 driver row committed
     oracle="""
     WITH e AS (
       SELECT user_id, epoch_us(ts) AS u, event_id,
@@ -11249,10 +11250,99 @@ def events_experiment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ep5_mart_chain_planned",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY nation
+    """,
+)
+def ep5_mart_chain_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end composition of BOTH planner layers (r12, VERDICT r11
+    item 4): the revenue-by-nation mart over the 4-table
+    lineitem–orders–customer–nation chain, where the join ORDER comes
+    from operators/joins.plan_join_chain (System-R greedy over exact
+    edge cardinalities — it correctly builds customer*nation →
+    +orders → +lineitem, dims first, the fact LAST) and each step's
+    PHYSICAL strategy from operators/skew.plan_equi_join(
+    lazy_stats=True) — ep4 dogfoods only the physical layer; this is
+    the first registered pipeline running the full two-level stack.
+    broadcast_max_rows=100_000 is the realistic dial: at bench scale
+    the dim steps broadcast the right side while the final
+    dims-vs-lineitem step flips to BROADCAST_LEFT (the accumulated
+    15k-row dim frame ships to the 600k-row fact's partitions) —
+    exactly the 100 TB shape, where the fact side is never collected,
+    shuffled, or pre-scanned (lazy_stats skips its pre-flight when the
+    opposite side already fits). Revenue sums go through
+    DECIMAL(18,2) products (exact, order-independent) and cast to
+    DOUBLE once at the end — the q1/q5 money idiom. Pre-flight cost:
+    three exact edge aggregations at distinct-key cardinality + four
+    counts + one small-side stats agg per step — the insurance that a
+    mis-ordered two-fact intermediate never materializes. The chosen
+    order and per-step strategies are asserted in
+    tests/test_pipeline.py. NOTE: registered after the r12 verify head
+    (rotation-slot rule); parity-proven locally at sf0.001 + sf0.01;
+    leads the r13 rotation behind the 6 spilled r08-cohort entries."""
+    from evidence_images_etl_airflow_spark.operators.joins import (
+        plan_join_chain,
+    )
+    from evidence_images_etl_airflow_spark.operators.skew import (
+        plan_equi_join,
+    )
+
+    one = F.lit(1).cast("decimal(18,2)")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        (_dec("l_extendedprice") * (one - _dec("l_discount"))).alias("rev"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("ck")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), F.col("c_nationkey").alias("nk")
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nation")
+    )
+
+    def _step(left: DataFrame, right: DataFrame, key: str):
+        return plan_equi_join(
+            left, right, [key], lazy_stats=True,
+            broadcast_max_rows=100_000,
+        )
+
+    joined, _chain_dec = plan_join_chain(
+        {"lineitem": li, "orders": orders, "customer": cust, "nation": nat},
+        [
+            ("lineitem", "orders", "ok"),
+            ("orders", "customer", "ck"),
+            ("customer", "nation", "nk"),
+        ],
+        step_joiner=_step,
+    )
+    return (
+        joined.groupBy("nation")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lineitems"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+        .orderBy("nation")
+    )
+
+
 # r11: `join_autoplan_strategy` promoted (green r10 driver row landed).
-# r12 promotion candidate: `events_pattern_journey` (the
-# sequence-analytics family) the moment its r11 driver row lands — it
-# heads the r11 rotation, so the row is queued. One representative per
-# new family, keeping the headline set representative, not exhaustive.
+# r12: `events_pattern_journey` promoted (green CORRECTNESS_r11 row
+# committed — the sequence-analytics family's representative); the
+# headline set is now 26. One representative per new family, keeping
+# the headline set representative, not exhaustive.
 def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items() if q.headline}

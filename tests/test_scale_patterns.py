@@ -566,3 +566,72 @@ def test_ep4_corpus_semijoin_is_autoplanned(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert out.count() == 10
+
+
+def test_ep5_mart_runs_full_two_level_planner(spark):
+    """r12 (VERDICT r11 item 4): ep5 composes BOTH planner layers —
+    plan_join_chain picks the dims-first ORDER and plan_equi_join the
+    per-step physical strategy — and the executed plan carries the
+    planner-chosen broadcasts end to end."""
+    from evidence_images_etl_airflow_spark import workload
+
+    out = workload.ep5_mart_chain_planned(spark, SF_DIR)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3
+    rows = out.collect()
+    assert len(rows) == 25 and all(r.revenue > 0 for r in rows)
+
+
+def test_ep5_chain_decision_order_and_strategies(spark):
+    """The decision behind ep5, asserted explicitly: the System-R
+    greedy builds customer*nation -> +orders -> +lineitem (dims first,
+    fact LAST), and under a tight broadcast budget the final
+    dims-vs-fact step flips to BROADCAST_LEFT — the accumulated dim
+    frame ships to the fact's partitions, the 100 TB shape."""
+    import functools
+
+    from evidence_images_etl_airflow_spark.operators.joins import (
+        plan_join_chain,
+    )
+    from evidence_images_etl_airflow_spark.operators.skew import (
+        plan_equi_join,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("ok"))
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("ck"))
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        F.col("c_custkey").alias("ck"), F.col("c_nationkey").alias("nk"))
+    nat = spark.read.parquet(f"{SF_DIR}/nation.parquet").select(
+        F.col("n_nationkey").alias("nk"))
+    tables = {"lineitem": li, "orders": orders, "customer": cust,
+              "nation": nat}
+    edges = [("lineitem", "orders", "ok"), ("orders", "customer", "ck"),
+             ("customer", "nation", "nk")]
+
+    def step(budget, left, right, key):
+        return plan_equi_join(left, right, [key], lazy_stats=True,
+                              broadcast_max_rows=budget)
+
+    # ep5's dial (100k): every right side fits at sf0.001
+    joined, dec = plan_join_chain(
+        tables, edges, step_joiner=functools.partial(step, 100_000))
+    assert dec["order"] == [
+        "customer*nation", "orders*customer", "lineitem*orders"]
+    assert dec["edge_rows"] == {
+        "lineitem*orders": 6000, "orders*customer": 1500,
+        "customer*nation": 150}
+    assert [d["strategy"] for d in dec["step_decisions"]] == [
+        "broadcast_right"] * 3
+    # lazy_stats: no fact pre-flight when the opposite side fits
+    assert dec["step_decisions"][2]["left"] is None
+    assert joined.count() == 6000
+
+    # tight budget (2000): lineitem (6000) no longer fits, the
+    # 1500-row accumulated dim frame broadcasts LEFT instead
+    _, dec2 = plan_join_chain(
+        tables, edges, step_joiner=functools.partial(step, 2000))
+    assert [d["strategy"] for d in dec2["step_decisions"]] == [
+        "broadcast_right", "broadcast_right", "broadcast_left"]
+    assert dec2["step_decisions"][2]["left"]["n_rows"] == 1500
