@@ -356,3 +356,97 @@ def execute_compaction(
         "files_added": len(moves),
     }
 
+
+
+def maintain_dedup_store(
+    spark: SparkSession,
+    path: str,
+    keep_epochs: int | None = None,
+    target_bytes: int = 128 << 20,
+    max_groups: int = 100,
+    small_file_bytes: int | None = None,
+) -> dict:
+    """Retention + small-file compaction for an epoch-partitioned
+    dedup store (r12, VERDICT r11 item 6) — the maintenance loop the
+    accumulating stores need once every crawl batch appends to them
+    forever: ``dedup_against_store``'s fingerprint table and
+    ``minhash_band_store``'s (id, band, key) index both grow
+    monotonically, one small file-set per batch.
+
+    Layout contract: ``path/epoch=N/part-*.parquet`` — each ingest
+    batch (or time bucket) appends under its own ``epoch=N``
+    directory; ``spark.read.parquet(path)`` returns ``epoch`` as a
+    partition column for free, and store lookups prune to live epochs.
+
+    1. RETENTION: with ``keep_epochs`` set, every epoch older than the
+       newest ``keep_epochs`` is dropped as a WHOLE DIRECTORY — a pure
+       filesystem delete, zero decode/rewrite/shuffle, the
+       partition-level TTL every table format uses. (Near-dup history
+       beyond the crawl horizon only suppresses docs that nothing
+       still collides with; age it out instead of carrying it.)
+       Leftover compaction manifests/tmp dirs of dropped epochs are
+       removed too.
+    2. COMPACTION: each SURVIVING epoch directory is a flat parquet
+       dataset, so the table machinery applies verbatim —
+       :func:`execute_compaction` (which replays any interrupted swap
+       first) merges its small-file tail into one file per merge
+       group, bounded by ``max_groups`` per epoch. Rows are unchanged
+       by construction (the same rename-first manifest swap tables
+       get); the unit test proves it with ``recon.bucket_checksums``
+       before/after and an identical ``minhash_lsh_against_store``
+       verdict on the compacted store.
+
+    Epochs never mix across files, so retention stays a directory
+    delete even AFTER arbitrarily many compaction passes — the reason
+    this composes per-epoch instead of compacting the store root
+    (which :func:`execute_compaction` refuses for partitioned layouts
+    anyway). Single-writer per store, like all compaction here.
+    Returns ``{"epochs_dropped", "epochs_kept", "per_epoch"}`` with
+    each surviving epoch's compaction stats."""
+    import re
+
+    hadoop_path, fs = _fs_for(spark, path)
+    root = hadoop_path(path)
+    if not fs.exists(root):
+        raise FileNotFoundError(f"no dedup store at {path}")
+    if keep_epochs is not None and int(keep_epochs) < 1:
+        raise ValueError(f"keep_epochs must be >= 1, got {keep_epochs}")
+    epochs: list[int] = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        m = re.fullmatch(r"epoch=(\d+)", name)
+        if m and st.isDirectory():
+            epochs.append(int(m.group(1)))
+    epochs.sort()
+    if not epochs:
+        raise ValueError(
+            f"{path} has no epoch=N subdirectories — maintain_dedup_store "
+            "requires the epoch-partitioned store layout"
+        )
+    dropped: list[int] = []
+    if keep_epochs is not None:
+        for e in epochs[: max(0, len(epochs) - int(keep_epochs))]:
+            edir = f"{path.rstrip('/')}/epoch={e}"
+            fs.delete(hadoop_path(edir), True)
+            # sweep swap leftovers of the dropped epoch as well
+            for leftover in (
+                _manifest_path(edir),
+                _manifest_path(edir) + ".tmp",
+                f"{edir}__compact_groups",
+            ):
+                lp = hadoop_path(leftover)
+                if fs.exists(lp):
+                    fs.delete(lp, True)
+            dropped.append(e)
+    kept = [e for e in epochs if e not in set(dropped)]
+    per_epoch = {
+        e: execute_compaction(
+            spark,
+            f"{path.rstrip('/')}/epoch={e}",
+            target_bytes=target_bytes,
+            max_groups=max_groups,
+            small_file_bytes=small_file_bytes,
+        )
+        for e in kept
+    }
+    return {"epochs_dropped": dropped, "epochs_kept": kept, "per_epoch": per_epoch}

@@ -422,7 +422,12 @@ def bloom_filter_options(
     inflates the false-positive rate, oversizing wastes footer bytes.
     Returns the exact `parquet.bloom.filter.*` option map —
     unit-testable without a write, and composable with any
-    DataFrameWriter."""
+    DataFrameWriter. The skip mechanism is measured, not argued
+    (r12): on a fixture where stats/dictionary filtering provably
+    cannot skip, parquet's RowGroupFilter drops 22/22 row groups for
+    an absent key with the written filters and 0/22 without
+    (tests/test_upsert_sinks.py::
+    test_bloom_filter_skips_row_groups_on_point_lookup)."""
     if not cols:
         raise ValueError("bloom_filter_options needs at least one column")
     opts: dict[str, str] = {}

@@ -434,3 +434,90 @@ def test_mad_outlier_screen_approx_dial(spark):
 
     with pytest.raises(ValueError, match="approx_accuracy"):
         mad_outlier_screen(df, "price", approx_accuracy=0)
+
+
+def test_maintain_dedup_store_retention_and_compaction(spark, tmp_path):
+    """r12 (VERDICT r11 item 6): the epoch-partitioned band store gets
+    the same treatment tables get — whole-directory TTL for expired
+    epochs (no rewrite) + per-epoch small-file compaction — and the
+    store's CONTENT is proven unchanged two ways: recon bucket
+    checksums match before/after, and the incremental near-dup gate
+    returns identical survivors against the compacted store."""
+    import os
+
+    from evidence_images_etl_airflow_spark.operators.dedup import (
+        minhash_band_store,
+        minhash_lsh_against_store,
+    )
+    from evidence_images_etl_airflow_spark.operators.maintenance import (
+        maintain_dedup_store,
+    )
+    from evidence_images_etl_airflow_spark.operators.recon import (
+        bucket_checksums,
+        diff_buckets,
+    )
+
+    store = str(tmp_path / "band_store")
+    texts = {
+        1: [(10, "the quick brown fox jumps over the lazy dog today"),
+            (11, "pack my box with five dozen liquor jugs tonight")],
+        2: [(20, "sphinx of black quartz judge my vow carefully now"),
+            (21, "how vexingly quick daft zebras jump around here")],
+        3: [(30, "bright vixens jump dozy fowl quack loudly outside"),
+            (31, "two driven jocks help fax my big quiz again soon")],
+    }
+    for epoch, rows in texts.items():
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        bands = minhash_band_store(batch, "doc_id", "text")
+        bands.repartition(3).write.mode("append").parquet(
+            f"{store}/epoch={epoch}")
+
+    def _kept():
+        return spark.read.parquet(store).filter(F.col("epoch") >= 2)
+
+    def _sums(df):
+        return bucket_checksums(
+            df, F.col("id"),
+            [F.col("id"), F.col("band"), F.col("key")], n_buckets=8)
+
+    before = _sums(_kept()).collect()
+
+    # the incremental gate's verdict against the kept epochs, pre-maintenance
+    probe = spark.createDataFrame(
+        [(90, texts[2][0][1]),                       # exact dup of doc 20
+         (91, "totally novel content about spark engines at scale")],
+        "doc_id long, text string")
+    surv_before, _ = minhash_lsh_against_store(
+        probe, _kept(), "doc_id", "text")
+    assert [r.doc_id for r in surv_before.collect()] == [91]
+
+    stats = maintain_dedup_store(
+        spark, store, keep_epochs=2, target_bytes=1 << 30)
+    assert stats["epochs_dropped"] == [1]
+    assert stats["epochs_kept"] == [2, 3]
+    assert all(s["groups_rewritten"] == 1 for s in stats["per_epoch"].values())
+
+    # epoch 1 directory is gone entirely; each kept epoch is one file
+    assert not os.path.exists(f"{store}/epoch=1")
+    for e in (2, 3):
+        files = [p for p in os.listdir(f"{store}/epoch={e}")
+                 if p.endswith(".parquet")]
+        assert len(files) == 1
+
+    after_df = spark.read.parquet(store)
+    assert sorted({r.epoch for r in after_df.select("epoch").distinct().collect()}) == [2, 3]
+    after = _sums(after_df)
+    buckets = diff_buckets(
+        spark.createDataFrame(before, after.schema), after).collect()
+    assert buckets and all(r.match for r in buckets)
+
+    # identical gate verdict on the compacted store
+    surv_after, _ = minhash_lsh_against_store(
+        probe, after_df, "doc_id", "text")
+    assert [r.doc_id for r in surv_after.collect()] == [91]
+
+    # a second maintenance pass is a no-op
+    stats2 = maintain_dedup_store(
+        spark, store, keep_epochs=2, target_bytes=1 << 30)
+    assert stats2["epochs_dropped"] == []
+    assert all(s["groups_rewritten"] == 0 for s in stats2["per_epoch"].values())
