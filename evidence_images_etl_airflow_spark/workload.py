@@ -11339,6 +11339,64 @@ def ep5_mart_chain_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq_k_anonymity",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_bucket,
+             count(*) AS n
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(5 AS INT) AS k,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) AS BIGINT)
+             AS rows_below_k,
+           CAST(coalesce(sum(CASE WHEN n < 5 THEN 1 END), 0) AS BIGINT)
+             AS classes_below_k,
+           CAST(min(n) AS BIGINT) AS min_class_size,
+           CAST(max(n) AS BIGINT) AS max_class_size,
+           round(CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0)
+                      AS DOUBLE) / sum(n), 6) AS at_risk_share
+    FROM classes
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release screen (operators/quality.
+    k_anonymity_report) over the customer table's quasi-identifiers —
+    nation, market segment, and account balance generalized to
+    100-unit buckets (generalization passed as a Column expression,
+    the form the operator is built for). One row: how many customers
+    sit in equivalence classes smaller than k=5, i.e. are
+    re-identifiable by joining those three attributes against any
+    outside register. The privacy counterpart of the PII regex scan
+    in functions/text.py: that one finds identifiers IN text, this
+    one measures identifiability OF the published schema. All-integer
+    counts + a single IEEE divide at 6dp — exact cross-engine. One
+    QI-grain map-side-combined groupBy + an O(#classes) report agg;
+    no join, no collect, one output row at any scale. NOTE: registered
+    after the r12 verify head (rotation-slot rule); parity-proven
+    locally at sf0.001 + sf0.01; queued for the r13 rotation."""
+    from evidence_images_etl_airflow_spark.operators.quality import (
+        k_anonymity_report,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    return k_anonymity_report(
+        cust,
+        [
+            F.col("c_nationkey"),
+            F.col("c_mktsegment"),
+            F.floor(F.col("c_acctbal") / 100).cast("bigint").alias(
+                "bal_bucket"
+            ),
+        ],
+        k=5,
+    )
+
+
 # r11: `join_autoplan_strategy` promoted (green r10 driver row landed).
 # r12: `events_pattern_journey` promoted (green CORRECTNESS_r11 row
 # committed — the sequence-analytics family's representative); the

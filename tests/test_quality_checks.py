@@ -295,3 +295,67 @@ def test_union_evolved_reads_vintages_as_one_table(spark):
 
     with _pt.raises(ValueError, match="unplanned columns"):
         S.evolve_to(v2, T.StructType([T.StructField("id", T.LongType())]))
+
+
+@pytest.fixture()
+def qi_table(spark):
+    rows = (
+        [Row(a="x", b=1, sal=12_000)] * 6
+        + [Row(a="x", b=2, sal=27_000)] * 3
+        + [Row(a="y", b=1, sal=91_000)]
+    )
+    return spark.createDataFrame(rows)
+
+
+def test_k_anonymity_report_hand_case(spark, qi_table):
+    from evidence_images_etl_airflow_spark.operators.quality import (
+        k_anonymity_report,
+    )
+
+    r = k_anonymity_report(qi_table, ["a", "b"], k=5).first()
+    assert (r.k, r.n_rows, r.n_classes) == (5, 10, 3)
+    assert (r.rows_below_k, r.classes_below_k) == (4, 2)
+    assert (r.min_class_size, r.max_class_size) == (1, 6)
+    assert r.at_risk_share == 0.4
+
+
+def test_k_anonymity_generalization_expression(spark, qi_table):
+    """A Column expression (salary generalized to 10k buckets) is a
+    valid quasi-identifier — the generalized grain merges the two 'x'
+    classes' salaries into distinct buckets so classes stay as-is,
+    while a coarse 100k bucket merges nothing across (a, b)."""
+    import pyspark.sql.functions as F
+
+    from evidence_images_etl_airflow_spark.operators.quality import (
+        k_anonymity_report,
+    )
+
+    r = k_anonymity_report(
+        qi_table, [F.floor(F.col("sal") / 10_000).alias("sal_b")], k=5
+    ).first()
+    # buckets 1 (x6), 2 (x3), 9 (x1) -> same class structure as (a, b)
+    assert (r.n_classes, r.rows_below_k, r.classes_below_k) == (3, 4, 2)
+
+
+def test_k_anonymity_violations_smallest_first(spark, qi_table):
+    from evidence_images_etl_airflow_spark.operators.quality import (
+        k_anonymity_violations,
+    )
+
+    out = k_anonymity_violations(qi_table, ["a", "b"], k=5).collect()
+    assert [(r.a, r.b, r.class_size) for r in out] == [
+        ("y", 1, 1), ("x", 2, 3)
+    ]
+    capped = k_anonymity_violations(qi_table, ["a", "b"], k=5, top_n=1)
+    assert capped.count() == 1
+
+
+def test_k_anonymity_validation(spark, qi_table):
+    from evidence_images_etl_airflow_spark.operators.quality import (
+        k_anonymity_report,
+    )
+
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        k_anonymity_report(qi_table, ["a"], k=1)
+    with pytest.raises(ValueError, match="at least one"):
+        k_anonymity_report(qi_table, [], k=5)
