@@ -619,6 +619,80 @@ def matryoshka_truncate(
     )
 
 
+def int8_scales(
+    corpus: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> list[float]:
+    """Per-dimension symmetric scale for int8 scalar quantization:
+    ``s_d = max(|x_d|)`` over the corpus. ONE scan with ``dim``
+    max-aggregates (map-side combined); the result is dim-bounded
+    (64 doubles), the same collect budget as the PCA moment solve.
+    max/abs never round, so the scales are exact corpus values and
+    bit-identical in any engine that widens float32 the same way."""
+    row = corpus.agg(
+        *[
+            F.max(F.abs(F.element_at(F.col(vec_col), i + 1))).alias(f"s{i}")
+            for i in range(dim)
+        ]
+    ).first()
+    return [float(row[f"s{i}"]) for i in range(dim)]
+
+
+def int8_quantize(
+    df: DataFrame,
+    scales: list[float],
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization — the third standard
+    compression dial next to matryoshka truncation (fewer dims) and PQ
+    (codebooks): ``q_d = clamp(floor(x_d * 127 / s_d + 0.5), -127,
+    127)`` stored as ``array<tinyint>``, 4x smaller than float32 at
+    full dimensionality. Quantization is row-local column expressions
+    (no shuffle, no Python); the +0.5-then-floor idiom is the
+    round-half-up that both Spark and SQL engines compute identically
+    on doubles, unlike ROUND whose half-even/half-away convention
+    differs across engines. A zero scale (constant-zero dimension)
+    quantizes to 0 rather than dividing by zero."""
+    elems = [
+        F.when(F.lit(s) == 0.0, F.lit(0)).otherwise(
+            F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.floor(
+                        F.element_at(F.col(vec_col), i + 1).cast("double")
+                        * 127.0 / F.lit(float(s)) + 0.5
+                    ),
+                ),
+            )
+        ).cast("tinyint")
+        for i, s in enumerate(scales)
+    ]
+    return df.withColumn(out_col, F.array(*elems))
+
+
+def int8_dequantize(
+    df: DataFrame,
+    scales: list[float],
+    codes_col: str = "codes",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Reconstruct doubles from int8 codes: ``x̂_d = q_d * s_d / 127``
+    — the form ADC-style scoring consumes. Left-to-right operand
+    order is fixed so a SQL oracle rendering the same expression gets
+    bit-identical doubles; downstream cosine folds (functions/vectors)
+    are then exactly reproducible cross-engine."""
+    sarr = F.array(*[F.lit(float(s)) for s in scales])
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(codes_col),
+            lambda q, i: q.cast("double")
+            * F.element_at(sarr, i + 1) / 127.0,
+        ),
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

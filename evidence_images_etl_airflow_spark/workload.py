@@ -11397,6 +11397,123 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _int8_oracle_ctes() -> str:
+    """DuckDB rendering of int8 symmetric scalar quantization
+    (operators/similarity.int8_quantize / int8_dequantize,
+    term-for-term): one corpus scan computes the per-dimension absmax
+    scales, then each vector round-trips through
+    clamp(floor(x*127/s + 0.5)) * s / 127 into a DOUBLE list named
+    ``embedding`` so the norm/cosine helpers apply unchanged."""
+    scales = ", ".join(
+        f"max(abs(embedding[{i}])) AS s{i}" for i in range(1, _DIM + 1)
+    )
+    elems = ", ".join(
+        f"CASE WHEN s.s{i} = 0 THEN 0.0 ELSE "
+        f"CAST(GREATEST(-127, LEAST(127, CAST(FLOOR("
+        f"CAST(e.embedding[{i}] AS DOUBLE) * 127.0 / s.s{i} + 0.5"
+        f") AS BIGINT))) AS DOUBLE) * s.s{i} / 127.0 END"
+        for i in range(1, _DIM + 1)
+    )
+    return (
+        f"s AS (SELECT {scales} FROM embeddings),\n"
+        f"    eq AS (SELECT e.vec_id, [{elems}] AS embedding\n"
+        f"           FROM embeddings e CROSS JOIN s)"
+    )
+
+
+@register(
+    "embedding_int8_recall",
+    oracle=f"""
+    WITH {_int8_oracle_ctes()},
+    e AS (SELECT vec_id, embedding, {_norm_expr_sql()} AS nrm
+          FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 5),
+    full_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_cos_nrm_sql('q', 'c')}, 6) AS cos_sim
+      FROM e c CROSS JOIN q
+      WHERE c.vec_id <> q.vec_id),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM full_scored)
+      WHERE rank <= 3),
+    eqn AS (SELECT vec_id, embedding, {_norm_expr_sql()} AS nrm FROM eq),
+    qq AS (SELECT * FROM eqn WHERE vec_id < 5),
+    q_scored AS (
+      SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_cos_nrm_sql('qq', 'c')}, 6) AS cos_sim
+      FROM eqn c CROSS JOIN qq
+      WHERE c.vec_id <> qq.vec_id),
+    qt AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM q_scored)
+      WHERE rank <= 3)
+    SELECT b.query_id,
+           CAST(8 AS INT) AS bits,
+           CAST(count(*) AS BIGINT) AS n_true,
+           CAST(count(t.neighbor_id) AS BIGINT) AS n_hit,
+           round(count(t.neighbor_id) / (count(*) * 1.0), 6) AS recall_at_3
+    FROM bf b LEFT JOIN qt t
+      ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def embedding_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization quality gate (operators/similarity.
+    int8_scales / int8_quantize / int8_dequantize): per-query recall@3
+    of cosine retrieval over vectors round-tripped through symmetric
+    per-dimension int8 — the THIRD compression dial next to matryoshka
+    truncation (embedding_matryoshka_recall, fewer dims) and PQ
+    (ann_pq_topk, codebooks). At 100 TB this is the cheapest of the
+    three to adopt: 4x smaller scan bytes and index memory with NO
+    retraining and NO codebook build — one absmax scan for the scale
+    vector, then row-local quantize expressions on write. Both legs
+    are brute_force_topk (identical 6dp round + tie-breaks); the
+    quantized leg scores dequantized doubles whose every bit the
+    oracle reproduces (clamp/floor/+0.5 idiom — round-half-up that
+    both engines compute identically, unlike ROUND's convention
+    split). Scale note: the scales collect is dim-bounded (64
+    doubles, PCA-moment precedent) and the panel is a query SAMPLE —
+    cost is two queries-broadcast corpus scans."""
+    from evidence_images_etl_airflow_spark.operators.similarity import (
+        brute_force_topk,
+        int8_dequantize,
+        int8_quantize,
+        int8_scales,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    bf = brute_force_topk(emb, queries, "vec_id", "embedding", k=3).select(
+        "query_id", "neighbor_id"
+    )
+    scales = int8_scales(emb, "embedding", _DIM)
+    deq = int8_dequantize(
+        int8_quantize(emb, scales, "embedding", "codes"),
+        scales, "codes", "demb",
+    ).select("vec_id", F.col("demb").alias("embedding"))
+    dq = deq.filter(F.col("vec_id") < 5)
+    qt = brute_force_topk(deq, dq, "vec_id", "embedding", k=3).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    return (
+        bf.join(qt, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.lit(8).cast("int").alias("bits"),
+            F.count("*").cast("bigint").alias("n_true"),
+            F.count("__hit").cast("bigint").alias("n_hit"),
+            F.round(F.count("__hit") / F.count("*"), 6).alias("recall_at_3"),
+        )
+    )
+
+
 # r11: `join_autoplan_strategy` promoted (green r10 driver row landed).
 # r12: `events_pattern_journey` promoted (green CORRECTNESS_r11 row
 # committed — the sequence-analytics family's representative); the

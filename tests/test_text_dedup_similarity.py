@@ -811,3 +811,64 @@ def test_rrf_fuse_rejects_leg_rank_shadowing_id_col(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="collide"):
         rrf_fuse({"vec": leg}, id_col="vec_rank")
+
+
+def test_int8_quantize_roundtrip_error_bound(spark):
+    """r12: |dequant(quant(x)) - x| <= s_d/254 per dimension (half a
+    quantization step, round-half-up), codes are tinyint in
+    [-127, 127], and a zero-scale dimension round-trips to exactly
+    0.0 instead of dividing by zero."""
+    from evidence_images_etl_airflow_spark.operators.similarity import (
+        int8_dequantize,
+        int8_quantize,
+        int8_scales,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, -0.5, 0.0]), (1, [-2.0, 0.25, 0.0]), (2, [0.3, 0.5, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    scales = int8_scales(df, "embedding", dim=3)
+    assert scales == [2.0, 0.5, 0.0]
+    q = int8_quantize(df, scales, "embedding", "codes")
+    assert dict(q.dtypes)["codes"] == "array<tinyint>"
+    out = int8_dequantize(q, scales, "codes", "deq").collect()
+    for r in out:
+        for x, c, xh, s in zip(r.embedding, r.codes, r.deq, scales):
+            assert -127 <= c <= 127
+            if s == 0.0:
+                assert c == 0 and xh == 0.0
+            else:
+                assert abs(xh - x) <= s / 254 + 1e-12
+    # extremes hit the clamp boundary exactly
+    by_id = {r.vec_id: r.codes for r in out}
+    assert by_id[1][0] == -127 and by_id[0][0] == 64
+
+
+def test_int8_recall_preserves_wellseparated_neighbors(spark):
+    """Quantized cosine retrieval returns the identical top-1 when
+    neighbors are far apart relative to the quantization step."""
+    from evidence_images_etl_airflow_spark.operators.similarity import (
+        brute_force_topk,
+        int8_dequantize,
+        int8_quantize,
+        int8_scales,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.0, 0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    qs = df.filter("vec_id = 0")
+    truth = brute_force_topk(df, qs, k=1).first().neighbor_id
+    scales = int8_scales(df, "embedding", dim=3)
+    deq = int8_dequantize(
+        int8_quantize(df, scales, "embedding", "codes"), scales, "codes", "demb"
+    ).select("vec_id", F.col("demb").alias("embedding"))
+    got = brute_force_topk(deq, deq.filter("vec_id = 0"), k=1).first().neighbor_id
+    assert got == truth == 1
