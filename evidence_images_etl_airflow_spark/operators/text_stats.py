@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from evidence_images_etl_airflow_spark.functions.partitioning import spread
 from evidence_images_etl_airflow_spark.functions.text import (
@@ -383,3 +384,113 @@ def crossdoc_dup_fraction(
             F.col("n_dup").cast("double") / F.col("n_shingles"), 6
         ).alias("dup_frac"),
     )
+
+
+def cooccurrence_pmi(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 2,
+    max_df_share: float = 1.0,
+    per_doc_cap: int = 16,
+    min_pair: int = 2,
+    top_n: int = 25,
+) -> DataFrame:
+    """Token co-occurrence PMI (pointwise mutual information) over a
+    document corpus — the collocation/association signal under phrase
+    mining, topic seeds, and word2vec-era embeddings (Church & Hanks
+    1990): ``pmi(a,b) = ln(P(a,b) / (P(a)·P(b)))`` at document grain.
+    High-PMI pairs co-occur far above chance.
+
+    The naive form is an all-pairs explosion (docs × tokens²). Three
+    dials bound it the way the dedup family bounds candidate
+    generation:
+
+    - ``min_df`` / ``max_df_share``: tokens too rare to matter or so
+      common they co-occur with everything (stopword-like — their PMI
+      is ~0 by construction) never enter pair generation. The max-df
+      cut is THE blocker: without it every pair involving 'the'
+      survives to the groupBy.
+    - ``per_doc_cap``: at most this many kept tokens per document form
+      pairs, rarest-first (df ASC, token — rare tokens carry the
+      informative collocations; ties deterministic). Pairs per doc are
+      then <= cap·(cap-1)/2, so the pair stream is LINEAR in docs.
+    - ``min_pair``: singleton pairs (PMI spikes from one chance
+      co-occurrence) drop before the df joins.
+
+    Plan: distinct (doc, token) -> df table (one groupBy) -> df-window
+    cap -> self-join on doc id (shuffle on the doc key, both sides
+    already capped) -> pair groupBy -> two token-keyed df joins + one
+    broadcast 1-row n_docs. All counts integer; the only float op is
+    the final single ln over an exact integer ratio, 6dp — exact
+    cross-engine.
+
+    Returns top_n rows: (token_a, token_b, n_pair, df_a, df_b, pmi),
+    PMI descending, token tie-break."""
+    if int(per_doc_cap) < 2:
+        raise ValueError(f"per_doc_cap must be >= 2, got {per_doc_cap}")
+    if not (0.0 < float(max_df_share) <= 1.0):
+        raise ValueError(
+            f"max_df_share must be in (0, 1], got {max_df_share}"
+        )
+    tok = (
+        spread(df, F.col(id_col))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .distinct()
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    kept = (
+        tok.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df") >= int(min_df))
+            & (
+                F.col("df")
+                <= F.floor(F.lit(float(max_df_share)) * F.col("n_docs"))
+            )
+        )
+        .select("id", "tok", "df")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("tok"))
+    capped = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(per_doc_cap))
+        .select("id", "tok")
+    )
+    a = capped.select(F.col("id"), F.col("tok").alias("token_a"))
+    b = capped.select(F.col("id"), F.col("tok").alias("token_b"))
+    pairs = (
+        a.join(b, "id")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= int(min_pair))
+    )
+    da = dfreq.select(F.col("tok").alias("token_a"), F.col("df").alias("df_a"))
+    db = dfreq.select(F.col("tok").alias("token_b"), F.col("df").alias("df_b"))
+    scored = (
+        pairs.join(da, "token_a")
+        .join(db, "token_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token_a",
+            "token_b",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.col("df_a").cast("bigint").alias("df_a"),
+            F.col("df_b").cast("bigint").alias("df_b"),
+            F.round(
+                F.log(
+                    (F.col("n_pair") * F.col("n_docs")).cast("double")
+                    / (F.col("df_a") * F.col("df_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), "token_a", "token_b"
+    ).limit(int(top_n))

@@ -11514,6 +11514,70 @@ def embedding_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_cooccurrence_pmi",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id AS id, tok FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents)),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    dfreq AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+    kept AS (
+      SELECT t.id, t.tok, d.df FROM tok t
+      JOIN dfreq d USING (tok) CROSS JOIN nd
+      WHERE d.df >= 5 AND d.df <= floor(1.0 * nd.n_docs)),
+    capped AS (
+      SELECT id, tok FROM (
+        SELECT *, row_number() OVER (PARTITION BY id
+                                     ORDER BY df ASC, tok) AS rn
+        FROM kept)
+      WHERE rn <= 16),
+    pairs AS (
+      SELECT a.tok AS token_a, b.tok AS token_b, count(*) AS n_pair
+      FROM capped a JOIN capped b ON a.id = b.id AND a.tok < b.tok
+      GROUP BY 1, 2
+      HAVING count(*) >= 5)
+    SELECT p.token_a, p.token_b,
+           CAST(p.n_pair AS BIGINT) AS n_pair,
+           CAST(da.df AS BIGINT) AS df_a,
+           CAST(db.df AS BIGINT) AS df_b,
+           round(ln(CAST(p.n_pair * nd.n_docs AS DOUBLE)
+                    / (da.df * db.df)), 6) AS pmi
+    FROM pairs p
+    JOIN dfreq da ON p.token_a = da.tok
+    JOIN dfreq db ON p.token_b = db.tok
+    CROSS JOIN nd
+    ORDER BY pmi DESC, token_a, token_b
+    LIMIT 25
+    """,
+)
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-grain token co-occurrence PMI (operators/text_stats.
+    cooccurrence_pmi): the collocation signal under phrase mining and
+    topic seeding — which token pairs appear together far above
+    chance. The naive form is docs x tokens^2; the operator bounds it
+    with the dedup family's candidate discipline: df-band blocking
+    (min_df=5, max_df_share=1.0 here — the synthetic corpus's 31-token
+    near-uniform vocab leaves nothing to cut, but at web scale the
+    max-df cut is what keeps stopword pairs out of the shuffle) plus a
+    rarest-first per-doc cap of 16 (pairs per doc <= 120, pair stream
+    LINEAR in docs) and a min_pair=5 singleton floor. Every count is
+    integer; the single float op is one ln over an exact bigint ratio,
+    6dp — exact cross-engine (zipf/BM25 ln precedent). NOTE:
+    registered after the r12 verify head (rotation-slot rule);
+    parity-proven locally at sf0.001 + sf0.01; queued for r13."""
+    from evidence_images_etl_airflow_spark.operators.text_stats import (
+        cooccurrence_pmi,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return cooccurrence_pmi(
+        d, "doc_id", "text",
+        min_df=5, max_df_share=1.0, per_doc_cap=16, min_pair=5, top_n=25,
+    )
+
+
 # r11: `join_autoplan_strategy` promoted (green r10 driver row landed).
 # r12: `events_pattern_journey` promoted (green CORRECTNESS_r11 row
 # committed — the sequence-analytics family's representative); the

@@ -12,6 +12,7 @@ from evidence_images_etl_airflow_spark.functions.partitioning import (
 )
 from evidence_images_etl_airflow_spark.functions.text import scrub_pii
 from evidence_images_etl_airflow_spark.operators.text_stats import (
+    cooccurrence_pmi,
     dictionary_encode,
     length_percentile_trim,
     ngram_contamination,
@@ -569,3 +570,62 @@ def test_pack_documents_keep_cols_passthrough(spark):
         assert (k["shard"], k["pack_id"]) == (r["shard"], r["pack_id"])
     for i in range(20):
         assert (got[i]["lang"], got[i]["quality"]) == (f"lang{i % 3}", i / 10.0)
+
+
+@pytest.fixture()
+def pmi_corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta delta"),
+            (3, "alpha gamma delta"),
+            (4, "beta gamma delta epsilon epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_cooccurrence_pmi_hand_case(spark, pmi_corpus):
+    """4 docs, dfs alpha/beta/gamma/delta = 3 each, epsilon = 1
+    (dropped by min_df=2; its in-doc duplicate also proves the
+    distinct). Every surviving pair co-occurs exactly twice, so every
+    PMI is ln(2*4/(3*3)) = ln(8/9); order falls to the token names."""
+    import math
+
+    out = cooccurrence_pmi(
+        pmi_corpus, "doc_id", "text", min_df=2, min_pair=2
+    ).collect()
+    assert [(r.token_a, r.token_b) for r in out] == [
+        ("alpha", "beta"), ("alpha", "delta"), ("alpha", "gamma"),
+        ("beta", "delta"), ("beta", "gamma"), ("delta", "gamma"),
+    ]
+    want = round(math.log(8 / 9), 6)
+    for r in out:
+        assert (r.n_pair, r.df_a, r.df_b) == (2, 3, 3)
+        assert r.pmi == want
+
+
+def test_cooccurrence_pmi_max_df_cut_and_cap(spark, pmi_corpus):
+    # max_df_share = 0.5 -> df <= 2 -> every kept token (df=3) drops
+    assert (
+        cooccurrence_pmi(
+            pmi_corpus, "doc_id", "text", min_df=2, max_df_share=0.5,
+            min_pair=1,
+        ).count()
+        == 0
+    )
+    # per_doc_cap=2 keeps the 2 alphabetically-first equal-df tokens
+    # per doc -> only pairs among {alpha, beta, delta(d3: alpha,delta)}
+    out = cooccurrence_pmi(
+        pmi_corpus, "doc_id", "text", min_df=2, per_doc_cap=2, min_pair=2
+    ).collect()
+    assert [(r.token_a, r.token_b, r.n_pair) for r in out] == [
+        ("alpha", "beta", 2)
+    ]
+
+
+def test_cooccurrence_pmi_validation(spark, pmi_corpus):
+    with pytest.raises(ValueError, match="per_doc_cap"):
+        cooccurrence_pmi(pmi_corpus, "doc_id", "text", per_doc_cap=1)
+    with pytest.raises(ValueError, match="max_df_share"):
+        cooccurrence_pmi(pmi_corpus, "doc_id", "text", max_df_share=0.0)
