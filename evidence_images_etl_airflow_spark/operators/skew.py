@@ -455,3 +455,143 @@ def repartition_by_stats(
     ).first()
     n = int(plan.partitions)
     return df.repartition(n), n
+
+
+def plan_range_partitions(
+    df: DataFrame,
+    col: str,
+    n_partitions: int,
+    approx_accuracy: int | None = None,
+) -> DataFrame:
+    """Range-partition boundary advisor: deterministic, auditable cut
+    points for an N-way range layout of ``col``, plus the per-range
+    row counts that reveal whether the layout is balanced BEFORE a
+    sorted/bucketed write commits to it. Spark's own
+    ``repartitionByRange`` picks boundaries by reservoir SAMPLING —
+    fine for a one-off shuffle, but unrepeatable across runs and
+    silent about imbalance; a 100 TB layout decision wants the
+    boundaries in a report a human (or the recon checksums) can pin.
+
+    Boundary rule, exact mode (default): boundary_i is the smallest
+    key whose cumulative row count reaches ``ceil(n*i/N)`` — the
+    CDF >= i/N discrete quantile, computed with INTEGER rank
+    arithmetic ``(n*i + N - 1) div N`` so engines cannot disagree on
+    a float epsilon. Plan shape: one groupBy(col) (map-side
+    combined), a cumulative window over the DISTINCT keys (the key
+    dictionary, sub-linear in rows — zipf precedent), then a
+    broadcast of the <=N-1 boundaries back over the key dictionary
+    for range assignment. Nothing row-sized is collected.
+
+    The 100 TB dial is ``approx_accuracy`` (dq_mad discipline): when
+    set, boundaries come from one mergeable Greenwald-Khanna
+    ``approx_percentile(col, [i/N...], accuracy)`` aggregate instead
+    of the distinct-key window — rank error <= n/accuracy rows per
+    boundary, no window at all. Engine-only mode (discrete-quantile
+    conventions differ across engines; the exact mode is the oracle
+    mode).
+
+    Returns N rows: ``partition_id (1..N), hi_bound (key-typed,
+    range is lo < key <= hi; NULL for the last), n_rows, share`` —
+    duplicate boundaries under heavy skew surface as EMPTY ranges
+    rather than silently vanishing, which is exactly the signal to
+    fall back to salting (salted_join) or hash layout."""
+    N = int(n_partitions)
+    if N < 2:
+        raise ValueError(f"n_partitions must be >= 2, got {N}")
+    if approx_accuracy is not None and int(approx_accuracy) < 1:
+        raise ValueError(
+            f"approx_accuracy must be >= 1, got {approx_accuracy}"
+        )
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    k = df.groupBy(F.col(col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = k.agg(F.sum("cnt").cast("bigint").alias("n"))
+    if approx_accuracy is None:
+        wc = Window.orderBy("key").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        c = k.withColumn("cum", F.sum("cnt").over(wc))
+        r = spark.range(1, N).select(F.col("id").cast("int").alias("i"))
+        b = (
+            c.crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(r))
+            .filter(F.col("cum") >= F.expr(f"(n * i + {N} - 1) div {N}"))
+            .groupBy("i")
+            .agg(F.min("key").alias("b"))
+        )
+        bounds = b.agg(
+            F.array_sort(F.collect_list("b")).alias("bs")
+        )
+    else:
+        pcts = ", ".join(repr(i / N) for i in range(1, N))
+        bounds = df.agg(
+            F.array_sort(
+                F.expr(
+                    f"approx_percentile({col}, array({pcts}),"
+                    f" {int(approx_accuracy)})"
+                )
+            ).alias("bs")
+        )
+    assign = (
+        k.crossJoin(F.broadcast(bounds))
+        .select(
+            "cnt",
+            "bs",
+            (
+                F.lit(1)
+                + F.size(F.filter("bs", lambda v: F.col("key") > v))
+            ).alias("pid"),
+        )
+        .groupBy("pid")
+        .agg(F.sum("cnt").cast("bigint").alias("n_rows"))
+    )
+    pids = spark.range(1, N + 1).select(
+        F.col("id").cast("int").alias("partition_id")
+    )
+    hi = bounds.select(
+        F.posexplode("bs").alias("__p", "hi_bound")
+    ).select((F.col("__p") + 1).cast("int").alias("partition_id"), "hi_bound")
+    return (
+        pids.join(
+            assign.withColumnRenamed("pid", "partition_id"),
+            "partition_id",
+            "left",
+        )
+        .join(F.broadcast(hi), "partition_id", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "partition_id",
+            "hi_bound",
+            F.coalesce(F.col("n_rows"), F.lit(0)).cast("bigint").alias("n_rows"),
+            F.round(
+                F.coalesce(F.col("n_rows"), F.lit(0)).cast("double")
+                / F.col("n"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("partition_id")
+    )
+
+
+def apply_range_plan(
+    df: DataFrame, col: str, boundaries: Sequence
+) -> DataFrame:
+    """Assign each row its range-partition id (1-based) from a
+    boundary list produced by :func:`plan_range_partitions`
+    (``hi_bound`` of partitions 1..N-1, ascending): partition i holds
+    ``b_{i-1} < key <= b_i``. Row-local expression — feed the result
+    to ``repartition(N, "range_pid")`` or a partitioned write for a
+    layout that is bit-reproducible across runs, unlike
+    repartitionByRange's sampled boundaries."""
+    if not boundaries:
+        raise ValueError("boundaries must be non-empty")
+    barr = F.array(*[F.lit(b) for b in boundaries])
+    return df.withColumn(
+        "range_pid",
+        (
+            F.lit(1) + F.size(F.filter(barr, lambda v: F.col(col) > v))
+        ).cast("int"),
+    )

@@ -11578,6 +11578,59 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "plan_range_partition_report",
+    oracle="""
+    WITH k AS (SELECT o_custkey AS key, count(*) AS cnt
+               FROM orders GROUP BY 1),
+    c AS (SELECT key, cnt, sum(cnt) OVER (ORDER BY key) AS cum FROM k),
+    tot AS (SELECT sum(cnt) AS n FROM k),
+    b AS (SELECT r.i, min(c.key) AS b
+          FROM c CROSS JOIN tot CROSS JOIN range(1, 8) r(i)
+          WHERE c.cum >= (tot.n * r.i + 7) // 8
+          GROUP BY r.i),
+    assign AS (SELECT k.key, k.cnt,
+                      1 + (SELECT count(*) FROM b WHERE k.key > b.b) AS pid
+               FROM k),
+    agg AS (SELECT pid, sum(cnt) AS nr FROM assign GROUP BY pid)
+    SELECT CAST(r.i AS INT) AS partition_id,
+           bb.b AS hi_bound,
+           CAST(coalesce(a.nr, 0) AS BIGINT) AS n_rows,
+           round(CAST(coalesce(a.nr, 0) AS DOUBLE) / tot.n, 6) AS share
+    FROM range(1, 9) r(i)
+    LEFT JOIN agg a ON a.pid = r.i
+    LEFT JOIN b bb ON bb.i = r.i
+    CROSS JOIN tot
+    ORDER BY partition_id
+    """,
+)
+def plan_range_partition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition boundary advisor (operators/skew.
+    plan_range_partitions, exact mode) over orders.o_custkey, N=8:
+    deterministic CDF>=i/N cut points with integer rank arithmetic
+    ((n*i + N-1) div N — no float epsilon for engines to disagree
+    on), plus per-range row counts and shares, empty ranges included.
+    This is the missing planning half of repartitionByRange: Spark
+    SAMPLES boundaries (unrepeatable, silent about imbalance); a
+    100 TB sorted/bucketed layout wants boundaries pinned in an
+    auditable report first, then applied with apply_range_plan for a
+    bit-reproducible layout. Plan shape: one map-side-combined
+    groupBy(key), a cumulative window over the DISTINCT-key
+    dictionary (sub-linear in rows — zipf precedent), and a <=N-1
+    boundary broadcast back over the dictionary; the at-scale dial is
+    approx_accuracy (one mergeable approx_percentile aggregate, no
+    window — engine-only mode, unit-tested against the exact rank
+    band). NOTE: registered after the r12 verify head (rotation-slot
+    rule); parity-proven locally at sf0.001 + sf0.01; queued for
+    r13."""
+    from evidence_images_etl_airflow_spark.operators.skew import (
+        plan_range_partitions,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return plan_range_partitions(orders, "o_custkey", 8)
+
+
 # r11: `join_autoplan_strategy` promoted (green r10 driver row landed).
 # r12: `events_pattern_journey` promoted (green CORRECTNESS_r11 row
 # committed — the sequence-analytics family's representative); the

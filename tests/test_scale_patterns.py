@@ -635,3 +635,74 @@ def test_ep5_chain_decision_order_and_strategies(spark):
     assert [d["strategy"] for d in dec2["step_decisions"]] == [
         "broadcast_right", "broadcast_right", "broadcast_left"]
     assert dec2["step_decisions"][2]["left"]["n_rows"] == 1500
+
+
+def test_plan_range_partitions_uniform_hand_case(spark):
+    """r12: keys 1..8 once each, N=4 -> boundaries 2/4/6, every range
+    holds exactly 2 rows at share 0.25; last hi_bound is NULL."""
+    from evidence_images_etl_airflow_spark.operators.skew import (
+        plan_range_partitions,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(1, 9)], "k long")
+    out = plan_range_partitions(df, "k", 4).collect()
+    assert [(r.partition_id, r.hi_bound, r.n_rows, r.share) for r in out] == [
+        (1, 2, 2, 0.25), (2, 4, 2, 0.25), (3, 6, 2, 0.25),
+        (4, None, 2, 0.25),
+    ]
+
+
+def test_plan_range_partitions_surfaces_empty_ranges_under_skew(spark):
+    """A hot key spanning several quantiles duplicates boundaries;
+    the report shows the collapsed ranges as EMPTY instead of hiding
+    them — the signal to abandon range layout for salting."""
+    from evidence_images_etl_airflow_spark.operators.skew import (
+        plan_range_partitions,
+    )
+
+    rows = [(5,)] * 8 + [(1,), (9,)]
+    df = spark.createDataFrame(rows, "k long")
+    out = plan_range_partitions(df, "k", 4).collect()
+    assert [(r.partition_id, r.hi_bound, r.n_rows) for r in out] == [
+        (1, 5, 9), (2, 5, 0), (3, 5, 0), (4, None, 1),
+    ]
+
+
+def test_plan_range_partitions_approx_mode_rank_band(spark):
+    """approx_accuracy mode: same report shape, boundaries within the
+    sketch's rank tolerance — on 1..1000 uniform with high accuracy
+    the counts must be near-exact and sum to n."""
+    from evidence_images_etl_airflow_spark.operators.skew import (
+        plan_range_partitions,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(1, 1001)], "k long")
+    out = plan_range_partitions(df, "k", 4, approx_accuracy=10_000).collect()
+    assert [r.partition_id for r in out] == [1, 2, 3, 4]
+    assert sum(r.n_rows for r in out) == 1000
+    for r in out:
+        assert abs(r.n_rows - 250) <= 1  # <= 1 rank off at 1e-4 error
+    bounds = [r.hi_bound for r in out[:-1]]
+    assert bounds == sorted(bounds) and out[-1].hi_bound is None
+
+
+def test_apply_range_plan_assigns_and_validates(spark):
+    from evidence_images_etl_airflow_spark.operators.skew import (
+        apply_range_plan,
+        plan_range_partitions,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(1, 9)], "k long")
+    got = {
+        r.k: r.range_pid
+        for r in apply_range_plan(df, "k", [2, 4, 6]).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3, 7: 4, 8: 4}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="non-empty"):
+        apply_range_plan(df, "k", [])
+    with _pt.raises(ValueError, match="n_partitions"):
+        plan_range_partitions(df, "k", 1)
+    with _pt.raises(ValueError, match="approx_accuracy"):
+        plan_range_partitions(df, "k", 4, approx_accuracy=0)
