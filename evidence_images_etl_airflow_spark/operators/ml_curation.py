@@ -151,3 +151,81 @@ def score_quality(model, docs: DataFrame, text_col: str, id_col: str) -> DataFra
         ),
         F.col("prediction").cast("int").alias("keep"),
     )
+
+
+def calibration_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + ECE for a [0,1] score against a binary
+    label — the gate that decides whether a quality/filter score's
+    VALUE is trustworthy as a probability (thresholding only needs
+    ranking; mixture weighting, expected-loss pruning, and
+    sample-weighting all consume the value, so a score that says 0.9
+    must be right ~90% of the time). Equal-width bins; per bin the
+    mean score vs the observed positive rate, their gap, and the
+    overall expected calibration error ECE = Σ (n_b/n)·|gap_b|
+    (Naeini et al. 2015).
+
+    Exactness discipline (the entropy/money idiom): scores are summed
+    as DECIMAL(18,6) (exact, partition-order-independent — a double
+    avg would be unreproducible cross-engine), labels as integers;
+    each output value is one cast + one IEEE divide, 6dp. Plan: one
+    row-local bin projection, one groupBy(bin) (map-side combined, at
+    most ``bins`` groups), one 1-row ECE broadcast. Empty bins are
+    omitted (there is nothing to calibrate in them).
+
+    Returns one row per non-empty bin, ascending: ``bin, n, n_pos,
+    avg_score, pos_rate, gap, ece`` (ece constant across rows)."""
+    if int(bins) < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    B = int(bins)
+    b = df.select(
+        F.greatest(
+            F.lit(0),
+            F.least(F.lit(B - 1), F.floor(F.col(score_col) * B)),
+        ).cast("int").alias("bin"),
+        F.col(score_col).cast("decimal(18,6)").alias("__s"),
+        F.col(label_col).cast("int").alias("__y"),
+    )
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__s").alias("__ssum"),
+        F.sum("__y").cast("bigint").alias("n_pos"),
+    )
+    g2 = g.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(F.col("__ssum").cast("double") / F.col("n"), 6).alias(
+            "avg_score"
+        ),
+        F.round(F.col("n_pos").cast("double") / F.col("n"), 6).alias(
+            "pos_rate"
+        ),
+    ).withColumn(
+        "gap", F.round(F.abs(F.col("avg_score") - F.col("pos_rate")), 6)
+    )
+    tot = g2.agg(
+        F.sum("n").alias("__nt"),
+        F.sum(F.col("gap").cast("decimal(18,6)") * F.col("n")).alias(
+            "__gsum"
+        ),
+    )
+    return (
+        g2.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            "avg_score",
+            "pos_rate",
+            "gap",
+            F.round(
+                F.col("__gsum").cast("double") / F.col("__nt"), 6
+            ).alias("ece"),
+        )
+        .orderBy("bin")
+    )

@@ -11631,6 +11631,64 @@ def plan_range_partition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_range_partitions(orders, "o_custkey", 8)
 
 
+@register(
+    "ml_calibration_curve",
+    oracle=f"""
+    WITH s AS (SELECT {_QUALITY_SQL} AS score,
+                      CAST(length(text) >= 256 AS INT) AS y
+               FROM documents),
+    b AS (SELECT greatest(0, least(9, CAST(floor(score * 10) AS INT)))
+                   AS bin,
+                 CAST(score AS DECIMAL(18,6)) AS sd, y
+          FROM s),
+    g AS (SELECT bin, count(*) AS n, sum(sd) AS ssum, sum(y) AS n_pos
+          FROM b GROUP BY bin),
+    g2 AS (SELECT bin, n, n_pos,
+                  round(CAST(ssum AS DOUBLE) / n, 6) AS avg_score,
+                  round(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate
+           FROM g),
+    g3 AS (SELECT *, round(abs(avg_score - pos_rate), 6) AS gap FROM g2),
+    t AS (SELECT sum(n) AS nt,
+                 sum(CAST(gap AS DECIMAL(18,6)) * n) AS gsum
+          FROM g3)
+    SELECT CAST(bin AS INT) AS bin, CAST(n AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           avg_score, pos_rate, gap,
+           round(CAST(t.gsum AS DOUBLE) / t.nt, 6) AS ece
+    FROM g3 CROSS JOIN t
+    ORDER BY bin
+    """,
+)
+def ml_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE (operators/ml_curation.
+    calibration_curve) for the deterministic quality heuristic scored
+    as a probability against a long-document proxy label
+    (length >= 256). In production the label is a human/LLM judgment
+    sample and the score is the trained classifier's good_prob
+    (ml_quality_classifier) — that pairing has no SQL oracle (L-BFGS),
+    so the registered form pins the calibration MACHINERY on the
+    heuristic score whose formula the oracle recomputes term-for-term
+    (_QUALITY_SQL). Why it matters at 100 TB: mixture weighting and
+    expected-loss pruning consume the score's VALUE, not its ranking —
+    an uncalibrated 0.9 silently misweights millions of documents.
+    Exactness: DECIMAL(18,6) score sums (order-independent), integer
+    labels, one IEEE divide per output value at 6dp. One row-local
+    bin projection + one <=10-group map-side-combined groupBy + a
+    1-row ECE broadcast. NOTE: registered after the r12 verify head
+    (rotation-slot rule); parity-proven locally at sf0.001 + sf0.01;
+    queued for r13."""
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        calibration_curve,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        quality_score(F.col("text")).alias("score"),
+        (F.length("text") >= 256).cast("int").alias("y"),
+    )
+    return calibration_curve(scored, "score", "y", bins=10)
+
+
 # r11: `join_autoplan_strategy` promoted (green r10 driver row landed).
 # r12: `events_pattern_journey` promoted (green CORRECTNESS_r11 row
 # committed — the sequence-analytics family's representative); the

@@ -198,3 +198,37 @@ def test_dsir_scores_target_like_docs_positive(spark, tmp_path):
     assert len(out) == 40
     assert all(out[i].dsir_score > 0 and out[i].selected for i in range(20))
     assert all(out[i].dsir_score < 0 and not out[i].selected for i in range(20, 40))
+
+
+def test_calibration_curve_hand_case(spark):
+    """r12: two populated bins; exact decimal sums make avg_score a
+    clean 6dp value; ECE = (2*0.05 + 4*0.2125)/6 = 0.158333."""
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        calibration_curve,
+    )
+
+    rows = [
+        (0.05, 0), (0.05, 0),
+        (0.95, 1), (0.95, 1), (0.95, 0), (1.0, 1),
+    ]
+    df = spark.createDataFrame(rows, "score double, y int")
+    out = calibration_curve(df, "score", "y", bins=10).collect()
+    assert [(r.bin, r.n, r.n_pos) for r in out] == [(0, 2, 0), (9, 4, 3)]
+    b0, b9 = out
+    assert (b0.avg_score, b0.pos_rate, b0.gap) == (0.05, 0.0, 0.05)
+    assert (b9.avg_score, b9.pos_rate, b9.gap) == (0.9625, 0.75, 0.2125)
+    assert b0.ece == b9.ece == 0.158333
+
+
+def test_calibration_curve_clamps_and_validates(spark):
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        calibration_curve,
+    )
+
+    df = spark.createDataFrame(
+        [(-0.2, 0), (1.3, 1)], "score double, y int"
+    )
+    out = calibration_curve(df, "score", "y", bins=10).collect()
+    assert [r.bin for r in out] == [0, 9]
+    with pytest.raises(ValueError, match="bins"):
+        calibration_curve(df, "score", "y", bins=1)
