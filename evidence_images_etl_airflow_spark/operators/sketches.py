@@ -582,3 +582,86 @@ def countmin_lookup(
         .groupBy(value_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("est"))
     )
+
+
+def sample_mean_ci(
+    df: DataFrame,
+    id_col: str | Column,
+    value_col: str,
+    fraction: float = 0.1,
+    salt: str = "aqp",
+    cents_scale: int = 100,
+    z: float = 1.96,
+) -> DataFrame:
+    """Approximate query processing: estimate a column's mean from a
+    deterministic Bernoulli sample and return it WITH a CLT confidence
+    interval — the 'answer in 1/fraction-th of the scan, with error
+    bars' trade every interactive 100 TB dashboard eventually wants
+    (online aggregation, Hellerstein et al. 1997). Because membership
+    is the md5(salt:id) bucket rule (partitioning-module idiom), the
+    sample is stable across runs, partitionings, and engines — an
+    estimate you can reproduce, audit, and oracle-check, which
+    rand()-sampling AQP cannot.
+
+    Exactness discipline: values scale to integer cents; the sample's
+    Σx accumulates as BIGINT and Σx² as DECIMAL(38,0) (both exact and
+    partition-order-independent; cents² at 1e14 overflows int64 after
+    ~1e5 rows — the decimal side is not optional). Mean, sample
+    variance ((Σx² − (Σx)²/n)/(n−1)), and the ±z·s/√n interval are
+    then a FIXED sequence of IEEE double ops over those exact sums,
+    6dp-rounded at the end — bit-reproducible anywhere.
+
+    Plan: one row-local hash filter + one 1-row aggregate, no
+    shuffle. The md5 predicate cannot prune parquet row groups (it is
+    not a stats-comparable expression), so the scan still reads the
+    column — the saving is the aggregate's input volume; to also save
+    scan BYTES, persist the sample once with this same rule and point
+    dashboards at it (membership determinism makes the materialized
+    sample exactly reproducible). Returns one row: ``n_sample,
+    est_mean, se, ci_lo, ci_hi`` in original units."""
+    if not (0.0 < float(fraction) <= 1.0):
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    c_id = F.col(id_col) if isinstance(id_col, str) else id_col
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(salt), F.lit(":"), c_id.cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    thresh = int(round(float(fraction) * 10000))
+    c = F.round(F.col(value_col) * cents_scale).cast("bigint")
+    s = (
+        df.filter(bucket < thresh)
+        .select(c.alias("c"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("c").cast("bigint").alias("sx"),
+            F.sum(
+                F.col("c").cast("decimal(19,0)")
+                * F.col("c").cast("decimal(19,0)")
+            ).alias("sxx"),
+        )
+    )
+    n = F.col("n").cast("double")
+    mean_c = F.col("sx").cast("double") / n
+    var_c = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double") / n
+    ) / (n - F.lit(1.0))
+    se_c = F.sqrt(var_c / n)
+    k = float(cents_scale)
+    return s.select(
+        F.col("n").alias("n_sample"),
+        F.round(mean_c / k, 6).alias("est_mean"),
+        F.round(se_c / k, 6).alias("se"),
+        F.round((mean_c - F.lit(float(z)) * se_c) / k, 6).alias("ci_lo"),
+        F.round((mean_c + F.lit(float(z)) * se_c) / k, 6).alias("ci_hi"),
+    )

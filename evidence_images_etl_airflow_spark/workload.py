@@ -11689,6 +11689,116 @@ def ml_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_curve(scored, "score", "y", bins=10)
 
 
+@register(
+    "agg_sample_ci",
+    oracle="""
+    WITH smp AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem
+      WHERE CAST('0x' || substr(md5('aqp:' || CAST(l_orderkey AS VARCHAR)
+                 || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15)
+                 AS BIGINT) % 10000 < 1000),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(c) AS BIGINT) AS sx,
+                 sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+                   AS sxx
+          FROM smp),
+    f AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      AS BIGINT) AS sxf
+          FROM lineitem),
+    e AS (SELECT n,
+                 CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+                 sqrt(((CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                       / (CAST(n AS DOUBLE) - 1.0))
+                      / CAST(n AS DOUBLE)) AS se_c
+          FROM s),
+    r AS (SELECT n AS n_sample,
+                 round(mean_c / 100.0, 6) AS est_mean,
+                 round(se_c / 100.0, 6) AS se,
+                 round((mean_c - 1.96 * se_c) / 100.0, 6) AS ci_lo,
+                 round((mean_c + 1.96 * se_c) / 100.0, 6) AS ci_hi
+          FROM e),
+    x AS (SELECT nt AS n_total,
+                 round(CAST(sxf AS DOUBLE) / CAST(nt AS DOUBLE) / 100.0, 6)
+                   AS exact_mean
+          FROM f)
+    SELECT x.n_total, r.n_sample, x.exact_mean,
+           r.est_mean, r.se, r.ci_lo, r.ci_hi,
+           (x.exact_mean >= r.ci_lo AND x.exact_mean <= r.ci_hi)
+             AS covered,
+           round(abs(r.est_mean - x.exact_mean) / x.exact_mean * 100.0, 4)
+             AS rel_err_pct
+    FROM r CROSS JOIN x
+    """,
+)
+def agg_sample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing with error bars (operators/
+    sketches.sample_mean_ci): mean of lineitem.l_extendedprice from a
+    deterministic 10% md5-bucket sample, with the CLT 95% interval —
+    then, as the harness half, the EXACT mean alongside and whether
+    the interval covered it (in production you run only the sample
+    leg; the exact leg here is what makes the estimator auditable and
+    oracle-checkable). The md5 rule makes the sample a pure function
+    of the row id: re-runs, engines, and partitionings agree, so 'the
+    dashboard number' is reproducible — rand()-based AQP cannot be.
+    Exactness: Σx as BIGINT, Σx² as DECIMAL(38,0) (cents² overflows
+    int64 after ~1e5 rows), then a fixed IEEE op sequence, 6dp.
+    Plan: two scans (sample agg + exact agg), each a row-local filter
+    into a 1-row aggregate, no shuffle. NOTE: registered after the
+    r12 verify head (rotation-slot rule); parity-proven locally at
+    sf0.001 + sf0.01; queued for r13."""
+    from evidence_images_etl_airflow_spark.operators.sketches import (
+        sample_mean_ci,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    rid = F.concat_ws(
+        ":",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    est = sample_mean_ci(
+        li, rid, "l_extendedprice", fraction=0.1, salt="aqp"
+    )
+    exact = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        ).cast("bigint").alias("__sxf"),
+    ).select(
+        "n_total",
+        F.round(
+            F.col("__sxf").cast("double")
+            / F.col("n_total").cast("double") / 100.0,
+            6,
+        ).alias("exact_mean"),
+    )
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .select(
+            "n_total",
+            "n_sample",
+            "exact_mean",
+            "est_mean",
+            "se",
+            "ci_lo",
+            "ci_hi",
+            (
+                (F.col("exact_mean") >= F.col("ci_lo"))
+                & (F.col("exact_mean") <= F.col("ci_hi"))
+            ).alias("covered"),
+            F.round(
+                F.abs(F.col("est_mean") - F.col("exact_mean"))
+                / F.col("exact_mean") * 100.0,
+                4,
+            ).alias("rel_err_pct"),
+        )
+    )
+
+
 # r11: `join_autoplan_strategy` promoted (green r10 driver row landed).
 # r12: `events_pattern_journey` promoted (green CORRECTNESS_r11 row
 # committed — the sequence-analytics family's representative); the

@@ -404,3 +404,38 @@ def test_countmin_merge_rejects_mixed_shapes(spark):
     # matching shapes with the guard on still merge fine
     ok = merge_countmin_tables(small, small, depth=2, width=8)
     assert ok.count() <= 2 * 8
+
+
+def test_sample_mean_ci_full_fraction_hand_case(spark):
+    """r12: fraction=1.0 keeps every row, so the estimate IS the mean
+    and the CLT interval is computable by hand: values 1/2/3 dollars
+    -> mean 2.0, s=1.0, se=1/sqrt(3), ci = 2 -/+ 1.96*0.57735."""
+    from evidence_images_etl_airflow_spark.operators.sketches import (
+        sample_mean_ci,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)], "id long, v double"
+    )
+    r = sample_mean_ci(df, "id", "v", fraction=1.0).first()
+    assert (r.n_sample, r.est_mean, r.se) == (3, 2.0, 0.57735)
+    assert (r.ci_lo, r.ci_hi) == (0.868393, 3.131607)
+
+
+def test_sample_mean_ci_deterministic_and_proportional(spark):
+    from evidence_images_etl_airflow_spark.operators.sketches import (
+        sample_mean_ci,
+    )
+
+    df = spark.range(0, 5000).select(
+        F.col("id"), (F.col("id") % 100).cast("double").alias("v")
+    )
+    a = sample_mean_ci(df, "id", "v", fraction=0.2).first()
+    b = sample_mean_ci(df.repartition(13), "id", "v", fraction=0.2).first()
+    assert a == b  # partitioning-independent, rerun-stable
+    assert 800 <= a.n_sample <= 1200  # ~20% of 5000
+    assert a.ci_lo < 49.5 < a.ci_hi  # true mean inside the 95% band
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="fraction"):
+        sample_mean_ci(df, "id", "v", fraction=0.0)
