@@ -11799,6 +11799,82 @@ def agg_sample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_churn_features",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+                      CAST(round(value * 100) AS BIGINT) AS vc
+               FROM events),
+    a AS (SELECT max(d) AS anchor FROM e)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT d) AS BIGINT) AS n_active_days,
+           CAST(max(d) - min(d) AS BIGINT) AS tenure_days,
+           CAST(a.anchor - max(d) AS BIGINT) AS recency_days,
+           CAST(coalesce(sum(CASE WHEN d > a.anchor - 7 THEN 1 END), 0)
+                AS BIGINT) AS events_7d,
+           round(CAST(sum(vc) AS DOUBLE) / 100, 2) AS value_sum,
+           (a.anchor - max(d) >= 7) AS churned
+    FROM e CROSS JOIN a
+    GROUP BY user_id, a.anchor
+    ORDER BY user_id
+    """,
+)
+def events_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn label + feature extraction at user grain — the standard
+    activity-model feature block (recency / frequency / tenure /
+    recent-window intensity / monetary sum) with the label derived
+    from the same frame: churned = no activity in the trailing 7 days
+    of the corpus window. The anchor is the CORPUS max day (1-row
+    broadcast), not wall-clock now(): training snapshots must be
+    reproducible, and a now()-anchored feature set changes under
+    re-runs (the same determinism rule the scheduler-side sensors
+    follow). Day indexes are exact integer µs div day-µs (retention
+    idiom — no date-function drift); monetary sums ride the cents-
+    BIGINT idiom. Plan: one 1-row anchor agg + one user-grain
+    map-side-combined conditional aggregate — no join, no window;
+    output is one row per user at any scale. NOTE: registered after
+    the r12 verify head (rotation-slot rule); parity-proven locally
+    at sf0.001 + sf0.01; queued for r13."""
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        F.expr("ts_us div 86400000000").alias("d"),
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    a = e.agg(F.max("d").alias("anchor"))
+    g = (
+        e.crossJoin(F.broadcast(a))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("d").cast("bigint").alias("n_active_days"),
+            (F.max("d") - F.min("d")).cast("bigint").alias("tenure_days"),
+            (F.max("anchor") - F.max("d")).cast("bigint").alias(
+                "recency_days"
+            ),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("d") > F.col("anchor") - 7, 1)
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("events_7d"),
+            F.round(
+                F.sum("vc").cast("double") / 100, 2
+            ).alias("value_sum"),
+        )
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        "n_active_days",
+        "tenure_days",
+        "recency_days",
+        "events_7d",
+        "value_sum",
+        (F.col("recency_days") >= 7).alias("churned"),
+    ).orderBy("user_id")
+
+
 # r11: `join_autoplan_strategy` promoted (green r10 driver row landed).
 # r12: `events_pattern_journey` promoted (green CORRECTNESS_r11 row
 # committed — the sequence-analytics family's representative); the

@@ -178,3 +178,32 @@ def test_apply_cdc_log_null_op_is_not_a_tombstone(spark):
     out = {r.k: r.v for r in apply_cdc_log(df, ["k"], ["seq"], "op").collect()}
     # malformed (NULL) op keeps the row; real tombstone still deletes
     assert out == {"k1": 2}
+
+
+def test_events_churn_features_hand_case(spark, tmp_path):
+    """r12: corpus-max-anchored churn label + activity features."""
+    from evidence_images_etl_airflow_spark.workload import REGISTRY
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 1.00, "{}"),
+        (2, "2024-01-29 10:00:00", 1, "view", 2.50, "{}"),
+        (3, "2024-01-30 09:00:00", 1, "buy", 0.25, "{}"),
+        (4, "2024-01-30 11:00:00", 1, "view", 0.25, "{}"),
+        (5, "2024-01-01 08:00:00", 2, "view", 10.00, "{}"),
+        (6, "2024-01-20 08:00:00", 2, "buy", 5.00, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = f"{tmp_path}/sf"
+    df.write.parquet(f"{d}/events.parquet")
+    out = {r.user_id: r for r in REGISTRY["events_churn_features"].fn(spark, d).collect()}
+    u1, u2 = out[1], out[2]
+    assert (u1.n_events, u1.n_active_days, u1.tenure_days) == (4, 3, 29)
+    assert (u1.recency_days, u1.events_7d, u1.value_sum) == (0, 3, 4.0)
+    assert u1.churned is False
+    assert (u2.n_events, u2.n_active_days, u2.tenure_days) == (2, 2, 19)
+    assert (u2.recency_days, u2.events_7d, u2.value_sum) == (10, 0, 15.0)
+    assert u2.churned is True

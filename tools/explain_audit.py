@@ -61,6 +61,11 @@ EXPECTED_CROSS = {
     "ep4_retrieval_pipeline",  # same two legs over the curated corpus
     "recon_cdf_apply",  # 1-row checksum x 1-row change-count report
     "join_chain_autoplan",  # 2x 1-row actual-count aggregate broadcasts
+    "embedding_int8_recall",  # query-batch broadcasts of both retrieval legs
+    "text_cooccurrence_pmi",  # 1-row n_docs aggregate broadcasts
+    "plan_range_partition_report",  # 1-row total + <=N-1 boundary broadcasts
+    "ml_calibration_curve",  # 1-row ECE aggregate broadcast
+    "agg_sample_ci",  # 1-row estimate x 1-row exact-mean report assembly
 }
 
 
