@@ -229,3 +229,77 @@ def calibration_curve(
         )
         .orderBy("bin")
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    resolution: int | None = 6,
+) -> DataFrame:
+    """Exact tie-aware ROC AUC (Mann-Whitney / rank-sum form) for a
+    score against a binary label — the RANKING companion to
+    :func:`calibration_curve`'s value check: thresholded curation
+    (keep the top-p% by quality score) consumes only the ordering, so
+    the gate for a new filter score is AUC against the trusted label,
+    calibration only matters once the value is used as a weight.
+
+    Distributed shape: the classic formulation sorts all n rows and
+    sums positive ranks — a global sort of the corpus. Instead, scores
+    are first grouped (map-side combinable) into (score, n_pos, n_neg)
+    blocks, and the rank-sum is recovered from the per-block prefix
+    sums: ties within a block contribute the average-rank term
+    ``n_pos * n_neg / 2`` and cross-block pairs ``n_pos * cum_neg``.
+    The only ordered pass runs over DISTINCT scores — with a [0,1]
+    score quantized at ``resolution`` dp the grid is bounded by
+    10^resolution + 1 rows regardless of corpus size, so the
+    single-partition window is grid-bounded, never data-bounded
+    (``resolution=None`` trusts the caller's own quantization).
+
+    Exactness: all counts are BIGINT; per-block contributions
+    ``n_pos * (2*cum_neg + n_neg)`` are summed in DECIMAL(38,0)
+    (2·P·N reaches ~2e24 at corpus scale — past int64, the r11
+    join-chain oracle's overflow lesson) and halved only inside the
+    final single IEEE divide. AUC and the rank Gini (2·AUC−1) are
+    both derived from that one exact integer, rounded to 6dp; both
+    are NULL when either class is absent (AUC is undefined, not 0).
+
+    Returns one row: ``n, n_pos, n_neg, n_scores, auc, gini_rank``."""
+    from pyspark.sql import Window
+
+    s = F.col(score_col).cast("double")
+    if resolution is not None:
+        s = F.round(s, int(resolution))
+    q = df.select(s.alias("__s"), F.col(label_col).cast("int").alias("__y"))
+    g = q.groupBy("__s").agg(
+        F.sum("__y").cast("bigint").alias("__np"),
+        (F.count(F.lit(1)) - F.sum("__y")).cast("bigint").alias("__nn"),
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.withColumn(
+        "__cneg", F.coalesce(F.sum("__nn").over(w), F.lit(0)).cast("bigint")
+    )
+    t = c.agg(
+        F.sum(F.col("__np") + F.col("__nn")).cast("bigint").alias("n"),
+        F.sum("__np").cast("bigint").alias("n_pos"),
+        F.sum("__nn").cast("bigint").alias("n_neg"),
+        F.count(F.lit(1)).cast("bigint").alias("n_scores"),
+        F.sum(
+            F.col("__np").cast("decimal(38,0)")
+            * (2 * F.col("__cneg") + F.col("__nn")).cast("decimal(38,0)")
+        ).alias("__auc2x"),
+    )
+    defined = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    pn = F.col("n_pos").cast("double") * F.col("n_neg").cast("double")
+    return t.select(
+        "n",
+        "n_pos",
+        "n_neg",
+        "n_scores",
+        F.when(
+            defined, F.round(F.col("__auc2x").cast("double") / (2.0 * pn), 6)
+        ).alias("auc"),
+        F.when(
+            defined, F.round(F.col("__auc2x").cast("double") / pn - 1.0, 6)
+        ).alias("gini_rank"),
+    )

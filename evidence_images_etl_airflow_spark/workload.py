@@ -11875,6 +11875,70 @@ def events_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+@register(
+    "ml_roc_auc",
+    oracle=f"""
+    WITH s AS (SELECT {_QUALITY_SQL} AS sc,
+                      CAST(length(text) >= 256 AS INT) AS y
+               FROM documents),
+    g AS (SELECT sc, CAST(sum(y) AS BIGINT) AS np,
+                 CAST(count(*) - sum(y) AS BIGINT) AS nn
+          FROM s GROUP BY sc),
+    c AS (SELECT np, nn,
+                 CAST(coalesce(sum(nn) OVER (ORDER BY sc
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS BIGINT) AS cneg
+          FROM g),
+    t AS (SELECT CAST(sum(np + nn) AS BIGINT) AS n,
+                 CAST(sum(np) AS BIGINT) AS n_pos,
+                 CAST(sum(nn) AS BIGINT) AS n_neg,
+                 CAST(count(*) AS BIGINT) AS n_scores,
+                 sum(CAST(np AS HUGEINT) * (2 * cneg + nn)) AS auc2x
+          FROM c)
+    SELECT n, n_pos, n_neg, n_scores,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             round(CAST(auc2x AS DOUBLE)
+                   / (2.0 * CAST(n_pos AS DOUBLE) * n_neg), 6)
+           END AS auc,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             round(CAST(auc2x AS DOUBLE)
+                   / (CAST(n_pos AS DOUBLE) * n_neg) - 1.0, 6)
+           END AS gini_rank
+    FROM t
+    """,
+)
+def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC AUC + rank Gini (operators/ml_curation.
+    roc_auc) for the deterministic quality heuristic against the
+    long-document proxy label — the RANKING gate that pairs with
+    ml_calibration_curve's VALUE gate: top-p% curation consumes only
+    the ordering, so AUC is what certifies a new filter score before
+    any threshold is chosen (same production stand-in rationale as
+    the calibration query: the trained classifier's good_prob has no
+    SQL oracle, the heuristic score pins the machinery term-for-term).
+    Shape: scores collapse to (score, n_pos, n_neg) blocks first
+    (map-side combined), the rank-sum is recovered from block prefix
+    sums — ties via the average-rank half term, cross-block pairs via
+    cum_neg — so the only ordered pass runs over DISTINCT 6dp scores:
+    a grid bounded at 10^6+1 rows at ANY corpus size, never the data.
+    Exactness: BIGINT counts, DECIMAL(38,0)/HUGEINT pair sums (2·P·N
+    passes int64 at corpus scale — the r11 join-chain oracle lesson),
+    one IEEE divide per output, 6dp; AUC/Gini NULL when a class is
+    absent. NOTE: registered after the r12 verify head (rotation-slot
+    rule); parity-proven locally at sf0.001 + sf0.01; queued for
+    r13."""
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        roc_auc,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        quality_score(F.col("text")).alias("score"),
+        (F.length("text") >= 256).cast("int").alias("y"),
+    )
+    return roc_auc(scored, "score", "y", resolution=6)
+
+
 # r11: `join_autoplan_strategy` promoted (green r10 driver row landed).
 # r12: `events_pattern_journey` promoted (green CORRECTNESS_r11 row
 # committed — the sequence-analytics family's representative); the

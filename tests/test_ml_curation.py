@@ -232,3 +232,35 @@ def test_calibration_curve_clamps_and_validates(spark):
     assert [r.bin for r in out] == [0, 9]
     with pytest.raises(ValueError, match="bins"):
         calibration_curve(df, "score", "y", bins=1)
+
+
+def test_roc_auc_hand_case_with_ties(spark):
+    from evidence_images_etl_airflow_spark.operators.ml_curation import roc_auc
+
+    # P=3 pos {0.9, 0.8, 0.5}, N=4 neg {0.5, 0.3, 0.1, 0.1}:
+    # U = 4 + 4 + (3 + 0.5 tie) = 11.5 -> AUC = 11.5/12, Gini = 11/12
+    rows = [
+        (0.9, 1), (0.8, 1), (0.5, 1),
+        (0.5, 0), (0.3, 0), (0.1, 0), (0.1, 0),
+    ]
+    df = spark.createDataFrame(rows, "score double, y int")
+    r = roc_auc(df, "score", "y").collect()[0]
+    assert (r["n"], r["n_pos"], r["n_neg"], r["n_scores"]) == (7, 3, 4, 5)
+    assert r["auc"] == round(11.5 / 12, 6)
+    assert r["gini_rank"] == round(11 / 12, 6)
+
+
+def test_roc_auc_single_class_is_null_and_perfect_ranking_is_one(spark):
+    from evidence_images_etl_airflow_spark.operators.ml_curation import roc_auc
+
+    one_class = spark.createDataFrame(
+        [(0.9, 1), (0.1, 1)], "score double, y int"
+    )
+    r = roc_auc(one_class, "score", "y").collect()[0]
+    assert r["auc"] is None and r["gini_rank"] is None
+
+    perfect = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "score double, y int"
+    )
+    p = roc_auc(perfect, "score", "y").collect()[0]
+    assert p["auc"] == 1.0 and p["gini_rank"] == 1.0
