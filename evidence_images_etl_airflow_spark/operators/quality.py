@@ -303,3 +303,97 @@ def k_anonymity_violations(
         classes.orderBy(F.col("class_size").asc(), order_key)
         .limit(int(top_n))
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    value_col: str,
+    top_fraction: float = 0.1,
+) -> DataFrame:
+    """Exact Gini coefficient + top-slice share for a non-negative
+    integer value column (pass money as cents-BIGINT upstream) — the
+    concentration profile that decides whether a key distribution can
+    be processed un-salted, whether one source dominates a training
+    mixture, or how skewed customer revenue is before a campaign.
+
+    Distributed shape: the textbook formula sorts all n rows and sums
+    i·x_i — a global sort. Instead rows collapse to (value, count)
+    blocks first (map-side combinable groupBy), and because tied
+    values contribute the same x wherever they land inside their rank
+    block, the rank-sum is exact from block prefix counts alone:
+    ``Σ 2·i·x_i = Σ_v v·(2·c·ccb + c² + c)`` where ccb is the count of
+    rows in strictly-smaller blocks. The only ordered pass runs over
+    DISTINCT values — bounded by the value grid (price grids are
+    ~1e7 cents), never the row count. The top-slice share takes the
+    highest ``floor(n·top_fraction)`` rows block-partially (ties at
+    the boundary split by count, deterministic because blocks are
+    whole values).
+
+    Exactness: counts BIGINT, all products in DECIMAL(38,0)
+    (v·c·ccb reaches ~1e26 at corpus scale); Gini =
+    ranksum2/(n·S) − (n+1)/n and the share are each a single IEEE
+    step at 6dp. Returns ONE row: ``n, value_total, gini,
+    top_share``; gini/top_share NULL when n = 0 or S = 0."""
+    if not (0.0 < top_fraction < 1.0):
+        raise ValueError(f"top_fraction must be in (0,1), got {top_fraction}")
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    g = df.groupBy(F.col(value_col).cast("bigint").alias("__v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    b = g.withColumn(
+        "__ccb", F.coalesce(F.sum("__c").over(w), F.lit(0)).cast("bigint")
+    )
+    tot = b.agg(
+        F.sum("__c").cast("bigint").alias("__n"),
+        F.sum(F.col("__v").cast(d38) * F.col("__c").cast(d38)).alias("__s"),
+    )
+    j = b.crossJoin(F.broadcast(tot))
+    # k must be EXACT integer arithmetic: floor(n * 0.1) in IEEE can
+    # land one off from n // 10 near representation boundaries, and
+    # the SQL oracle computes the integer form — so convert the
+    # fraction to an exact rational and use integral div.
+    from fractions import Fraction
+
+    fr = Fraction(str(top_fraction))
+    k = F.expr(f"(__n * {fr.numerator}) div {fr.denominator}").cast("bigint")
+    above = F.col("__n") - F.col("__ccb") - F.col("__c")  # rows strictly above
+    take = F.greatest(
+        F.lit(0).cast("bigint"), F.least(F.col("__c"), k - above)
+    )
+    agg = j.agg(
+        F.max("__n").alias("n"),
+        F.max("__s").alias("__stot"),
+        F.sum(
+            F.col("__v").cast(d38)
+            * (
+                2 * F.col("__c").cast(d38) * F.col("__ccb").cast(d38)
+                + F.col("__c").cast(d38) * F.col("__c").cast(d38)
+                + F.col("__c").cast(d38)
+            )
+        ).alias("__rs2"),
+        F.sum(F.col("__v").cast(d38) * take.cast(d38)).alias("__topv"),
+    )
+    nn = F.col("n").cast("double")
+    ss = F.col("__stot").cast("double")
+    defined = (F.col("n") > 0) & (F.col("__stot") > 0)
+    return agg.select(
+        "n",
+        # report the total as DOUBLE (one cast): a DECIMAL(38,0) output
+        # column round-trips as Decimal on Spark but float via the
+        # DuckDB pandas fetch, breaking value-hash parity on TYPE alone
+        F.col("__stot").cast("double").alias("value_total"),
+        F.when(
+            defined,
+            F.round(
+                F.col("__rs2").cast("double") / (nn * ss)
+                - (nn + 1.0) / nn,
+                6,
+            ),
+        ).alias("gini"),
+        F.when(
+            defined, F.round(F.col("__topv").cast("double") / ss, 6)
+        ).alias("top_share"),
+    )

@@ -359,3 +359,34 @@ def test_k_anonymity_validation(spark, qi_table):
         k_anonymity_report(qi_table, ["a"], k=1)
     with pytest.raises(ValueError, match="at least one"):
         k_anonymity_report(qi_table, [], k=5)
+
+
+def test_gini_concentration_hand_case(spark):
+    from evidence_images_etl_airflow_spark.operators.quality import (
+        gini_concentration,
+    )
+
+    # values 10, 20, 20, 50: sum(i*x) = 310, Gini = 620/400 - 5/4 = 0.3;
+    # top 50% = best 2 rows = 70 -> share 0.7
+    df = spark.createDataFrame([(10,), (20,), (20,), (50,)], "v long")
+    r = gini_concentration(df, "v", top_fraction=0.5).collect()[0]
+    assert r["n"] == 4 and r["value_total"] == 100.0
+    assert r["gini"] == 0.3
+    assert r["top_share"] == 0.7
+
+
+def test_gini_concentration_equal_values_is_zero(spark):
+    from evidence_images_etl_airflow_spark.operators.quality import (
+        gini_concentration,
+    )
+
+    df = spark.createDataFrame([(7,)] * 10, "v long")
+    r = gini_concentration(df, "v", top_fraction=0.1).collect()[0]
+    assert r["gini"] == 0.0
+    # top 10% of an equal distribution holds exactly 10% of the value
+    assert r["top_share"] == 0.1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        gini_concentration(df, "v", top_fraction=1.5)
