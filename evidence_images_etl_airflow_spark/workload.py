@@ -12007,6 +12007,83 @@ def customers_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gini_concentration(rev, "v", top_fraction=0.1)
 
 
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tu,
+                      CAST(round(value * 100) AS BIGINT) AS vc
+               FROM events),
+    t AS (SELECT event_type, vc,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                                 THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY tu, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS lt
+          FROM e),
+    c AS (SELECT coalesce(lt, 'direct') AS channel,
+                 CAST(count(*) AS BIGINT) AS n_conversions,
+                 round(CAST(sum(vc) AS DOUBLE) / 100, 2) AS value_sum
+          FROM t WHERE event_type = 'purchase' GROUP BY 1),
+    tt AS (SELECT CAST(sum(n_conversions) AS BIGINT) AS nt FROM c)
+    SELECT channel, n_conversions, value_sum,
+           round(CAST(n_conversions AS DOUBLE) / tt.nt, 6) AS share
+    FROM c CROSS JOIN tt ORDER BY channel
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: every purchase is credited
+    to the user's most recent PRECEDING non-purchase event type (the
+    'channel'), 'direct' when none exists — the classic marketing
+    attribution model, and the same per-entity ordered-history shape
+    as feature backfills ('state at the time of the label event').
+    Shape: one user-PARTITIONED window (scales horizontally — state
+    is per-user history, keys hash across executors; never a global
+    window) with a deterministic (ts_us, event_id) order and an
+    ignore-nulls running last, then a tiny channel groupBy and a
+    1-row total broadcast for shares. Exactness: integer µs event
+    time (_event_micros — no date-function drift), cents-BIGINT
+    value sums, one IEEE divide per output at 6/2dp. NOTE: registered
+    after the r12 verify head (rotation-slot rule); parity-proven
+    locally at sf0.001 + sf0.01; queued for r13."""
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts_us",
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    conv = (
+        e.withColumn("channel", F.coalesce(touch, F.lit("direct")))
+        .filter(F.col("event_type") == "purchase")
+    )
+    g = conv.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        F.round(F.sum("vc").cast("double") / 100, 2).alias("value_sum"),
+    )
+    tot = g.agg(F.sum("n_conversions").cast("bigint").alias("__nt"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "n_conversions",
+            "value_sum",
+            F.round(
+                F.col("n_conversions").cast("double") / F.col("__nt"), 6
+            ).alias("share"),
+        )
+        .orderBy("channel")
+    )
+
+
 # r11: `join_autoplan_strategy` promoted (green r10 driver row landed).
 # r12: `events_pattern_journey` promoted (green CORRECTNESS_r11 row
 # committed — the sequence-analytics family's representative); the

@@ -207,3 +207,40 @@ def test_events_churn_features_hand_case(spark, tmp_path):
     assert (u2.n_events, u2.n_active_days, u2.tenure_days) == (2, 2, 19)
     assert (u2.recency_days, u2.events_7d, u2.value_sum) == (10, 0, 15.0)
     assert u2.churned is True
+
+
+def test_events_attribution_last_touch_hand_case(spark, tmp_path):
+    """r12: purchases credit the last preceding non-purchase event."""
+    from evidence_images_etl_airflow_spark.workload import REGISTRY
+
+    rows = [
+        # user 1: view -> click -> purchase(2.00) => click
+        (1, "2024-01-01 10:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-01-01 11:00:00", 1, "click", 0.0, "{}"),
+        (3, "2024-01-01 12:00:00", 1, "purchase", 2.00, "{}"),
+        # user 2: purchase with no prior touch => direct;
+        # then view -> purchase => view
+        (4, "2024-01-02 09:00:00", 2, "purchase", 1.00, "{}"),
+        (5, "2024-01-02 10:00:00", 2, "view", 0.0, "{}"),
+        (6, "2024-01-02 11:00:00", 2, "purchase", 3.00, "{}"),
+        # user 3: tie on ts — event_id breaks it deterministically:
+        # click(7) precedes purchase(8) at the same instant
+        (7, "2024-01-03 10:00:00", 3, "click", 0.0, "{}"),
+        (8, "2024-01-03 10:00:00", 3, "purchase", 4.00, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = f"{tmp_path}/sf"
+    df.write.parquet(f"{d}/events.parquet")
+    out = {
+        r.channel: r
+        for r in REGISTRY["events_attribution_last_touch"].fn(spark, d).collect()
+    }
+    assert set(out) == {"click", "view", "direct"}
+    assert (out["click"].n_conversions, out["click"].value_sum) == (2, 6.0)
+    assert (out["view"].n_conversions, out["view"].value_sum) == (1, 3.0)
+    assert (out["direct"].n_conversions, out["direct"].value_sum) == (1, 1.0)
+    assert out["click"].share == 0.5
