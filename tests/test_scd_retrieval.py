@@ -244,3 +244,35 @@ def test_events_attribution_last_touch_hand_case(spark, tmp_path):
     assert (out["view"].n_conversions, out["view"].value_sum) == (1, 3.0)
     assert (out["direct"].n_conversions, out["direct"].value_sum) == (1, 1.0)
     assert out["click"].share == 0.5
+
+
+def test_orders_interarrival_profile_hand_case(spark, tmp_path):
+    """r12: per-customer day gaps bucketed into the cadence histogram."""
+    from evidence_images_etl_airflow_spark.workload import REGISTRY
+
+    rows = [
+        # cust 1: days 0, 0, 5, 40  -> gaps 0 (same-day), 5, 35
+        (1, 1, "O", 10.0, "1995-01-01 00:00:00", "1-URGENT"),
+        (2, 1, "O", 10.0, "1995-01-01 00:00:00", "1-URGENT"),
+        (3, 1, "O", 10.0, "1995-01-06 00:00:00", "1-URGENT"),
+        (4, 1, "O", 10.0, "1995-02-10 00:00:00", "1-URGENT"),
+        # cust 2: one order -> no gap
+        (5, 2, "O", 10.0, "1995-01-01 00:00:00", "1-URGENT"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    d = f"{tmp_path}/sf"
+    df.write.parquet(f"{d}/orders.parquet")
+    out = {
+        r.bucket: r
+        for r in REGISTRY["orders_interarrival_profile"].fn(spark, d).collect()
+    }
+    assert set(out) == {"same-day", "1-7d", "31-90d"}
+    assert out["same-day"].n_gaps == 1 and out["1-7d"].n_gaps == 1
+    assert out["31-90d"].n_gaps == 1
+    assert out["1-7d"].share == round(1 / 3, 6)
+    # mean gap = (0 + 5 + 35) / 3
+    assert out["same-day"].mean_gap_days == round(40 / 3, 4)
