@@ -10457,9 +10457,14 @@ _VERIFY_FIRST = [
     # FIRST the 6 newest r08-cohort entries that spilled here
     # (supplier_reliability_wilson, text_zipf_fit, sketch_hll_rollup,
     # er_fuzzy_part_pairs, data_shard_shuffle, recon_table_diff — the
-    # r11 reorder rule: nothing goes five rounds unchecked), then any
-    # round-12 registrations with no driver row yet (each must carry
-    # two-scale parity proof in the r12 ledger per the
+    # r11 reorder rule: nothing goes five rounds unchecked), then the
+    # 13 round-12 registrations in registration order
+    # (ep5_mart_chain_planned, dq_k_anonymity, embedding_int8_recall,
+    # text_cooccurrence_pmi, plan_range_partition_report,
+    # ml_calibration_curve, agg_sample_ci, events_churn_features,
+    # ml_roc_auc, customers_revenue_gini, events_attribution_last_touch,
+    # orders_interarrival_profile, events_active_users_stickiness —
+    # each carries two-scale parity proof in the r12 ledger per the
     # registration-time rule), then the oldest r09-green cohort
     # entries in registration order up to the 50-slot cap. The BPE
     # pair (text_bpe_vocab/text_bpe_encode, r09-green) stays OUT of
@@ -12182,6 +12187,79 @@ def orders_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("bucket_lo")
+    )
+
+
+@register(
+    "events_active_users_stickiness",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+                      CAST(year(ts) * 100 + month(ts) AS INT) AS ym
+               FROM events),
+    ud AS (SELECT DISTINCT ym, d, user_id FROM e),
+    dau AS (SELECT ym, d, CAST(count(*) AS BIGINT) AS dau
+            FROM ud GROUP BY 1, 2),
+    m1 AS (SELECT ym, CAST(count(*) AS BIGINT) AS n_days,
+                  CAST(sum(dau) AS BIGINT) AS sum_dau
+           FROM dau GROUP BY 1),
+    m2 AS (SELECT ym, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+           FROM ud GROUP BY 1)
+    SELECT m1.ym, n_days, sum_dau, mau,
+           round(CAST(sum_dau AS DOUBLE) / n_days, 4) AS avg_dau,
+           round(CAST(sum_dau AS DOUBLE) / (n_days * mau), 6)
+             AS stickiness
+    FROM m1 JOIN m2 USING (ym) ORDER BY ym
+    """,
+)
+def events_active_users_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly active-user rollup with the DAU/MAU stickiness ratio —
+    the growth-analytics headline metric (what fraction of a month's
+    users show up on an average day). Exact counts, not sketches: the
+    corpus collapses to DISTINCT (day, user) pairs first (one keyed
+    shuffle, the frame every active-user metric shares), then DAU is
+    a count per day, MAU a distinct-user count per month, and
+    stickiness = avg_dau / mau. Day indexes are exact integer µs div
+    day-µs; calendar months via year()/month() under the UTC session
+    (epoch-day boundaries nest inside month boundaries, so the two
+    grains never straddle). Every epoch-day lies in exactly one
+    month, both aggs are key-partitioned and map-side combinable, and
+    output is one row per month at any scale. One IEEE divide per
+    output at 4/6dp. NOTE: registered after the r12 verify head
+    (rotation-slot rule); parity-proven locally at sf0.001 + sf0.01;
+    queued for r13."""
+    e = _events(spark, sf_dir)
+    ud = e.select(
+        (F.year("ts_utc") * 100 + F.month("ts_utc")).cast("int").alias("ym"),
+        F.expr("ts_us div 86400000000").alias("d"),
+        "user_id",
+    ).distinct()
+    dau = ud.groupBy("ym", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    m1 = dau.groupBy("ym").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("dau").cast("bigint").alias("sum_dau"),
+    )
+    m2 = ud.groupBy("ym").agg(
+        F.countDistinct("user_id").cast("bigint").alias("mau")
+    )
+    return (
+        m1.join(m2, "ym")
+        .select(
+            "ym",
+            "n_days",
+            "sum_dau",
+            "mau",
+            F.round(
+                F.col("sum_dau").cast("double") / F.col("n_days"), 4
+            ).alias("avg_dau"),
+            F.round(
+                F.col("sum_dau").cast("double")
+                / (F.col("n_days") * F.col("mau")),
+                6,
+            ).alias("stickiness"),
+        )
+        .orderBy("ym")
     )
 
 

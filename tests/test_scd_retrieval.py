@@ -276,3 +276,35 @@ def test_orders_interarrival_profile_hand_case(spark, tmp_path):
     assert out["1-7d"].share == round(1 / 3, 6)
     # mean gap = (0 + 5 + 35) / 3
     assert out["same-day"].mean_gap_days == round(40 / 3, 4)
+
+
+def test_events_active_users_stickiness_hand_case(spark, tmp_path):
+    """r12: exact DAU/MAU rollup — duplicate same-day events collapse."""
+    from evidence_images_etl_airflow_spark.workload import REGISTRY
+
+    rows = [
+        # Jan: u1 active on 2 days (twice on the 1st), u2 on 1 day
+        (1, "2024-01-01 10:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-01-01 11:00:00", 1, "click", 0.0, "{}"),
+        (3, "2024-01-02 10:00:00", 1, "view", 0.0, "{}"),
+        (4, "2024-01-02 10:30:00", 2, "view", 0.0, "{}"),
+        # Feb: u2 only
+        (5, "2024-02-05 10:00:00", 2, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = f"{tmp_path}/sf"
+    df.write.parquet(f"{d}/events.parquet")
+    out = {
+        r.ym: r
+        for r in REGISTRY["events_active_users_stickiness"].fn(spark, d).collect()
+    }
+    jan, feb = out[202401], out[202402]
+    # Jan: day1 DAU=1, day2 DAU=2 -> n_days=2, sum_dau=3, MAU=2
+    assert (jan.n_days, jan.sum_dau, jan.mau) == (2, 3, 2)
+    assert jan.avg_dau == 1.5 and jan.stickiness == 0.75
+    assert (feb.n_days, feb.sum_dau, feb.mau) == (1, 1, 1)
+    assert feb.stickiness == 1.0

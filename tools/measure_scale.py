@@ -45,7 +45,14 @@ for lbl, d in {points!r}:
     for _ in range(2):
         caching.release_all()
         t0 = time.time()
-        rows = W.REGISTRY[q].fn(spark, d).count()
+        # count() is NOT a safe materializer for grouping-less global
+        # aggregates: the optimizer knows such plans produce exactly one
+        # row and answers without executing the child (observed r12:
+        # ml_roc_auc "measured" 0.68 s at 100x while a collect() showed
+        # the real 18 s). Counting the EXECUTED plan's RDD forces the
+        # full physical plan while keeping rows JVM-side.
+        jdf = W.REGISTRY[q].fn(spark, d)._jdf
+        rows = jdf.queryExecution().executedPlan().execute().count()
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     print("POINT\\t%s\\t%s\\t%.2f\\t%d" % (q, lbl, best, rows), flush=True)
