@@ -10458,12 +10458,13 @@ _VERIFY_FIRST = [
     # (supplier_reliability_wilson, text_zipf_fit, sketch_hll_rollup,
     # er_fuzzy_part_pairs, data_shard_shuffle, recon_table_diff — the
     # r11 reorder rule: nothing goes five rounds unchecked), then the
-    # 13 round-12 registrations in registration order
+    # 14 round-12 registrations in registration order
     # (ep5_mart_chain_planned, dq_k_anonymity, embedding_int8_recall,
     # text_cooccurrence_pmi, plan_range_partition_report,
     # ml_calibration_curve, agg_sample_ci, events_churn_features,
     # ml_roc_auc, customers_revenue_gini, events_attribution_last_touch,
-    # orders_interarrival_profile, events_active_users_stickiness —
+    # orders_interarrival_profile, events_active_users_stickiness,
+    # dq_referential_orphans —
     # each carries two-scale parity proof in the r12 ledger per the
     # registration-time rule), then the oldest r09-green cohort
     # entries in registration order up to the 50-slot cap. The BPE
@@ -12261,6 +12262,96 @@ def events_active_users_stickiness(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("ym")
     )
+
+
+@register(
+    "dq_referential_orphans",
+    oracle="""
+    WITH c1 AS (SELECT 'orders.o_custkey->customer.c_custkey' AS fk,
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(sum(CASE WHEN c.c_custkey IS NULL
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_orphans
+                FROM orders o LEFT JOIN customer c
+                  ON o.o_custkey = c.c_custkey),
+    c2 AS (SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS fk,
+                  CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(CASE WHEN o.o_orderkey IS NULL
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+           FROM lineitem l LEFT JOIN orders o
+             ON l.l_orderkey = o.o_orderkey),
+    c3 AS (SELECT 'lineitem.l_partkey->part.p_partkey' AS fk,
+                  CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(CASE WHEN p.p_partkey IS NULL
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+           FROM lineitem l LEFT JOIN part p
+             ON l.l_partkey = p.p_partkey),
+    c4 AS (SELECT 'lineitem.l_suppkey->supplier.s_suppkey' AS fk,
+                  CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(CASE WHEN s.s_suppkey IS NULL
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+           FROM lineitem l LEFT JOIN supplier s
+             ON l.l_suppkey = s.s_suppkey),
+    u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+          UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4)
+    SELECT fk, n_rows, n_orphans,
+           round(CAST(n_orphans AS DOUBLE) / n_rows, 6) AS orphan_rate,
+           (n_orphans = 0) AS intact
+    FROM u ORDER BY fk
+    """,
+)
+def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity orphan report across the star schema's
+    four FK edges — the load-gate companion to operators/quality's
+    per-table contracts (check_fk verifies one edge on demand; this
+    is the standing whole-schema report a nightly load publishes
+    before downstream marts run). Each edge is ONE left join + ONE
+    conditional aggregate — total rows and orphans in the same pass,
+    never a second scan — and the four 1-row results union into the
+    report. Joins are declared plain: at sf-test scale AQE broadcasts
+    the dimension side, at 100 TB the same plan shuffles on the key —
+    exactly the decision the autoplanner exists for, and a DQ report
+    must not hard-code it. Counts BIGINT, one IEEE divide per edge at
+    6dp. NOTE: registered after the r12 verify head (rotation-slot
+    rule); parity-proven locally at sf0.001 + sf0.01; queued for
+    r13."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+
+    def edge(child, ckey, parent, pkey, label):
+        j = child.select(F.col(ckey)).join(
+            parent.select(F.col(pkey)), child[ckey] == parent[pkey], "left"
+        )
+        return j.agg(
+            F.lit(label).alias("fk"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.when(F.col(pkey).isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_orphans"),
+        )
+
+    u = (
+        edge(o, "o_custkey", c, "c_custkey",
+             "orders.o_custkey->customer.c_custkey")
+        .unionByName(edge(li, "l_orderkey", o, "o_orderkey",
+                          "lineitem.l_orderkey->orders.o_orderkey"))
+        .unionByName(edge(li, "l_partkey", p, "p_partkey",
+                          "lineitem.l_partkey->part.p_partkey"))
+        .unionByName(edge(li, "l_suppkey", s, "s_suppkey",
+                          "lineitem.l_suppkey->supplier.s_suppkey"))
+    )
+    return u.select(
+        "fk",
+        "n_rows",
+        "n_orphans",
+        F.round(
+            F.col("n_orphans").cast("double") / F.col("n_rows"), 6
+        ).alias("orphan_rate"),
+        (F.col("n_orphans") == 0).alias("intact"),
+    ).orderBy("fk")
 
 
 # r11: `join_autoplan_strategy` promoted (green r10 driver row landed).

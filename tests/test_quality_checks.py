@@ -390,3 +390,43 @@ def test_gini_concentration_equal_values_is_zero(spark):
 
     with _pytest.raises(ValueError):
         gini_concentration(df, "v", top_fraction=1.5)
+
+
+def test_dq_referential_orphans_detects_and_counts(spark, tmp_path):
+    """r12: orphan rows counted per FK edge in one join+agg pass."""
+    from evidence_images_etl_airflow_spark.workload import REGISTRY
+
+    cust = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "c_custkey long, c_name string"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 99)],  # 99 is an orphan
+        "o_orderkey long, o_custkey long",
+    )
+    li = spark.createDataFrame(
+        [(10, 100, 200), (11, 101, 201), (13, 100, 200)],  # 13 orphan order
+        "l_orderkey long, l_partkey long, l_suppkey long",
+    )
+    part = spark.createDataFrame(
+        [(100,), (101,)], "p_partkey long"
+    )
+    supp = spark.createDataFrame(
+        [(200,), (201,)], "s_suppkey long"
+    )
+    d = f"{tmp_path}/sf"
+    cust.write.parquet(f"{d}/customer.parquet")
+    orders.write.parquet(f"{d}/orders.parquet")
+    li.write.parquet(f"{d}/lineitem.parquet")
+    part.write.parquet(f"{d}/part.parquet")
+    supp.write.parquet(f"{d}/supplier.parquet")
+    out = {
+        r.fk: r for r in REGISTRY["dq_referential_orphans"].fn(spark, d).collect()
+    }
+    assert len(out) == 4
+    oc = out["orders.o_custkey->customer.c_custkey"]
+    assert (oc.n_rows, oc.n_orphans, oc.intact) == (3, 1, False)
+    assert oc.orphan_rate == round(1 / 3, 6)
+    lo = out["lineitem.l_orderkey->orders.o_orderkey"]
+    assert (lo.n_rows, lo.n_orphans) == (3, 1)
+    assert out["lineitem.l_partkey->part.p_partkey"].intact is True
+    assert out["lineitem.l_suppkey->supplier.s_suppkey"].intact is True
