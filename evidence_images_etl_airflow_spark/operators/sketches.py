@@ -665,3 +665,129 @@ def sample_mean_ci(
         F.round((mean_c - F.lit(float(z)) * se_c) / k, 6).alias("ci_lo"),
         F.round((mean_c + F.lit(float(z)) * se_c) / k, 6).alias("ci_hi"),
     )
+
+
+def stratified_mean_ci(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str | Column,
+    value_col: str,
+    fraction: float = 0.1,
+    salt: str = "aqp-strat",
+    cents_scale: int = 100,
+    z: float = 1.96,
+) -> DataFrame:
+    """Stratified companion to :func:`sample_mean_ci`: estimate the
+    population mean from the same deterministic md5-bucket sample,
+    but pool PER-STRATUM means weighted by exact stratum sizes —
+    ȳ_st = Σ (N_h/N)·ȳ_h with SE² = Σ (N_h/N)²·s_h²/n_h (Cochran,
+    Sampling Techniques §5). When the value correlates with the
+    stratum (price with returnflag, quality with source), the
+    between-strata variance drops out of the estimator and the
+    interval tightens at the SAME scan cost — the standard first
+    upgrade to an AQP dashboard.
+
+    ONE scan computes everything: groupBy(stratum) with exact N_h
+    over all rows and conditional n_h / Σx / Σx² over sample members
+    only (no second pass for the size weights). Pooling is the
+    numerically treacherous step — Σ over strata of IEEE doubles is
+    association-ordered and engines fold groups in different orders —
+    so each stratum's weighted term (N_h·ȳ_h, N_h²·s_h²/n_h) is one
+    fixed per-stratum IEEE sequence quantized to DECIMAL(38,6),
+    making the cross-stratum fold an exact, order-independent decimal
+    sum; only the final /N, sqrt, and interval are IEEE, 6dp. Strata with n_h < 2 contribute their
+    exact N_h weight with a NULL variance term and NULL the SE
+    (an honest 'cannot bound this stratum', never a silent drop).
+
+    Returns one row: ``n_strata, n_sample, est_mean, se, ci_lo,
+    ci_hi`` in original units."""
+    if not (0.0 < float(fraction) <= 1.0):
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    c_id = F.col(id_col) if isinstance(id_col, str) else id_col
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(salt), F.lit(":"), c_id.cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    thresh = int(round(float(fraction) * 10000))
+    c = F.round(F.col(value_col) * cents_scale).cast("bigint")
+    inb = (bucket < thresh).cast("int")
+    per = df.select(
+        F.col(stratum_col).alias("__h"),
+        c.alias("__c"),
+        inb.alias("__in"),
+    ).groupBy("__h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nh"),
+        F.sum("__in").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("__in") == 1, F.col("__c"))).cast(
+            "bigint"
+        ).alias("sx"),
+        F.sum(
+            F.when(
+                F.col("__in") == 1,
+                F.col("__c").cast("decimal(19,0)")
+                * F.col("__c").cast("decimal(19,0)"),
+            )
+        ).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    mean_c = F.col("sx").cast("double") / nd
+    varn_c = (
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double") / nd
+        )
+        / (nd - F.lit(1.0))
+    ) / nd
+    # Per-stratum weighted terms are computed in DOUBLE (one fixed IEEE
+    # sequence per stratum — engine-identical), then QUANTIZED to
+    # DECIMAL(38,6) so the cross-stratum fold is an exact,
+    # order-independent decimal sum. A decimal×decimal product here
+    # would overflow DuckDB's hard 38-digit multiply cap
+    # ((38,9)×(38,9) needs width 76); double-then-quantize keeps both
+    # engines bit-identical without that ceiling.
+    d386 = "decimal(38,6)"
+    nhd = F.col("nh").cast("double")
+    terms = per.select(
+        F.col("nh"),
+        F.col("n"),
+        F.when(F.col("n") >= 1, nhd * mean_c).cast(d386).alias("__tm"),
+        F.when(F.col("n") >= 2, nhd * nhd * varn_c).cast(d386).alias(
+            "__tv"
+        ),
+    )
+    pooled = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("nh").cast("bigint").alias("__nt"),
+        F.sum("n").cast("bigint").alias("n_sample"),
+        F.sum("__tm").alias("__wm"),
+        # NULL if ANY stratum lacks a variance (n_h < 2) or a mean
+        # (n_h = 0): max(bool) detects it; sum skips NULLs silently
+        F.max(
+            (F.col("__tv").isNull() | F.col("__tm").isNull()).cast("int")
+        ).alias("__degenerate"),
+        F.sum("__tv").alias("__wv"),
+    )
+    ntd = F.col("__nt").cast("double")
+    est_c = F.col("__wm").cast("double") / ntd
+    se_c = F.sqrt(F.col("__wv").cast("double") / (ntd * ntd))
+    k = float(cents_scale)
+    zz = F.lit(float(z))
+    ok = F.col("__degenerate") == 0
+    return pooled.select(
+        "n_strata",
+        "n_sample",
+        F.when(ok, F.round(est_c / k, 6)).alias("est_mean"),
+        F.when(ok, F.round(se_c / k, 6)).alias("se"),
+        F.when(ok, F.round((est_c - zz * se_c) / k, 6)).alias("ci_lo"),
+        F.when(ok, F.round((est_c + zz * se_c) / k, 6)).alias("ci_hi"),
+    )

@@ -10458,13 +10458,13 @@ _VERIFY_FIRST = [
     # (supplier_reliability_wilson, text_zipf_fit, sketch_hll_rollup,
     # er_fuzzy_part_pairs, data_shard_shuffle, recon_table_diff — the
     # r11 reorder rule: nothing goes five rounds unchecked), then the
-    # 14 round-12 registrations in registration order
+    # 15 round-12 registrations in registration order
     # (ep5_mart_chain_planned, dq_k_anonymity, embedding_int8_recall,
     # text_cooccurrence_pmi, plan_range_partition_report,
     # ml_calibration_curve, agg_sample_ci, events_churn_features,
     # ml_roc_auc, customers_revenue_gini, events_attribution_last_touch,
     # orders_interarrival_profile, events_active_users_stickiness,
-    # dq_referential_orphans —
+    # dq_referential_orphans, agg_stratified_ci —
     # each carries two-scale parity proof in the r12 ledger per the
     # registration-time rule), then the oldest r09-green cohort
     # entries in registration order up to the 50-slot cap. The BPE
@@ -12352,6 +12352,128 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("orphan_rate"),
         (F.col("n_orphans") == 0).alias("intact"),
     ).orderBy("fk")
+
+
+@register(
+    "agg_stratified_ci",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag AS h,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+             CASE WHEN CAST('0x' || substr(md5('aqp-strat:'
+                    || CAST(l_orderkey AS VARCHAR) || ':'
+                    || CAST(l_linenumber AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 10000 < 1000
+                  THEN 1 ELSE 0 END AS inb
+      FROM lineitem),
+    per AS (SELECT h, CAST(count(*) AS BIGINT) AS nh,
+                   CAST(sum(inb) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN inb = 1 THEN c END) AS BIGINT) AS sx,
+                   sum(CASE WHEN inb = 1 THEN
+                         CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))
+                       END) AS sxx
+            FROM b GROUP BY h),
+    t AS (SELECT nh, n,
+                 CAST(CASE WHEN n >= 1 THEN
+                     CAST(nh AS DOUBLE) * (CAST(sx AS DOUBLE) / n)
+                   END AS DECIMAL(38,6)) AS tm,
+                 CAST(CASE WHEN n >= 2 THEN
+                     CAST(nh AS DOUBLE) * CAST(nh AS DOUBLE)
+                     * (((CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                         / (CAST(n AS DOUBLE) - 1.0)) / n)
+                   END AS DECIMAL(38,6)) AS tv
+          FROM per),
+    p AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+                 CAST(sum(nh) AS BIGINT) AS nt,
+                 CAST(sum(n) AS BIGINT) AS n_sample,
+                 sum(tm) AS wm,
+                 max(CASE WHEN tv IS NULL OR tm IS NULL
+                          THEN 1 ELSE 0 END) AS degen,
+                 sum(tv) AS wv
+          FROM t),
+    e AS (SELECT n_strata, nt, n_sample,
+                 CASE WHEN degen = 0 THEN
+                   CAST(wm AS DOUBLE) / nt END AS est_c,
+                 CASE WHEN degen = 0 THEN
+                   sqrt(CAST(wv AS DOUBLE)
+                        / (CAST(nt AS DOUBLE) * nt)) END AS se_c
+          FROM p),
+    x AS (SELECT round(CAST(sum(CAST(round(l_extendedprice * 100)
+                                     AS BIGINT)) AS DOUBLE)
+                       / count(*) / 100.0, 6) AS exact_mean
+          FROM lineitem)
+    SELECT e.nt AS n_total, e.n_strata, e.n_sample, x.exact_mean,
+           round(est_c / 100.0, 6) AS est_mean,
+           round(se_c / 100.0, 6) AS se,
+           round((est_c - 1.96 * se_c) / 100.0, 6) AS ci_lo,
+           round((est_c + 1.96 * se_c) / 100.0, 6) AS ci_hi,
+           (x.exact_mean >= round((est_c - 1.96 * se_c) / 100.0, 6)
+            AND x.exact_mean <= round((est_c + 1.96 * se_c) / 100.0, 6))
+             AS covered
+    FROM e CROSS JOIN x
+    """,
+)
+def agg_stratified_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified AQP estimator (operators/sketches.stratified_mean_ci)
+    of mean l_extendedprice with l_returnflag strata, from the SAME
+    deterministic md5-bucket 10% sample protocol as agg_sample_ci —
+    per-stratum means pooled by exact stratum sizes, so between-strata
+    variance drops out of the interval at identical scan cost
+    (Cochran §5, the standard first upgrade to an AQP dashboard). The
+    exact-mean audit leg rides alongside, as in agg_sample_ci. The
+    numerically treacherous cross-stratum pool runs as per-stratum
+    IEEE terms quantized to DECIMAL(38,6) and summed exactly —
+    order-independent, and inside DuckDB's 38-digit multiply cap
+    where a decimal×decimal formulation is not. One scan computes
+    exact N_h and conditional sample sums together; output is one
+    row. NOTE: registered after the r12 verify head (rotation-slot
+    rule); parity-proven locally at sf0.001 + sf0.01; queued for
+    r13."""
+    from evidence_images_etl_airflow_spark.operators.sketches import (
+        stratified_mean_ci,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    rid = F.concat_ws(
+        ":",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    est = stratified_mean_ci(
+        li, "l_returnflag", rid, "l_extendedprice",
+        fraction=0.1, salt="aqp-strat",
+    )
+    exact = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        ).cast("bigint").alias("__sxf"),
+    ).select(
+        F.round(
+            F.col("__sxf").cast("double")
+            / F.col("__n").cast("double") / 100.0,
+            6,
+        ).alias("exact_mean"),
+        F.col("__n").alias("n_total"),
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "n_total",
+            "n_strata",
+            "n_sample",
+            "exact_mean",
+            "est_mean",
+            "se",
+            "ci_lo",
+            "ci_hi",
+            (
+                (F.col("exact_mean") >= F.col("ci_lo"))
+                & (F.col("exact_mean") <= F.col("ci_hi"))
+            ).alias("covered"),
+        )
+    )
 
 
 # r11: `join_autoplan_strategy` promoted (green r10 driver row landed).

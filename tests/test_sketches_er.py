@@ -439,3 +439,51 @@ def test_sample_mean_ci_deterministic_and_proportional(spark):
 
     with _pt.raises(ValueError, match="fraction"):
         sample_mean_ci(df, "id", "v", fraction=0.0)
+
+
+def test_stratified_mean_ci_full_fraction_hand_case(spark):
+    """fraction=1.0 makes the estimate the exact mean; SE from the
+    textbook per-stratum pooling."""
+    import math
+
+    from evidence_images_etl_airflow_spark.operators.sketches import (
+        stratified_mean_ci,
+    )
+
+    rows = [
+        (1, "A", 0.10), (2, "A", 0.20),
+        (3, "B", 1.00), (4, "B", 2.00),
+    ]
+    df = spark.createDataFrame(rows, "id long, h string, v double")
+    r = stratified_mean_ci(
+        df, "h", F.col("id"), "v", fraction=1.0, salt="t"
+    ).collect()[0]
+    assert (r["n_strata"], r["n_sample"]) == (2, 4)
+    # exact mean of cents {10, 20, 100, 200} = 82.5c = 0.825
+    assert r["est_mean"] == 0.825
+    # wv = 2^2*(50/2) + 2^2*(5000/2) = 10100; se = sqrt(10100/16)/100
+    se = math.sqrt(10100 / 16) / 100
+    assert r["se"] == round(se, 6)
+    assert r["ci_lo"] == round(0.825 - 1.96 * se, 6)
+    assert r["ci_hi"] == round(0.825 + 1.96 * se, 6)
+
+
+def test_stratified_mean_ci_degenerate_stratum_nulls_estimate(spark):
+    """A stratum whose sample has n<2 cannot bound its variance: the
+    report NULLs rather than silently dropping the stratum."""
+    from evidence_images_etl_airflow_spark.operators.sketches import (
+        stratified_mean_ci,
+    )
+
+    rows = [(1, "A", 0.10), (2, "A", 0.20), (3, "B", 1.00)]
+    df = spark.createDataFrame(rows, "id long, h string, v double")
+    r = stratified_mean_ci(
+        df, "h", F.col("id"), "v", fraction=1.0, salt="t"
+    ).collect()[0]
+    assert r["n_strata"] == 2 and r["n_sample"] == 3
+    assert r["est_mean"] is None and r["se"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stratified_mean_ci(df, "h", F.col("id"), "v", fraction=0.0)
