@@ -10458,13 +10458,13 @@ _VERIFY_FIRST = [
     # (supplier_reliability_wilson, text_zipf_fit, sketch_hll_rollup,
     # er_fuzzy_part_pairs, data_shard_shuffle, recon_table_diff — the
     # r11 reorder rule: nothing goes five rounds unchecked), then the
-    # 15 round-12 registrations in registration order
+    # 16 round-12 registrations in registration order
     # (ep5_mart_chain_planned, dq_k_anonymity, embedding_int8_recall,
     # text_cooccurrence_pmi, plan_range_partition_report,
     # ml_calibration_curve, agg_sample_ci, events_churn_features,
     # ml_roc_auc, customers_revenue_gini, events_attribution_last_touch,
     # orders_interarrival_profile, events_active_users_stickiness,
-    # dq_referential_orphans, agg_stratified_ci —
+    # dq_referential_orphans, agg_stratified_ci, events_forecast_mase —
     # each carries two-scale parity proof in the r12 ledger per the
     # registration-time rule), then the oldest r09-green cohort
     # entries in registration order up to the 50-slot cap. The BPE
@@ -12473,6 +12473,110 @@ def agg_stratified_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("exact_mean") <= F.col("ci_hi"))
             ).alias("covered"),
         )
+    )
+
+
+@register(
+    "events_forecast_mase",
+    oracle="""
+    WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                          CAST(count(*) AS BIGINT) AS y
+                   FROM events GROUP BY 1),
+    b AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    grid AS (SELECT unnest(generate_series(b.lo, b.hi)) AS d FROM b),
+    f AS (SELECT g.d, coalesce(daily.y, 0) AS y
+          FROM grid g LEFT JOIN daily ON g.d = daily.d),
+    l AS (SELECT d, y, lag(y, 7) OVER (ORDER BY d) AS l7,
+                 lag(y, 1) OVER (ORDER BY d) AS l1
+          FROM f),
+    tr AS (SELECT CAST(count(*) AS BIGINT) AS n_tr,
+                  CAST(sum(abs(y - l1)) AS BIGINT) AS sa_tr
+           FROM l, b WHERE d <= b.hi - 7 AND l1 IS NOT NULL),
+    te AS (SELECT d, y, l7 AS yhat, abs(y - l7) AS abs_err
+           FROM l, b WHERE d > b.hi - 7),
+    ts_ AS (SELECT CAST(count(*) AS BIGINT) AS n_te,
+                   CAST(sum(abs_err) AS BIGINT) AS sa_te
+            FROM te)
+    SELECT CAST(te.d AS BIGINT) AS d, te.y,
+           CAST(te.yhat AS BIGINT) AS yhat,
+           CAST(te.abs_err AS BIGINT) AS abs_err,
+           round(CAST(ts_.sa_te AS DOUBLE) * tr.n_tr
+                 / (CAST(ts_.n_te AS DOUBLE) * tr.sa_tr), 6) AS mase
+    FROM te CROSS JOIN ts_ CROSS JOIN tr ORDER BY d
+    """,
+)
+def events_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast baseline + MASE scorecard over the
+    daily event series — the evaluation floor every forecasting
+    effort must beat (Hyndman & Koehler 2006): predict each of the
+    final 7 days as the count 7 days earlier, and scale the test MAE
+    by the in-sample naive-1 MAE, so MASE < 1 means 'beats carrying
+    yesterday forward'. The day series is ZERO-FILLED onto the
+    complete calendar grid first (1-row bounds agg → sequence/
+    generate_series → left join): lag-based forecasting over a sparse
+    day set silently predicts across gaps. Shape: one day-grain
+    count (map-side combined), then all windows run over the
+    CALENDAR-bounded grid (30 rows here; thousands at any corpus
+    size — never row-bounded). Exactness: integer day indexes,
+    counts, and absolute errors end-to-end; MASE is exact-integer
+    cross-multiplied into ONE IEEE divide at 6dp
+    (sa_te·n_tr / (n_te·sa_tr)). NOTE: registered after the r12
+    verify head (rotation-slot rule); parity-proven locally at
+    sf0.001 + sf0.01; queued for r13."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("ts_us div 86400000000").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    b = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    grid = b.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+    )
+    f = grid.join(daily, "d", "left").select(
+        "d", F.coalesce(F.col("y"), F.lit(0)).cast("bigint").alias("y")
+    )
+    w = Window.orderBy("d")
+    lagged = f.select(
+        "d",
+        "y",
+        F.lag("y", 7).over(w).alias("l7"),
+        F.lag("y", 1).over(w).alias("l1"),
+    ).crossJoin(F.broadcast(b.select("hi")))
+    tr = (
+        lagged.filter(
+            (F.col("d") <= F.col("hi") - 7) & F.col("l1").isNotNull()
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n_tr"),
+            F.sum(F.abs(F.col("y") - F.col("l1"))).cast("bigint").alias(
+                "__sa_tr"
+            ),
+        )
+    )
+    te = lagged.filter(F.col("d") > F.col("hi") - 7).select(
+        F.col("d").cast("bigint").alias("d"),
+        "y",
+        F.col("l7").cast("bigint").alias("yhat"),
+        F.abs(F.col("y") - F.col("l7")).cast("bigint").alias("abs_err"),
+    )
+    ts_ = te.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_te"),
+        F.sum("abs_err").cast("bigint").alias("__sa_te"),
+    )
+    return (
+        te.crossJoin(F.broadcast(ts_))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "d",
+            "y",
+            "yhat",
+            "abs_err",
+            F.round(
+                F.col("__sa_te").cast("double") * F.col("__n_tr")
+                / (F.col("__n_te").cast("double") * F.col("__sa_tr")),
+                6,
+            ).alias("mase"),
+        )
+        .orderBy("d")
     )
 
 

@@ -308,3 +308,42 @@ def test_events_active_users_stickiness_hand_case(spark, tmp_path):
     assert jan.avg_dau == 1.5 and jan.stickiness == 0.75
     assert (feb.n_days, feb.sum_dau, feb.mau) == (1, 1, 1)
     assert feb.stickiness == 1.0
+
+
+def test_events_forecast_mase_hand_case(spark, tmp_path):
+    """r12: zero-filled seasonal-naive baseline with exact MASE."""
+    from evidence_images_etl_airflow_spark.workload import REGISTRY
+
+    # 15 consecutive days, one event on each day d with count pattern:
+    # y = [5,6,7,8,9,10,11, 5,6,7,8,9,10,11, 5] (period-7 repeating),
+    # except day idx 13 has 12 instead of 11 and day idx 9 missing
+    # (zero-fill -> y=0 there).
+    counts = {0: 5, 1: 6, 2: 7, 3: 8, 4: 9, 5: 10, 6: 11,
+              7: 5, 8: 6, 10: 8, 11: 9, 12: 10, 13: 12, 14: 5}
+    rows, eid = [], 0
+    for dd, cnt in counts.items():
+        for _ in range(cnt):
+            eid += 1
+            rows.append(
+                (eid, f"2024-03-{dd + 1:02d} 12:00:00", 1, "view", 0.0, "{}")
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = f"{tmp_path}/sf"
+    df.write.parquet(f"{d}/events.parquet")
+    out = REGISTRY["events_forecast_mase"].fn(spark, d).collect()
+    # 15-day grid: test = last 7 days (idx 8..14), train = idx 0..7
+    assert len(out) == 7
+    by_idx = {r.d - out[0].d + 8: r for r in out}
+    # idx 9 zero-filled: y=0, yhat=y(idx2)=7 -> abs_err 7
+    assert (by_idx[9].y, by_idx[9].yhat, by_idx[9].abs_err) == (0, 7, 7)
+    # idx 13: y=12, yhat=y(idx6)=11 -> abs_err 1
+    assert (by_idx[13].y, by_idx[13].yhat, by_idx[13].abs_err) == (12, 11, 1)
+    # idx 8: y=6, yhat=y(idx1)=6 -> 0
+    assert by_idx[8].abs_err == 0
+    # train naive-1 pairs idx1..7: diffs 1,1,1,1,1,1,-6 -> sa_tr = 12,
+    # n_tr = 7; test errors 0,7,0,0,0,1,0 -> sa_te = 8
+    assert out[0].mase == round((8 * 7) / (7 * 12), 6)
