@@ -67,6 +67,11 @@ EXPECTED_CROSS = {
     "plan_range_partition_report",  # 1-row total + <=N-1 boundary broadcasts
     "ml_calibration_curve",  # 1-row ECE aggregate broadcast
     "agg_sample_ci",  # 1-row estimate x 1-row exact-mean report assembly
+    "customers_revenue_gini",  # 1-row totals broadcast back over value blocks
+    "events_attribution_last_touch",  # 1-row conversion-total broadcast
+    "orders_interarrival_profile",  # 1-row gap-totals broadcast
+    "agg_stratified_ci",  # 1-row estimate x 1-row exact-mean report assembly
+    "events_forecast_mase",  # 1-row bounds/test/train stat broadcasts
 }
 
 
