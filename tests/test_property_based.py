@@ -260,3 +260,66 @@ def test_apply_table_diff_identity_property(spark, v1, v2):
     got = apply_table_diff(f1, table_diff(f1, f2, ["k"]), ["k"])
     assert got.exceptAll(f2).count() == 0
     assert f2.exceptAll(got).count() == 0
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # coarse score grid -> ties
+            st.integers(min_value=0, max_value=1),
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_roc_auc_matches_bruteforce_pairwise(spark, rows):
+    """roc_auc's block prefix-sum formulation == the O(P·N) pairwise
+    definition (wins + half-ties), on generated tied data."""
+    from evidence_images_etl_airflow_spark.operators.ml_curation import roc_auc
+
+    df = spark.createDataFrame(
+        [(s / 20.0, y) for s, y in rows], "score double, y int"
+    )
+    r = roc_auc(df, "score", "y").collect()[0]
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    if not pos or not neg:
+        assert r["auc"] is None and r["gini_rank"] is None
+        return
+    u = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p in pos
+        for n in neg
+    )
+    auc = u / (len(pos) * len(neg))
+    assert r["auc"] == round(auc, 6)
+    assert r["gini_rank"] == round(2 * auc - 1, 6)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=500), min_size=1, max_size=25
+    )
+)
+def test_gini_concentration_matches_sorted_formula(spark, vals):
+    """gini_concentration's value-block formulation == the textbook
+    sorted Σ i·x_i formula and an explicit top-slice take."""
+    from evidence_images_etl_airflow_spark.operators.quality import (
+        gini_concentration,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    r = gini_concentration(df, "v", top_fraction=0.3).collect()[0]
+    n, s = len(vals), sum(vals)
+    assert r["n"] == n and r["value_total"] == float(s)
+    if s == 0:
+        assert r["gini"] is None and r["top_share"] is None
+        return
+    xs = sorted(vals)
+    gini = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * s) - (n + 1) / n
+    k = (n * 3) // 10
+    top = sum(sorted(vals, reverse=True)[:k])
+    assert r["gini"] == round(gini, 6)
+    assert r["top_share"] == round(top / s, 6)
