@@ -303,3 +303,170 @@ def roc_auc(
             defined, F.round(F.col("__auc2x").cast("double") / pn - 1.0, 6)
         ).alias("gini_rank"),
     )
+
+
+def agreement_metrics(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Exact inter-rater agreement between two binary labelers:
+    accuracy, Cohen's kappa (Cohen 1960), and the Matthews correlation
+    coefficient — the gate for swapping one curation filter for
+    another (a new quality classifier vs the incumbent heuristic):
+    raw accuracy is inflated by class imbalance, kappa subtracts the
+    chance-agreement floor, and MCC is the balanced single number that
+    only rewards agreement on BOTH classes.
+
+    Distributed shape: ONE conditional aggregation over the corpus
+    collapses everything to the four confusion cells (map-side
+    combined — each partition reduces to four counters before the
+    exchange); every metric is then closed-form driver-free arithmetic
+    on that single row. No join, no window, no sort at any scale.
+
+    Exactness: cells are BIGINT; the cross terms (a·d − b·c, marginal
+    products) run in DECIMAL(38,0) — at corpus scale a·d reaches
+    ~1e20+, past int64 (the r11 join-chain overflow lesson). Each
+    output is ONE IEEE step on exact integers, rounded to 6dp; kappa
+    is NULL when the chance denominator is 0 (both raters constant)
+    and MCC NULL when any marginal is empty — undefined, not 0.
+
+    Returns one row: ``n, both_pos, a_only, b_only, both_neg,
+    accuracy, kappa, mcc``."""
+    d38 = "decimal(38,0)"
+    a = F.col(rater_a_col).cast("int")
+    b = F.col(rater_b_col).cast("int")
+    cells = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(((a == 1) & (b == 1)).cast("int")).cast("bigint").alias("both_pos"),
+        F.sum(((a == 1) & (b == 0)).cast("int")).cast("bigint").alias("a_only"),
+        F.sum(((a == 0) & (b == 1)).cast("int")).cast("bigint").alias("b_only"),
+        F.sum(((a == 0) & (b == 0)).cast("int")).cast("bigint").alias("both_neg"),
+    )
+    tp = F.col("both_pos").cast(d38)
+    fp = F.col("a_only").cast(d38)
+    fn = F.col("b_only").cast(d38)
+    tn = F.col("both_neg").cast(d38)
+    det = tp * tn - fp * fn  # decimal-exact cross term
+    # chance-agreement denominator for kappa: (a+b)(b+d) + (a+c)(c+d)
+    chance_den = (tp + fp) * (fp + tn) + (tp + fn) * (fn + tn)
+    # MCC denominator: product of the four marginals (sqrt applied in
+    # the one IEEE step below)
+    mcc_den = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    nn = F.col("n").cast("double")
+    return cells.select(
+        "n",
+        "both_pos",
+        "a_only",
+        "b_only",
+        "both_neg",
+        F.when(
+            F.col("n") > 0,
+            F.round(
+                (F.col("both_pos") + F.col("both_neg")).cast("double") / nn, 6
+            ),
+        ).alias("accuracy"),
+        F.when(
+            chance_den > 0,
+            F.round(
+                2.0 * det.cast("double") / chance_den.cast("double"), 6
+            ),
+        ).alias("kappa"),
+        F.when(
+            mcc_den > 0,
+            F.round(
+                det.cast("double") / F.sqrt(mcc_den.cast("double")), 6
+            ),
+        ).alias("mcc"),
+    )
+
+
+def pr_threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[float] | None = None,
+    resolution: int = 6,
+) -> DataFrame:
+    """Precision/recall/F1 confusion sweep over a fixed threshold
+    grid — the VALUE-side companion to :func:`roc_auc`'s ranking gate:
+    once a filter score certifies on ordering, the operating threshold
+    is chosen from exactly this table (how many docs survive at 0.6
+    vs 0.7, and at what precision). Keep-rule: ``score >= threshold``.
+
+    Distributed shape: scores collapse to (score, n_pos, n_neg)
+    blocks first (map-side combined, the roc_auc idiom), then the
+    block table joins the BROADCAST literal threshold grid (|grid| x
+    |distinct scores| rows, grid-bounded — never corpus-bounded) and
+    re-aggregates per threshold. No window, no sort; the corpus is
+    scanned exactly once.
+
+    Exactness: scores quantize to ``resolution`` dp before blocking
+    (identical in the oracle), confusion cells are BIGINT sums of
+    block counts, and precision/recall/F1 are each one IEEE divide on
+    exact integers, 6dp, NULL when their denominator is 0 (undefined,
+    not 0). F1 folds to 2·tp / (2·tp + fp + fn) so it shares the
+    one-divide discipline instead of dividing twice.
+
+    Returns |grid| rows: ``threshold, tp, fp, fn, tn, precision,
+    recall, f1`` ordered by threshold."""
+    if thresholds is None:
+        thresholds = [i / 10.0 for i in range(10)]
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    s = F.round(F.col(score_col).cast("double"), int(resolution))
+    q = df.select(s.alias("__s"), F.col(label_col).cast("int").alias("__y"))
+    g = q.groupBy("__s").agg(
+        F.sum("__y").cast("bigint").alias("__np"),
+        (F.count(F.lit(1)) - F.sum("__y")).cast("bigint").alias("__nn"),
+    )
+    spark = df.sparkSession
+    grid = spark.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double"
+    )
+    kept = F.col("__s") >= F.col("threshold")
+    swept = (
+        g.crossJoin(F.broadcast(grid))
+        .groupBy("threshold")
+        .agg(
+            F.coalesce(F.sum(F.when(kept, F.col("__np"))), F.lit(0))
+            .cast("bigint").alias("tp"),
+            F.coalesce(F.sum(F.when(kept, F.col("__nn"))), F.lit(0))
+            .cast("bigint").alias("fp"),
+            F.coalesce(F.sum(F.when(~kept, F.col("__np"))), F.lit(0))
+            .cast("bigint").alias("fn"),
+            F.coalesce(F.sum(F.when(~kept, F.col("__nn"))), F.lit(0))
+            .cast("bigint").alias("tn"),
+        )
+    )
+    return swept.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.round(
+                F.col("tp").cast("double")
+                / (F.col("tp") + F.col("fp")).cast("double"),
+                6,
+            ),
+        ).alias("precision"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.round(
+                F.col("tp").cast("double")
+                / (F.col("tp") + F.col("fn")).cast("double"),
+                6,
+            ),
+        ).alias("recall"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            F.round(
+                2.0 * F.col("tp").cast("double")
+                / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
+                6,
+            ),
+        ).alias("f1"),
+    ).orderBy("threshold")

@@ -12580,6 +12580,139 @@ def events_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ml_agreement_kappa",
+    oracle=f"""
+    WITH s AS (SELECT CAST({_QUALITY_SQL} >= 0.67 AS INT) AS ra,
+                      CAST(length(text) >= 256 AS INT) AS rb
+               FROM documents),
+    cells AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS both_pos,
+                     CAST(sum(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS a_only,
+                     CAST(sum(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS b_only,
+                     CAST(sum(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS both_neg
+              FROM s),
+    x AS (SELECT *,
+                 CAST(both_pos AS HUGEINT) * both_neg
+                   - CAST(a_only AS HUGEINT) * b_only AS det,
+                 CAST(both_pos + a_only AS HUGEINT) * (a_only + both_neg)
+                   + CAST(both_pos + b_only AS HUGEINT) * (b_only + both_neg)
+                   AS chance_den,
+                 CAST(both_pos + a_only AS HUGEINT) * (both_pos + b_only)
+                   * (both_neg + a_only) * (both_neg + b_only) AS mcc_den
+          FROM cells)
+    SELECT n, both_pos, a_only, b_only, both_neg,
+           CASE WHEN n > 0 THEN
+             round(CAST(both_pos + both_neg AS DOUBLE) / n, 6) END
+             AS accuracy,
+           CASE WHEN chance_den > 0 THEN
+             round(2.0 * CAST(det AS DOUBLE) / CAST(chance_den AS DOUBLE), 6)
+           END AS kappa,
+           CASE WHEN mcc_den > 0 THEN
+             round(CAST(det AS DOUBLE) / sqrt(CAST(mcc_den AS DOUBLE)), 6)
+           END AS mcc
+    FROM x
+    """,
+)
+def ml_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement (operators/ml_curation.agreement_metrics)
+    between the two deterministic labelers the eval family already
+    trusts — the thresholded quality heuristic (>= 0.67, the
+    ml_quality_classifier weak label) and the long-document proxy
+    (length >= 256) — answering the question AUC and calibration
+    don't: when we SWAP one curation filter for another, how often do
+    their keep decisions actually coincide beyond chance? Cohen's
+    kappa subtracts the chance-agreement floor that inflates raw
+    accuracy under class imbalance; MCC is the balanced single number
+    that only rewards agreement on both classes. Shape: ONE
+    conditional aggregation collapses the corpus to four confusion
+    cells (map-side combined); every metric is closed-form arithmetic
+    on that row — no join, no window, no sort at any scale.
+    Exactness: BIGINT cells, DECIMAL(38,0)/HUGEINT cross terms (a·d
+    at corpus scale passes int64 — the r11 join-chain lesson), one
+    IEEE step per metric at 6dp; kappa/MCC NULL when their
+    denominators vanish (undefined, not 0). NOTE: registered after
+    the r12 verify head (rotation-slot rule); parity-proven locally
+    at sf0.001 + sf0.01; queued for r13."""
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        agreement_metrics,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    rated = d.select(
+        (quality_score(F.col("text")) >= 0.67).cast("int").alias("ra"),
+        (F.length("text") >= 256).cast("int").alias("rb"),
+    )
+    return agreement_metrics(rated, "ra", "rb")
+
+
+@register(
+    "ml_pr_threshold_sweep",
+    oracle=f"""
+    WITH s AS (SELECT {_QUALITY_SQL} AS sc,
+                      CAST(length(text) >= 256 AS INT) AS y
+               FROM documents),
+    g AS (SELECT sc, CAST(sum(y) AS BIGINT) AS np,
+                 CAST(count(*) - sum(y) AS BIGINT) AS nn
+          FROM s GROUP BY sc),
+    grid AS (SELECT CAST(i AS DOUBLE) / 10.0 AS threshold
+             FROM unnest(generate_series(0, 9)) AS t(i)),
+    swept AS (
+      SELECT threshold,
+             CAST(coalesce(sum(CASE WHEN sc >= threshold THEN np END), 0)
+                  AS BIGINT) AS tp,
+             CAST(coalesce(sum(CASE WHEN sc >= threshold THEN nn END), 0)
+                  AS BIGINT) AS fp,
+             CAST(coalesce(sum(CASE WHEN sc < threshold THEN np END), 0)
+                  AS BIGINT) AS fn,
+             CAST(coalesce(sum(CASE WHEN sc < threshold THEN nn END), 0)
+                  AS BIGINT) AS tn
+      FROM g CROSS JOIN grid GROUP BY threshold)
+    SELECT threshold, tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0 THEN
+             round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+           CASE WHEN tp + fn > 0 THEN
+             round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0 THEN
+             round(2.0 * CAST(tp AS DOUBLE) / (2 * tp + fp + fn), 6)
+           END AS f1
+    FROM swept ORDER BY threshold
+    """,
+)
+def ml_pr_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 confusion sweep (operators/ml_curation.
+    pr_threshold_sweep) of the quality heuristic against the
+    long-document proxy over the fixed 0.0..0.9 threshold grid — the
+    VALUE-side companion to ml_roc_auc's ranking gate: once a score
+    certifies on ordering, the operating threshold is picked from
+    exactly this table (survivors vs precision at 0.6 vs 0.7). Shape:
+    scores collapse to (score, n_pos, n_neg) blocks first (map-side
+    combined, the roc_auc idiom), then the block table joins the
+    BROADCAST 10-row literal grid and re-aggregates per threshold —
+    |grid| x |distinct 6dp scores| intermediate rows, grid-bounded at
+    any corpus size; the corpus is scanned exactly once, no window,
+    no sort. Exactness: 6dp score quantization identical in both
+    engines, BIGINT cells, one IEEE divide per metric at 6dp (F1
+    folded to 2tp/(2tp+fp+fn) — one divide, not two), NULL on empty
+    denominators. NOTE: registered after the r12 verify head
+    (rotation-slot rule); parity-proven locally at sf0.001 + sf0.01;
+    queued for r13."""
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        pr_threshold_sweep,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        quality_score(F.col("text")).alias("score"),
+        (F.length("text") >= 256).cast("int").alias("y"),
+    )
+    return pr_threshold_sweep(scored, "score", "y")
+
+
 # r11: `join_autoplan_strategy` promoted (green r10 driver row landed).
 # r12: `events_pattern_journey` promoted (green CORRECTNESS_r11 row
 # committed — the sequence-analytics family's representative); the

@@ -264,3 +264,72 @@ def test_roc_auc_single_class_is_null_and_perfect_ranking_is_one(spark):
     )
     p = roc_auc(perfect, "score", "y").collect()[0]
     assert p["auc"] == 1.0 and p["gini_rank"] == 1.0
+
+
+def test_agreement_metrics_textbook_kappa(spark):
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        agreement_metrics,
+    )
+
+    # Classic 2x2: a=20 both-pos, b=5 A-only, c=10 B-only, d=15 both-neg
+    # po = 35/50 = 0.7; pe = (25/50)(30/50) + (25/50)(20/50) = 0.5
+    # kappa = (0.7-0.5)/(1-0.5) = 2(ad-bc)/((a+b)(b+d)+(a+c)(c+d))
+    #       = 2*250/(25*20 + 30*25) = 500/1250 = 0.4
+    rows = (
+        [(1, 1)] * 20 + [(1, 0)] * 5 + [(0, 1)] * 10 + [(0, 0)] * 15
+    )
+    df = spark.createDataFrame(rows, "ra int, rb int")
+    r = agreement_metrics(df, "ra", "rb").collect()[0]
+    assert (r["n"], r["both_pos"], r["a_only"], r["b_only"], r["both_neg"]) \
+        == (50, 20, 5, 10, 15)
+    assert r["accuracy"] == 0.7
+    assert r["kappa"] == 0.4
+    mcc = (20 * 15 - 5 * 10) / (25 * 30 * 20 * 25) ** 0.5
+    assert r["mcc"] == round(mcc, 6)
+
+
+def test_agreement_metrics_degenerate_raters_are_null(spark):
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        agreement_metrics,
+    )
+
+    # both raters constant-positive: accuracy 1, kappa/mcc undefined
+    df = spark.createDataFrame([(1, 1)] * 4, "ra int, rb int")
+    r = agreement_metrics(df, "ra", "rb").collect()[0]
+    assert r["accuracy"] == 1.0
+    assert r["kappa"] is None and r["mcc"] is None
+
+
+def test_pr_threshold_sweep_hand_case(spark):
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        pr_threshold_sweep,
+    )
+
+    # scores/labels chosen so each cell is checkable at thr=0.5:
+    # kept: (0.9,1),(0.7,0),(0.5,1) -> tp=2 fp=1; dropped: (0.3,1),(0.1,0)
+    rows = [(0.9, 1), (0.7, 0), (0.5, 1), (0.3, 1), (0.1, 0)]
+    df = spark.createDataFrame(rows, "score double, y int")
+    out = {
+        r["threshold"]: r
+        for r in pr_threshold_sweep(df, "score", "y").collect()
+    }
+    assert len(out) == 10
+    r5 = out[0.5]
+    assert (r5["tp"], r5["fp"], r5["fn"], r5["tn"]) == (2, 1, 1, 1)
+    assert r5["precision"] == round(2 / 3, 6)
+    assert r5["recall"] == round(2 / 3, 6)
+    assert r5["f1"] == round(4 / 6, 6)
+    # thr=0.0 keeps everything: recall 1, tn 0
+    r0 = out[0.0]
+    assert (r0["tp"], r0["fp"], r0["fn"], r0["tn"]) == (3, 2, 0, 0)
+    assert r0["recall"] == 1.0
+
+
+def test_pr_threshold_sweep_validates_grid(spark):
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        pr_threshold_sweep,
+    )
+
+    df = spark.createDataFrame([(0.5, 1)], "score double, y int")
+    with pytest.raises(ValueError):
+        pr_threshold_sweep(df, "score", "y", thresholds=[])
