@@ -12713,6 +12713,163 @@ def ml_pr_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr_threshold_sweep(scored, "score", "y")
 
 
+def _daily_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled daily event-count series (d, y) on the complete
+    calendar grid — the shared front end of the day-grain time-series
+    family (forecast MASE, CUSUM, EWMA): one map-side-combined
+    day-grain count, a 1-row bounds agg, sequence/generate_series,
+    left join, coalesce to 0. Lag/prefix math over a SPARSE day set
+    silently reaches across gaps — every consumer needs the grid."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("ts_us div 86400000000").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    b = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    grid = b.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+    )
+    return grid.join(daily, "d", "left").select(
+        F.col("d").cast("bigint").alias("d"),
+        F.coalesce(F.col("y"), F.lit(0)).cast("bigint").alias("y"),
+    )
+
+
+_EWMA_WINDOW = 8
+_EWMA_DECAY = (7, 10)
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                          CAST(count(*) AS BIGINT) AS y
+                   FROM events GROUP BY 1),
+    b AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    grid AS (SELECT unnest(generate_series(b.lo, b.hi)) AS d FROM b),
+    f AS (SELECT CAST(g.d AS BIGINT) AS d, coalesce(daily.y, 0) AS y
+          FROM grid g LEFT JOIN daily ON g.d = daily.d),
+    p AS (SELECT d, y, CAST(sum(y) OVER (ORDER BY d) AS BIGINT) AS pp,
+                 CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+          FROM f),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(max(pp) AS BIGINT) AS tt FROM p),
+    ns AS (SELECT d, pp, i, n, tt,
+                  CAST(n AS HUGEINT) * pp - CAST(i AS HUGEINT) * tt AS ns
+           FROM p CROSS JOIN t),
+    r AS (SELECT *, row_number() OVER (ORDER BY abs(ns) DESC, d) AS rk
+          FROM ns)
+    SELECT n AS n_days, tt AS total, d AS cp_day, i AS cp_index,
+           CAST(abs(ns) AS DOUBLE) AS ns_abs_max,
+           round(CAST(pp AS DOUBLE) / i, 6) AS mean_before,
+           CASE WHEN i < n THEN
+             round(CAST(tt - pp AS DOUBLE) / (n - i), 6) END AS mean_after,
+           CASE WHEN tt > 0 THEN
+             round(CAST(abs(ns) AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * tt), 6) END AS normalized_stat
+    FROM r WHERE rk = 1
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point screen (operators/timeseries.
+    cusum_changepoint) over the zero-filled daily event series: Page
+    1954's CUSUM statistic S_i = P_i - i*(T/N), scaled by N to the
+    exact integer NS_i = N*P_i - i*T, maximized in |.| with an
+    earliest-day tie-break — the day the series most likely changed
+    LEVEL, where the MAD screen (events_anomaly_mad) only flags
+    isolated outlier days. The complement every ingest monitor needs:
+    a pipeline that silently halves its event volume trips CUSUM on
+    the shift day even when no single day is anomalous. Shape: one
+    day-grain count (map-side combined), the zero-fill grid idiom
+    (bounds agg -> sequence -> left join), then prefix/argmax windows
+    ordered over the CALENDAR grid — grid-bounded at any corpus size,
+    never row-bounded. Exactness: integer days/counts, the statistic
+    in DECIMAL(38,0)/HUGEINT (N*P passes int64 at corpus scale), one
+    IEEE step per reported ratio at 6dp; mean_after NULL when the
+    change point is the final day, normalized_stat NULL when the
+    series is all-zero. NOTE: registered after the r12 verify head
+    (rotation-slot rule); parity-proven locally at sf0.001 + sf0.01;
+    queued for r13."""
+    from evidence_images_etl_airflow_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    f = _daily_filled(spark, sf_dir)
+    return cusum_changepoint(f, "d", "y")
+
+
+@register(
+    "events_ewma_daily",
+    oracle="""
+    WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                          CAST(count(*) AS BIGINT) AS y
+                   FROM events GROUP BY 1),
+    b AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    grid AS (SELECT unnest(generate_series(b.lo, b.hi)) AS d FROM b),
+    f AS (SELECT CAST(g.d AS BIGINT) AS d, coalesce(daily.y, 0) AS y
+          FROM grid g LEFT JOIN daily ON g.d = daily.d),
+    l AS (SELECT d, y, lag(y, 1) OVER (ORDER BY d) AS l1,
+                 lag(y, 2) OVER (ORDER BY d) AS l2,
+                 lag(y, 3) OVER (ORDER BY d) AS l3,
+                 lag(y, 4) OVER (ORDER BY d) AS l4,
+                 lag(y, 5) OVER (ORDER BY d) AS l5,
+                 lag(y, 6) OVER (ORDER BY d) AS l6,
+                 lag(y, 7) OVER (ORDER BY d) AS l7
+          FROM f),
+    e AS (SELECT d, y,
+                 CAST(y AS HUGEINT) * 10000000
+                   + coalesce(CAST(l1 AS HUGEINT) * 7000000, 0)
+                   + coalesce(CAST(l2 AS HUGEINT) * 4900000, 0)
+                   + coalesce(CAST(l3 AS HUGEINT) * 3430000, 0)
+                   + coalesce(CAST(l4 AS HUGEINT) * 2401000, 0)
+                   + coalesce(CAST(l5 AS HUGEINT) * 1680700, 0)
+                   + coalesce(CAST(l6 AS HUGEINT) * 1176490, 0)
+                   + coalesce(CAST(l7 AS HUGEINT) * 823543, 0) AS num,
+                 CAST(10000000 AS HUGEINT)
+                   + CASE WHEN l1 IS NOT NULL THEN 7000000 ELSE 0 END
+                   + CASE WHEN l2 IS NOT NULL THEN 4900000 ELSE 0 END
+                   + CASE WHEN l3 IS NOT NULL THEN 3430000 ELSE 0 END
+                   + CASE WHEN l4 IS NOT NULL THEN 2401000 ELSE 0 END
+                   + CASE WHEN l5 IS NOT NULL THEN 1680700 ELSE 0 END
+                   + CASE WHEN l6 IS NOT NULL THEN 1176490 ELSE 0 END
+                   + CASE WHEN l7 IS NOT NULL THEN 823543 ELSE 0 END AS den
+          FROM l)
+    SELECT d, y,
+           round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS ewma,
+           round(CAST(CAST(y AS HUGEINT) * den - num AS DOUBLE)
+                 / CAST(den AS DOUBLE), 6) AS resid
+    FROM e ORDER BY d
+    """,
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted trend line (operators/timeseries.
+    ewma_smooth) over the zero-filled daily event series, decay 0.7
+    over a finite 8-day tail — the smoother alerting thresholds are
+    layered on, and the finite-window form is what makes the
+    textbook RECURSIVE ewma (an inherently sequential scan)
+    distributable: each day needs only its own 8 lags (>94% of the
+    infinite-sum mass at decay 0.7), so the computation is a
+    grid-bounded ordered window, no sequential state. Weights are
+    held as EXACT integers w_k = 7^k * 10^(7-k); head days
+    renormalize over the weights actually present, exactly. Shape:
+    one day-grain count (map-side combined), the zero-fill grid
+    idiom, then one lag window over the CALENDAR grid. Exactness:
+    integer counts and weights, DECIMAL(38,0)/HUGEINT weighted sums,
+    ewma and resid each ONE IEEE divide from the same exact
+    integers, 6dp. NOTE: registered after the r12 verify head
+    (rotation-slot rule); parity-proven locally at sf0.001 + sf0.01;
+    queued for r13."""
+    from evidence_images_etl_airflow_spark.operators.timeseries import (
+        ewma_smooth,
+    )
+
+    f = _daily_filled(spark, sf_dir)
+    return ewma_smooth(
+        f, "d", "y",
+        decay_num=_EWMA_DECAY[0], decay_den=_EWMA_DECAY[1],
+        window=_EWMA_WINDOW,
+    )
+
+
 # r11: `join_autoplan_strategy` promoted (green r10 driver row landed).
 # r12: `events_pattern_journey` promoted (green CORRECTNESS_r11 row
 # committed — the sequence-analytics family's representative); the

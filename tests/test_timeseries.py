@@ -1,0 +1,55 @@
+"""Hand-case tests for operators/timeseries.py (CUSUM + EWMA)."""
+
+from __future__ import annotations
+
+import pytest
+
+from evidence_images_etl_airflow_spark.operators.timeseries import (
+    cusum_changepoint,
+    ewma_smooth,
+)
+
+
+def test_cusum_finds_the_level_shift_day(spark):
+    # 5 days at rate 1, then 5 days at rate 10: the CUSUM max lands on
+    # the last low day (i=5): NS_i = 10*P_i - 55*i, |NS_5| = 225.
+    rows = [(d, 1) for d in range(1, 6)] + [(d, 10) for d in range(6, 11)]
+    df = spark.createDataFrame(rows, "d bigint, y bigint")
+    r = cusum_changepoint(df, "d", "y").collect()[0]
+    assert (r["n_days"], r["total"]) == (10, 55)
+    assert (r["cp_day"], r["cp_index"]) == (5, 5)
+    assert r["ns_abs_max"] == 225.0
+    assert r["mean_before"] == 1.0
+    assert r["mean_after"] == 10.0
+    assert r["normalized_stat"] == round(225 / 550, 6)
+
+
+def test_cusum_all_zero_series_is_degenerate(spark):
+    df = spark.createDataFrame([(d, 0) for d in range(1, 5)], "d bigint, y bigint")
+    r = cusum_changepoint(df, "d", "y").collect()[0]
+    assert r["total"] == 0
+    assert r["cp_day"] == 1  # earliest-day tie-break on all-zero NS
+    assert r["normalized_stat"] is None
+    assert r["mean_before"] == 0.0
+
+
+def test_ewma_head_renormalizes_and_weights_exactly(spark):
+    # window=2, decay 1/2 -> integer weights w0=2, w1=1.
+    # day 1: only its own value; day 2: (2*6 + 1*3)/3 = 5, resid 1.
+    df = spark.createDataFrame([(1, 3), (2, 6)], "d bigint, y bigint")
+    out = {
+        r["d"]: r
+        for r in ewma_smooth(
+            df, "d", "y", decay_num=1, decay_den=2, window=2
+        ).collect()
+    }
+    assert out[1]["ewma"] == 3.0 and out[1]["resid"] == 0.0
+    assert out[2]["ewma"] == 5.0 and out[2]["resid"] == 1.0
+
+
+def test_ewma_validates_parameters(spark):
+    df = spark.createDataFrame([(1, 1)], "d bigint, y bigint")
+    with pytest.raises(ValueError):
+        ewma_smooth(df, "d", "y", decay_num=3, decay_den=2)
+    with pytest.raises(ValueError):
+        ewma_smooth(df, "d", "y", window=0)
