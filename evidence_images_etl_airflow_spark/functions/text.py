@@ -303,3 +303,88 @@ def strip_markup(col: str | Column) -> Column:
     for ent, ch in _MARKUP_ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+# --- Gopher quality rules ----------------------------------------------------
+# The document-filter ruleset published with Gopher (Rae et al. 2021,
+# arXiv:2112.11446 §A1.1) — the canonical pre-training heuristic gate
+# reused by MassiveText descendants. Thresholds are the paper's.
+GOPHER_STOPWORDS: list[str] = [
+    "the", "be", "to", "of", "and", "that", "have", "with",
+]
+
+
+def gopher_rule_columns(col: str | Column) -> dict[str, Column]:
+    """Per-document Gopher rule evaluations as a dict of BOOLEAN
+    columns plus the diagnostic counts they derive from. Every ratio
+    threshold is an exact integer cross-multiplication (10·x <= n
+    instead of x/n <= 0.1) so the booleans are engine-independent —
+    no float divide anywhere.
+
+    Rules (Rae et al. 2021): word count in [50, 100000]; mean word
+    length in [3, 10]; symbol-to-word ratio ('#' or '...') <= 0.1;
+    < 90% of lines bullet-started; < 30% of lines ellipsis-ended;
+    >= 80% of words contain an alphabetic character; >= 2 distinct
+    stopwords from the 8-word list present.
+
+    All array folds are integer F.aggregate folds (exact, order is
+    the array's own); the whole thing is column expressions — JVM
+    codegen end-to-end, no UDF."""
+    c = _c(col)
+    tk = tokens(c)
+    lines = F.split(c, r"\n")
+    n_words = F.size(tk).cast("bigint")
+    n_lines = F.size(lines).cast("bigint")
+
+    def _isum(arr: Column) -> Column:
+        return F.aggregate(arr, F.lit(0), lambda a, x: a + x).cast("bigint")
+
+    sum_len = _isum(F.transform(tk, lambda w: F.length(w)))
+    n_hash = (
+        F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    ).cast("bigint")
+    n_ell = (F.size(F.split(c, r"\.\.\.")) - 1).cast("bigint")
+    n_bullet = _isum(
+        F.transform(
+            lines,
+            lambda l: F.when(l.rlike(r"^[ \t]*[-*]"), 1).otherwise(0),
+        )
+    )
+    n_ellend = _isum(
+        F.transform(
+            lines,
+            lambda l: F.when(l.rlike(r"\.\.\.[ \t]*$"), 1).otherwise(0),
+        )
+    )
+    n_alpha = _isum(
+        F.transform(
+            tk, lambda w: F.when(w.rlike(r"[A-Za-z]"), 1).otherwise(0)
+        )
+    )
+    low = F.transform(tk, lambda w: F.lower(w))
+    n_stop = None
+    for sw in GOPHER_STOPWORDS:
+        hit = F.array_contains(low, sw).cast("int")
+        n_stop = hit if n_stop is None else n_stop + hit
+    n_stop = n_stop.cast("bigint")
+
+    rules = {
+        "r_word_count": (n_words >= 50) & (n_words <= 100000),
+        "r_mean_word_len": (3 * n_words <= sum_len)
+        & (sum_len <= 10 * n_words),
+        "r_symbol_ratio": 10 * (n_hash + n_ell) <= n_words,
+        "r_bullet_lines": 10 * n_bullet < 9 * n_lines,
+        "r_ellipsis_lines": 10 * n_ellend < 3 * n_lines,
+        "r_alpha_words": 10 * n_alpha >= 8 * n_words,
+        "r_stopwords": n_stop >= 2,
+    }
+    passed = None
+    for expr in rules.values():
+        passed = expr if passed is None else passed & expr
+    return {
+        "n_words": n_words,
+        "n_lines": n_lines,
+        "n_stopwords": n_stop,
+        **rules,
+        "pass_gopher": passed,
+    }

@@ -12870,6 +12870,83 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOK} AS tk,
+                      string_split(text, chr(10)) AS lines
+               FROM documents),
+    m AS (SELECT doc_id,
+            CAST(len(tk) AS BIGINT) AS n_words,
+            CAST(len(lines) AS BIGINT) AS n_lines,
+            CAST(list_sum(list_transform(tk, w -> length(w)))
+                 AS BIGINT) AS sum_len,
+            CAST(length(text) - length(replace(text, '#', ''))
+                 AS BIGINT) AS n_hash,
+            CAST(len(string_split(text, '...')) - 1 AS BIGINT) AS n_ell,
+            CAST(list_sum(list_transform(lines, l ->
+                 CASE WHEN regexp_matches(l, '^[ \t]*[-*]')
+                      THEN 1 ELSE 0 END)) AS BIGINT) AS n_bullet,
+            CAST(list_sum(list_transform(lines, l ->
+                 CASE WHEN regexp_matches(l, '\\.\\.\\.[ \t]*$')
+                      THEN 1 ELSE 0 END)) AS BIGINT) AS n_ellend,
+            CAST(list_sum(list_transform(tk, w ->
+                 CASE WHEN regexp_matches(w, '[A-Za-z]')
+                      THEN 1 ELSE 0 END)) AS BIGINT) AS n_alpha,
+            CAST(len(list_filter(
+                 ['the','be','to','of','and','that','have','with'],
+                 sw -> list_contains(list_transform(tk, w -> lower(w)),
+                                     sw))) AS BIGINT) AS n_stopwords
+          FROM t)
+    SELECT doc_id, n_words, n_lines, n_stopwords,
+           (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+           (3 * n_words <= sum_len AND sum_len <= 10 * n_words)
+             AS r_mean_word_len,
+           (10 * (n_hash + n_ell) <= n_words) AS r_symbol_ratio,
+           (10 * n_bullet < 9 * n_lines) AS r_bullet_lines,
+           (10 * n_ellend < 3 * n_lines) AS r_ellipsis_lines,
+           (10 * n_alpha >= 8 * n_words) AS r_alpha_words,
+           (n_stopwords >= 2) AS r_stopwords,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (3 * n_words <= sum_len AND sum_len <= 10 * n_words)
+            AND (10 * (n_hash + n_ell) <= n_words)
+            AND (10 * n_bullet < 9 * n_lines)
+            AND (10 * n_ellend < 3 * n_lines)
+            AND (10 * n_alpha >= 8 * n_words)
+            AND (n_stopwords >= 2)) AS pass_gopher
+    FROM m
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-filter ruleset (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1; functions/text.gopher_rule_columns) — the
+    canonical published pre-training document gate (word-count and
+    mean-word-length bounds, symbol/bullet/ellipsis ratios,
+    alpha-word fraction, stopword presence) evaluated per document
+    with each rule as its own boolean column plus the conjunction
+    ``pass_gopher`` — per-rule attribution is the point: a corpus
+    failing 40% on stopwords and 2% on symbols needs a different fix
+    than the reverse. Complements the CONTINUOUS quality_score family
+    (this is the hard published gate; that is the rankable score).
+    Shape: pure per-row column expressions — integer array folds
+    (F.aggregate), regexp predicates, zero UDFs, zero shuffles; the
+    scan is the whole cost at any corpus size. Exactness: every
+    ratio threshold is an exact integer cross-multiplication
+    (10·x <= n, never a float divide), so the booleans are
+    engine-independent by construction. NOTE: registered after the
+    r12 verify head (rotation-slot rule); parity-proven locally at
+    sf0.001 + sf0.01; queued for r13."""
+    from evidence_images_etl_airflow_spark.functions.text import (
+        gopher_rule_columns,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cols = gopher_rule_columns(F.col("text"))
+    return d.select(
+        "doc_id", *[expr.alias(name) for name, expr in cols.items()]
+    )
+
+
 # r11: `join_autoplan_strategy` promoted (green r10 driver row landed).
 # r12: `events_pattern_journey` promoted (green CORRECTNESS_r11 row
 # committed — the sequence-analytics family's representative); the

@@ -629,3 +629,55 @@ def test_cooccurrence_pmi_validation(spark, pmi_corpus):
         cooccurrence_pmi(pmi_corpus, "doc_id", "text", per_doc_cap=1)
     with pytest.raises(ValueError, match="max_df_share"):
         cooccurrence_pmi(pmi_corpus, "doc_id", "text", max_df_share=0.0)
+
+
+def test_gopher_rules_hand_cases(spark):
+    from evidence_images_etl_airflow_spark.functions.text import (
+        gopher_rule_columns,
+    )
+
+    good = " ".join(
+        ["the", "be", "to", "of", "and"] + ["word"] * 60
+    )  # 65 words, all alpha, mean len ~4, 5 stopwords
+    short = "the be tiny"  # fails word count, passes stopwords
+    bullets = "\n".join(["- item one two", "- item three four"]) + "\n" + good
+    symbols = " ".join(["#tag"] * 30 + ["the", "be"] + ["word"] * 30)
+    rows = [(0, good), (1, short), (2, bullets), (3, symbols), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cols = gopher_rule_columns(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *[v.alias(k) for k, v in cols.items()]
+        ).collect()
+    }
+    g = out[0]
+    assert g["n_words"] == 65 and g["n_stopwords"] == 5
+    assert all(
+        g[k]
+        for k in (
+            "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+            "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+            "r_stopwords", "pass_gopher",
+        )
+    )
+    s = out[1]
+    assert not s["r_word_count"] and s["r_stopwords"] and not s["pass_gopher"]
+    b = out[2]
+    # 2 bullet lines of 3 -> 20 < 27 passes; bullet rule fails only
+    # when >= 90% of lines are bullets
+    assert b["r_bullet_lines"]
+    two_of_two = spark.createDataFrame(
+        [(9, "- a b\n- c d")], "doc_id bigint, text string"
+    )
+    bb = two_of_two.select(
+        *[v.alias(k) for k, v in gopher_rule_columns(F.col("text")).items()]
+    ).collect()[0]
+    assert not bb["r_bullet_lines"]  # 100% bullet lines
+    sy = out[3]
+    # 30 '#' in 62 words: 300 > 62 -> symbol rule fails
+    assert not sy["r_symbol_ratio"] and not sy["pass_gopher"]
+    e = out[4]
+    # empty text: split('') -> [''] so 1 zero-length word
+    assert e["n_words"] == 1 and not e["r_word_count"]
+    assert not e["r_alpha_words"] and not e["pass_gopher"]
