@@ -470,3 +470,99 @@ def pr_threshold_sweep(
             ),
         ).alias("f1"),
     ).orderBy("threshold")
+
+
+def source_score_alignment(
+    df: DataFrame,
+    source_col: str,
+    score_col: str,
+    resolution: int = 6,
+) -> DataFrame:
+    """Cross-source score alignment (quantile-normalization report):
+    for each source, where do its documents actually SIT in the
+    corpus-wide score distribution — the mean global percentile of
+    its docs and its share strictly above the global median value.
+    This is the dial that catches the classic mixing failure: two
+    sources whose raw scores live on different scales (one scorer
+    saturates at 0.6, another at 0.9), where any single global
+    threshold silently keeps one source and drops the other. Rank
+    space is scale-free; alignment there is what a per-source
+    threshold scheme has to reproduce.
+
+    Distributed shape: the roc_auc block idiom twice — a global
+    (score -> count, prefix) table over DISTINCT quantized scores
+    (grid-bounded, single ordered pass) and a (source, score) count
+    table, joined on score (the join's build side is the score grid,
+    never the corpus) plus two 1-row broadcasts (total, median
+    block). Everything upstream is map-side combinable; no
+    corpus-sized window anywhere.
+
+    Exactness: the mean percentile uses exact integer MIDRANKS —
+    each doc in a tied block contributes ccb + (c+1)/2, summed as
+    2·midrank = c_s·(2·ccb + c + 1) in DECIMAL(38,0) — and the
+    median is the exact lower-median VALUE (position (N+1)//2,
+    integral div). One IEEE divide per output, 6dp.
+
+    Returns per source: ``source, n_docs, mean_pctile,
+    n_above_median, share_above_median`` ordered by source."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    s = F.round(F.col(score_col).cast("double"), int(resolution))
+    q = df.select(F.col(source_col).alias("source"), s.alias("__s"))
+    g = q.groupBy("__s").agg(F.count(F.lit(1)).cast("bigint").alias("__cg"))
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    gb = g.withColumn(
+        "__ccb", F.coalesce(F.sum("__cg").over(w), F.lit(0)).cast("bigint")
+    )
+    tot = gb.agg(F.sum("__cg").cast("bigint").alias("__n"))
+    med = (
+        gb.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("__ccb") < F.expr("(__n + 1) div 2"))
+            & (F.expr("(__n + 1) div 2") <= F.col("__ccb") + F.col("__cg"))
+        )
+        .select(F.col("__s").alias("__vmed"))
+    )
+    p = q.groupBy("source", "__s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cs")
+    )
+    per = (
+        p.join(gb, "__s")
+        .crossJoin(F.broadcast(med))
+        .groupBy("source")
+        .agg(
+            F.sum("__cs").cast("bigint").alias("n_docs"),
+            F.sum(
+                F.col("__cs").cast(d38)
+                * (2 * F.col("__ccb") + F.col("__cg") + 1).cast(d38)
+            ).alias("__sum2"),
+            F.coalesce(
+                F.sum(F.when(F.col("__s") > F.col("__vmed"), F.col("__cs"))),
+                F.lit(0),
+            ).cast("bigint").alias("n_above_median"),
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(
+                F.col("__sum2").cast("double")
+                / (
+                    2.0
+                    * F.col("n_docs").cast("double")
+                    * F.col("__n").cast("double")
+                ),
+                6,
+            ).alias("mean_pctile"),
+            "n_above_median",
+            F.round(
+                F.col("n_above_median").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("share_above_median"),
+        )
+        .orderBy("source")
+    )

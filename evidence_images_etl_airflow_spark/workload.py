@@ -12947,6 +12947,66 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "curation_score_alignment",
+    oracle=f"""
+    WITH s AS (SELECT source, {_QUALITY_SQL} AS sc FROM documents),
+    g AS (SELECT sc, CAST(count(*) AS BIGINT) AS cg FROM s GROUP BY sc),
+    gb AS (SELECT sc, cg,
+                  CAST(coalesce(sum(cg) OVER (ORDER BY sc
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS ccb
+           FROM g),
+    t AS (SELECT CAST(sum(cg) AS BIGINT) AS n FROM gb),
+    med AS (SELECT sc AS vmed FROM gb CROSS JOIN t
+            WHERE ccb < (n + 1) // 2 AND (n + 1) // 2 <= ccb + cg),
+    p AS (SELECT source, sc, CAST(count(*) AS BIGINT) AS cs
+          FROM s GROUP BY source, sc),
+    j AS (SELECT source, CAST(sum(cs) AS BIGINT) AS n_docs,
+                 sum(CAST(cs AS HUGEINT) * (2 * ccb + cg + 1)) AS sum2,
+                 CAST(coalesce(sum(CASE WHEN p.sc > vmed THEN cs END), 0)
+                      AS BIGINT) AS n_above_median
+          FROM p JOIN gb ON p.sc = gb.sc CROSS JOIN med GROUP BY source)
+    SELECT source, n_docs,
+           round(CAST(sum2 AS DOUBLE)
+                 / (2.0 * CAST(n_docs AS DOUBLE) * CAST(t.n AS DOUBLE)),
+                 6) AS mean_pctile,
+           n_above_median,
+           round(CAST(n_above_median AS DOUBLE) / n_docs, 6)
+             AS share_above_median
+    FROM j CROSS JOIN t ORDER BY source
+    """,
+)
+def curation_score_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score alignment (operators/ml_curation.
+    source_score_alignment): per source, the mean GLOBAL percentile
+    (exact integer midranks over tied blocks) of its docs' quality
+    scores and its share strictly above the global median value —
+    the quantile-normalization dial that catches raw-score scale
+    mismatch between sources before a single global threshold
+    silently keeps one source and drops another (the classic mixing
+    failure the reputation/mixture family assumes away). Shape: the
+    roc_auc block idiom twice — a global (score, count, prefix)
+    table over DISTINCT 6dp scores (grid-bounded ordered pass,
+    10^6+1 rows max at ANY corpus size) and a (source, score) count
+    table joined on score (build side = the score grid, never the
+    corpus), plus 1-row total/median broadcasts. Exactness: midrank
+    sums as 2·midrank = c_s·(2·ccb+c+1) in DECIMAL(38,0)/HUGEINT,
+    exact lower-median via integral div, one IEEE divide per output
+    at 6dp. NOTE: registered after the r12 verify head
+    (rotation-slot rule); parity-proven locally at sf0.001 + sf0.01;
+    queued for r13."""
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        source_score_alignment,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "source", quality_score(F.col("text")).alias("score")
+    )
+    return source_score_alignment(scored, "source", "score")
+
+
 # r11: `join_autoplan_strategy` promoted (green r10 driver row landed).
 # r12: `events_pattern_journey` promoted (green CORRECTNESS_r11 row
 # committed — the sequence-analytics family's representative); the

@@ -333,3 +333,43 @@ def test_pr_threshold_sweep_validates_grid(spark):
     df = spark.createDataFrame([(0.5, 1)], "score double, y int")
     with pytest.raises(ValueError):
         pr_threshold_sweep(df, "score", "y", thresholds=[])
+
+
+def test_source_score_alignment_hand_case(spark):
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        source_score_alignment,
+    )
+
+    # src A: scores {0.2, 0.4}; src B: {0.6, 0.8}. N=4, no ties.
+    # midranks: 0.2->1, 0.4->2, 0.6->3, 0.8->4.
+    # mean pctile A = (1+2)/(2*4) = 0.375; B = (3+4)/8 = 0.875.
+    # lower median value = score at position (4+1)//2 = 2 -> 0.4;
+    # above-median: A has 0, B has 2.
+    rows = [("A", 0.2), ("A", 0.4), ("B", 0.6), ("B", 0.8)]
+    df = spark.createDataFrame(rows, "source string, score double")
+    out = {
+        r["source"]: r
+        for r in source_score_alignment(df, "source", "score").collect()
+    }
+    assert out["A"]["n_docs"] == 2 and out["B"]["n_docs"] == 2
+    assert out["A"]["mean_pctile"] == 0.375
+    assert out["B"]["mean_pctile"] == 0.875
+    assert out["A"]["n_above_median"] == 0
+    assert out["B"]["n_above_median"] == 2
+    assert out["B"]["share_above_median"] == 1.0
+
+
+def test_source_score_alignment_ties_use_midranks(spark):
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        source_score_alignment,
+    )
+
+    # all four docs share one score: every midrank is (0 + 4+1)/2=2.5
+    # -> mean pctile 2.5/4 = 0.625 for both sources; nothing is
+    # STRICTLY above the median value.
+    rows = [("A", 0.5), ("A", 0.5), ("B", 0.5), ("B", 0.5)]
+    df = spark.createDataFrame(rows, "source string, score double")
+    out = source_score_alignment(df, "source", "score").collect()
+    for r in out:
+        assert r["mean_pctile"] == 0.625
+        assert r["n_above_median"] == 0
