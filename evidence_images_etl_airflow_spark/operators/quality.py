@@ -397,3 +397,132 @@ def gini_concentration(
             defined, F.round(F.col("__topv").cast("double") / ss, 6)
         ).alias("top_share"),
     )
+
+
+def abc_classification(
+    df: DataFrame,
+    value_col: str,
+    a_fraction: float = 0.7,
+    b_fraction: float = 0.9,
+) -> DataFrame:
+    """Exact ABC (Pareto) classification of a non-negative integer
+    value column (money as cents-BIGINT upstream): ranked by value
+    descending, class A = the items carrying the first
+    ``a_fraction`` of total value, B the next slice up to
+    ``b_fraction``, C the tail — inventory analysis's 80/20 cut, and
+    the same decision the mixture planner makes about which sources
+    deserve dedup/curation effort first. An item BELONGS to a class
+    when its cumulative value STARTS below the class boundary (the
+    crossing item counts into the class it crosses from).
+
+    Distributed shape: the gini_concentration idiom — rows collapse
+    to (value, count) blocks (map-side combined), one ordered pass
+    over DISTINCT values descending (value-grid bounded, never
+    row-bounded), and the class boundary SPLITS a tied block by
+    count with exact integer ceil-division: inside a block every row
+    adds the same v, so the number of its rows starting below the
+    boundary is ceil((num·T − den·sb)/(den·v)) clamped to [0, c]
+    where sb is the value-sum of strictly-greater blocks and
+    num/den the exact rational boundary. Zero-value blocks sort
+    last, start exactly at T, and land in C.
+
+    Exactness: BIGINT counts, DECIMAL(38,0) products (den·sb at
+    corpus scale passes int64), boundaries as exact rationals
+    (IEEE floor(n·0.7) can land one off), truncating integral div —
+    identical in both engines for the non-negative dividends the
+    >0 guard admits. Shares are one IEEE divide each at 6dp.
+
+    Returns one row per class (only classes with at least one block
+    materialize a row; empty input -> empty): ``cls, n_items,
+    value_sum, value_share`` ordered A, B, C."""
+    from fractions import Fraction
+
+    fa = Fraction(str(a_fraction))
+    fb = Fraction(str(b_fraction))
+    if not (0 < fa < fb < 1):
+        raise ValueError(
+            f"need 0 < a_fraction < b_fraction < 1, got {a_fraction}, {b_fraction}"
+        )
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    g = df.groupBy(F.col(value_col).cast("bigint").alias("__v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    w = Window.orderBy(F.col("__v").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    b = g.select(
+        "__v",
+        "__c",
+        F.coalesce(
+            F.sum(F.col("__v").cast(d38) * F.col("__c").cast(d38)).over(w),
+            F.lit(0).cast(d38),
+        ).alias("__sb"),
+    )
+    tot = g.agg(
+        F.sum(F.col("__v").cast(d38) * F.col("__c").cast(d38)).alias("__t")
+    )
+
+    j = b.crossJoin(F.broadcast(tot))
+    # common denominator for both boundaries so the two ceil-divs
+    # share one expression shape
+    den = fa.denominator * fb.denominator
+    a_num = fa.numerator * fb.denominator
+    b_num = fb.numerator * fa.denominator
+    for tag, num in (("a", a_num), ("b", b_num)):
+        margin = (
+            F.lit(num).cast(d38) * F.col("__t")
+            - F.lit(den).cast(d38) * F.col("__sb")
+        )
+        denom = F.lit(den).cast(d38) * F.col("__v").cast(d38)
+        ceil_div = F.expr(
+            f"CAST((__m_{tag} + __dv - 1) div __dv AS DECIMAL(38,0))"
+        )
+        j = (
+            j.withColumn(f"__m_{tag}", margin)
+            .withColumn("__dv", denom)
+            .withColumn(
+                f"__n_{tag}",
+                F.when(
+                    (F.col("__v") > 0) & (F.col(f"__m_{tag}") > 0),
+                    F.least(F.col("__c").cast(d38), ceil_div),
+                ).otherwise(F.lit(0).cast(d38)).cast("bigint"),
+            )
+            .drop("__dv")
+        )
+    per_block = j.select(
+        "__v",
+        "__c",
+        F.col("__n_a").alias("__na"),
+        (F.col("__n_b") - F.col("__n_a")).alias("__nb"),
+        (F.col("__c") - F.col("__n_b")).alias("__nc"),
+        "__t",
+    )
+    exploded = per_block.select(
+        "__v",
+        "__t",
+        F.explode(
+            F.array(
+                F.struct(F.lit("A").alias("cls"), F.col("__na").alias("n")),
+                F.struct(F.lit("B").alias("cls"), F.col("__nb").alias("n")),
+                F.struct(F.lit("C").alias("cls"), F.col("__nc").alias("n")),
+            )
+        ).alias("e"),
+    ).select("__v", "__t", F.col("e.cls").alias("cls"), F.col("e.n").alias("__n"))
+    agg = exploded.groupBy("cls").agg(
+        F.sum("__n").cast("bigint").alias("n_items"),
+        F.sum(F.col("__v").cast(d38) * F.col("__n").cast(d38)).alias("__vs"),
+        F.max("__t").alias("__t"),
+    )
+    return agg.select(
+        "cls",
+        "n_items",
+        F.col("__vs").cast("double").alias("value_sum"),
+        F.when(
+            F.col("__t") > 0,
+            F.round(
+                F.col("__vs").cast("double") / F.col("__t").cast("double"), 6
+            ),
+        ).alias("value_share"),
+    ).orderBy("cls")

@@ -13007,6 +13007,82 @@ def curation_score_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_score_alignment(scored, "source", "score")
 
 
+@register(
+    "parts_abc_classification",
+    oracle="""
+    WITH rev AS (SELECT l_partkey,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                        * 10000 AS BIGINT) AS v
+                 FROM lineitem GROUP BY l_partkey),
+    g AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM rev GROUP BY v),
+    b AS (SELECT v, c,
+                 CAST(coalesce(sum(CAST(v AS HUGEINT) * c)
+                      OVER (ORDER BY v DESC ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND 1 PRECEDING), 0) AS HUGEINT)
+                   AS sb
+          FROM g),
+    t AS (SELECT sum(CAST(v AS HUGEINT) * c) AS tt FROM g),
+    x AS (SELECT v, c, sb, tt,
+            CASE WHEN v > 0 AND 70 * tt - 100 * sb > 0
+                 THEN least(CAST(c AS HUGEINT),
+                            (70 * tt - 100 * sb + 100 * CAST(v AS HUGEINT)
+                             - 1) // (100 * CAST(v AS HUGEINT)))
+                 ELSE 0 END AS na,
+            CASE WHEN v > 0 AND 90 * tt - 100 * sb > 0
+                 THEN least(CAST(c AS HUGEINT),
+                            (90 * tt - 100 * sb + 100 * CAST(v AS HUGEINT)
+                             - 1) // (100 * CAST(v AS HUGEINT)))
+                 ELSE 0 END AS nb2
+          FROM b CROSS JOIN t),
+    e AS (SELECT v, tt, 'A' AS cls, na AS n FROM x
+          UNION ALL SELECT v, tt, 'B', nb2 - na FROM x
+          UNION ALL SELECT v, tt, 'C', CAST(c AS HUGEINT) - nb2 FROM x),
+    a AS (SELECT cls, CAST(sum(n) AS BIGINT) AS n_items,
+                 sum(CAST(v AS HUGEINT) * n) AS vs, max(tt) AS tt
+          FROM e GROUP BY cls)
+    SELECT cls, n_items, CAST(vs AS DOUBLE) AS value_sum,
+           CASE WHEN tt > 0 THEN
+             round(CAST(vs AS DOUBLE) / CAST(tt AS DOUBLE), 6)
+           END AS value_share
+    FROM a ORDER BY cls
+    """,
+)
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification (operators/quality.
+    abc_classification) of parts by exact lifetime discounted
+    revenue: class A carries the first 70% of total value, B the
+    next 20%, C the tail — the inventory-analysis 80/20 cut, and the
+    concentration DECISION to gini's concentration NUMBER
+    (customers_revenue_gini says 'skewed'; this says 'these items
+    are the A class — curate/stock/salt them first'). Shape: the
+    gini block idiom — part-grain revenue agg (map-side combined),
+    (value, count) blocks, ONE ordered pass over DISTINCT values
+    descending (value-grid bounded), class boundaries splitting tied
+    blocks by exact integer ceil-division, then a 3-way explode +
+    tiny class agg. Exactness: decimal(18,2) line revenue summed
+    exactly and scaled to integer decimicents, DECIMAL(38,0)/
+    HUGEINT products, exact rational boundaries (70/100, 90/100 —
+    IEEE floor(n·0.7) lands one off near representation
+    boundaries), truncating integral div identical in both engines
+    for the guarded positive dividends; shares one IEEE divide at
+    6dp. NOTE: registered after the r12 verify head (rotation-slot
+    rule); parity-proven locally at sf0.001 + sf0.01; queued for
+    r13."""
+    from evidence_images_etl_airflow_spark.operators.quality import (
+        abc_classification,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        (
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+            * 10000
+        ).cast("bigint").alias("v")
+    )
+    return abc_classification(rev, "v", a_fraction=0.7, b_fraction=0.9)
+
+
 # r11: `join_autoplan_strategy` promoted (green r10 driver row landed).
 # r12: `events_pattern_journey` promoted (green CORRECTNESS_r11 row
 # committed — the sequence-analytics family's representative); the

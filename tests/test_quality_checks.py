@@ -430,3 +430,47 @@ def test_dq_referential_orphans_detects_and_counts(spark, tmp_path):
     assert (lo.n_rows, lo.n_orphans) == (3, 1)
     assert out["lineitem.l_partkey->part.p_partkey"].intact is True
     assert out["lineitem.l_suppkey->supplier.s_suppkey"].intact is True
+
+
+def test_abc_classification_hand_case(spark):
+    from evidence_images_etl_airflow_spark.operators.quality import (
+        abc_classification,
+    )
+
+    # values desc: 50, 30, 10, 10. T=100; A-boundary 70, B 90.
+    # 50 starts at 0 -> A; 30 starts at 50 -> A (cum_start < 70);
+    # first 10 starts at 80 -> B; second 10 starts at 90 -> C
+    # (cum_start 90 is NOT < 90).
+    df = spark.createDataFrame(
+        [(50,), (30,), (10,), (10,)], "v bigint"
+    )
+    out = {r["cls"]: r for r in abc_classification(df, "v").collect()}
+    assert out["A"]["n_items"] == 2 and out["A"]["value_sum"] == 80.0
+    assert out["B"]["n_items"] == 1 and out["B"]["value_sum"] == 10.0
+    assert out["C"]["n_items"] == 1 and out["C"]["value_sum"] == 10.0
+    assert out["A"]["value_share"] == 0.8
+
+
+def test_abc_classification_splits_tied_blocks_and_zeroes(spark):
+    from evidence_images_etl_airflow_spark.operators.quality import (
+        abc_classification,
+    )
+
+    # ten tied rows of 10 (T=100): boundary at 70 falls INSIDE the
+    # block -> exactly 7 rows are A (starts 0..60 < 70), 2 are B
+    # (starts 70, 80 < 90), 1 is C; zero-value rows always C.
+    df = spark.createDataFrame([(10,)] * 10 + [(0,)] * 3, "v bigint")
+    out = {r["cls"]: r for r in abc_classification(df, "v").collect()}
+    assert out["A"]["n_items"] == 7 and out["A"]["value_share"] == 0.7
+    assert out["B"]["n_items"] == 2
+    assert out["C"]["n_items"] == 4 and out["C"]["value_sum"] == 10.0
+
+
+def test_abc_classification_validates_fractions(spark):
+    from evidence_images_etl_airflow_spark.operators.quality import (
+        abc_classification,
+    )
+
+    df = spark.createDataFrame([(1,)], "v bigint")
+    with pytest.raises(ValueError):
+        abc_classification(df, "v", a_fraction=0.9, b_fraction=0.7)
