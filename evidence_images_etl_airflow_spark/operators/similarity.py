@@ -867,3 +867,119 @@ def rrf_fuse(
             F.col("fused_rank").cast("bigint").alias("fused_rank"),
         )
     )
+
+
+def label_centroid_silhouette(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Simplified silhouette (Hruschka et al.'s centroid variant) of a
+    labeled embedding corpus: for each vector, a = squared distance to
+    its OWN label centroid, b = min squared distance to any OTHER
+    label centroid, s = (b − a) / max(a, b) in [−1, 1] — the
+    cluster-quality scorecard for an embedding space (are the labels
+    actually separable?) and the acceptance gate for re-embedding:
+    if a new model's per-label silhouette drops, its space mixes the
+    classes the old one separated. The full silhouette needs all
+    pairwise distances (quadratic); the centroid form is the standard
+    scale substitute and needs one corpus scan against |labels|
+    centroids.
+
+    Distributed shape: centroids come from ONE posexplode +
+    (label, dim)-grain aggregation — map-side combinable, the
+    exchange carries O(partitions × labels × dim) rows no matter how
+    many vectors scanned (the drift-profile argument) — re-assembled
+    into |labels| centroid arrays (sort_array over dim-keyed structs,
+    deterministic) and BROADCAST against the corpus: a bounded
+    |labels|-row build side, never an all-pairs join. Per-vector
+    distances are sequential left-folds (F.aggregate over zip_with),
+    the deterministic float idiom the ANN family uses.
+
+    Exactness: centroid sums use the 6dp-round → DECIMAL(18,6)
+    order-independent accumulation idiom; each centroid component is
+    ONE IEEE divide of that exact decimal by an integer count;
+    distance folds are left-associative doubles mirrored term-for-term
+    in oracle SQL; silhouettes round to 6dp BEFORE the per-label mean
+    re-accumulates them as DECIMAL(18,6). s = 0 when both distances
+    are 0 (a point ON two centroids), NULL when no other label exists.
+
+    Returns per label: ``label, n_vectors, n_negative,
+    mean_silhouette`` ordered by label (n_negative = vectors closer
+    to a foreign centroid than their own — the misassignment count)."""
+    x = df.select(
+        F.col(label_col).alias("__lbl"),
+        F.posexplode(F.col(vec_col)).alias("__dim", "__v0"),
+    ).select(
+        "__lbl",
+        F.col("__dim").cast("bigint").alias("__dim"),
+        F.col("__v0").cast("double").alias("__v"),
+    )
+    per = x.groupBy("__lbl", "__dim").agg(
+        F.sum(F.round(F.col("__v"), 6).cast("decimal(18,6)")).alias("__s"),
+        F.count(F.lit(1)).cast("bigint").alias("__cnt"),
+    )
+    cent = (
+        per.withColumn(
+            "__c", F.col("__s").cast("double") / F.col("__cnt").cast("double")
+        )
+        .groupBy("__lbl")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__dim", "__c"))),
+                lambda s: s["__c"],
+            ).alias("__cvec")
+        )
+        .select(F.col("__lbl").alias("__clbl"), "__cvec")
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("__lbl"),
+        F.col(vec_col).cast("array<double>").alias("__vec"),
+    )
+    scored = base.crossJoin(F.broadcast(cent)).withColumn(
+        "__d2",
+        F.aggregate(
+            F.zip_with(
+                F.col("__vec"),
+                F.col("__cvec"),
+                lambda a, c: (a - c) * (a - c),
+            ),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        ),
+    )
+    ab = scored.groupBy("__id", "__lbl").agg(
+        F.max(
+            F.when(F.col("__clbl") == F.col("__lbl"), F.col("__d2"))
+        ).alias("__a"),
+        F.min(
+            F.when(F.col("__clbl") != F.col("__lbl"), F.col("__d2"))
+        ).alias("__b"),
+    )
+    gmax = F.greatest(F.col("__a"), F.col("__b"))
+    sil = ab.withColumn(
+        "__sil",
+        F.when(F.col("__b").isNull(), F.lit(None).cast("double"))
+        .when(
+            gmax > 0,
+            F.round((F.col("__b") - F.col("__a")) / gmax, 6),
+        )
+        .otherwise(F.lit(0.0)),
+    )
+    return (
+        sil.groupBy(F.col("__lbl").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.coalesce(
+                F.sum((F.col("__sil") < 0).cast("int")), F.lit(0)
+            ).cast("bigint").alias("n_negative"),
+            F.round(
+                F.sum(F.col("__sil").cast("decimal(18,6)")).cast("double")
+                / F.count(F.col("__sil")).cast("double"),
+                6,
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )

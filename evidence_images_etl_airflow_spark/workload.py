@@ -13083,6 +13083,133 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     return abc_classification(rev, "v", a_fraction=0.7, b_fraction=0.9)
 
 
+@register(
+    "embedding_cluster_silhouette",
+    oracle="""
+    WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+    x AS (SELECT label, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+          FROM embeddings CROSS JOIN dims),
+    per AS (SELECT label, dim,
+                   sum(CAST(round(v, 6) AS DECIMAL(18,6))) AS s,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM x GROUP BY label, dim),
+    cent AS (SELECT label AS clbl,
+                    list(CAST(s AS DOUBLE) / cnt ORDER BY dim) AS cvec
+             FROM per GROUP BY label),
+    scored AS (SELECT e.vec_id, e.label, c.clbl,
+                 (CAST(e.embedding[1] AS DOUBLE) - c.cvec[1]) * (CAST(e.embedding[1] AS DOUBLE) - c.cvec[1])
+               + (CAST(e.embedding[2] AS DOUBLE) - c.cvec[2]) * (CAST(e.embedding[2] AS DOUBLE) - c.cvec[2])
+               + (CAST(e.embedding[3] AS DOUBLE) - c.cvec[3]) * (CAST(e.embedding[3] AS DOUBLE) - c.cvec[3])
+               + (CAST(e.embedding[4] AS DOUBLE) - c.cvec[4]) * (CAST(e.embedding[4] AS DOUBLE) - c.cvec[4])
+               + (CAST(e.embedding[5] AS DOUBLE) - c.cvec[5]) * (CAST(e.embedding[5] AS DOUBLE) - c.cvec[5])
+               + (CAST(e.embedding[6] AS DOUBLE) - c.cvec[6]) * (CAST(e.embedding[6] AS DOUBLE) - c.cvec[6])
+               + (CAST(e.embedding[7] AS DOUBLE) - c.cvec[7]) * (CAST(e.embedding[7] AS DOUBLE) - c.cvec[7])
+               + (CAST(e.embedding[8] AS DOUBLE) - c.cvec[8]) * (CAST(e.embedding[8] AS DOUBLE) - c.cvec[8])
+               + (CAST(e.embedding[9] AS DOUBLE) - c.cvec[9]) * (CAST(e.embedding[9] AS DOUBLE) - c.cvec[9])
+               + (CAST(e.embedding[10] AS DOUBLE) - c.cvec[10]) * (CAST(e.embedding[10] AS DOUBLE) - c.cvec[10])
+               + (CAST(e.embedding[11] AS DOUBLE) - c.cvec[11]) * (CAST(e.embedding[11] AS DOUBLE) - c.cvec[11])
+               + (CAST(e.embedding[12] AS DOUBLE) - c.cvec[12]) * (CAST(e.embedding[12] AS DOUBLE) - c.cvec[12])
+               + (CAST(e.embedding[13] AS DOUBLE) - c.cvec[13]) * (CAST(e.embedding[13] AS DOUBLE) - c.cvec[13])
+               + (CAST(e.embedding[14] AS DOUBLE) - c.cvec[14]) * (CAST(e.embedding[14] AS DOUBLE) - c.cvec[14])
+               + (CAST(e.embedding[15] AS DOUBLE) - c.cvec[15]) * (CAST(e.embedding[15] AS DOUBLE) - c.cvec[15])
+               + (CAST(e.embedding[16] AS DOUBLE) - c.cvec[16]) * (CAST(e.embedding[16] AS DOUBLE) - c.cvec[16])
+               + (CAST(e.embedding[17] AS DOUBLE) - c.cvec[17]) * (CAST(e.embedding[17] AS DOUBLE) - c.cvec[17])
+               + (CAST(e.embedding[18] AS DOUBLE) - c.cvec[18]) * (CAST(e.embedding[18] AS DOUBLE) - c.cvec[18])
+               + (CAST(e.embedding[19] AS DOUBLE) - c.cvec[19]) * (CAST(e.embedding[19] AS DOUBLE) - c.cvec[19])
+               + (CAST(e.embedding[20] AS DOUBLE) - c.cvec[20]) * (CAST(e.embedding[20] AS DOUBLE) - c.cvec[20])
+               + (CAST(e.embedding[21] AS DOUBLE) - c.cvec[21]) * (CAST(e.embedding[21] AS DOUBLE) - c.cvec[21])
+               + (CAST(e.embedding[22] AS DOUBLE) - c.cvec[22]) * (CAST(e.embedding[22] AS DOUBLE) - c.cvec[22])
+               + (CAST(e.embedding[23] AS DOUBLE) - c.cvec[23]) * (CAST(e.embedding[23] AS DOUBLE) - c.cvec[23])
+               + (CAST(e.embedding[24] AS DOUBLE) - c.cvec[24]) * (CAST(e.embedding[24] AS DOUBLE) - c.cvec[24])
+               + (CAST(e.embedding[25] AS DOUBLE) - c.cvec[25]) * (CAST(e.embedding[25] AS DOUBLE) - c.cvec[25])
+               + (CAST(e.embedding[26] AS DOUBLE) - c.cvec[26]) * (CAST(e.embedding[26] AS DOUBLE) - c.cvec[26])
+               + (CAST(e.embedding[27] AS DOUBLE) - c.cvec[27]) * (CAST(e.embedding[27] AS DOUBLE) - c.cvec[27])
+               + (CAST(e.embedding[28] AS DOUBLE) - c.cvec[28]) * (CAST(e.embedding[28] AS DOUBLE) - c.cvec[28])
+               + (CAST(e.embedding[29] AS DOUBLE) - c.cvec[29]) * (CAST(e.embedding[29] AS DOUBLE) - c.cvec[29])
+               + (CAST(e.embedding[30] AS DOUBLE) - c.cvec[30]) * (CAST(e.embedding[30] AS DOUBLE) - c.cvec[30])
+               + (CAST(e.embedding[31] AS DOUBLE) - c.cvec[31]) * (CAST(e.embedding[31] AS DOUBLE) - c.cvec[31])
+               + (CAST(e.embedding[32] AS DOUBLE) - c.cvec[32]) * (CAST(e.embedding[32] AS DOUBLE) - c.cvec[32])
+               + (CAST(e.embedding[33] AS DOUBLE) - c.cvec[33]) * (CAST(e.embedding[33] AS DOUBLE) - c.cvec[33])
+               + (CAST(e.embedding[34] AS DOUBLE) - c.cvec[34]) * (CAST(e.embedding[34] AS DOUBLE) - c.cvec[34])
+               + (CAST(e.embedding[35] AS DOUBLE) - c.cvec[35]) * (CAST(e.embedding[35] AS DOUBLE) - c.cvec[35])
+               + (CAST(e.embedding[36] AS DOUBLE) - c.cvec[36]) * (CAST(e.embedding[36] AS DOUBLE) - c.cvec[36])
+               + (CAST(e.embedding[37] AS DOUBLE) - c.cvec[37]) * (CAST(e.embedding[37] AS DOUBLE) - c.cvec[37])
+               + (CAST(e.embedding[38] AS DOUBLE) - c.cvec[38]) * (CAST(e.embedding[38] AS DOUBLE) - c.cvec[38])
+               + (CAST(e.embedding[39] AS DOUBLE) - c.cvec[39]) * (CAST(e.embedding[39] AS DOUBLE) - c.cvec[39])
+               + (CAST(e.embedding[40] AS DOUBLE) - c.cvec[40]) * (CAST(e.embedding[40] AS DOUBLE) - c.cvec[40])
+               + (CAST(e.embedding[41] AS DOUBLE) - c.cvec[41]) * (CAST(e.embedding[41] AS DOUBLE) - c.cvec[41])
+               + (CAST(e.embedding[42] AS DOUBLE) - c.cvec[42]) * (CAST(e.embedding[42] AS DOUBLE) - c.cvec[42])
+               + (CAST(e.embedding[43] AS DOUBLE) - c.cvec[43]) * (CAST(e.embedding[43] AS DOUBLE) - c.cvec[43])
+               + (CAST(e.embedding[44] AS DOUBLE) - c.cvec[44]) * (CAST(e.embedding[44] AS DOUBLE) - c.cvec[44])
+               + (CAST(e.embedding[45] AS DOUBLE) - c.cvec[45]) * (CAST(e.embedding[45] AS DOUBLE) - c.cvec[45])
+               + (CAST(e.embedding[46] AS DOUBLE) - c.cvec[46]) * (CAST(e.embedding[46] AS DOUBLE) - c.cvec[46])
+               + (CAST(e.embedding[47] AS DOUBLE) - c.cvec[47]) * (CAST(e.embedding[47] AS DOUBLE) - c.cvec[47])
+               + (CAST(e.embedding[48] AS DOUBLE) - c.cvec[48]) * (CAST(e.embedding[48] AS DOUBLE) - c.cvec[48])
+               + (CAST(e.embedding[49] AS DOUBLE) - c.cvec[49]) * (CAST(e.embedding[49] AS DOUBLE) - c.cvec[49])
+               + (CAST(e.embedding[50] AS DOUBLE) - c.cvec[50]) * (CAST(e.embedding[50] AS DOUBLE) - c.cvec[50])
+               + (CAST(e.embedding[51] AS DOUBLE) - c.cvec[51]) * (CAST(e.embedding[51] AS DOUBLE) - c.cvec[51])
+               + (CAST(e.embedding[52] AS DOUBLE) - c.cvec[52]) * (CAST(e.embedding[52] AS DOUBLE) - c.cvec[52])
+               + (CAST(e.embedding[53] AS DOUBLE) - c.cvec[53]) * (CAST(e.embedding[53] AS DOUBLE) - c.cvec[53])
+               + (CAST(e.embedding[54] AS DOUBLE) - c.cvec[54]) * (CAST(e.embedding[54] AS DOUBLE) - c.cvec[54])
+               + (CAST(e.embedding[55] AS DOUBLE) - c.cvec[55]) * (CAST(e.embedding[55] AS DOUBLE) - c.cvec[55])
+               + (CAST(e.embedding[56] AS DOUBLE) - c.cvec[56]) * (CAST(e.embedding[56] AS DOUBLE) - c.cvec[56])
+               + (CAST(e.embedding[57] AS DOUBLE) - c.cvec[57]) * (CAST(e.embedding[57] AS DOUBLE) - c.cvec[57])
+               + (CAST(e.embedding[58] AS DOUBLE) - c.cvec[58]) * (CAST(e.embedding[58] AS DOUBLE) - c.cvec[58])
+               + (CAST(e.embedding[59] AS DOUBLE) - c.cvec[59]) * (CAST(e.embedding[59] AS DOUBLE) - c.cvec[59])
+               + (CAST(e.embedding[60] AS DOUBLE) - c.cvec[60]) * (CAST(e.embedding[60] AS DOUBLE) - c.cvec[60])
+               + (CAST(e.embedding[61] AS DOUBLE) - c.cvec[61]) * (CAST(e.embedding[61] AS DOUBLE) - c.cvec[61])
+               + (CAST(e.embedding[62] AS DOUBLE) - c.cvec[62]) * (CAST(e.embedding[62] AS DOUBLE) - c.cvec[62])
+               + (CAST(e.embedding[63] AS DOUBLE) - c.cvec[63]) * (CAST(e.embedding[63] AS DOUBLE) - c.cvec[63])
+               + (CAST(e.embedding[64] AS DOUBLE) - c.cvec[64]) * (CAST(e.embedding[64] AS DOUBLE) - c.cvec[64]) AS d2
+               FROM embeddings e CROSS JOIN cent c),
+    ab AS (SELECT vec_id, label,
+                  max(CASE WHEN clbl = label THEN d2 END) AS a,
+                  min(CASE WHEN clbl <> label THEN d2 END) AS b
+           FROM scored GROUP BY vec_id, label),
+    sil AS (SELECT label,
+                   CASE WHEN b IS NULL THEN NULL
+                        WHEN greatest(a, b) > 0
+                          THEN round((b - a) / greatest(a, b), 6)
+                        ELSE 0.0 END AS s
+            FROM ab)
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(coalesce(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_negative,
+           round(CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(s), 6) AS mean_silhouette
+    FROM sil GROUP BY label ORDER BY label
+    """,
+)
+def embedding_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid) silhouette per label (operators/
+    similarity.label_centroid_silhouette) over the embeddings table —
+    the cluster-quality scorecard that certifies an embedding space
+    actually separates its classes, and the acceptance gate for
+    re-embedding (if a new model's per-label silhouette drops, its
+    space mixes classes the old one separated). The FULL silhouette
+    is all-pairs quadratic; the centroid form is the standard scale
+    substitute: one corpus scan against |labels| centroids. Shape:
+    centroids from one posexplode + (label, dim)-grain agg (map-side
+    combined, exchange bounded at O(partitions x labels x dim) — the
+    drift-profile argument), reassembled deterministically
+    (sort_array over dim-keyed structs) and BROADCAST; per-vector
+    distances are sequential left-folds (F.aggregate over zip_with)
+    mirrored term-for-term as the oracle's unrolled 64-term sum — the
+    ANN family's deterministic float idiom. Exactness: centroid sums
+    via 6dp-round -> DECIMAL(18,6) order-independent accumulation,
+    ONE IEEE divide per centroid component, silhouettes rounded 6dp
+    BEFORE the per-label decimal mean; s = 0 when both distances are
+    0, NULL when no other label exists. NOTE: registered after the
+    r12 verify head (rotation-slot rule); parity-proven locally at
+    sf0.001 + sf0.01; queued for r13."""
+    from evidence_images_etl_airflow_spark.operators.similarity import (
+        label_centroid_silhouette,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return label_centroid_silhouette(emb, "vec_id", "embedding", "label")
+
+
 # r11: `join_autoplan_strategy` promoted (green r10 driver row landed).
 # r12: `events_pattern_journey` promoted (green CORRECTNESS_r11 row
 # committed — the sequence-analytics family's representative); the

@@ -872,3 +872,44 @@ def test_int8_recall_preserves_wellseparated_neighbors(spark):
     ).select("vec_id", F.col("demb").alias("embedding"))
     got = brute_force_topk(deq, deq.filter("vec_id = 0"), k=1).first().neighbor_id
     assert got == truth == 1
+
+
+def test_label_centroid_silhouette_separable_vs_mixed(spark):
+    from evidence_images_etl_airflow_spark.operators.similarity import (
+        label_centroid_silhouette,
+    )
+
+    # two tight, far-apart label bundles -> silhouette near 1 for both
+    rows = [
+        (1, [0.0, 0.0], 0), (2, [0.2, 0.0], 0),
+        (3, [10.0, 0.0], 1), (4, [10.2, 0.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {r["label"]: r for r in
+           label_centroid_silhouette(df, "vec_id", "embedding", "label").collect()}
+    assert out[0]["n_vectors"] == 2 and out[1]["n_vectors"] == 2
+    assert out[0]["n_negative"] == 0 and out[1]["n_negative"] == 0
+    assert out[0]["mean_silhouette"] > 0.99
+    # a point sitting INSIDE the other label's bundle is negative
+    mixed = rows + [(5, [10.1, 0.0], 0)]
+    df2 = spark.createDataFrame(
+        mixed, "vec_id long, embedding array<double>, label int"
+    )
+    out2 = {r["label"]: r for r in
+            label_centroid_silhouette(df2, "vec_id", "embedding", "label").collect()}
+    assert out2[0]["n_negative"] == 1
+
+
+def test_label_centroid_silhouette_single_label_is_null(spark):
+    from evidence_images_etl_airflow_spark.operators.similarity import (
+        label_centroid_silhouette,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0], 0), (2, [1.0, 0.0], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    r = label_centroid_silhouette(df, "vec_id", "embedding", "label").collect()[0]
+    assert r["n_vectors"] == 2 and r["mean_silhouette"] is None
