@@ -791,3 +791,147 @@ def stratified_mean_ci(
         F.when(ok, F.round((est_c - zz * se_c) / k, 6)).alias("ci_lo"),
         F.when(ok, F.round((est_c + zz * se_c) / k, 6)).alias("ci_hi"),
     )
+
+
+# Poisson(1) CDF quantized to millionths: cum_k = round(1e6 * e^-1 *
+# sum_{j<=k} 1/j!). Integer thresholds make the bootstrap weight a
+# pure INTEGER comparison chain — no float CDF evaluation can drift
+# between engines. P(w > 9) < 1.2e-6 is folded into the top bucket.
+POISSON1_CDF_1E6: tuple[int, ...] = (
+    367879, 735759, 919699, 981012, 996340,
+    999406, 999917, 999990, 999999,
+)
+
+
+def poisson_bootstrap_mean_ci(
+    df: DataFrame,
+    id_col: str | Column,
+    value_col: str,
+    replicates: int = 40,
+    salt: str = "boot",
+    cents_scale: int = 100,
+) -> DataFrame:
+    """Deterministic Poisson bootstrap for the mean — the
+    DISTRIBUTION-FREE companion to :func:`sample_mean_ci`'s CLT
+    interval: instead of assuming normality of the sample mean, each
+    of B replicates reweights every row by an independent Poisson(1)
+    count (the streaming-safe surrogate for resampling-with-
+    replacement; Chamandy et al. 2012) and the 95% interval is read
+    from the replicate means' own empirical quantiles. The estimator
+    of choice when the statistic's sampling distribution is skewed —
+    exactly where CLT error bars lie.
+
+    Determinism: the Poisson draw for (row, replicate) is
+    ``md5(salt:b:id) % 1e6`` compared against the INTEGER-quantized
+    Poisson(1) CDF (POISSON1_CDF_1E6) — w = #(u >= cum_k), a pure
+    integer function of (id, b): re-runs, engines, and partitionings
+    agree, and the oracle SQL replays it bit-for-bit.
+
+    Distributed shape: rows crossJoin the BROADCAST B-row replicate
+    table (B is the explicit cost multiplier — one corpus scan does
+    B resamples in a single map-side-combinable agg; no per-replicate
+    pass, no shuffle beyond the B-group agg); the quantile read is a
+    window over B rows. Exactness: weighted sums in DECIMAL(38,0),
+    one IEEE divide per replicate mean at 6dp; interval bounds are
+    ORDER STATISTICS (rank floor(0.025·B) clamped to >= 1 and
+    ceil(0.975·B), mean-then-replicate-id tie-break), not
+    interpolated. The exact mean rides along as the audit column.
+
+    Returns ONE row: ``n_total, exact_mean, n_replicates, boot_lo,
+    boot_hi, covered``."""
+    if replicates < 2:
+        raise ValueError(f"replicates must be >= 2, got {replicates}")
+    import math
+
+    from pyspark.sql import Window
+
+    c_id = F.col(id_col) if isinstance(id_col, str) else id_col
+    spark = df.sparkSession
+    b_tab = spark.range(int(replicates)).select(
+        F.col("id").cast("int").alias("__b")
+    )
+    cents = F.round(F.col(value_col) * cents_scale).cast("bigint")
+    base = df.select(c_id.cast("string").alias("__id"), cents.alias("__c"))
+    exact = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nt"),
+        F.sum("__c").cast("bigint").alias("__sx"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.lit(":"),
+                        F.col("__b").cast("string"),
+                        F.lit(":"),
+                        F.col("__id"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    w = None
+    for t in POISSON1_CDF_1E6:
+        ind = (u >= t).cast("int")
+        w = ind if w is None else w + ind
+    rep = (
+        base.crossJoin(F.broadcast(b_tab))
+        .select("__b", w.cast("bigint").alias("__w"), "__c")
+        .groupBy("__b")
+        .agg(
+            F.sum("__w").cast("bigint").alias("__n"),
+            F.sum(
+                F.col("__w").cast("decimal(38,0)")
+                * F.col("__c").cast("decimal(38,0)")
+            ).alias("__s"),
+        )
+        .filter(F.col("__n") > 0)
+        .select(
+            "__b",
+            F.round(
+                F.col("__s").cast("double")
+                / (F.col("__n").cast("double") * float(cents_scale)),
+                6,
+            ).alias("__m"),
+        )
+    )
+    lo_rank = max(1, math.floor(0.025 * replicates))
+    hi_rank = min(replicates, math.ceil(0.975 * replicates))
+    ranked = rep.withColumn(
+        "__rk", F.row_number().over(Window.orderBy("__m", "__b"))
+    )
+    bounds = ranked.agg(
+        F.max(F.when(F.col("__rk") == lo_rank, F.col("__m"))).alias(
+            "boot_lo"
+        ),
+        F.max(F.when(F.col("__rk") == hi_rank, F.col("__m"))).alias(
+            "boot_hi"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+    )
+    k = float(cents_scale)
+    return (
+        exact.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col("__nt").alias("n_total"),
+            F.round(
+                F.col("__sx").cast("double")
+                / (F.col("__nt").cast("double") * k),
+                6,
+            ).alias("exact_mean"),
+            "n_replicates",
+            "boot_lo",
+            "boot_hi",
+        )
+        .withColumn(
+            "covered",
+            (F.col("exact_mean") >= F.col("boot_lo"))
+            & (F.col("exact_mean") <= F.col("boot_hi")),
+        )
+    )

@@ -10458,15 +10458,21 @@ _VERIFY_FIRST = [
     # (supplier_reliability_wilson, text_zipf_fit, sketch_hll_rollup,
     # er_fuzzy_part_pairs, data_shard_shuffle, recon_table_diff — the
     # r11 reorder rule: nothing goes five rounds unchecked), then the
-    # 16 round-12 registrations in registration order
+    # 24 round-12 registrations in registration order
     # (ep5_mart_chain_planned, dq_k_anonymity, embedding_int8_recall,
     # text_cooccurrence_pmi, plan_range_partition_report,
     # ml_calibration_curve, agg_sample_ci, events_churn_features,
     # ml_roc_auc, customers_revenue_gini, events_attribution_last_touch,
     # orders_interarrival_profile, events_active_users_stickiness,
-    # dq_referential_orphans, agg_stratified_ci, events_forecast_mase —
+    # dq_referential_orphans, agg_stratified_ci, events_forecast_mase,
+    # ml_agreement_kappa, ml_pr_threshold_sweep,
+    # events_cusum_changepoint, events_ewma_daily, text_gopher_rules,
+    # curation_score_alignment, parts_abc_classification,
+    # embedding_cluster_silhouette —
     # each carries two-scale parity proof in the r12 ledger per the
-    # registration-time rule), then the oldest r09-green cohort
+    # registration-time rule; 6 + 24 = 30 slots, so only the first
+    # 20 oldest r09-green entries fit this head), then the oldest
+    # r09-green cohort
     # entries in registration order up to the 50-slot cap. The BPE
     # pair (text_bpe_vocab/text_bpe_encode, r09-green) stays OUT of
     # any head it would dominate (~10 min each at sf0.01) until its
@@ -13208,6 +13214,83 @@ def embedding_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return label_centroid_silhouette(emb, "vec_id", "embedding", "label")
+
+
+@register(
+    "agg_bootstrap_ci",
+    oracle="""
+    WITH b AS (SELECT unnest(generate_series(0, 39)) AS bb),
+    base AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
+                    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+             FROM orders),
+    x AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+                 CAST(sum(c) AS BIGINT) AS sx FROM base),
+    u AS (SELECT bb, c,
+                 CAST('0x' || substr(md5('boot:' || CAST(bb AS VARCHAR)
+                      || ':' || id), 1, 15) AS BIGINT) % 1000000 AS u
+          FROM base CROSS JOIN b),
+    wtab AS (SELECT bb, c,
+                 CASE WHEN u >= 367879 THEN 1 ELSE 0 END
+                 + CASE WHEN u >= 735759 THEN 1 ELSE 0 END
+                 + CASE WHEN u >= 919699 THEN 1 ELSE 0 END
+                 + CASE WHEN u >= 981012 THEN 1 ELSE 0 END
+                 + CASE WHEN u >= 996340 THEN 1 ELSE 0 END
+                 + CASE WHEN u >= 999406 THEN 1 ELSE 0 END
+                 + CASE WHEN u >= 999917 THEN 1 ELSE 0 END
+                 + CASE WHEN u >= 999990 THEN 1 ELSE 0 END
+                 + CASE WHEN u >= 999999 THEN 1 ELSE 0 END AS w
+             FROM u),
+    rep AS (SELECT bb, CAST(sum(w) AS BIGINT) AS n,
+                   sum(CAST(w AS HUGEINT) * c) AS s
+            FROM wtab GROUP BY bb HAVING sum(w) > 0),
+    m AS (SELECT bb, round(CAST(s AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * 100.0), 6) AS mm
+          FROM rep),
+    r AS (SELECT mm, row_number() OVER (ORDER BY mm, bb) AS rk FROM m),
+    bd AS (SELECT max(CASE WHEN rk = 1 THEN mm END) AS boot_lo,
+                  max(CASE WHEN rk = 39 THEN mm END) AS boot_hi,
+                  CAST(count(*) AS BIGINT) AS n_replicates
+           FROM r)
+    SELECT n_total, exact_mean, n_replicates, boot_lo, boot_hi,
+           (exact_mean >= boot_lo AND exact_mean <= boot_hi) AS covered
+    FROM (SELECT nt AS n_total,
+                 round(CAST(sx AS DOUBLE) / (CAST(nt AS DOUBLE) * 100.0),
+                       6) AS exact_mean,
+                 n_replicates, boot_lo, boot_hi
+          FROM x CROSS JOIN bd)
+    """,
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap CI (operators/sketches.
+    poisson_bootstrap_mean_ci) for the mean order price — the
+    DISTRIBUTION-FREE member of the AQP error-bar family:
+    agg_sample_ci assumes the CLT, agg_stratified_ci pools strata
+    under it, this one reads the 95% interval from the empirical
+    quantiles of 40 replicate means, each reweighting every row by a
+    Poisson(1) count (the streaming surrogate for resampling with
+    replacement, Chamandy et al. 2012) — the estimator that stays
+    honest when the statistic's sampling distribution is skewed,
+    exactly where CLT bars lie. Determinism: the (row, replicate)
+    draw is md5(salt:b:id) % 1e6 against the INTEGER-quantized
+    Poisson(1) CDF — a pure integer function both engines replay
+    bit-for-bit; no rand(), no float CDF. Shape: ONE corpus scan
+    crossJoined with the BROADCAST 40-row replicate table does all
+    40 resamples in a single map-side-combinable agg (B is the
+    explicit cost multiplier); the quantile read is a 40-row window.
+    Exactness: cents-BIGINT values, DECIMAL(38,0)/HUGEINT weighted
+    sums, one IEEE divide per replicate mean at 6dp, interval bounds
+    as exact ORDER STATISTICS (ranks 1 and 39 of 40, deterministic
+    tie-break) — never interpolated. NOTE: registered after the r12
+    verify head (rotation-slot rule); parity-proven locally at
+    sf0.001 + sf0.01; queued for r13."""
+    from evidence_images_etl_airflow_spark.operators.sketches import (
+        poisson_bootstrap_mean_ci,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return poisson_bootstrap_mean_ci(
+        o, "o_orderkey", "o_totalprice", replicates=40, salt="boot"
+    )
 
 
 # r11: `join_autoplan_strategy` promoted (green r10 driver row landed).

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from evidence_images_etl_airflow_spark.operators.er import (
@@ -487,3 +489,42 @@ def test_stratified_mean_ci_degenerate_stratum_nulls_estimate(spark):
 
     with _pytest.raises(ValueError):
         stratified_mean_ci(df, "h", F.col("id"), "v", fraction=0.0)
+
+
+def test_poisson_bootstrap_weights_and_interval(spark):
+    from evidence_images_etl_airflow_spark.operators.sketches import (
+        POISSON1_CDF_1E6,
+        poisson_bootstrap_mean_ci,
+    )
+
+    # CDF thresholds are strictly increasing and bounded by 1e6
+    assert list(POISSON1_CDF_1E6) == sorted(POISSON1_CDF_1E6)
+    assert POISSON1_CDF_1E6[-1] < 1_000_000
+
+    rows = [(i, 100.0 + (i % 7)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id bigint, price double")
+    r = poisson_bootstrap_mean_ci(
+        df, "id", "price", replicates=40
+    ).collect()[0]
+    assert r["n_total"] == 400 and r["n_replicates"] == 40
+    assert r["boot_lo"] <= r["boot_hi"]
+    # tight, near-symmetric data: the interval must bracket the exact
+    # mean (deterministic: weights are a pure function of (id, b))
+    assert r["covered"] is True
+    assert abs(r["exact_mean"] - (r["boot_lo"] + r["boot_hi"]) / 2) < 1.0
+
+    # determinism: same inputs -> identical interval
+    r2 = poisson_bootstrap_mean_ci(
+        df, "id", "price", replicates=40
+    ).collect()[0]
+    assert (r2["boot_lo"], r2["boot_hi"]) == (r["boot_lo"], r["boot_hi"])
+
+
+def test_poisson_bootstrap_validates_replicates(spark):
+    from evidence_images_etl_airflow_spark.operators.sketches import (
+        poisson_bootstrap_mean_ci,
+    )
+
+    df = spark.createDataFrame([(1, 1.0)], "id bigint, price double")
+    with pytest.raises(ValueError):
+        poisson_bootstrap_mean_ci(df, "id", "price", replicates=1)
