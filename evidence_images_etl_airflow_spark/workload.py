@@ -10458,7 +10458,7 @@ _VERIFY_FIRST = [
     # (supplier_reliability_wilson, text_zipf_fit, sketch_hll_rollup,
     # er_fuzzy_part_pairs, data_shard_shuffle, recon_table_diff — the
     # r11 reorder rule: nothing goes five rounds unchecked), then the
-    # 24 round-12 registrations in registration order
+    # 27 round-12 registrations in registration order
     # (ep5_mart_chain_planned, dq_k_anonymity, embedding_int8_recall,
     # text_cooccurrence_pmi, plan_range_partition_report,
     # ml_calibration_curve, agg_sample_ci, events_churn_features,
@@ -10468,10 +10468,11 @@ _VERIFY_FIRST = [
     # ml_agreement_kappa, ml_pr_threshold_sweep,
     # events_cusum_changepoint, events_ewma_daily, text_gopher_rules,
     # curation_score_alignment, parts_abc_classification,
-    # embedding_cluster_silhouette —
+    # embedding_cluster_silhouette, agg_bootstrap_ci,
+    # events_weekday_seasonal_index, orders_cohort_ltv —
     # each carries two-scale parity proof in the r12 ledger per the
-    # registration-time rule; 6 + 24 = 30 slots, so only the first
-    # 20 oldest r09-green entries fit this head), then the oldest
+    # registration-time rule; 6 + 27 = 33 slots, so only the first
+    # 17 oldest r09-green entries fit this head), then the oldest
     # r09-green cohort
     # entries in registration order up to the 50-slot cap. The BPE
     # pair (text_bpe_vocab/text_bpe_encode, r09-green) stays OUT of
@@ -13290,6 +13291,177 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return poisson_bootstrap_mean_ci(
         o, "o_orderkey", "o_totalprice", replicates=40, salt="boot"
+    )
+
+
+@register(
+    "events_weekday_seasonal_index",
+    oracle="""
+    WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                          CAST(count(*) AS BIGINT) AS y
+                   FROM events GROUP BY 1),
+    b AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    grid AS (SELECT unnest(generate_series(b.lo, b.hi)) AS d FROM b),
+    f AS (SELECT CAST(g.d AS BIGINT) AS d, coalesce(daily.y, 0) AS y
+          FROM grid g LEFT JOIN daily ON g.d = daily.d),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS tt FROM f),
+    per AS (SELECT d % 7 AS dow, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(y) AS BIGINT) AS y_sum
+            FROM f GROUP BY 1)
+    SELECT dow, n_days, y_sum,
+           round(CAST(y_sum AS DOUBLE) / n_days, 6) AS mean_y,
+           CASE WHEN tt > 0 THEN
+             round(CAST(CAST(y_sum AS HUGEINT) * n AS DOUBLE)
+                   / CAST(CAST(n_days AS HUGEINT) * tt AS DOUBLE), 6)
+           END AS seasonal_index
+    FROM per CROSS JOIN t ORDER BY dow
+    """,
+)
+def events_weekday_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition of the daily event series:
+    per weekday slot, the mean daily count and the SEASONAL INDEX
+    (slot mean / overall mean) — the multiplicative factor a forecast
+    multiplies in and an anomaly screen divides OUT before
+    thresholding (a quiet Sunday is not an incident; a Sunday-shaped
+    Wednesday is). Completes the day-grain family: MASE evaluates,
+    CUSUM finds level shifts, EWMA smooths, this names the weekly
+    shape. The weekday slot is epoch-day % 7 — a pure integer, no
+    calendar/locale functions to drift between engines. Shape: one
+    day-grain count (map-side combined), the zero-fill grid idiom
+    (slot means over a SPARSE day set overweight active days), then
+    a <=7-group agg + 1-row total broadcast. Exactness: integer
+    days/counts; the index is exact-integer cross-multiplied
+    (y_sum·N / (n_days·T), HUGEINT/DECIMAL(38,0)) into one IEEE
+    divide at 6dp, NULL on an all-zero series. NOTE: registered
+    after the r12 verify head (rotation-slot rule); parity-proven
+    locally at sf0.001 + sf0.01; queued for r13."""
+    f = _daily_filled(spark, sf_dir)
+    t = f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("y").cast("bigint").alias("__t"),
+    )
+    d38 = "decimal(38,0)"
+    per = f.groupBy((F.col("d") % 7).alias("dow")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("y").cast("bigint").alias("y_sum"),
+    )
+    return (
+        per.crossJoin(F.broadcast(t))
+        .select(
+            "dow",
+            "n_days",
+            "y_sum",
+            F.round(
+                F.col("y_sum").cast("double") / F.col("n_days").cast("double"),
+                6,
+            ).alias("mean_y"),
+            F.when(
+                F.col("__t") > 0,
+                F.round(
+                    (F.col("y_sum").cast(d38) * F.col("__n").cast(d38))
+                    .cast("double")
+                    / (F.col("n_days").cast(d38) * F.col("__t").cast(d38))
+                    .cast("double"),
+                    6,
+                ),
+            ).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH o AS (SELECT o_custkey,
+                      CAST(year(o_orderdate) * 12
+                           + (month(o_orderdate) - 1) AS BIGINT) AS m,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS c
+               FROM orders),
+    coh AS (SELECT o_custkey, min(m) AS cm FROM o GROUP BY o_custkey),
+    sz AS (SELECT cm, CAST(count(*) AS BIGINT) AS n_cohort FROM coh
+           GROUP BY cm),
+    j AS (SELECT coh.cm, o.m - coh.cm AS ms, o.o_custkey, o.c
+          FROM o JOIN coh ON o.o_custkey = coh.o_custkey),
+    g AS (SELECT cm, ms,
+                 CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active,
+                 CAST(sum(c) AS BIGINT) AS rev_c
+          FROM j GROUP BY cm, ms),
+    w AS (SELECT cm, ms, n_active, rev_c,
+                 CAST(sum(rev_c) OVER (PARTITION BY cm ORDER BY ms
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_c
+          FROM g)
+    SELECT w.cm AS cohort_month, w.ms AS months_since, w.n_active,
+           sz.n_cohort AS n_cohort_customers,
+           round(CAST(w.rev_c AS DOUBLE) / 100, 2) AS revenue,
+           round(CAST(w.cum_c AS DOUBLE) / 100, 2) AS cum_revenue,
+           round(CAST(w.cum_c AS DOUBLE)
+                 / (100.0 * CAST(sz.n_cohort AS DOUBLE)), 6)
+             AS ltv_per_customer
+    FROM w JOIN sz ON w.cm = sz.cm
+    ORDER BY cohort_month, months_since
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle over orders: customers grouped
+    by FIRST-ORDER month, then per (cohort, months-since) the active
+    customers, period revenue, cumulative revenue, and cumulative
+    LTV per cohort customer — the revenue-side twin of
+    events_cohort_retention (that counts survivors; this prices
+    them), and the table every payback/acquisition decision reads.
+    Month index is the pure integer year·12 + (month−1) — exact
+    month arithmetic with no interval/date-diff semantics to drift.
+    Shape: a customer-grain min (map-side combined), one
+    customer-keyed join back (the one real shuffle; co-partitioned
+    under a custkey-bucketed layout), a (cohort, offset)-grain agg,
+    and a prefix window PARTITIONED per cohort over MONTH OFFSETS —
+    bounded by the calendar, never by customers. Exactness:
+    cents-BIGINT revenue, integer month math, one IEEE divide per
+    reported ratio (2dp money, 6dp LTV). NOTE: registered after the
+    r12 verify head (rotation-slot rule); parity-proven locally at
+    sf0.001 + sf0.01; queued for r13."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1)
+        ).cast("bigint").alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+    )
+    coh = o.groupBy("o_custkey").agg(F.min("m").alias("cm"))
+    sz = coh.groupBy("cm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cohort")
+    )
+    j = o.join(coh, "o_custkey").select(
+        "cm", (F.col("m") - F.col("cm")).alias("ms"), "o_custkey", "c"
+    )
+    g = j.groupBy("cm", "ms").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_active"),
+        F.sum("c").cast("bigint").alias("rev_c"),
+    )
+    w = Window.partitionBy("cm").orderBy("ms").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = g.withColumn("cum_c", F.sum("rev_c").over(w).cast("bigint"))
+    return (
+        cum.join(sz, "cm")
+        .select(
+            F.col("cm").alias("cohort_month"),
+            F.col("ms").alias("months_since"),
+            "n_active",
+            F.col("n_cohort").alias("n_cohort_customers"),
+            F.round(F.col("rev_c").cast("double") / 100, 2).alias("revenue"),
+            F.round(F.col("cum_c").cast("double") / 100, 2).alias(
+                "cum_revenue"
+            ),
+            F.round(
+                F.col("cum_c").cast("double")
+                / (100.0 * F.col("n_cohort").cast("double")),
+                6,
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort_month", "months_since")
     )
 
 

@@ -53,3 +53,43 @@ def test_ewma_validates_parameters(spark):
         ewma_smooth(df, "d", "y", decay_num=3, decay_den=2)
     with pytest.raises(ValueError):
         ewma_smooth(df, "d", "y", window=0)
+
+
+def test_weekday_seasonal_index_invariants(spark):
+    """Registry-level invariants on sf0.001: indexes average to 1
+    under day-count weighting, and the y_sum column partitions the
+    corpus total."""
+    from evidence_images_etl_airflow_spark.workload import REGISTRY
+
+    rows = REGISTRY["events_weekday_seasonal_index"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 7
+    n_total = sum(r["n_days"] for r in rows)
+    t_total = sum(r["y_sum"] for r in rows)
+    assert t_total == 1000  # sf0.001 events row count
+    weighted = sum(r["seasonal_index"] * r["n_days"] for r in rows)
+    assert abs(weighted / n_total - 1.0) < 1e-4
+
+
+def test_cohort_ltv_cumulative_is_consistent(spark):
+    from collections import defaultdict
+
+    from evidence_images_etl_airflow_spark.workload import REGISTRY
+
+    rows = REGISTRY["orders_cohort_ltv"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r["cohort_month"]].append(r)
+    for cm, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["months_since"])
+        assert rs[0]["months_since"] == 0  # cohort defined by first order
+        run = 0.0
+        for r in rs:
+            run = round(run + r["revenue"], 2)
+            assert abs(r["cum_revenue"] - run) < 0.02
+            assert r["n_active"] <= r["n_cohort_customers"]
+            got = r["cum_revenue"] / r["n_cohort_customers"]
+            assert abs(r["ltv_per_customer"] - got) < 1e-4
