@@ -72,6 +72,13 @@ EXPECTED_CROSS = {
     "orders_interarrival_profile",  # 1-row gap-totals broadcast
     "agg_stratified_ci",  # 1-row estimate x 1-row exact-mean report assembly
     "events_forecast_mase",  # 1-row bounds/test/train stat broadcasts
+    "ml_pr_threshold_sweep",  # 10-row literal threshold-grid broadcast
+    "events_cusum_changepoint",  # 1-row (N, T) totals broadcast
+    "events_weekday_seasonal_index",  # 1-row (N, T) totals broadcast
+    "curation_score_alignment",  # 1-row total + 1-row median-block broadcasts
+    "parts_abc_classification",  # 1-row value-total broadcast over blocks
+    "embedding_cluster_silhouette",  # |labels|-row centroid broadcast
+    "agg_bootstrap_ci",  # 40-row replicate grid + 1-row bounds broadcasts
 }
 
 
