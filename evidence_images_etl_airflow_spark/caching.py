@@ -72,6 +72,16 @@ def release_all(spark: SparkSession | None = None, hard: bool = False) -> None:
     _TRACKED.clear()
     if hard and spark is not None:
         try:
+            # Drop CacheManager entries FIRST: unpersisting the backing
+            # RDD blocks alone leaves the plan-keyed InMemoryRelation
+            # registered, so an identical persist() in the next query
+            # re-attaches to it and a "cold" rerun silently reads the
+            # previous run's cache (found r12: measure_scale best-of-2
+            # reported 1.9 s for a 23 s query).
+            spark.catalog.clearCache()
+        except Exception:
+            pass
+        try:
             # py4j exposes the java Map as a dict-like JavaMap
             for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
                 jrdd.unpersist(False)

@@ -510,7 +510,22 @@ def source_score_alignment(
     d38 = "decimal(38,0)"
     s = F.round(F.col(score_col).cast("double"), int(resolution))
     q = df.select(F.col(source_col).alias("source"), s.alias("__s"))
-    g = q.groupBy("__s").agg(F.count(F.lit(1)).cast("bigint").alias("__cg"))
+    # ONE corpus scan: the (source, score) grain subsumes the global
+    # grain, so the global block table is derived by summing the
+    # per-source counts — scoring (often a regexp pipeline) runs once,
+    # not once per grain (the 100x curve halved when this landed).
+    p = q.groupBy("source", "__s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cs")
+    )
+    # p is consumed by THREE branches (the score join, the total, the
+    # median block) — without a persist, lineage re-executes the whole
+    # scoring scan per branch (the 100x curve read 3x the single-scan
+    # cost before this landed). p is (source x distinct-score)-bounded,
+    # far below the corpus.
+    from evidence_images_etl_airflow_spark import caching
+
+    p = caching.materialize(p)
+    g = p.groupBy("__s").agg(F.sum("__cs").cast("bigint").alias("__cg"))
     w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
     gb = g.withColumn(
         "__ccb", F.coalesce(F.sum("__cg").over(w), F.lit(0)).cast("bigint")
@@ -523,9 +538,6 @@ def source_score_alignment(
             & (F.expr("(__n + 1) div 2") <= F.col("__ccb") + F.col("__cg"))
         )
         .select(F.col("__s").alias("__vmed"))
-    )
-    p = q.groupBy("source", "__s").agg(
-        F.count(F.lit(1)).cast("bigint").alias("__cs")
     )
     per = (
         p.join(gb, "__s")

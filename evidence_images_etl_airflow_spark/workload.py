@@ -2896,25 +2896,34 @@ def _bpe_oracle_parts(n_merges: int = _BPE_MERGES) -> tuple[str, str]:
 
     Returns ``(cte_chain, tail)`` so sibling oracles (the encode
     variant) can reuse the CTE chain with their own tail instead of
-    string-splitting rendered SQL (round-5 ADVICE)."""
+    string-splitting rendered SQL (round-5 ADVICE).
+
+    Every chained CTE is ``AS MATERIALIZED``: DuckDB 1.0 INLINES
+    CTEs by default, and each round references its predecessor twice
+    (the pair count and the rewrite), so the inlined w{r} tree
+    doubles per round — the unrolled 12-merge chain re-evaluated the
+    corpus tokenization ~2^12 times and cost ~10 minutes at 500 docs
+    (the reason the BPE pair was kept out of every verify head).
+    Materialization is semantics-preserving; it collapses the replay
+    to one evaluation per round (~seconds)."""
     parts = [
-        r"""w0 AS (SELECT ' ' || regexp_replace(t, '(.)', '\1 ', 'g') || '</w> ' AS seq,
+        r"""w0 AS MATERIALIZED (SELECT ' ' || regexp_replace(t, '(.)', '\1 ', 'g') || '</w> ' AS seq,
                CAST(count(*) AS BIGINT) AS freq
         FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
               FROM documents) GROUP BY 1)"""
     ]
     for r in range(1, n_merges + 1):
         parts.append(
-            f"p{r} AS (SELECT l[i] AS pa, l[i+1] AS pb, sum(freq) AS c"
+            f"p{r} AS MATERIALIZED (SELECT l[i] AS pa, l[i+1] AS pb, sum(freq) AS c"
             f" FROM (SELECT string_split(trim(seq), ' ') AS l, freq FROM w{r - 1}),"
             f" UNNEST(generate_series(1, len(l)-1)) AS u(i)"
             f" GROUP BY 1, 2)"
         )
         parts.append(
-            f"b{r} AS (SELECT pa, pb, c FROM p{r} ORDER BY c DESC, pa, pb LIMIT 1)"
+            f"b{r} AS MATERIALIZED (SELECT pa, pb, c FROM p{r} ORDER BY c DESC, pa, pb LIMIT 1)"
         )
         parts.append(
-            f"w{r} AS (SELECT replace(seq, ' '||b.pa||' '||b.pb||' ',"
+            f"w{r} AS MATERIALIZED (SELECT replace(seq, ' '||b.pa||' '||b.pb||' ',"
             f" ' '||b.pa||b.pb||' ') AS seq, freq FROM w{r - 1}, b{r} b)"
         )
     rows = " UNION ALL ".join(
@@ -10458,7 +10467,7 @@ _VERIFY_FIRST = [
     # (supplier_reliability_wilson, text_zipf_fit, sketch_hll_rollup,
     # er_fuzzy_part_pairs, data_shard_shuffle, recon_table_diff — the
     # r11 reorder rule: nothing goes five rounds unchecked), then the
-    # 27 round-12 registrations in registration order
+    # 30 round-12 registrations in registration order
     # (ep5_mart_chain_planned, dq_k_anonymity, embedding_int8_recall,
     # text_cooccurrence_pmi, plan_range_partition_report,
     # ml_calibration_curve, agg_sample_ci, events_churn_features,
@@ -10469,10 +10478,12 @@ _VERIFY_FIRST = [
     # events_cusum_changepoint, events_ewma_daily, text_gopher_rules,
     # curation_score_alignment, parts_abc_classification,
     # embedding_cluster_silhouette, agg_bootstrap_ci,
-    # events_weekday_seasonal_index, orders_cohort_ltv —
+    # events_weekday_seasonal_index, orders_cohort_ltv,
+    # events_anomaly_deseasonalized, text_novelty_curve,
+    # customers_value_migration —
     # each carries two-scale parity proof in the r12 ledger per the
-    # registration-time rule; 6 + 27 = 33 slots, so only the first
-    # 17 oldest r09-green entries fit this head), then the oldest
+    # registration-time rule; 6 + 30 = 36 slots, so only the first
+    # 14 oldest r09-green entries fit this head), then the oldest
     # r09-green cohort
     # entries in registration order up to the 50-slot cap. The BPE
     # pair (text_bpe_vocab/text_bpe_encode, r09-green) stays OUT of
@@ -13462,6 +13473,304 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_per_customer"),
         )
         .orderBy("cohort_month", "months_since")
+    )
+
+
+@register(
+    "events_anomaly_deseasonalized",
+    oracle="""
+    WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                          CAST(count(*) AS BIGINT) AS y
+                   FROM events GROUP BY 1),
+    b AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    grid AS (SELECT unnest(generate_series(b.lo, b.hi)) AS d FROM b),
+    f AS (SELECT CAST(g.d AS BIGINT) AS d, coalesce(daily.y, 0) AS y
+          FROM grid g LEFT JOIN daily ON g.d = daily.d),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS tt FROM f),
+    per AS (SELECT d % 7 AS dow, CAST(count(*) AS BIGINT) AS nd,
+                   CAST(sum(y) AS BIGINT) AS ys
+            FROM f GROUP BY 1),
+    adj AS (SELECT f.d, f.y,
+                   round(CAST(CAST(f.y AS HUGEINT) * per.nd * t.tt
+                              AS DOUBLE)
+                         / CAST(CAST(per.ys AS HUGEINT) * t.n AS DOUBLE),
+                         6) AS y_adj
+            FROM f JOIN per ON f.d % 7 = per.dow CROSS JOIN t
+            WHERE per.ys > 0),
+    c AS (SELECT d, y, y_adj,
+                 CAST(round(y_adj * 1000000) AS BIGINT) AS c6
+          FROM adj),
+    m AS (SELECT median(c6) AS med FROM c),
+    dev AS (SELECT c.*, abs(c6 - m.med) AS dv FROM c CROSS JOIN m),
+    md AS (SELECT median(dv) AS mad FROM dev)
+    SELECT d, y, y_adj,
+           (dv > 3.0 * md.mad) AS is_outlier,
+           CASE WHEN md.mad > 0 THEN round(dv / md.mad, 6) END
+             AS robust_ratio
+    FROM dev CROSS JOIN md ORDER BY d
+    """,
+)
+def events_anomaly_deseasonalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted robust anomaly screen over the daily event
+    series — the COMPOSITION the day-grain family exists for:
+    events_anomaly_mad flags raw-count outliers, so on a
+    weekly-seasonal series it fires every quiet Sunday; here each
+    day's count is first DIVIDED by its weekday seasonal index
+    (exact rational y·nd·T / (ys·N), the weekday_seasonal_index
+    factor inverted), and the median+MAD screen runs on the adjusted
+    series — a Sunday-shaped Wednesday now stands out, a normal
+    Sunday doesn't. Shape: one day-grain count, the zero-fill grid
+    idiom, a 7-row seasonal join + 1-row totals broadcast, then two
+    exact-median passes over the CALENDAR-bounded adjusted series
+    (grid-bounded at any corpus size); all-zero weekday slots drop
+    out (index undefined). Exactness: the adjusted value is ONE IEEE
+    divide of exact HUGEINT/DECIMAL(38,0) cross-products at 6dp,
+    then re-scaled to integer micro-units so both medians are
+    interpolations of INTEGERS (exact dyadic doubles, the
+    dq_mad_outliers discipline); flags are integer comparisons and
+    the robust ratio one divide at 6dp, NULL when MAD = 0. NOTE:
+    registered after the r12 verify head (rotation-slot rule);
+    parity-proven locally at sf0.001 + sf0.01; queued for r13."""
+    d38 = "decimal(38,0)"
+    f = _daily_filled(spark, sf_dir)
+    t = f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("y").cast("bigint").alias("__t"),
+    )
+    per = f.groupBy((F.col("d") % 7).alias("dow")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nd"),
+        F.sum("y").cast("bigint").alias("__ys"),
+    )
+    adj = (
+        f.join(F.broadcast(per), F.col("d") % 7 == F.col("dow"))
+        .crossJoin(F.broadcast(t))
+        .filter(F.col("__ys") > 0)
+        .select(
+            "d",
+            "y",
+            F.round(
+                (
+                    F.col("y").cast(d38)
+                    * F.col("__nd").cast(d38)
+                    * F.col("__t").cast(d38)
+                ).cast("double")
+                / (
+                    F.col("__ys").cast(d38) * F.col("__n").cast(d38)
+                ).cast("double"),
+                6,
+            ).alias("y_adj"),
+        )
+    )
+    c = adj.withColumn(
+        "__c6", F.round(F.col("y_adj") * 1000000).cast("bigint")
+    )
+    m = c.agg(F.median("__c6").alias("__med"))
+    dev = c.crossJoin(F.broadcast(m)).withColumn(
+        "__dv", F.abs(F.col("__c6") - F.col("__med"))
+    )
+    md = dev.agg(F.median("__dv").alias("__mad"))
+    return (
+        dev.crossJoin(F.broadcast(md))
+        .select(
+            "d",
+            "y",
+            "y_adj",
+            (F.col("__dv") > 3.0 * F.col("__mad")).alias("is_outlier"),
+            F.when(
+                F.col("__mad") > 0,
+                F.round(F.col("__dv") / F.col("__mad"), 6),
+            ).alias("robust_ratio"),
+        )
+        .orderBy("d")
+    )
+
+
+@register(
+    "text_novelty_curve",
+    oracle=f"""
+    WITH {_shingle_cte()},
+    firsts AS (SELECT shingle, min(doc_id) AS first_id
+               FROM sh GROUP BY shingle),
+    q AS (SELECT quantile_cont(CAST(doc_id AS DOUBLE),
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+          FROM documents),
+    dd AS (SELECT s.doc_id, f.first_id,
+                  (CAST(s.doc_id > qs[1] AS INT) + CAST(s.doc_id > qs[2] AS INT)
+                   + CAST(s.doc_id > qs[3] AS INT) + CAST(s.doc_id > qs[4] AS INT)
+                   + CAST(s.doc_id > qs[5] AS INT) + CAST(s.doc_id > qs[6] AS INT)
+                   + CAST(s.doc_id > qs[7] AS INT) + CAST(s.doc_id > qs[8] AS INT)
+                   + CAST(s.doc_id > qs[9] AS INT)) AS decile
+           FROM sh s JOIN firsts f USING (shingle) CROSS JOIN q)
+    SELECT decile,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS novelty_rate
+    FROM dd GROUP BY decile ORDER BY decile
+    """,
+)
+def text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: documents bucketed into id-order deciles
+    (crawl order), and per decile the share of its distinct 3-token
+    shingles that are corpus-FIRST occurrences — the marginal-value
+    curve of continued crawling (Lee et al. 2022's observation
+    operationalized: when the novelty rate of the newest decile
+    collapses, additional crawl volume is buying re-hosted content,
+    and the budget belongs elsewhere). Per-DOC residual duplication
+    is dedup_residual_report; this is the corpus-GROWTH view of the
+    same first-occurrence machinery. Shape: the linear
+    shingle-provenance skeleton (explode -> groupBy(shingle) min ->
+    shingle-keyed join, never pairwise) + a 1-row exact-percentile
+    boundary broadcast (id-range deciles from interpolated integer
+    percentiles — the RFM idiom; at 100 TB the approx_percentile
+    dial swaps in) + a <=10-group agg. Exactness: integer ids and
+    counts; decile = Σ(id > q_k) on exact dyadic boundary doubles;
+    one IEEE divide per rate at 6dp. NOTE: registered after the r12
+    verify head (rotation-slot rule); parity-proven locally at
+    sf0.001 + sf0.01; queued for r13."""
+    d = _t(spark, sf_dir, "documents")
+    sh = shingle_first_occurrence(d, "doc_id", "text", 3)
+    q = d.agg(
+        F.percentile(
+            F.col("doc_id").cast("double"),
+            F.array(*[F.lit(i / 10.0) for i in range(1, 10)]),
+        ).alias("qs")
+    )
+    dec = None
+    for k in range(1, 10):
+        ind = (F.col("id") > F.element_at(F.col("qs"), k)).cast("int")
+        dec = ind if dec is None else dec + ind
+    dd = sh.crossJoin(F.broadcast(q)).select(
+        "id", "first_id", dec.alias("decile")
+    )
+    novel = (F.col("first_id") == F.col("id")).cast("int")
+    return (
+        dd.groupBy("decile")
+        .agg(
+            F.countDistinct("id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.round(
+                F.sum(novel).cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "customers_value_migration",
+    oracle="""
+    WITH o AS (SELECT o_custkey,
+                      CAST(year(o_orderdate) * 12
+                           + (month(o_orderdate) - 1) AS BIGINT) AS m,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS c
+               FROM orders),
+    b AS (SELECT (min(m) + max(m)) // 2 AS mid FROM o),
+    halves AS (SELECT o_custkey,
+                      CASE WHEN m <= b.mid THEN 1 ELSE 2 END AS half,
+                      CAST(sum(c) AS BIGINT) AS mon
+               FROM o CROSS JOIN b GROUP BY 1, 2),
+    q AS (SELECT half,
+                 quantile_cont(CAST(mon AS DOUBLE), [0.25, 0.5, 0.75]) AS qm
+          FROM halves GROUP BY half),
+    s AS (SELECT h.o_custkey, h.half,
+                 1 + CAST(h.mon > qm[1] AS INT) + CAST(h.mon > qm[2] AS INT)
+                   + CAST(h.mon > qm[3] AS INT) AS score
+          FROM halves h JOIN q ON h.half = q.half),
+    mig AS (SELECT a.score AS from_q, c.score AS to_q,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM s a JOIN s c ON a.o_custkey = c.o_custkey
+            WHERE a.half = 1 AND c.half = 2
+            GROUP BY 1, 2),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM mig)
+    SELECT from_q, to_q, n,
+           round(CAST(n AS DOUBLE) / t.nt, 6) AS share,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY from_q), 6) AS row_share
+    FROM mig CROSS JOIN t ORDER BY from_q, to_q
+    """,
+)
+def customers_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-quartile migration matrix: monetary quartile in
+    the FIRST half of the calendar window vs the SECOND half, for
+    customers active in both — the upgrade/downgrade flow behind
+    every retention narrative (a flat Gini can hide half the top
+    quartile churning out while mid-tier customers replace them;
+    this matrix is where that shows). Quartile scoring reuses the
+    RFM idiom (1 + Σ(mon > q_k) against per-half interpolated
+    percentiles of integer cents — exact dyadic boundaries). Shape:
+    one customer-half aggregation (map-side combined), a 2-row
+    percentile broadcast, a self-join on custkey (the one real
+    shuffle; both sides customer-grain, co-partitioned under a
+    custkey layout), then a <=16-cell matrix agg with a 1-row total
+    broadcast and a row-normalizing window over those cells.
+    Exactness: integer month split (lo+hi)//2, cents-BIGINT sums,
+    one IEEE divide per share at 6dp. NOTE: registered after the r12
+    verify head (rotation-slot rule); parity-proven locally at
+    sf0.001 + sf0.01; queued for r13."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1)
+        ).cast("bigint").alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+    )
+    b = o.agg(F.expr("(min(m) + max(m)) div 2").alias("mid"))
+    halves = (
+        o.crossJoin(F.broadcast(b))
+        .groupBy(
+            "o_custkey",
+            F.when(F.col("m") <= F.col("mid"), 1).otherwise(2).alias("half"),
+        )
+        .agg(F.sum("c").cast("bigint").alias("mon"))
+    )
+    q = halves.groupBy("half").agg(
+        F.percentile(
+            F.col("mon").cast("double"),
+            F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+        ).alias("qm")
+    )
+    score = (
+        1
+        + (F.col("mon") > F.element_at(F.col("qm"), 1)).cast("int")
+        + (F.col("mon") > F.element_at(F.col("qm"), 2)).cast("int")
+        + (F.col("mon") > F.element_at(F.col("qm"), 3)).cast("int")
+    )
+    s = halves.join(F.broadcast(q), "half").select(
+        "o_custkey", "half", score.alias("score")
+    )
+    a = s.filter(F.col("half") == 1).select(
+        "o_custkey", F.col("score").alias("from_q")
+    )
+    c2 = s.filter(F.col("half") == 2).select(
+        "o_custkey", F.col("score").alias("to_q")
+    )
+    mig = a.join(c2, "o_custkey").groupBy("from_q", "to_q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    t = mig.agg(F.sum("n").cast("bigint").alias("__nt"))
+    wrow = Window.partitionBy("from_q")
+    return (
+        mig.crossJoin(F.broadcast(t))
+        .select(
+            "from_q",
+            "to_q",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("__nt").cast("double"), 6
+            ).alias("share"),
+            F.round(
+                F.col("n").cast("double")
+                / F.sum("n").over(wrow).cast("double"),
+                6,
+            ).alias("row_share"),
+        )
+        .orderBy("from_q", "to_q")
     )
 
 

@@ -681,3 +681,32 @@ def test_gopher_rules_hand_cases(spark):
     # empty text: split('') -> [''] so 1 zero-length word
     assert e["n_words"] == 1 and not e["r_word_count"]
     assert not e["r_alpha_words"] and not e["pass_gopher"]
+
+
+def test_novelty_curve_partitions_distinct_shingles(spark):
+    """Every distinct shingle is novel exactly once, at its first
+    occurrence: sum(n_novel) over deciles == |distinct shingles|."""
+    from evidence_images_etl_airflow_spark.workload import REGISTRY
+    from evidence_images_etl_airflow_spark.functions.text import (
+        shingles_from_tokens,
+        tokens,
+    )
+
+    rows = REGISTRY["text_novelty_curve"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert 1 <= len(rows) <= 10
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_distinct = (
+        d.select(
+            F.explode(
+                shingles_from_tokens(tokens(F.col("text")), 3)
+            ).alias("s")
+        )
+        .agg(F.countDistinct("s"))
+        .collect()[0][0]
+    )
+    assert sum(r["n_novel"] for r in rows) == n_distinct
+    for r in rows:
+        assert 0.0 <= r["novelty_rate"] <= 1.0
+        assert r["n_novel"] <= r["n_occurrences"]

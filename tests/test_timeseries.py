@@ -93,3 +93,39 @@ def test_cohort_ltv_cumulative_is_consistent(spark):
             assert r["n_active"] <= r["n_cohort_customers"]
             got = r["cum_revenue"] / r["n_cohort_customers"]
             assert abs(r["ltv_per_customer"] - got) < 1e-4
+
+
+def test_deseasonalized_adjustment_preserves_total(spark):
+    """Registry-level invariant on sf0.001: dividing by the weekday
+    index redistributes volume but preserves the corpus total
+    (sum of y_adj == sum of y up to 6dp rounding per day)."""
+    from evidence_images_etl_airflow_spark.workload import REGISTRY
+
+    rows = REGISTRY["events_anomaly_deseasonalized"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 30
+    assert abs(sum(r["y_adj"] for r in rows) - sum(r["y"] for r in rows)) < 0.01
+    for r in rows:
+        assert r["robust_ratio"] is None or r["robust_ratio"] >= 0
+        # flag agrees with the ratio the same row reports
+        if r["robust_ratio"] is not None:
+            assert r["is_outlier"] == (r["robust_ratio"] > 3.0)
+
+
+def test_value_migration_matrix_is_a_distribution(spark):
+    from evidence_images_etl_airflow_spark.workload import REGISTRY
+
+    rows = REGISTRY["customers_value_migration"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "expected customers active in both halves"
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    from collections import defaultdict
+
+    per_from = defaultdict(float)
+    for r in rows:
+        assert 1 <= r["from_q"] <= 4 and 1 <= r["to_q"] <= 4
+        per_from[r["from_q"]] += r["row_share"]
+    for v in per_from.values():
+        assert abs(v - 1.0) < 1e-4

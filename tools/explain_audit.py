@@ -79,6 +79,9 @@ EXPECTED_CROSS = {
     "parts_abc_classification",  # 1-row value-total broadcast over blocks
     "embedding_cluster_silhouette",  # |labels|-row centroid broadcast
     "agg_bootstrap_ci",  # 40-row replicate grid + 1-row bounds broadcasts
+    "events_anomaly_deseasonalized",  # 1-row totals/median/MAD broadcasts
+    "text_novelty_curve",  # 1-row percentile-boundary broadcast
+    "customers_value_migration",  # 1-row month-split + total broadcasts
 }
 
 
