@@ -10486,9 +10486,14 @@ _VERIFY_FIRST = [
     # 14 oldest r09-green entries fit this head), then the oldest
     # r09-green cohort
     # entries in registration order up to the 50-slot cap. The BPE
-    # pair (text_bpe_vocab/text_bpe_encode, r09-green) stays OUT of
-    # any head it would dominate (~10 min each at sf0.01) until its
-    # cohort's turn leaves slack.
+    # pair (text_bpe_vocab/text_bpe_encode, r09-green) is now
+    # HEAD-ELIGIBLE: the ~10-min-each cost was the ORACLE — DuckDB
+    # inlines CTEs by default, and the 12-round merge chain references
+    # each round twice, so the unrolled replay re-evaluated the corpus
+    # tokenization ~2^12 times; `AS MATERIALIZED` on the chained CTEs
+    # (semantics-preserving) dropped the PAIR to ~30 s total at
+    # sf0.01 (r12, parity re-proven). Rotate it with its cohort
+    # normally from r13 on.
 ]
 
 
