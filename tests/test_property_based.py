@@ -323,3 +323,188 @@ def test_gini_concentration_matches_sorted_formula(spark, vals):
     top = sum(sorted(vals, reverse=True)[:k])
     assert r["gini"] == round(gini, 6)
     assert r["top_share"] == round(top / s, 6)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(ys=st.lists(st.integers(min_value=0, max_value=50), min_size=2, max_size=24))
+def test_cusum_matches_bruteforce_argmax(spark, ys):
+    from evidence_images_etl_airflow_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    df = spark.createDataFrame(list(enumerate(ys, 1)), "d bigint, y bigint")
+    r = cusum_changepoint(df, "d", "y").collect()[0]
+
+    n, t = len(ys), sum(ys)
+    pref, best = 0, None
+    for i, y in enumerate(ys, 1):
+        pref += y
+        ns = n * pref - i * t
+        # max |NS|, earliest day wins ties
+        if best is None or abs(ns) > best[0]:
+            best = (abs(ns), i, pref)
+    assert (r["n_days"], r["total"]) == (n, t)
+    assert (r["cp_index"], r["cp_day"]) == (best[1], best[1])
+    assert r["ns_abs_max"] == float(best[0])
+    assert r["mean_before"] == round(best[2] / best[1], 6)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(ys=st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=20))
+def test_ewma_matches_bruteforce_weights(spark, ys):
+    from evidence_images_etl_airflow_spark.operators.timeseries import (
+        ewma_smooth,
+    )
+
+    df = spark.createDataFrame(list(enumerate(ys, 1)), "d bigint, y bigint")
+    out = {
+        r["d"]: r
+        for r in ewma_smooth(
+            df, "d", "y", decay_num=7, decay_den=10, window=8
+        ).collect()
+    }
+    weights = [7**k * 10 ** (7 - k) for k in range(8)]
+    for t in range(1, len(ys) + 1):
+        num = den = 0
+        for k, w in enumerate(weights):
+            if t - 1 - k >= 0:
+                num += ys[t - 1 - k] * w
+                den += w
+        assert out[t]["ewma"] == round(num / den, 6)
+        assert out[t]["resid"] == round((ys[t - 1] * den - num) / den, 6)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(vals=st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=30))
+def test_abc_matches_bruteforce_rowwise_assignment(spark, vals):
+    from evidence_images_etl_airflow_spark.operators.quality import (
+        abc_classification,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+    out = {r["cls"]: r for r in abc_classification(df, "v").collect()}
+
+    # brute force: sort desc, assign each ROW by where its cumulative
+    # value STARTS relative to the 70%/90% boundaries
+    t = sum(vals)
+    want = {"A": [0, 0], "B": [0, 0], "C": [0, 0]}  # [count, value]
+    cum = 0
+    for v in sorted(vals, reverse=True):
+        if v > 0 and 10 * cum < 7 * t:
+            cls = "A"
+        elif v > 0 and 10 * cum < 9 * t:
+            cls = "B"
+        else:
+            cls = "C"
+        want[cls][0] += 1
+        want[cls][1] += v
+        cum += v
+    for cls in ("A", "B", "C"):
+        assert out[cls]["n_items"] == want[cls][0], (cls, vals)
+        assert out[cls]["value_sum"] == float(want[cls][1]), (cls, vals)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_score_alignment_matches_bruteforce_midranks(spark, rows):
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        source_score_alignment,
+    )
+
+    df = spark.createDataFrame(
+        [(s, v / 10.0) for s, v in rows], "source string, score double"
+    )
+    out = {
+        r["source"]: r
+        for r in source_score_alignment(df, "source", "score").collect()
+    }
+
+    scores = sorted(v / 10.0 for _, v in rows)
+    n = len(scores)
+
+    def midrank(x):
+        lo = sum(1 for s in scores if s < x)
+        c = sum(1 for s in scores if s == x)
+        return lo + (c + 1) / 2
+
+    med = scores[(n + 1) // 2 - 1]  # exact lower median value
+    by_src = {}
+    for s, v in rows:
+        by_src.setdefault(s, []).append(v / 10.0)
+    for s, vs in by_src.items():
+        r = out[s]
+        assert r["n_docs"] == len(vs)
+        assert r["mean_pctile"] == round(
+            sum(midrank(x) for x in vs) / (len(vs) * n), 6
+        )
+        assert r["n_above_median"] == sum(1 for x in vs if x > med)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.tuples(
+                st.integers(-50, 50), st.integers(-50, 50)
+            ),
+        ),
+        min_size=4,
+        max_size=24,
+    ).filter(lambda r: len({lbl for lbl, _ in r}) >= 2)
+)
+def test_silhouette_matches_numpy_bruteforce(spark, rows):
+    from evidence_images_etl_airflow_spark.operators.similarity import (
+        label_centroid_silhouette,
+    )
+
+    data = [
+        (i, [float(a), float(b)], lbl)
+        for i, (lbl, (a, b)) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "vec_id long, embedding array<double>, label int"
+    )
+    out = {
+        r["label"]: r
+        for r in label_centroid_silhouette(
+            df, "vec_id", "embedding", "label"
+        ).collect()
+    }
+
+    # brute force with the SAME rounding discipline: centroid
+    # components are decimal-exact sums / count, silhouettes rounded
+    # to 6dp before averaging
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for _, vec, lbl in data:
+        groups[lbl].append(vec)
+    cents = {
+        lbl: [sum(v[d] for v in vs) / len(vs) for d in range(2)]
+        for lbl, vs in groups.items()
+    }
+    per_label = defaultdict(list)
+    for _, vec, lbl in data:
+        d2 = {
+            cl: (vec[0] - c[0]) ** 2 + (vec[1] - c[1]) ** 2
+            for cl, c in cents.items()
+        }
+        a = d2[lbl]
+        b = min(v for cl, v in d2.items() if cl != lbl)
+        s = 0.0 if max(a, b) == 0 else round((b - a) / max(a, b), 6)
+        per_label[lbl].append(s)
+    for lbl, sils in per_label.items():
+        r = out[lbl]
+        assert r["n_vectors"] == len(sils)
+        assert r["n_negative"] == sum(1 for s in sils if s < 0)
+        assert abs(r["mean_silhouette"] - round(sum(sils) / len(sils), 6)) <= 2e-6
