@@ -10467,7 +10467,7 @@ _VERIFY_FIRST = [
     # (supplier_reliability_wilson, text_zipf_fit, sketch_hll_rollup,
     # er_fuzzy_part_pairs, data_shard_shuffle, recon_table_diff — the
     # r11 reorder rule: nothing goes five rounds unchecked), then the
-    # 30 round-12 registrations in registration order
+    # 31 round-12 registrations in registration order
     # (ep5_mart_chain_planned, dq_k_anonymity, embedding_int8_recall,
     # text_cooccurrence_pmi, plan_range_partition_report,
     # ml_calibration_curve, agg_sample_ci, events_churn_features,
@@ -10480,10 +10480,10 @@ _VERIFY_FIRST = [
     # embedding_cluster_silhouette, agg_bootstrap_ci,
     # events_weekday_seasonal_index, orders_cohort_ltv,
     # events_anomaly_deseasonalized, text_novelty_curve,
-    # customers_value_migration —
+    # customers_value_migration, sql_unpivot_year_revenue —
     # each carries two-scale parity proof in the r12 ledger per the
-    # registration-time rule; 6 + 30 = 36 slots, so only the first
-    # 14 oldest r09-green entries fit this head), then the oldest
+    # registration-time rule; 6 + 31 = 37 slots, so only the first
+    # 13 oldest r09-green entries fit this head), then the oldest
     # r09-green cohort
     # entries in registration order up to the 50-slot cap. The BPE
     # pair (text_bpe_vocab/text_bpe_encode, r09-green) is now
@@ -13776,6 +13776,61 @@ def customers_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("row_share"),
         )
         .orderBy("from_q", "to_q")
+    )
+
+
+@register(
+    "sql_unpivot_year_revenue",
+    oracle="""
+    WITH wide AS (
+      SELECT n_name,
+             CAST(sum(CASE WHEN year(o_orderdate) = 1996 THEN rev END)
+                  AS DOUBLE) AS y1996,
+             CAST(sum(CASE WHEN year(o_orderdate) = 1997 THEN rev END)
+                  AS DOUBLE) AS y1997,
+             CAST(sum(CASE WHEN year(o_orderdate) = 1998 THEN rev END)
+                  AS DOUBLE) AS y1998
+      FROM (
+        SELECT n_name, o_orderdate,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+        FROM lineitem, orders, supplier, nation
+        WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+          AND s_nationkey = n_nationkey)
+      GROUP BY n_name)
+    SELECT n_name, yr, round(rev, 2) AS revenue
+    FROM wide UNPIVOT (rev FOR yr IN (y1996, y1997, y1998))
+    ORDER BY n_name, yr
+    """,
+)
+def sql_unpivot_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide->long reshape) — the inverse of
+    agg_pivot_nation_year, closing the reshape pair on the Spark-4 SQL
+    surface: the pivoted per-year revenue columns melt back to
+    (nation, year, revenue) rows via the standard ``UNPIVOT (v FOR k
+    IN (...))`` clause, identical syntax in both engines. Both engines
+    DROP null cells by default (excludeNulls), so a nation with no
+    1998 orders emits two rows, not three — the semantics worth
+    pinning cross-engine. Shape: UNPIVOT compiles to a row-local
+    Expand node (each input row fans out to <=3 output rows, no
+    shuffle added beyond the upstream pivot aggregation); at 100 TB
+    melting wide metric tables this way beats N self-unions by
+    scanning once. Exactness: decimal-exact sums upstream, one cast
+    to double per cell, 2dp at output. NOTE: registered after the
+    r12 verify head (rotation-slot rule); parity-proven locally at
+    sf0.001 + sf0.01; queued for r13."""
+    # the UNWRAPPED module-level function (register() returns fn), so
+    # this does NOT trigger the registry wrapper's cache hard-release
+    # mid-query
+    wide = agg_pivot_nation_year(spark, sf_dir)
+    wide.createOrReplaceTempView("__wide_nation_year")
+    return spark.sql(
+        """
+        SELECT n_name, yr, round(rev, 2) AS revenue
+        FROM __wide_nation_year
+        UNPIVOT (rev FOR yr IN (y1996, y1997, y1998))
+        ORDER BY n_name, yr
+        """
     )
 
 
