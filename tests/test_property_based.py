@@ -508,3 +508,101 @@ def test_silhouette_matches_numpy_bruteforce(spark, rows):
         assert r["n_vectors"] == len(sils)
         assert r["n_negative"] == sum(1 for s in sils if s < 0)
         assert abs(r["mean_silhouette"] - round(sum(sils) / len(sils), 6)) <= 2e-6
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    cents=st.lists(
+        st.integers(min_value=0, max_value=500_000), min_size=3, max_size=40
+    )
+)
+def test_poisson_bootstrap_matches_hashlib_reimplementation(spark, cents):
+    """Cross-IMPLEMENTATION check: the whole bootstrap (md5 draws,
+    integer-CDF weights, replicate means, rank-1/39 order statistics)
+    recomputed in pure Python via hashlib — independent md5 code path,
+    independent arithmetic — must reproduce the operator's row."""
+    import hashlib
+
+    from evidence_images_etl_airflow_spark.operators.sketches import (
+        POISSON1_CDF_1E6,
+        poisson_bootstrap_mean_ci,
+    )
+
+    rows = [(i, c / 100.0) for i, c in enumerate(cents)]
+    df = spark.createDataFrame(rows, "id bigint, price double")
+    r = poisson_bootstrap_mean_ci(
+        df, "id", "price", replicates=40, salt="boot"
+    ).collect()[0]
+
+    def weight(b, i):
+        h = hashlib.md5(f"boot:{b}:{i}".encode()).hexdigest()[:15]
+        u = int(h, 16) % 1_000_000
+        return sum(u >= t for t in POISSON1_CDF_1E6)
+
+    means = []
+    for b in range(40):
+        ws = [(weight(b, i), c) for i, c in enumerate(cents)]
+        n = sum(w for w, _ in ws)
+        if n > 0:
+            s = sum(w * c for w, c in ws)
+            means.append((round(s / (n * 100.0), 6), b))
+    means.sort()
+    assert r["n_total"] == len(cents)
+    assert r["n_replicates"] == len(means)
+    assert r["exact_mean"] == round(
+        sum(cents) / (len(cents) * 100.0), 6
+    )
+    if len(means) >= 39:
+        assert r["boot_lo"] == means[0][0]   # rank 1 of 40
+        assert r["boot_hi"] == means[38][0]  # rank 39 of 40
+
+
+_gopher_word = st.sampled_from(
+    ["the", "be", "to", "of", "word", "a", "#tag", "...", "12", "-", "*"]
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    lines=st.lists(
+        st.lists(_gopher_word, min_size=0, max_size=20), min_size=1, max_size=4
+    )
+)
+def test_gopher_rules_match_python_re_reimplementation(spark, lines):
+    """Cross-implementation check against Python's `re` (independent
+    regex engine from the JVM's): every rule boolean and count must
+    agree on generated texts mixing stopwords, symbols, bullets,
+    ellipses, and blank lines."""
+    import re
+
+    from evidence_images_etl_airflow_spark.functions.text import (
+        GOPHER_STOPWORDS,
+        gopher_rule_columns,
+    )
+
+    text = "\n".join(" ".join(ws) for ws in lines)
+    df = spark.createDataFrame([(0, text)], "doc_id bigint, text string")
+    cols = gopher_rule_columns(F.col("text"))
+    got = df.select(*[v.alias(k) for k, v in cols.items()]).collect()[0]
+
+    toks = re.split(r"\s+", text.strip())
+    tlines = text.split("\n")
+    n_words, n_lines = len(toks), len(tlines)
+    sum_len = sum(len(w) for w in toks)
+    n_hash = text.count("#")
+    n_ell = len(text.split("...")) - 1
+    n_bullet = sum(1 for l in tlines if re.search(r"^[ \t]*[-*]", l))
+    n_ellend = sum(1 for l in tlines if re.search(r"\.\.\.[ \t]*$", l))
+    n_alpha = sum(1 for w in toks if re.search(r"[A-Za-z]", w))
+    low = [w.lower() for w in toks]
+    n_stop = sum(1 for sw in GOPHER_STOPWORDS if sw in low)
+
+    assert got["n_words"] == n_words and got["n_lines"] == n_lines
+    assert got["n_stopwords"] == n_stop
+    assert got["r_word_count"] == (50 <= n_words <= 100000)
+    assert got["r_mean_word_len"] == (3 * n_words <= sum_len <= 10 * n_words)
+    assert got["r_symbol_ratio"] == (10 * (n_hash + n_ell) <= n_words)
+    assert got["r_bullet_lines"] == (10 * n_bullet < 9 * n_lines)
+    assert got["r_ellipsis_lines"] == (10 * n_ellend < 3 * n_lines)
+    assert got["r_alpha_words"] == (10 * n_alpha >= 8 * n_words)
+    assert got["r_stopwords"] == (n_stop >= 2)
