@@ -585,7 +585,10 @@ def test_gopher_rules_match_python_re_reimplementation(spark, lines):
     cols = gopher_rule_columns(F.col("text"))
     got = df.select(*[v.alias(k) for k, v in cols.items()]).collect()[0]
 
-    toks = re.split(r"\s+", text.strip())
+    # trim() in BOTH engines strips SPACES only (not newlines) — the
+    # reference must mirror that, not Python's broader str.strip()
+    # (hypothesis found the divergence on a lone-"\n" text)
+    toks = re.split(r"\s+", text.strip(" "))
     tlines = text.split("\n")
     n_words, n_lines = len(toks), len(tlines)
     sum_len = sum(len(w) for w in toks)
