@@ -524,3 +524,62 @@ def countmin_stream_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def daily_counts_stream_available_now(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    table_path: str,
+    checkpoint_path: str,
+    day_col: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming maintenance of an exact per-day event-count store —
+    the additive-counter member of the store family (CM sketch:
+    hashed cells; MG: capped counters; this: the EXACT day grain the
+    time-series monitors consume). Day counts are linear, so after
+    any number of micro-batches the store is BIT-IDENTICAL to a
+    one-shot day-grain count over everything streamed — which is what
+    lets a STREAMING CUSUM/EWMA/seasonal monitor share the exact
+    batch oracle.
+
+    Same durability contract as the sibling stores: the file-source
+    checkpoint feeds each input file to exactly one micro-batch, the
+    per-row batch-id stamp rejects foreachBatch's at-least-once
+    replays (a double-add would break stream/batch equivalence), and
+    the rewrite rides the backup-preserving rename swap. Store size
+    is O(distinct days) — calendar-bounded forever."""
+    reader = spark.readStream.format("parquet").schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(source_path)
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        store = _read_store(sess, table_path)
+        if store is not None and batch_id <= _applied_batch(store):
+            return  # replayed batch — counts are sums, adding twice
+            # would break single-pass equivalence
+        partial = batch_df.groupBy(
+            F.col(day_col).cast("bigint").alias("d")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        if store is None:
+            merged = partial
+        else:
+            merged = (
+                store.drop(_BATCH_COL)
+                .unionByName(partial)
+                .groupBy("d")
+                .agg(F.sum("y").cast("bigint").alias("y"))
+            )
+        merged = merged.withColumn(_BATCH_COL, F.lit(batch_id).cast("bigint"))
+        _swap_store(sess, merged, table_path)
+
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

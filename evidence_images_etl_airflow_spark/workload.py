@@ -137,6 +137,7 @@ REGISTRY: dict[str, QueryDef] = {}
 # overwrite), repeated bench/verify invocations reuse it.
 _IVF_PQ_INDEX_BUILT: dict[str, str] = {}
 _CM_STREAM_BUILT: dict[str, str] = {}
+_CUSUM_STREAM_BUILT: dict[str, str] = {}
 
 
 def register(name: str, oracle: str | None, headline: bool = False):
@@ -10467,7 +10468,7 @@ _VERIFY_FIRST = [
     # (supplier_reliability_wilson, text_zipf_fit, sketch_hll_rollup,
     # er_fuzzy_part_pairs, data_shard_shuffle, recon_table_diff — the
     # r11 reorder rule: nothing goes five rounds unchecked), then the
-    # 31 round-12 registrations in registration order
+    # 32 round-12 registrations in registration order
     # (ep5_mart_chain_planned, dq_k_anonymity, embedding_int8_recall,
     # text_cooccurrence_pmi, plan_range_partition_report,
     # ml_calibration_curve, agg_sample_ci, events_churn_features,
@@ -10480,10 +10481,11 @@ _VERIFY_FIRST = [
     # embedding_cluster_silhouette, agg_bootstrap_ci,
     # events_weekday_seasonal_index, orders_cohort_ltv,
     # events_anomaly_deseasonalized, text_novelty_curve,
-    # customers_value_migration, sql_unpivot_year_revenue —
+    # customers_value_migration, sql_unpivot_year_revenue,
+    # streaming_cusum_monitor —
     # each carries two-scale parity proof in the r12 ledger per the
-    # registration-time rule; 6 + 31 = 37 slots, so only the first
-    # 13 oldest r09-green entries fit this head), then the oldest
+    # registration-time rule; 6 + 32 = 38 slots, so only the first
+    # 12 oldest r09-green entries fit this head), then the oldest
     # r09-green cohort
     # entries in registration order up to the 50-slot cap. The BPE
     # pair (text_bpe_vocab/text_bpe_encode, r09-green) is now
@@ -13832,6 +13834,109 @@ def sql_unpivot_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_name, yr
         """
     )
+
+
+@register(
+    "streaming_cusum_monitor",
+    oracle="""
+    WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                          CAST(count(*) AS BIGINT) AS y
+                   FROM events GROUP BY 1),
+    b AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    grid AS (SELECT unnest(generate_series(b.lo, b.hi)) AS d FROM b),
+    f AS (SELECT CAST(g.d AS BIGINT) AS d, coalesce(daily.y, 0) AS y
+          FROM grid g LEFT JOIN daily ON g.d = daily.d),
+    p AS (SELECT d, y, CAST(sum(y) OVER (ORDER BY d) AS BIGINT) AS pp,
+                 CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+          FROM f),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(max(pp) AS BIGINT) AS tt FROM p),
+    ns AS (SELECT d, pp, i, n, tt,
+                  CAST(n AS HUGEINT) * pp - CAST(i AS HUGEINT) * tt AS ns
+           FROM p CROSS JOIN t),
+    r AS (SELECT *, row_number() OVER (ORDER BY abs(ns) DESC, d) AS rk
+          FROM ns)
+    SELECT n AS n_days, tt AS total, d AS cp_day, i AS cp_index,
+           CAST(abs(ns) AS DOUBLE) AS ns_abs_max,
+           round(CAST(pp AS DOUBLE) / i, 6) AS mean_before,
+           CASE WHEN i < n THEN
+             round(CAST(tt - pp AS DOUBLE) / (n - i), 6) END AS mean_after,
+           CASE WHEN tt > 0 THEN
+             round(CAST(abs(ns) AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * tt), 6) END AS normalized_stat
+    FROM r WHERE rk = 1
+    """,
+)
+def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSUM change-point monitor fed by a STREAMING day-count
+    store (streaming/file_stream.daily_counts_stream_available_now)
+    instead of a batch scan — verified against the SAME batch oracle
+    as events_cusum_changepoint, because day counts are additive:
+    after any number of micro-batches the store is bit-identical to a
+    one-shot day-grain count over everything streamed, so the monitor
+    built on it shares the exact batch semantics (the unified-engine
+    contract the countmin twin demonstrates for sketches, here for
+    the time-series family). The corpus's day indexes land in THREE
+    files, maxFilesPerTrigger=1 forces three checkpointed
+    micro-batches, each batch's counts ADD into the persisted store
+    (per-row batch-id stamp rejects replays), and the report
+    zero-fills the calendar grid FROM THE STORE ALONE (no raw
+    re-scan) before running operators/timeseries.cusum_changepoint.
+    Scale: per-batch cost is one batch scan + an O(distinct days)
+    merge; store size is calendar-bounded forever; the report is the
+    grid-bounded CUSUM shape. NOTE: registered after the r12 verify
+    head (rotation-slot rule); parity-proven locally at sf0.001 +
+    sf0.01; queued for r13."""
+    import hashlib
+    import os
+    import tempfile
+
+    from evidence_images_etl_airflow_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+    from evidence_images_etl_airflow_spark.streaming.file_stream import (
+        daily_counts_stream_available_now,
+    )
+
+    e = _events(spark, sf_dir)
+    days = e.select(
+        F.expr("ts_us div 86400000000").cast("bigint").alias("d"),
+        (F.col("event_id") % 3).alias("__b"),
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"sgcusumstream_{hashlib.sha1(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}",
+    )
+    src, store, ck = f"{base}/src", f"{base}/store", f"{base}/ck"
+    if _CUSUM_STREAM_BUILT.get(sf_dir) != base:
+        for b in range(3):
+            (
+                days.filter(F.col("__b") == b)
+                .select("d")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{src}/f{b}")
+            )
+        daily_counts_stream_available_now(
+            spark,
+            f"{src}/f*",
+            "d bigint",
+            store,
+            ck,
+            "d",
+            max_files_per_trigger=1,
+        )
+        _CUSUM_STREAM_BUILT[sf_dir] = base
+    counts = spark.read.parquet(store).drop("_last_batch")
+    bounds = counts.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+    )
+    filled = grid.join(counts, "d", "left").select(
+        F.col("d").cast("bigint").alias("d"),
+        F.coalesce(F.col("y"), F.lit(0)).cast("bigint").alias("y"),
+    )
+    return cusum_changepoint(filled, "d", "y")
 
 
 # r11: `join_autoplan_strategy` promoted (green r10 driver row landed).

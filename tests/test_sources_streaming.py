@@ -675,3 +675,49 @@ def test_journey_sessions_stateful_cross_batch_append(spark, tmp_path):
     # session 2 ('e', timeout 3060s > final watermark 3000s) correctly
     # STAYS in the state store, not emitted
     assert got == {("A", "vcp", 3)}
+
+
+def test_daily_counts_store_equals_single_pass(spark, tmp_path):
+    """The streaming day-count store after N micro-batches is
+    bit-identical to a one-shot day-grain count over everything
+    streamed — the additivity that lets streaming_cusum_monitor share
+    the exact batch oracle."""
+    from evidence_images_etl_airflow_spark.streaming.file_stream import (
+        daily_counts_stream_available_now,
+    )
+
+    rows = [(d,) for d in [1, 1, 2, 5, 5, 5, 9]]
+    df = spark.createDataFrame(rows, "d bigint")
+    src = str(tmp_path / "src")
+    df.filter(F.col("d") <= 2).write.parquet(f"{src}/f0")
+    df.filter(F.col("d") > 2).write.parquet(f"{src}/f1")
+    store_path = str(tmp_path / "store")
+    daily_counts_stream_available_now(
+        spark,
+        f"{src}/f*",
+        "d bigint",
+        store_path,
+        str(tmp_path / "ck"),
+        "d",
+        max_files_per_trigger=1,
+    )
+    got = {
+        r["d"]: r["y"]
+        for r in spark.read.parquet(store_path).drop("_last_batch").collect()
+    }
+    assert got == {1: 2, 2: 1, 5: 3, 9: 1}
+    # replay protection: re-running the whole availableNow stream over
+    # the SAME checkpoint adds nothing (no new files)
+    daily_counts_stream_available_now(
+        spark,
+        f"{src}/f*",
+        "d bigint",
+        store_path,
+        str(tmp_path / "ck"),
+        "d",
+    )
+    got2 = {
+        r["d"]: r["y"]
+        for r in spark.read.parquet(store_path).drop("_last_batch").collect()
+    }
+    assert got2 == got
