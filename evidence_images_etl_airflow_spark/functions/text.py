@@ -373,8 +373,8 @@ def gopher_rule_columns(col: str | Column) -> dict[str, Column]:
         "r_mean_word_len": (3 * n_words <= sum_len)
         & (sum_len <= 10 * n_words),
         "r_symbol_ratio": 10 * (n_hash + n_ell) <= n_words,
-        "r_bullet_lines": 10 * n_bullet < 9 * n_lines,
-        "r_ellipsis_lines": 10 * n_ellend < 3 * n_lines,
+        "r_bullet_lines": 10 * n_bullet <= 9 * n_lines,
+        "r_ellipsis_lines": 10 * n_ellend <= 3 * n_lines,
         "r_alpha_words": 10 * n_alpha >= 8 * n_words,
         "r_stopwords": n_stop >= 2,
     }

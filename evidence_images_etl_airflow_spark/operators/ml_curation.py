@@ -350,9 +350,14 @@ def agreement_metrics(
     det = tp * tn - fp * fn  # decimal-exact cross term
     # chance-agreement denominator for kappa: (a+b)(b+d) + (a+c)(c+d)
     chance_den = (tp + fp) * (fp + tn) + (tp + fn) * (fn + tn)
-    # MCC denominator: product of the four marginals (sqrt applied in
-    # the one IEEE step below)
-    mcc_den = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    # MCC denominator, factored: sqrt(ab)·sqrt(cd) instead of
+    # sqrt(abcd). The four-marginal product overflows DECIMAL(38,0)
+    # once n exceeds ~3e9 (four factors of ~n/2 each), where Spark
+    # (non-ANSI) would return NULL; each TWO-factor product is bounded
+    # by n² ≤ 1e38 for any n ≤ ~1e19, so the decimals stay exact at
+    # corpus scale and only the two sqrt/multiply steps are IEEE.
+    mcc_den_ab = (tp + fp) * (tp + fn)
+    mcc_den_cd = (tn + fp) * (tn + fn)
     nn = F.col("n").cast("double")
     return cells.select(
         "n",
@@ -373,9 +378,12 @@ def agreement_metrics(
             ),
         ).alias("kappa"),
         F.when(
-            mcc_den > 0,
+            (mcc_den_ab > 0) & (mcc_den_cd > 0),
             F.round(
-                det.cast("double") / F.sqrt(mcc_den.cast("double")), 6
+                det.cast("double")
+                / F.sqrt(mcc_den_ab.cast("double"))
+                / F.sqrt(mcc_den_cd.cast("double")),
+                6,
             ),
         ).alias("mcc"),
     )
@@ -414,6 +422,10 @@ def pr_threshold_sweep(
         thresholds = [i / 10.0 for i in range(10)]
     if not thresholds:
         raise ValueError("thresholds must be non-empty")
+    # Dedupe + sort: duplicate grid values would collapse into one
+    # groupBy("threshold") group whose cells count every score block
+    # once per duplicate — doubled tp/fp/fn/tn, silently.
+    thresholds = sorted({float(t) for t in thresholds})
     s = F.round(F.col(score_col).cast("double"), int(resolution))
     q = df.select(s.alias("__s"), F.col(label_col).cast("int").alias("__y"))
     g = q.groupBy("__s").agg(
@@ -509,7 +521,13 @@ def source_score_alignment(
 
     d38 = "decimal(38,0)"
     s = F.round(F.col(score_col).cast("double"), int(resolution))
-    q = df.select(F.col(source_col).alias("source"), s.alias("__s"))
+    # NULL scores are excluded up front: Spark's ORDER BY places NULLs
+    # first while DuckDB places them last, so a NULL reaching the
+    # prefix window would silently shift every ccb and the median
+    # position cross-engine. A doc with no score has no rank.
+    q = df.select(F.col(source_col).alias("source"), s.alias("__s")).filter(
+        F.col("__s").isNotNull()
+    )
     # ONE corpus scan: the (source, score) grain subsumes the global
     # grain, so the global block table is derived by summing the
     # per-source counts — scoring (often a regexp pipeline) runs once,

@@ -50,8 +50,9 @@ def cusum_changepoint(df: DataFrame, day_col: str, value_col: str) -> DataFrame:
     mean_before, mean_after, normalized_stat`` where mean_before/
     after are the exact segment means around the change point (after
     is NULL when the change point is the final day) and
-    normalized_stat = ns_abs_max / (N·T) in [0, ~0.25] (NULL when
-    T = 0)."""
+    normalized_stat = ns_abs_max / (N·|T|) in [0, ~0.25] for
+    non-negative series (NULL when T = 0). Values may be negative:
+    T is the exact series sum, not the prefix maximum."""
     w = Window.orderBy("__d")
     base = df.select(
         F.col(day_col).cast("bigint").alias("__d"),
@@ -67,7 +68,9 @@ def cusum_changepoint(df: DataFrame, day_col: str, value_col: str) -> DataFrame:
     )
     tot = pref.agg(
         F.count(F.lit(1)).cast("bigint").alias("__n"),
-        F.coalesce(F.max("__p"), F.lit(0)).cast("bigint").alias("__t"),
+        # T is the series SUM, not max(prefix): the two agree only for
+        # non-negative series, and value_col is an arbitrary bigint.
+        F.coalesce(F.sum("__y"), F.lit(0)).cast("bigint").alias("__t"),
     )
     ns = pref.crossJoin(F.broadcast(tot)).withColumn(
         "__ns",
@@ -94,10 +97,13 @@ def cusum_changepoint(df: DataFrame, day_col: str, value_col: str) -> DataFrame:
             F.col("__i") < F.col("__n"), F.round(after_n / after_c, 6)
         ).alias("mean_after"),
         F.when(
-            F.col("__t") > 0,
+            F.col("__t") != 0,
             F.round(
                 F.abs(F.col("__ns")).cast("double")
-                / (F.col("__n").cast("double") * F.col("__t").cast("double")),
+                / (
+                    F.col("__n").cast("double")
+                    * F.abs(F.col("__t")).cast("double")
+                ),
                 6,
             ),
         ).alias("normalized_stat"),

@@ -10399,103 +10399,94 @@ def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # already-multiply-verified trivia trail past the cap. Everything not
 # listed follows in registration order.
 _VERIFY_FIRST = [
-    # ---- round-12 head (VERDICT r11 item 1, the standing rotation
-    # rule continued): the 2 r07-cohort spills from the r11 plan
-    # first, then the 4 round-11 registrations with no driver row yet
-    # (each parity-proven locally at sf0.001 + sf0.01 per the r11
-    # ledger AND judge-parity-green at sf0.01 in the r11 verdict),
-    # then the first 44 of the 50-query r08-green cohort in
-    # registration order = exactly the driver's 50-query cap. After
-    # this round no registered query's latest green is older than r09
-    # except the 6 newest r08-cohort entries that spill to r13 (listed
-    # below the cap — they MUST lead the r13 head).
-    # -- 2 r07 spills (oldest-risk, would hit five rounds unchecked)
-    "sketch_quantile_rollup",
-    "join_bloom_prefilter",
-    # -- 4 round-11 registrations, never driver-checked
-    "recon_cdf_apply",
-    "embedding_drift_monitor",
-    "join_chain_autoplan",
-    "events_experiment_lift",
-    # -- first 44 of the r08-green cohort, registration order
-    "t1_bool_coercion",
-    "t4_t5_arrays",
-    "u1_union_by_name",
-    "t9_fold_concat",
-    "t8_interval_ship_delay",
-    "ep1_fused_pipeline",
-    "sql_recursive_order_chain",
-    "agg_approx_percentiles",
-    "agg_approx_distinct",
-    "window_running_total",
-    "window_sliding_7d",
-    "window_topk_per_group",
-    "cdc_last_writer_wins",
-    "events_decay_trending",
-    "streaming_windowed_counts",
-    "streaming_sliding_counts",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "curation_ensemble_score",
-    "text_markup_extract",
-    "dedup_exact",
-    "dedup_store_bloom_survivors",
-    "text_token_entropy",
-    "dedup_residual_report",
-    "curation_source_overlap",
-    "dedup_winnowing_pairs",
-    "ep3_training_data_pipeline",
-    "curation_url_dedup",
-    "dedup_clusters_twophase",
-    "ann_pq_rerank_topk",
-    "ann_pq_topk",
-    "ann_ivf_pq_topk",
-    "multimodal_audio_features",
-    "text_bm25_search",
-    "window_distribution_ranks",
-    "profile_pareto_frontier",
-    "streaming_static_enrich",
-    "text_keyword_extract",
-    "window_topk_salted",
-    "intervals_merge_islands",
-    "graph_triangle_stats",
-    "events_anomaly_mad",
-    # ---- past the driver's 50-row cap: the r13 head, fully
-    # enumerated (the r10→r12 precedent — hold the r13 builder to it):
-    # FIRST the 6 newest r08-cohort entries that spilled here
-    # (supplier_reliability_wilson, text_zipf_fit, sketch_hll_rollup,
-    # er_fuzzy_part_pairs, data_shard_shuffle, recon_table_diff — the
-    # r11 reorder rule: nothing goes five rounds unchecked), then the
-    # 32 round-12 registrations in registration order
-    # (ep5_mart_chain_planned, dq_k_anonymity, embedding_int8_recall,
-    # text_cooccurrence_pmi, plan_range_partition_report,
-    # ml_calibration_curve, agg_sample_ci, events_churn_features,
-    # ml_roc_auc, customers_revenue_gini, events_attribution_last_touch,
-    # orders_interarrival_profile, events_active_users_stickiness,
-    # dq_referential_orphans, agg_stratified_ci, events_forecast_mase,
-    # ml_agreement_kappa, ml_pr_threshold_sweep,
-    # events_cusum_changepoint, events_ewma_daily, text_gopher_rules,
-    # curation_score_alignment, parts_abc_classification,
-    # embedding_cluster_silhouette, agg_bootstrap_ci,
-    # events_weekday_seasonal_index, orders_cohort_ltv,
-    # events_anomaly_deseasonalized, text_novelty_curve,
-    # customers_value_migration, sql_unpivot_year_revenue,
-    # streaming_cusum_monitor —
-    # each carries two-scale parity proof in the r12 ledger per the
-    # registration-time rule; 6 + 32 = 38 slots, so only the first
-    # 12 oldest r09-green entries fit this head), then the oldest
-    # r09-green cohort
-    # entries in registration order up to the 50-slot cap. The BPE
-    # pair (text_bpe_vocab/text_bpe_encode, r09-green) is now
-    # HEAD-ELIGIBLE: the ~10-min-each cost was the ORACLE — DuckDB
-    # inlines CTEs by default, and the 12-round merge chain references
-    # each round twice, so the unrolled replay re-evaluated the corpus
-    # tokenization ~2^12 times; `AS MATERIALIZED` on the chained CTEs
-    # (semantics-preserving) dropped the PAIR to ~30 s total at
-    # sf0.01 (r12, parity re-proven). Rotate it with its cohort
-    # normally from r13 on.
+    # ---- r13 head (exactly the enumeration committed at r12 and held
+    # to by the r12 verdict): FIRST the 6 r08-cohort entries that had
+    # spilled past the cap since r08 (the r11 reorder rule: nothing
+    # goes five rounds unchecked) ...
+    "supplier_reliability_wilson",
+    "text_zipf_fit",
+    "sketch_hll_rollup",
+    "er_fuzzy_part_pairs",
+    "data_shard_shuffle",
+    "recon_table_diff",
+    # ... then the 32 round-12 registrations in registration order
+    # (each carried two-scale parity proof at registration time and
+    # was judge-parity-green at sf0.01 in the r12 verdict session) ...
+    "ep5_mart_chain_planned",
+    "dq_k_anonymity",
+    "embedding_int8_recall",
+    "text_cooccurrence_pmi",
+    "plan_range_partition_report",
+    "ml_calibration_curve",
+    "agg_sample_ci",
+    "events_churn_features",
+    "ml_roc_auc",
+    "customers_revenue_gini",
+    "events_attribution_last_touch",
+    "orders_interarrival_profile",
+    "events_active_users_stickiness",
+    "dq_referential_orphans",
+    "agg_stratified_ci",
+    "events_forecast_mase",
+    "ml_agreement_kappa",
+    "ml_pr_threshold_sweep",
+    "events_cusum_changepoint",
+    "events_ewma_daily",
+    "text_gopher_rules",
+    "curation_score_alignment",
+    "parts_abc_classification",
+    "embedding_cluster_silhouette",
+    "agg_bootstrap_ci",
+    "events_weekday_seasonal_index",
+    "orders_cohort_ltv",
+    "events_anomaly_deseasonalized",
+    "text_novelty_curve",
+    "customers_value_migration",
+    "sql_unpivot_year_revenue",
+    "streaming_cusum_monitor",
+    # ... then the 12 oldest r09-green entries in registration order
+    # (6 + 32 + 12 = 50, the driver cap).
+    "flagship_image_urls",
+    "p1_projection",
+    "p2_nonempty_filter",
+    "j2_conflict_skip",
+    "j3_merge_upsert",
+    "p4_like_predicate",
+    "q4_semi_join",
+    "q13_outer_join_distribution",
+    "q17_scalar_subquery",
+    "q6_forecast_revenue",
+    "q12_priority_shipping",
+    "q14_promo_revenue",
+    # ---- past the driver's 50-row cap: the r14 head, fully
+    # enumerated (hold the r14 builder to it): the remaining 38
+    # r09-green entries in registration order —
+    # q18_large_volume_orders, q19_disjunctive_predicates,
+    # q7_nation_trade_volume, q10_returned_revenue, q15_top_supplier,
+    # q22_idle_rich_customers, q2_min_cost_supplier, q8_market_share,
+    # q9_product_profit, q21_late_supplier_alone, q5_nation_revenue,
+    # text_bpe_encode, text_bpe_vocab (the BPE pair rotates normally
+    # now that its oracle is linear — r12's AS MATERIALIZED fix),
+    # dedup_span_exact, dedup_minhash_lsh, split_leakage_audit,
+    # curation_template_ngrams, data_quality_weighted_sample,
+    # data_token_budget_mixture, ep2_curation_pipeline,
+    # curation_lm_perplexity, multimodal_phash_near,
+    # dedup_semantic_kmeans, ml_quality_classifier,
+    # ann_ivf_pq_indexed, scd2_asof_lookup,
+    # sketch_quantile_coarse_rollup, zorder_locality_stats,
+    # data_group_split, profile_key_candidates, timeseries_gapfill,
+    # dedup_prefix_filter_pairs, sketch_countmin_estimates,
+    # curation_dsir_selection, streaming_countmin_estimates,
+    # dq_benford_prices, orders_revenue_trend,
+    # sketch_join_size_estimate — then the 12 oldest r10-green
+    # entries in registration order (t2_t3_string_nan_normalization,
+    # j4_keyed_update, udtf_token_chunks, sql_api_revenue_by_status,
+    # q11_important_stock, q16_supplier_counts, q20_excess_suppliers,
+    # q1_pricing_summary, q3_top_revenue_orders, agg_grouping_sets,
+    # agg_pivot_nation_year, events_sessionization). Any r13
+    # registration pre-empts the r10-green tail (never the spill or
+    # stale cohorts) and must carry two-scale parity proof in the r13
+    # ledger per the registration-time rule.
 ]
 
 
@@ -12628,7 +12619,9 @@ def events_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + CAST(both_pos + b_only AS HUGEINT) * (b_only + both_neg)
                    AS chance_den,
                  CAST(both_pos + a_only AS HUGEINT) * (both_pos + b_only)
-                   * (both_neg + a_only) * (both_neg + b_only) AS mcc_den
+                   AS mcc_den_ab,
+                 CAST(both_neg + a_only AS HUGEINT) * (both_neg + b_only)
+                   AS mcc_den_cd
           FROM cells)
     SELECT n, both_pos, a_only, b_only, both_neg,
            CASE WHEN n > 0 THEN
@@ -12637,8 +12630,9 @@ def events_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN chance_den > 0 THEN
              round(2.0 * CAST(det AS DOUBLE) / CAST(chance_den AS DOUBLE), 6)
            END AS kappa,
-           CASE WHEN mcc_den > 0 THEN
-             round(CAST(det AS DOUBLE) / sqrt(CAST(mcc_den AS DOUBLE)), 6)
+           CASE WHEN mcc_den_ab > 0 AND mcc_den_cd > 0 THEN
+             round(CAST(det AS DOUBLE) / sqrt(CAST(mcc_den_ab AS DOUBLE))
+                   / sqrt(CAST(mcc_den_cd AS DOUBLE)), 6)
            END AS mcc
     FROM x
     """,
@@ -12777,7 +12771,7 @@ _EWMA_DECAY = (7, 10)
                  CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
           FROM f),
     t AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                 CAST(max(pp) AS BIGINT) AS tt FROM p),
+                 CAST(coalesce(sum(y), 0) AS BIGINT) AS tt FROM p),
     ns AS (SELECT d, pp, i, n, tt,
                   CAST(n AS HUGEINT) * pp - CAST(i AS HUGEINT) * tt AS ns
            FROM p CROSS JOIN t),
@@ -12788,9 +12782,9 @@ _EWMA_DECAY = (7, 10)
            round(CAST(pp AS DOUBLE) / i, 6) AS mean_before,
            CASE WHEN i < n THEN
              round(CAST(tt - pp AS DOUBLE) / (n - i), 6) END AS mean_after,
-           CASE WHEN tt > 0 THEN
+           CASE WHEN tt <> 0 THEN
              round(CAST(abs(ns) AS DOUBLE)
-                   / (CAST(n AS DOUBLE) * tt), 6) END AS normalized_stat
+                   / (CAST(n AS DOUBLE) * abs(tt)), 6) END AS normalized_stat
     FROM r WHERE rk = 1
     """,
 )
@@ -12928,15 +12922,15 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
            (3 * n_words <= sum_len AND sum_len <= 10 * n_words)
              AS r_mean_word_len,
            (10 * (n_hash + n_ell) <= n_words) AS r_symbol_ratio,
-           (10 * n_bullet < 9 * n_lines) AS r_bullet_lines,
-           (10 * n_ellend < 3 * n_lines) AS r_ellipsis_lines,
+           (10 * n_bullet <= 9 * n_lines) AS r_bullet_lines,
+           (10 * n_ellend <= 3 * n_lines) AS r_ellipsis_lines,
            (10 * n_alpha >= 8 * n_words) AS r_alpha_words,
            (n_stopwords >= 2) AS r_stopwords,
            ((n_words >= 50 AND n_words <= 100000)
             AND (3 * n_words <= sum_len AND sum_len <= 10 * n_words)
             AND (10 * (n_hash + n_ell) <= n_words)
-            AND (10 * n_bullet < 9 * n_lines)
-            AND (10 * n_ellend < 3 * n_lines)
+            AND (10 * n_bullet <= 9 * n_lines)
+            AND (10 * n_ellend <= 3 * n_lines)
             AND (10 * n_alpha >= 8 * n_words)
             AND (n_stopwords >= 2)) AS pass_gopher
     FROM m
@@ -12975,7 +12969,8 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "curation_score_alignment",
     oracle=f"""
-    WITH s AS (SELECT source, {_QUALITY_SQL} AS sc FROM documents),
+    WITH s0 AS (SELECT source, {_QUALITY_SQL} AS sc FROM documents),
+    s AS (SELECT source, sc FROM s0 WHERE sc IS NOT NULL),
     g AS (SELECT sc, CAST(count(*) AS BIGINT) AS cg FROM s GROUP BY sc),
     gb AS (SELECT sc, cg,
                   CAST(coalesce(sum(cg) OVER (ORDER BY sc
@@ -13850,7 +13845,7 @@ def sql_unpivot_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
           FROM f),
     t AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                 CAST(max(pp) AS BIGINT) AS tt FROM p),
+                 CAST(coalesce(sum(y), 0) AS BIGINT) AS tt FROM p),
     ns AS (SELECT d, pp, i, n, tt,
                   CAST(n AS HUGEINT) * pp - CAST(i AS HUGEINT) * tt AS ns
            FROM p CROSS JOIN t),
@@ -13861,9 +13856,9 @@ def sql_unpivot_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(pp AS DOUBLE) / i, 6) AS mean_before,
            CASE WHEN i < n THEN
              round(CAST(tt - pp AS DOUBLE) / (n - i), 6) END AS mean_after,
-           CASE WHEN tt > 0 THEN
+           CASE WHEN tt <> 0 THEN
              round(CAST(abs(ns) AS DOUBLE)
-                   / (CAST(n AS DOUBLE) * tt), 6) END AS normalized_stat
+                   / (CAST(n AS DOUBLE) * abs(tt)), 6) END AS normalized_stat
     FROM r WHERE rk = 1
     """,
 )

@@ -335,6 +335,42 @@ def test_pr_threshold_sweep_validates_grid(spark):
         pr_threshold_sweep(df, "score", "y", thresholds=[])
 
 
+def test_pr_threshold_sweep_dedupes_duplicate_thresholds(spark):
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        pr_threshold_sweep,
+    )
+
+    # A duplicated grid value must yield ONE row with single-counted
+    # cells, not a collapsed group that double-counts every block.
+    rows = [(0.9, 1), (0.7, 0), (0.3, 1)]
+    df = spark.createDataFrame(rows, "score double, y int")
+    out = pr_threshold_sweep(
+        df, "score", "y", thresholds=[0.5, 0.5, 0.5]
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (1, 1, 1, 0)
+
+
+def test_agreement_metrics_mcc_factored_matches_textbook(spark):
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        agreement_metrics,
+    )
+
+    # Regression for the factored denominator (det/sqrt(ab)/sqrt(cd)
+    # instead of det/sqrt(abcd) — the four-marginal DECIMAL(38,0)
+    # product overflows to NULL once n exceeds ~3e9 under non-ANSI
+    # Spark, while each two-factor product is bounded by n²): the
+    # factored form must still equal the textbook MCC.
+    a, b, c, d = 20, 5, 10, 15
+    rows = [(1, 1)] * a + [(1, 0)] * b + [(0, 1)] * c + [(0, 0)] * d
+    df = spark.createDataFrame(rows, "ra int, rb int")
+    r = agreement_metrics(df, "ra", "rb").collect()[0]
+    det = a * d - b * c
+    factored = det / ((a + b) * (a + c)) ** 0.5 / ((d + b) * (d + c)) ** 0.5
+    assert r["mcc"] == round(factored, 6)
+
+
 def test_source_score_alignment_hand_case(spark):
     from evidence_images_etl_airflow_spark.operators.ml_curation import (
         source_score_alignment,
@@ -357,6 +393,29 @@ def test_source_score_alignment_hand_case(spark):
     assert out["A"]["n_above_median"] == 0
     assert out["B"]["n_above_median"] == 2
     assert out["B"]["share_above_median"] == 1.0
+
+
+def test_source_score_alignment_ignores_null_scores(spark):
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        source_score_alignment,
+    )
+
+    # NULL scores are dropped up front (Spark orders NULLs first,
+    # DuckDB last — unrankable rows must not shift ccb or the median).
+    # With the NULLs removed this is exactly the hand case above.
+    rows = [
+        ("A", 0.2), ("A", 0.4), ("A", None),
+        ("B", 0.6), ("B", 0.8), ("B", None),
+    ]
+    df = spark.createDataFrame(rows, "source string, score double")
+    out = {
+        r["source"]: r
+        for r in source_score_alignment(df, "source", "score").collect()
+    }
+    assert out["A"]["n_docs"] == 2 and out["B"]["n_docs"] == 2
+    assert out["A"]["mean_pctile"] == 0.375
+    assert out["B"]["mean_pctile"] == 0.875
+    assert out["B"]["n_above_median"] == 2
 
 
 def test_source_score_alignment_ties_use_midranks(spark):

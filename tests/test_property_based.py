@@ -605,7 +605,7 @@ def test_gopher_rules_match_python_re_reimplementation(spark, lines):
     assert got["r_word_count"] == (50 <= n_words <= 100000)
     assert got["r_mean_word_len"] == (3 * n_words <= sum_len <= 10 * n_words)
     assert got["r_symbol_ratio"] == (10 * (n_hash + n_ell) <= n_words)
-    assert got["r_bullet_lines"] == (10 * n_bullet < 9 * n_lines)
-    assert got["r_ellipsis_lines"] == (10 * n_ellend < 3 * n_lines)
+    assert got["r_bullet_lines"] == (10 * n_bullet <= 9 * n_lines)
+    assert got["r_ellipsis_lines"] == (10 * n_ellend <= 3 * n_lines)
     assert got["r_alpha_words"] == (10 * n_alpha >= 8 * n_words)
     assert got["r_stopwords"] == (n_stop >= 2)

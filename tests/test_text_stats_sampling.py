@@ -664,8 +664,9 @@ def test_gopher_rules_hand_cases(spark):
     s = out[1]
     assert not s["r_word_count"] and s["r_stopwords"] and not s["pass_gopher"]
     b = out[2]
-    # 2 bullet lines of 3 -> 20 < 27 passes; bullet rule fails only
-    # when >= 90% of lines are bullets
+    # 2 bullet lines of 3 -> 20 <= 27 passes; Gopher (Rae et al. 2021)
+    # removes docs with MORE THAN 90% bullet lines, so the boundary is
+    # inclusive: exactly 90% still passes, only > 90% fails
     assert b["r_bullet_lines"]
     two_of_two = spark.createDataFrame(
         [(9, "- a b\n- c d")], "doc_id bigint, text string"
@@ -673,7 +674,15 @@ def test_gopher_rules_hand_cases(spark):
     bb = two_of_two.select(
         *[v.alias(k) for k, v in gopher_rule_columns(F.col("text")).items()]
     ).collect()[0]
-    assert not bb["r_bullet_lines"]  # 100% bullet lines
+    assert not bb["r_bullet_lines"]  # 100% bullet lines: 20 > 18
+    nine_of_ten = spark.createDataFrame(
+        [(10, "\n".join(["- b"] * 9 + ["plain text line"]))],
+        "doc_id bigint, text string",
+    )
+    b9 = nine_of_ten.select(
+        *[v.alias(k) for k, v in gopher_rule_columns(F.col("text")).items()]
+    ).collect()[0]
+    assert b9["r_bullet_lines"]  # exactly 90%: 90 <= 90 kept (paper)
     sy = out[3]
     # 30 '#' in 62 words: 300 > 62 -> symbol rule fails
     assert not sy["r_symbol_ratio"] and not sy["pass_gopher"]

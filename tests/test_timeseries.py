@@ -33,6 +33,32 @@ def test_cusum_all_zero_series_is_degenerate(spark):
     assert r["mean_before"] == 0.0
 
 
+def test_cusum_handles_negative_values(spark):
+    # 3 days at +4, then 3 days at -4: T = sum(y) = 0, NOT max(prefix)
+    # (=12). With T=0, NS_i = 6*P_i and the argmax is the last
+    # positive day (P_3 = 12, |NS_3| = 72); normalized_stat is NULL.
+    rows = [(1, 4), (2, 4), (3, 4), (4, -4), (5, -4), (6, -4)]
+    df = spark.createDataFrame(rows, "d bigint, y bigint")
+    r = cusum_changepoint(df, "d", "y").collect()[0]
+    assert r["total"] == 0
+    assert (r["cp_day"], r["cp_index"]) == (3, 3)
+    assert r["ns_abs_max"] == 72.0
+    assert r["mean_before"] == 4.0 and r["mean_after"] == -4.0
+    assert r["normalized_stat"] is None
+
+
+def test_cusum_negative_total_normalizes_by_abs(spark):
+    # All-negative series: T = -6; the stat still normalizes by N*|T|.
+    df = spark.createDataFrame(
+        [(1, -1), (2, -1), (3, -4)], "d bigint, y bigint"
+    )
+    r = cusum_changepoint(df, "d", "y").collect()[0]
+    assert r["total"] == -6
+    # NS_i = 3*P_i - i*(-6): NS_1 = 3, NS_2 = 6, NS_3 = 0 -> cp at i=2.
+    assert (r["cp_day"], r["cp_index"]) == (2, 2)
+    assert r["normalized_stat"] == round(6 / (3 * 6), 6)
+
+
 def test_ewma_head_renormalizes_and_weights_exactly(spark):
     # window=2, decay 1/2 -> integer weights w0=2, w1=1.
     # day 1: only its own value; day 2: (2*6 + 1*3)/3 = 5, resid 1.
