@@ -207,12 +207,40 @@ def ngram_containment_pairs(
     return ab.unionByName(ba).filter(F.col("containment") >= threshold)
 
 
+def _advise_shingle_shuffle_width(sh: DataFrame, target_bytes: int) -> int:
+    """Advisor-driven shuffle width for the shingle-table stages
+    (r12 verdict item): ``plan_shuffle_partitions`` over
+    ``table_size_stats`` of the exact shingle frame — one extra
+    row-local pass (tokenize + shingle + 1-row global agg, NO
+    shuffle), the same constant-bounded driver read every planner in
+    this repo performs. The session's ``spark.sql.shuffle.partitions``
+    is the floor — the advisor only scales UP when the measured bytes
+    outgrow the session width — and the advisor's own 200k cap is the
+    ceiling."""
+    from evidence_images_etl_airflow_spark.operators.skew import (
+        plan_shuffle_partitions,
+        table_size_stats,
+    )
+
+    session_width = int(
+        sh.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    return int(
+        plan_shuffle_partitions(
+            table_size_stats(sh),
+            target_bytes_per_partition=int(target_bytes),
+            min_partitions=session_width,
+        ).first()["partitions"]
+    )
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    shuffle_target_bytes: int | None = 16 << 20,
 ) -> DataFrame:
     """LOSSLESS prefix-filtered shingle-Jaccard join — the AllPairs /
     PPJoin candidate scheme (Bayardo et al., WWW'07; Xiao et al.,
@@ -257,8 +285,43 @@ def prefix_filter_jaccard_pairs(
     index, then verification by array_intersect on candidate-joined
     arrays — O(candidates x doc_len) row-local work, no corpus-wide
     explode pass. No O(N^2) phase, no lossy cap, no global sort.
+
+    Shuffle sizing (r12 verdict item, r13): the operator's structural
+    cost is its shingle-table shuffles (df attach, per-doc canon agg,
+    prefix self-join) — a measured A/B at the 100x corpus read 139.1 s
+    at the session's 32 partitions vs 114.9 s at a hand-picked 128
+    (~17%, the spill-pressure share). Instead of a constant, the
+    width now comes from the repo's own advisor:
+    ``plan_shuffle_partitions`` over ``table_size_stats`` of the
+    shingle table (one extra row-local scan — tokenize + shingle +
+    1-row agg, NO shuffle — amortized by the shuffles it sizes; the
+    same constant-bounded driver read every planner performs).
+    ``shuffle_target_bytes`` defaults to 16 MiB of RAW shingle bytes
+    per partition, NOT the 128 MiB parquet-split convention: the
+    per-doc agg holds collect_list'd (df, shingle) structs in its
+    hash map, and small JVM objects expand serialized bytes ~8-10x,
+    so 16 MiB raw keeps per-task agg memory near the ~128-160 MB
+    execution-memory budget a 32-thread shared heap allows. The
+    session width is the floor (the advisor only scales UP — tiny
+    corpora keep their parallelism), 200k the ceiling. Pass
+    ``shuffle_target_bytes=None`` to disable the advisor entirely
+    (stock exchanges at whatever width the session/AQE picks — the
+    pre-r13 behavior, kept as the A/B control and for callers that
+    size the session themselves).
     """
     sh = _doc_shingles(df, id_col, text_col, n)
+    n_parts = (
+        None
+        if shuffle_target_bytes is None
+        else _advise_shingle_shuffle_width(sh, int(shuffle_target_bytes))
+    )
+    if n_parts is not None:
+        # Hash-layout the shingle table ONCE at the advised width: the
+        # freq agg reuses it (HashPartitioning(shingle, N) satisfies
+        # the agg's clustering, no second exchange) and the df-attach
+        # join zips the two sides exchange-free (freq inherits N from
+        # its agg).
+        sh = sh.repartition(n_parts, "shingle")
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
     # One per-doc hash agg builds the canon-ordered shingle array —
     # deliberately NOT a row_number window: the window's per-doc sort
@@ -268,8 +331,14 @@ def prefix_filter_jaccard_pairs(
     # per ROW after a plain hash agg. collect_list order is
     # nondeterministic; array_sort over (df_, shingle) structs restores
     # the total canon (shingles are distinct per doc, so no ties).
+    attached = sh.join(freq, "shingle")
+    if n_parts is not None:
+        # re-key the attach output at the advised width before the
+        # canon-array agg — the collect_list hash map is the operator's
+        # peak-memory stage, exactly what the raw-bytes target sizes
+        attached = attached.repartition(n_parts, "id")
     arr = (
-        sh.join(freq, "shingle")
+        attached
         .groupBy("id")
         .agg(F.array_sort(F.collect_list(F.struct("df_", "shingle"))).alias("a"))
         .select(
@@ -295,6 +364,12 @@ def prefix_filter_jaccard_pairs(
             F.slice(F.col("shingles"), F.lit(1), F.col("sz") - need + F.lit(1))
         ).alias("shingle"),
     )
+    if n_parts is not None:
+        # size the candidate self-join's exchanges too: renaming id to
+        # id_a/id_b below leaves HashPartitioning(shingle, N) intact,
+        # so each side pays exactly this one advised-width exchange
+        # (off the cached arr) and the join itself adds none
+        prefix = prefix.repartition(n_parts, "shingle")
     a = prefix.select(F.col("id").alias("id_a"), "shingle", F.col("sz").alias("sz_a"))
     b = prefix.select(F.col("id").alias("id_b"), "shingle", F.col("sz").alias("sz_b"))
     cand = (

@@ -596,3 +596,42 @@ def source_score_alignment(
         )
         .orderBy("source")
     )
+
+
+def materialize_score_table(
+    df: DataFrame,
+    score: F.Column,
+    path: str,
+    carry_cols: list[str] | None = None,
+) -> None:
+    """Score ONCE into a curated column table (r12 verdict item 4):
+    evaluate ``score`` over the corpus a single time and write
+    ``(carry_cols..., score)`` to ``path`` as parquet; every metric
+    downstream (ROC-AUC, calibration, kappa, PR sweep, score
+    alignment) consumes the stored column instead of re-running the
+    scorer.
+
+    Why this is a first-class operator and not a caller detail: the
+    five scoring-metric queries share one linear term — the
+    quality-score expression itself (a regexp + token pipeline,
+    ~20 s each at the 100x corpus, SCALING.md) — while their metric
+    machinery is grid-bounded and ~flat. Five queries each scoring
+    the corpus = five corpus scans of the expensive expression; at
+    100 TB that is the entire cost. Scoring once turns the quintet
+    into one scoring pass + five cheap column scans, and any future
+    threshold re-sweep or metric re-run is a column read, not a
+    re-score. This is the standard curated-layer move every
+    production training-data pipeline makes (score at ingest, filter
+    forever after).
+
+    Plan shape: one corpus scan, row-local scoring (whole-stage
+    codegen — quality-style scores are pure column expressions), a
+    columnar write. No shuffle at all unless the caller pre-lays-out
+    the frame (compose with ``skew.repartition_by_stats`` for a
+    statistic-driven file layout when writing a permanent table).
+    Overwrite mode keeps the build idempotent — re-running replaces,
+    never duplicates."""
+    cols = list(carry_cols or [])
+    df.select(*cols, score.alias("score")).write.mode("overwrite").parquet(
+        path
+    )

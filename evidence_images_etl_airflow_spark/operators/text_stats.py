@@ -322,16 +322,25 @@ def shingle_first_occurrence(
     every carried column (via min_by on the unique id, deterministic).
     One explode, one groupBy(shingle), one shingle-keyed join; the
     per-shingle min collapses the corpus to |distinct shingles| rows,
-    so downstream consumers never see a pairwise join."""
+    so downstream consumers never see a pairwise join.
+
+    The per-doc dedup is ``array_distinct`` INSIDE the shingle array,
+    not a corpus-wide ``.distinct()`` after the explode (r13): the
+    two are equivalent — carry_cols are functionally dependent on the
+    unique id, so global (id, carry..., shingle) distinct IS per-doc
+    shingle distinct — but ``.distinct()`` shuffles every shingle
+    occurrence corpus-wide while ``array_distinct`` dedupes row-
+    locally inside codegen, removing one full corpus shuffle from
+    every consumer of this skeleton."""
     sel = [F.col(id_col).alias("id")] + [F.col(c) for c in carry_cols]
     tk = df.select(*sel, tokens(F.col(text_col)).alias("__tk"))
     sh = tk.select(
         "id",
         *carry_cols,
-        F.explode(shingles_from_tokens(F.col("__tk"), shingle_n)).alias(
-            "shingle"
-        ),
-    ).distinct()
+        F.explode(
+            F.array_distinct(shingles_from_tokens(F.col("__tk"), shingle_n))
+        ).alias("shingle"),
+    )
     aggs = [F.min("id").alias("first_id")] + [
         F.min_by(c, "id").alias(f"first_{c}") for c in carry_cols
     ]

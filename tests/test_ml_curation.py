@@ -432,3 +432,33 @@ def test_source_score_alignment_ties_use_midranks(spark):
     for r in out:
         assert r["mean_pctile"] == 0.625
         assert r["n_above_median"] == 0
+
+
+def test_materialize_score_table_roundtrip_and_idempotent(spark, tmp_path):
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        materialize_score_table,
+    )
+
+    rows = [(1, "a", "x y z"), (2, "b", "p q"), (3, "a", "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    path = str(tmp_path / "scored")
+    score = F.round(F.length("text") / 10.0, 6)
+    materialize_score_table(df, score, path, carry_cols=["doc_id", "source"])
+    got = {r["doc_id"]: r for r in spark.read.parquet(path).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["score"] == 0.5 and got[1]["source"] == "a"
+    assert got[3]["score"] == 0.0
+    # overwrite mode: a rebuild replaces, never duplicates
+    materialize_score_table(df, score, path, carry_cols=["doc_id", "source"])
+    assert spark.read.parquet(path).count() == 3
+
+
+def test_roc_auc_precomputed_matches_inline(spark):
+    """The differential claim the registered query makes: AUC over the
+    materialized score column == AUC over the inline-scored frame."""
+    from evidence_images_etl_airflow_spark.workload import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    pre = REGISTRY["ml_roc_auc_precomputed"].fn(spark, sf).collect()
+    inline = REGISTRY["ml_roc_auc"].fn(spark, sf).collect()
+    assert [tuple(r) for r in pre] == [tuple(r) for r in inline]

@@ -913,3 +913,42 @@ def test_label_centroid_silhouette_single_label_is_null(spark):
     )
     r = label_centroid_silhouette(df, "vec_id", "embedding", "label").collect()[0]
     assert r["n_vectors"] == 2 and r["mean_silhouette"] is None
+
+
+def test_prefix_filter_advisor_width_floors_at_session(spark):
+    """The shuffle-width advisor (r13): on a tiny corpus the measured
+    shingle bytes sit far below one 16 MiB target partition, so the
+    advised width must CLAMP UP to the session's shuffle width (the
+    floor — the advisor only ever scales up), and the advised run must
+    return exactly the stock (shuffle_target_bytes=None) pairs."""
+    from evidence_images_etl_airflow_spark.operators.dedup import (
+        _advise_shingle_shuffle_width,
+        _doc_shingles,
+        prefix_filter_jaccard_pairs,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "one two three four five six seven eight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sh = _doc_shingles(df, "doc_id", "text", 3)
+    width = _advise_shingle_shuffle_width(sh, 16 << 20)
+    assert width == int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def key(r):
+        return (r["id_a"], r["id_b"], r["jaccard"])
+
+    advised = sorted(
+        map(key, prefix_filter_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.5
+        ).collect())
+    )
+    stock = sorted(
+        map(key, prefix_filter_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.5,
+            shuffle_target_bytes=None,
+        ).collect())
+    )
+    assert advised == stock and advised  # identical and non-vacuous
