@@ -618,6 +618,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     verify_threshold: float | None = 0.5,
+    shuffle_target_bytes: int | None = None,
 ) -> DataFrame:
     """MinHash banding: split the k-hash signature into ``bands`` bands
     of k/bands rows; docs agreeing on ANY full band become candidate
@@ -637,9 +638,31 @@ def minhash_lsh_pairs(
             "hp", _base_hash(F.col("shingle"))
         )
     )
+    shp = sh
+    if shuffle_target_bytes is not None:
+        # Advisor hook, default OFF for this operator (r13, measured):
+        # an interleaved median A/B at the salted 100x corpus read
+        # stock 29.8 s vs advised 44.4 s — the OPPOSITE of the prefix
+        # filter's result, for a structural reason worth recording.
+        # Pre-repartitioning by id replaces the signature agg's
+        # exchange, but that agg's map-side partials collapse the
+        # shingle table ~|shingles-per-doc|x BEFORE the exchange
+        # (min-hash partials are one row per (doc, hash)); the raw
+        # repartition ships every shingle occurrence instead. On top,
+        # the stats pass is ~40% of this operator's whole quiet-window
+        # cost (minhash is ~30 s at 100x where the prefix filter is
+        # 100+ s). Sizing helps operators whose dominant aggs carry
+        # their full payload through partials (collect_list/collect_set
+        # canon builds); it hurts ones whose partials REDUCE. The hook
+        # stays for corpora where the collect_set verify stage
+        # dominates (deep dup clusters); callers opt in explicitly.
+        n_parts = _advise_shingle_shuffle_width(
+            sh, int(shuffle_target_bytes)
+        )
+        shp = sh.repartition(n_parts, "id")
     # the band self-join reads the signature table from BOTH sides;
     # materializing the O(docs)-row table caps the k-hash agg at one pass
-    sig = _materialized(sh.groupBy("id").agg(*_sig_aggs(num_hashes)))
+    sig = _materialized(shp.groupBy("id").agg(*_sig_aggs(num_hashes)))
     banded = _band_keys(sig, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -672,7 +695,7 @@ def minhash_lsh_pairs(
     # shingles| ~ doc tokens, the bound every per-doc-array op in this
     # module already carries.
     arrs = _materialized(
-        sh.groupBy("id").agg(F.collect_set("shingle").alias("__shs"))
+        shp.groupBy("id").agg(F.collect_set("shingle").alias("__shs"))
     )
     return (
         cands.join(

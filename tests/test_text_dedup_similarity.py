@@ -952,3 +952,32 @@ def test_prefix_filter_advisor_width_floors_at_session(spark):
         ).collect())
     )
     assert advised == stock and advised  # identical and non-vacuous
+
+
+def test_minhash_advisor_optin_matches_stock(spark):
+    """minhash_lsh_pairs' advisor hook is default-OFF (the r13 median
+    A/B measured it a regression there — see the operator comment);
+    when opted in it must still produce identical pairs."""
+    from evidence_images_etl_airflow_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+        (3, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def key(r):
+        return (r["id_a"], r["id_b"], r["jaccard"])
+
+    stock = sorted(map(key, minhash_lsh_pairs(
+        df, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3,
+        verify_threshold=0.3,
+    ).collect()))
+    opted = sorted(map(key, minhash_lsh_pairs(
+        df, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3,
+        verify_threshold=0.3, shuffle_target_bytes=16 << 20,
+    ).collect()))
+    assert stock == opted and stock
