@@ -821,21 +821,39 @@ def poisson_bootstrap_mean_ci(
     of choice when the statistic's sampling distribution is skewed —
     exactly where CLT error bars lie.
 
-    Determinism: the Poisson draw for (row, replicate) is
-    ``md5(salt:b:id) % 1e6`` compared against the INTEGER-quantized
-    Poisson(1) CDF (POISSON1_CDF_1E6) — w = #(u >= cum_k), a pure
-    integer function of (id, b): re-runs, engines, and partitionings
-    agree, and the oracle SQL replays it bit-for-bit.
+    Determinism: the Poisson draw for (row, replicate b) is a
+    SUBSTREAM of ``md5(salt:g:id)`` with g = b div 4 — the 32-hex
+    digest is split into four 8-hex (32-bit) windows, and replicate
+    b reads window b mod 4: ``u = hex[8·(b%4) .. 8·(b%4)+8) % 1e6``,
+    compared against the INTEGER-quantized Poisson(1) CDF
+    (POISSON1_CDF_1E6), w = #(u >= cum_k). Still a pure integer
+    function of (id, b) that re-runs, engines, and partitionings
+    replay bit-for-bit — but ONE digest now feeds FOUR replicate
+    draws, cutting the md5 work (the r13-measured hot term) 4x.
+    Substream independence is md5's avalanche property (disjoint
+    digest windows); the 32-bit % 1e6 modulo bias is <= 1/4294
+    (~0.023%) per residue — three orders below the CDF's own coarsest
+    step (~37%), immaterial to a bootstrap interval. (r13 draw-scheme
+    change: values differ from the r12 15-hex-per-replicate draw by
+    design; the oracle and the hashlib property test replay the new
+    scheme exactly.)
 
-    Distributed shape: rows crossJoin the BROADCAST B-row replicate
-    table (B is the explicit cost multiplier — one corpus scan does
-    B resamples in a single map-side-combinable agg; no per-replicate
-    pass, no shuffle beyond the B-group agg); the quantile read is a
-    window over B rows. Exactness: weighted sums in DECIMAL(38,0),
-    one IEEE divide per replicate mean at 6dp; interval bounds are
-    ORDER STATISTICS (rank floor(0.025·B) clamped to >= 1 and
-    ceil(0.975·B), mean-then-replicate-id tie-break), not
-    interpolated. The exact mean rides along as the audit column.
+    Distributed shape (r13 restructure; interleaved 3-rep medians at
+    the 100x corpus: 60.2 -> 44.9 s, -25%, with far tighter variance
+    [57.9-70.9] -> [44.4-47.4]): ONE corpus scan computes all B
+    weights ROW-LOCALLY — a
+    projection of ceil(B/4) digests, then a WIDE aggregation of 2B
+    map-side-combinable sums (Σw_b, Σw_b·c) — no crossJoin, no
+    B-times row materialization: the old shape generated B x rows
+    tuples (600M at the 100x corpus) through a broadcast nested loop
+    just to re-hash and immediately re-collapse them. The B replicate
+    rows are then unpacked from the single agg row (inline array
+    explode, B rows total); the quantile read is a window over B
+    rows. Exactness: weighted sums in DECIMAL(38,0), one IEEE divide
+    per replicate mean at 6dp; interval bounds are ORDER STATISTICS
+    (rank floor(0.025·B) clamped to >= 1 and ceil(0.975·B),
+    mean-then-replicate-id tie-break), not interpolated. The exact
+    mean rides along as the audit column.
 
     Returns ONE row: ``n_total, exact_mean, n_replicates, boot_lo,
     boot_hi, covered``."""
@@ -845,52 +863,69 @@ def poisson_bootstrap_mean_ci(
 
     from pyspark.sql import Window
 
+    B = int(replicates)
     c_id = F.col(id_col) if isinstance(id_col, str) else id_col
-    spark = df.sparkSession
-    b_tab = spark.range(int(replicates)).select(
-        F.col("id").cast("int").alias("__b")
-    )
     cents = F.round(F.col(value_col) * cents_scale).cast("bigint")
     base = df.select(c_id.cast("string").alias("__id"), cents.alias("__c"))
     exact = base.agg(
         F.count(F.lit(1)).cast("bigint").alias("__nt"),
         F.sum("__c").cast("bigint").alias("__sx"),
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(salt),
-                        F.lit(":"),
-                        F.col("__b").cast("string"),
-                        F.lit(":"),
-                        F.col("__id"),
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 1000000
+    # one digest per GROUP of 4 replicates, computed once per row
+    n_groups = (B + 3) // 4
+    digested = base.select(
+        "__c",
+        *[
+            F.md5(
+                F.concat(
+                    F.lit(salt), F.lit(":"), F.lit(str(g)), F.lit(":"),
+                    F.col("__id"),
+                )
+            ).alias(f"__h{g}")
+            for g in range(n_groups)
+        ],
     )
-    w = None
-    for t in POISSON1_CDF_1E6:
-        ind = (u >= t).cast("int")
-        w = ind if w is None else w + ind
-    rep = (
-        base.crossJoin(F.broadcast(b_tab))
-        .select("__b", w.cast("bigint").alias("__w"), "__c")
-        .groupBy("__b")
-        .agg(
-            F.sum("__w").cast("bigint").alias("__n"),
-            F.sum(
-                F.col("__w").cast("decimal(38,0)")
-                * F.col("__c").cast("decimal(38,0)")
-            ).alias("__s"),
+
+    def _w(b):
+        g, j = divmod(b, 4)
+        u = (
+            F.conv(
+                F.substring(F.col(f"__h{g}"), 1 + 8 * j, 8), 16, 10
+            ).cast("bigint")
+            % 1000000
         )
+        w = None
+        for t in POISSON1_CDF_1E6:
+            ind = (u >= t).cast("int")
+            w = ind if w is None else w + ind
+        return w
+
+    aggs = []
+    for b in range(B):
+        w = _w(b)
+        aggs.append(F.sum(w).cast("bigint").alias(f"__n{b}"))
+        aggs.append(
+            F.sum(
+                w.cast("decimal(38,0)") * F.col("__c").cast("decimal(38,0)")
+            ).alias(f"__s{b}")
+        )
+    wide = digested.agg(*aggs)
+    rep = (
+        wide.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("__b"),
+                            F.col(f"__n{b}").alias("__n"),
+                            F.col(f"__s{b}").alias("__s"),
+                        )
+                        for b in range(B)
+                    ]
+                )
+            ).alias("__r")
+        )
+        .select("__r.__b", "__r.__n", "__r.__s")
         .filter(F.col("__n") > 0)
         .select(
             "__b",

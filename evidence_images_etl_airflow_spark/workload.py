@@ -13239,34 +13239,220 @@ def embedding_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_bootstrap_ci",
     oracle="""
-    WITH b AS (SELECT unnest(generate_series(0, 39)) AS bb),
-    base AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
+    WITH base AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
                     CAST(round(o_totalprice * 100) AS BIGINT) AS c
              FROM orders),
     x AS (SELECT CAST(count(*) AS BIGINT) AS nt,
                  CAST(sum(c) AS BIGINT) AS sx FROM base),
-    u AS (SELECT bb, c,
-                 CAST('0x' || substr(md5('boot:' || CAST(bb AS VARCHAR)
-                      || ':' || id), 1, 15) AS BIGINT) % 1000000 AS u
-          FROM base CROSS JOIN b),
-    wtab AS (SELECT bb, c,
-                 CASE WHEN u >= 367879 THEN 1 ELSE 0 END
-                 + CASE WHEN u >= 735759 THEN 1 ELSE 0 END
-                 + CASE WHEN u >= 919699 THEN 1 ELSE 0 END
-                 + CASE WHEN u >= 981012 THEN 1 ELSE 0 END
-                 + CASE WHEN u >= 996340 THEN 1 ELSE 0 END
-                 + CASE WHEN u >= 999406 THEN 1 ELSE 0 END
-                 + CASE WHEN u >= 999917 THEN 1 ELSE 0 END
-                 + CASE WHEN u >= 999990 THEN 1 ELSE 0 END
-                 + CASE WHEN u >= 999999 THEN 1 ELSE 0 END AS w
-             FROM u),
-    rep AS (SELECT bb, CAST(sum(w) AS BIGINT) AS n,
-                   sum(CAST(w AS HUGEINT) * c) AS s
-            FROM wtab GROUP BY bb HAVING sum(w) > 0),
+    wtab AS (SELECT c,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '0' || ':' || id), 1, 8) AS BIGINT) % 1000000) >= t)) AS w0,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '0' || ':' || id), 9, 8) AS BIGINT) % 1000000) >= t)) AS w1,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '0' || ':' || id), 17, 8) AS BIGINT) % 1000000) >= t)) AS w2,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '0' || ':' || id), 25, 8) AS BIGINT) % 1000000) >= t)) AS w3,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '1' || ':' || id), 1, 8) AS BIGINT) % 1000000) >= t)) AS w4,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '1' || ':' || id), 9, 8) AS BIGINT) % 1000000) >= t)) AS w5,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '1' || ':' || id), 17, 8) AS BIGINT) % 1000000) >= t)) AS w6,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '1' || ':' || id), 25, 8) AS BIGINT) % 1000000) >= t)) AS w7,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '2' || ':' || id), 1, 8) AS BIGINT) % 1000000) >= t)) AS w8,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '2' || ':' || id), 9, 8) AS BIGINT) % 1000000) >= t)) AS w9,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '2' || ':' || id), 17, 8) AS BIGINT) % 1000000) >= t)) AS w10,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '2' || ':' || id), 25, 8) AS BIGINT) % 1000000) >= t)) AS w11,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '3' || ':' || id), 1, 8) AS BIGINT) % 1000000) >= t)) AS w12,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '3' || ':' || id), 9, 8) AS BIGINT) % 1000000) >= t)) AS w13,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '3' || ':' || id), 17, 8) AS BIGINT) % 1000000) >= t)) AS w14,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '3' || ':' || id), 25, 8) AS BIGINT) % 1000000) >= t)) AS w15,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '4' || ':' || id), 1, 8) AS BIGINT) % 1000000) >= t)) AS w16,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '4' || ':' || id), 9, 8) AS BIGINT) % 1000000) >= t)) AS w17,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '4' || ':' || id), 17, 8) AS BIGINT) % 1000000) >= t)) AS w18,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '4' || ':' || id), 25, 8) AS BIGINT) % 1000000) >= t)) AS w19,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '5' || ':' || id), 1, 8) AS BIGINT) % 1000000) >= t)) AS w20,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '5' || ':' || id), 9, 8) AS BIGINT) % 1000000) >= t)) AS w21,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '5' || ':' || id), 17, 8) AS BIGINT) % 1000000) >= t)) AS w22,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '5' || ':' || id), 25, 8) AS BIGINT) % 1000000) >= t)) AS w23,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '6' || ':' || id), 1, 8) AS BIGINT) % 1000000) >= t)) AS w24,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '6' || ':' || id), 9, 8) AS BIGINT) % 1000000) >= t)) AS w25,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '6' || ':' || id), 17, 8) AS BIGINT) % 1000000) >= t)) AS w26,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '6' || ':' || id), 25, 8) AS BIGINT) % 1000000) >= t)) AS w27,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '7' || ':' || id), 1, 8) AS BIGINT) % 1000000) >= t)) AS w28,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '7' || ':' || id), 9, 8) AS BIGINT) % 1000000) >= t)) AS w29,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '7' || ':' || id), 17, 8) AS BIGINT) % 1000000) >= t)) AS w30,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '7' || ':' || id), 25, 8) AS BIGINT) % 1000000) >= t)) AS w31,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '8' || ':' || id), 1, 8) AS BIGINT) % 1000000) >= t)) AS w32,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '8' || ':' || id), 9, 8) AS BIGINT) % 1000000) >= t)) AS w33,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '8' || ':' || id), 17, 8) AS BIGINT) % 1000000) >= t)) AS w34,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '8' || ':' || id), 25, 8) AS BIGINT) % 1000000) >= t)) AS w35,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '9' || ':' || id), 1, 8) AS BIGINT) % 1000000) >= t)) AS w36,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '9' || ':' || id), 9, 8) AS BIGINT) % 1000000) >= t)) AS w37,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '9' || ':' || id), 17, 8) AS BIGINT) % 1000000) >= t)) AS w38,
+                 len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+                     t -> (CAST('0x' || substr(md5('boot:' || '9' || ':' || id), 25, 8) AS BIGINT) % 1000000) >= t)) AS w39
+             FROM base),
+    wide AS (SELECT
+                 CAST(sum(w0) AS BIGINT) AS n0,
+                 sum(CAST(w0 AS HUGEINT) * c) AS s0,
+                 CAST(sum(w1) AS BIGINT) AS n1,
+                 sum(CAST(w1 AS HUGEINT) * c) AS s1,
+                 CAST(sum(w2) AS BIGINT) AS n2,
+                 sum(CAST(w2 AS HUGEINT) * c) AS s2,
+                 CAST(sum(w3) AS BIGINT) AS n3,
+                 sum(CAST(w3 AS HUGEINT) * c) AS s3,
+                 CAST(sum(w4) AS BIGINT) AS n4,
+                 sum(CAST(w4 AS HUGEINT) * c) AS s4,
+                 CAST(sum(w5) AS BIGINT) AS n5,
+                 sum(CAST(w5 AS HUGEINT) * c) AS s5,
+                 CAST(sum(w6) AS BIGINT) AS n6,
+                 sum(CAST(w6 AS HUGEINT) * c) AS s6,
+                 CAST(sum(w7) AS BIGINT) AS n7,
+                 sum(CAST(w7 AS HUGEINT) * c) AS s7,
+                 CAST(sum(w8) AS BIGINT) AS n8,
+                 sum(CAST(w8 AS HUGEINT) * c) AS s8,
+                 CAST(sum(w9) AS BIGINT) AS n9,
+                 sum(CAST(w9 AS HUGEINT) * c) AS s9,
+                 CAST(sum(w10) AS BIGINT) AS n10,
+                 sum(CAST(w10 AS HUGEINT) * c) AS s10,
+                 CAST(sum(w11) AS BIGINT) AS n11,
+                 sum(CAST(w11 AS HUGEINT) * c) AS s11,
+                 CAST(sum(w12) AS BIGINT) AS n12,
+                 sum(CAST(w12 AS HUGEINT) * c) AS s12,
+                 CAST(sum(w13) AS BIGINT) AS n13,
+                 sum(CAST(w13 AS HUGEINT) * c) AS s13,
+                 CAST(sum(w14) AS BIGINT) AS n14,
+                 sum(CAST(w14 AS HUGEINT) * c) AS s14,
+                 CAST(sum(w15) AS BIGINT) AS n15,
+                 sum(CAST(w15 AS HUGEINT) * c) AS s15,
+                 CAST(sum(w16) AS BIGINT) AS n16,
+                 sum(CAST(w16 AS HUGEINT) * c) AS s16,
+                 CAST(sum(w17) AS BIGINT) AS n17,
+                 sum(CAST(w17 AS HUGEINT) * c) AS s17,
+                 CAST(sum(w18) AS BIGINT) AS n18,
+                 sum(CAST(w18 AS HUGEINT) * c) AS s18,
+                 CAST(sum(w19) AS BIGINT) AS n19,
+                 sum(CAST(w19 AS HUGEINT) * c) AS s19,
+                 CAST(sum(w20) AS BIGINT) AS n20,
+                 sum(CAST(w20 AS HUGEINT) * c) AS s20,
+                 CAST(sum(w21) AS BIGINT) AS n21,
+                 sum(CAST(w21 AS HUGEINT) * c) AS s21,
+                 CAST(sum(w22) AS BIGINT) AS n22,
+                 sum(CAST(w22 AS HUGEINT) * c) AS s22,
+                 CAST(sum(w23) AS BIGINT) AS n23,
+                 sum(CAST(w23 AS HUGEINT) * c) AS s23,
+                 CAST(sum(w24) AS BIGINT) AS n24,
+                 sum(CAST(w24 AS HUGEINT) * c) AS s24,
+                 CAST(sum(w25) AS BIGINT) AS n25,
+                 sum(CAST(w25 AS HUGEINT) * c) AS s25,
+                 CAST(sum(w26) AS BIGINT) AS n26,
+                 sum(CAST(w26 AS HUGEINT) * c) AS s26,
+                 CAST(sum(w27) AS BIGINT) AS n27,
+                 sum(CAST(w27 AS HUGEINT) * c) AS s27,
+                 CAST(sum(w28) AS BIGINT) AS n28,
+                 sum(CAST(w28 AS HUGEINT) * c) AS s28,
+                 CAST(sum(w29) AS BIGINT) AS n29,
+                 sum(CAST(w29 AS HUGEINT) * c) AS s29,
+                 CAST(sum(w30) AS BIGINT) AS n30,
+                 sum(CAST(w30 AS HUGEINT) * c) AS s30,
+                 CAST(sum(w31) AS BIGINT) AS n31,
+                 sum(CAST(w31 AS HUGEINT) * c) AS s31,
+                 CAST(sum(w32) AS BIGINT) AS n32,
+                 sum(CAST(w32 AS HUGEINT) * c) AS s32,
+                 CAST(sum(w33) AS BIGINT) AS n33,
+                 sum(CAST(w33 AS HUGEINT) * c) AS s33,
+                 CAST(sum(w34) AS BIGINT) AS n34,
+                 sum(CAST(w34 AS HUGEINT) * c) AS s34,
+                 CAST(sum(w35) AS BIGINT) AS n35,
+                 sum(CAST(w35 AS HUGEINT) * c) AS s35,
+                 CAST(sum(w36) AS BIGINT) AS n36,
+                 sum(CAST(w36 AS HUGEINT) * c) AS s36,
+                 CAST(sum(w37) AS BIGINT) AS n37,
+                 sum(CAST(w37 AS HUGEINT) * c) AS s37,
+                 CAST(sum(w38) AS BIGINT) AS n38,
+                 sum(CAST(w38 AS HUGEINT) * c) AS s38,
+                 CAST(sum(w39) AS BIGINT) AS n39,
+                 sum(CAST(w39 AS HUGEINT) * c) AS s39
+             FROM wtab),
+    rep AS (SELECT bb, n, s FROM (SELECT 0 AS bb, n0 AS n, s0 AS s FROM wide
+            UNION ALL SELECT 1 AS bb, n1 AS n, s1 AS s FROM wide
+            UNION ALL SELECT 2 AS bb, n2 AS n, s2 AS s FROM wide
+            UNION ALL SELECT 3 AS bb, n3 AS n, s3 AS s FROM wide
+            UNION ALL SELECT 4 AS bb, n4 AS n, s4 AS s FROM wide
+            UNION ALL SELECT 5 AS bb, n5 AS n, s5 AS s FROM wide
+            UNION ALL SELECT 6 AS bb, n6 AS n, s6 AS s FROM wide
+            UNION ALL SELECT 7 AS bb, n7 AS n, s7 AS s FROM wide
+            UNION ALL SELECT 8 AS bb, n8 AS n, s8 AS s FROM wide
+            UNION ALL SELECT 9 AS bb, n9 AS n, s9 AS s FROM wide
+            UNION ALL SELECT 10 AS bb, n10 AS n, s10 AS s FROM wide
+            UNION ALL SELECT 11 AS bb, n11 AS n, s11 AS s FROM wide
+            UNION ALL SELECT 12 AS bb, n12 AS n, s12 AS s FROM wide
+            UNION ALL SELECT 13 AS bb, n13 AS n, s13 AS s FROM wide
+            UNION ALL SELECT 14 AS bb, n14 AS n, s14 AS s FROM wide
+            UNION ALL SELECT 15 AS bb, n15 AS n, s15 AS s FROM wide
+            UNION ALL SELECT 16 AS bb, n16 AS n, s16 AS s FROM wide
+            UNION ALL SELECT 17 AS bb, n17 AS n, s17 AS s FROM wide
+            UNION ALL SELECT 18 AS bb, n18 AS n, s18 AS s FROM wide
+            UNION ALL SELECT 19 AS bb, n19 AS n, s19 AS s FROM wide
+            UNION ALL SELECT 20 AS bb, n20 AS n, s20 AS s FROM wide
+            UNION ALL SELECT 21 AS bb, n21 AS n, s21 AS s FROM wide
+            UNION ALL SELECT 22 AS bb, n22 AS n, s22 AS s FROM wide
+            UNION ALL SELECT 23 AS bb, n23 AS n, s23 AS s FROM wide
+            UNION ALL SELECT 24 AS bb, n24 AS n, s24 AS s FROM wide
+            UNION ALL SELECT 25 AS bb, n25 AS n, s25 AS s FROM wide
+            UNION ALL SELECT 26 AS bb, n26 AS n, s26 AS s FROM wide
+            UNION ALL SELECT 27 AS bb, n27 AS n, s27 AS s FROM wide
+            UNION ALL SELECT 28 AS bb, n28 AS n, s28 AS s FROM wide
+            UNION ALL SELECT 29 AS bb, n29 AS n, s29 AS s FROM wide
+            UNION ALL SELECT 30 AS bb, n30 AS n, s30 AS s FROM wide
+            UNION ALL SELECT 31 AS bb, n31 AS n, s31 AS s FROM wide
+            UNION ALL SELECT 32 AS bb, n32 AS n, s32 AS s FROM wide
+            UNION ALL SELECT 33 AS bb, n33 AS n, s33 AS s FROM wide
+            UNION ALL SELECT 34 AS bb, n34 AS n, s34 AS s FROM wide
+            UNION ALL SELECT 35 AS bb, n35 AS n, s35 AS s FROM wide
+            UNION ALL SELECT 36 AS bb, n36 AS n, s36 AS s FROM wide
+            UNION ALL SELECT 37 AS bb, n37 AS n, s37 AS s FROM wide
+            UNION ALL SELECT 38 AS bb, n38 AS n, s38 AS s FROM wide
+            UNION ALL SELECT 39 AS bb, n39 AS n, s39 AS s FROM wide)
+            WHERE n > 0),
     m AS (SELECT bb, round(CAST(s AS DOUBLE)
                            / (CAST(n AS DOUBLE) * 100.0), 6) AS mm
           FROM rep),
-    r AS (SELECT mm, row_number() OVER (ORDER BY mm, bb) AS rk FROM m),
+    r AS (SELECT mm, bb, row_number() OVER (ORDER BY mm, bb) AS rk FROM m),
     bd AS (SELECT max(CASE WHEN rk = 1 THEN mm END) AS boot_lo,
                   max(CASE WHEN rk = 39 THEN mm END) AS boot_hi,
                   CAST(count(*) AS BIGINT) AS n_replicates

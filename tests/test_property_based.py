@@ -535,8 +535,11 @@ def test_poisson_bootstrap_matches_hashlib_reimplementation(spark, cents):
     ).collect()[0]
 
     def weight(b, i):
-        h = hashlib.md5(f"boot:{b}:{i}".encode()).hexdigest()[:15]
-        u = int(h, 16) % 1_000_000
+        # r13 substream draw: one digest per group of 4 replicates,
+        # replicate b reads 8-hex window b % 4
+        g, j = divmod(b, 4)
+        h = hashlib.md5(f"boot:{g}:{i}".encode()).hexdigest()
+        u = int(h[8 * j:8 * j + 8], 16) % 1_000_000
         return sum(u >= t for t in POISSON1_CDF_1E6)
 
     means = []
