@@ -310,6 +310,13 @@ def prefix_filter_jaccard_pairs(
     size the session themselves).
     """
     sh = _doc_shingles(df, id_col, text_col, n)
+    # cache-materialize the shingle table (r13): it feeds the freq agg,
+    # the df-attach join side, AND the advisor's stats pass — without
+    # the cache each consumer re-runs tokenize+shingle, and the stats
+    # measurement is a whole extra corpus pass; with it, the stats agg
+    # is the action that POPULATES the cache the later stages read
+    # (the minhash_lsh_pairs idiom), so the measurement is ~free.
+    sh = _materialized(sh)
     n_parts = (
         None
         if shuffle_target_bytes is None
