@@ -661,8 +661,12 @@ def minhash_lsh_pairs(
         # 100+ s). Sizing helps operators whose dominant aggs carry
         # their full payload through partials (collect_list/collect_set
         # canon builds); it hurts ones whose partials REDUCE. The hook
-        # stays for corpora where the collect_set verify stage
-        # dominates (deep dup clusters); callers opt in explicitly.
+        # is kept as an explicit escape hatch and the A/B control — no
+        # measured regime where it wins here has been found, and none
+        # is expected on pair-heavy corpora either: verify cost there
+        # follows CANDIDATE count, which the agg widths don't touch
+        # (the prefix filter measured exactly that on sf100x_de —
+        # SCALING.md r13, the published caveat).
         n_parts = _advise_shingle_shuffle_width(
             sh, int(shuffle_target_bytes)
         )
