@@ -462,3 +462,75 @@ def test_roc_auc_precomputed_matches_inline(spark):
     pre = REGISTRY["ml_roc_auc_precomputed"].fn(spark, sf).collect()
     inline = REGISTRY["ml_roc_auc"].fn(spark, sf).collect()
     assert [tuple(r) for r in pre] == [tuple(r) for r in inline]
+
+
+def test_one_curated_table_serves_all_five_metrics(spark, tmp_path):
+    """The amortization claim behind materialize_score_table, as an
+    executable proof: ONE curated (doc_id, source, n_chars, score)
+    table feeds all five scoring metrics — ROC AUC, calibration,
+    kappa/MCC, PR sweep, score alignment — each matching its inline
+    registered twin exactly. One scoring pass instead of five is the
+    whole point of the curated layer at 100 TB."""
+    from evidence_images_etl_airflow_spark.functions.text import (
+        quality_score,
+    )
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        agreement_metrics,
+        calibration_curve,
+        materialize_score_table,
+        pr_threshold_sweep,
+        roc_auc,
+        source_score_alignment,
+    )
+    from evidence_images_etl_airflow_spark.workload import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    path = str(tmp_path / "curated")
+    materialize_score_table(
+        d.withColumn("n_chars", F.length("text")),
+        quality_score(F.col("text")),
+        path,
+        carry_cols=["doc_id", "source", "n_chars"],
+    )
+    st = spark.read.parquet(path)
+    y = (F.col("n_chars") >= 256).cast("int").alias("y")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    pairs = [
+        (
+            roc_auc(st.select("score", y), "score", "y", resolution=6),
+            "ml_roc_auc",
+        ),
+        (
+            calibration_curve(st.select("score", y), "score", "y", bins=10),
+            "ml_calibration_curve",
+        ),
+        (
+            agreement_metrics(
+                st.select(
+                    (F.col("score") >= 0.67).cast("int").alias("ra"),
+                    (F.col("n_chars") >= 256).cast("int").alias("rb"),
+                ),
+                "ra",
+                "rb",
+            ),
+            "ml_agreement_kappa",
+        ),
+        (
+            pr_threshold_sweep(st.select("score", y), "score", "y"),
+            "ml_pr_threshold_sweep",
+        ),
+        (
+            source_score_alignment(
+                st.select("source", "score"), "source", "score"
+            ),
+            "curation_score_alignment",
+        ),
+    ]
+    for curated_df, inline_name in pairs:
+        assert rows(curated_df) == rows(
+            REGISTRY[inline_name].fn(spark, sf)
+        ), f"curated != inline for {inline_name}"
