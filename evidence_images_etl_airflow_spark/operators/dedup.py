@@ -842,6 +842,13 @@ def _cc_two_phase(
         .localCheckpoint()
     )
     last_cc_rounds = max_iter
+    # carry the previous round's edge count forward: edges is always
+    # last round's (already-counted) small-star output, so re-counting
+    # it inside the stability check paid one full Spark job per round
+    # for a number already in hand (r13; ~1 scheduling-latency job per
+    # round saved — the per-round constant is what dominates CC wall
+    # time on SMALL graphs, while at scale it vanishes into the data)
+    prev_n: int | None = None
     for i in range(max_iter):
         # symmetrize once per round: both endpoints need Γ(u)
         nb = edges.unionByName(
@@ -875,11 +882,14 @@ def _cc_two_phase(
             .localCheckpoint()
         )
         n_new = small.count()
+        if prev_n is None:
+            prev_n = edges.count()
         stable = (
-            n_new == edges.count()
+            n_new == prev_n
             and small.exceptAll(edges).limit(1).count() == 0
         )
         edges = small
+        prev_n = n_new
         if stable:
             last_cc_rounds = i + 1
             break
