@@ -182,7 +182,16 @@ def calibration_curve(
     if int(bins) < 2:
         raise ValueError(f"bins must be >= 2, got {bins}")
     B = int(bins)
-    b = df.select(
+    # NULL scores MUST be dropped before binning: Spark's
+    # least/greatest skip NULL operands, so floor(NULL*B)=NULL makes
+    # greatest(0, least(B-1, NULL)) evaluate to B-1 — a NULL score
+    # would silently land in the TOP calibration bin (and DuckDB's
+    # NULL handling differs, so it double-fails cross-engine). NULL
+    # labels have nothing to calibrate against (r13 latent-defect
+    # pass; registered consumers never produce NULLs).
+    b = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
         F.greatest(
             F.lit(0),
             F.least(F.lit(B - 1), F.floor(F.col(score_col) * B)),
@@ -270,7 +279,16 @@ def roc_auc(
     s = F.col(score_col).cast("double")
     if resolution is not None:
         s = F.round(s, int(resolution))
-    q = df.select(s.alias("__s"), F.col(label_col).cast("int").alias("__y"))
+    # NULL scores/labels are excluded up front (r13, the
+    # score_alignment advice generalized): an unscored row has no
+    # rank — and left in, the NULL score group would sort FIRST under
+    # Spark's window but LAST under DuckDB's, silently shifting every
+    # cneg prefix; an unlabeled row would count as a negative (sum
+    # skips NULL, count doesn't). Registered consumers never produce
+    # NULLs; this closes the operator-level latent divergence.
+    q = df.select(
+        s.alias("__s"), F.col(label_col).cast("int").alias("__y")
+    ).filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
     g = q.groupBy("__s").agg(
         F.sum("__y").cast("bigint").alias("__np"),
         (F.count(F.lit(1)) - F.sum("__y")).cast("bigint").alias("__nn"),
@@ -336,6 +354,11 @@ def agreement_metrics(
     d38 = "decimal(38,0)"
     a = F.col(rater_a_col).cast("int")
     b = F.col(rater_b_col).cast("int")
+    # a row either rater left unlabeled belongs to NO confusion cell
+    # ((NULL==1) is NULL, so all four cell conditions skip it) yet n
+    # would still count it — cells would no longer sum to n. Exclude
+    # up front (r13 latent-defect pass).
+    df = df.filter(a.isNotNull() & b.isNotNull())
     cells = df.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(((a == 1) & (b == 1)).cast("int")).cast("bigint").alias("both_pos"),
@@ -427,7 +450,13 @@ def pr_threshold_sweep(
     # once per duplicate — doubled tp/fp/fn/tn, silently.
     thresholds = sorted({float(t) for t in thresholds})
     s = F.round(F.col(score_col).cast("double"), int(resolution))
-    q = df.select(s.alias("__s"), F.col(label_col).cast("int").alias("__y"))
+    # NULL score/label rows are excluded, not silently half-counted:
+    # NULL >= threshold is NULL, so such a row would fall out of ALL
+    # FOUR confusion cells (kept and ~kept both NULL) and the matrix
+    # would no longer sum to the input count (r13 latent-defect pass).
+    q = df.select(
+        s.alias("__s"), F.col(label_col).cast("int").alias("__y")
+    ).filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
     g = q.groupBy("__s").agg(
         F.sum("__y").cast("bigint").alias("__np"),
         (F.count(F.lit(1)) - F.sum("__y")).cast("bigint").alias("__nn"),

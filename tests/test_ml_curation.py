@@ -534,3 +534,43 @@ def test_one_curated_table_serves_all_five_metrics(spark, tmp_path):
         assert rows(curated_df) == rows(
             REGISTRY[inline_name].fn(spark, sf)
         ), f"curated != inline for {inline_name}"
+
+
+def test_metric_operators_exclude_null_scores_and_labels(spark):
+    """r13 latent-defect pass (the score_alignment advice generalized):
+    rows with NULL score or NULL label/rater are EXCLUDED from every
+    metric, not half-counted — before the fix a NULL score landed in
+    calibration's TOP bin (Spark least/greatest skip NULLs), shifted
+    roc_auc's cneg prefix cross-engine, fell out of all four PR cells
+    while still shrinking precision's denominator upstream, and broke
+    agreement's cells-sum-to-n invariant."""
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        agreement_metrics,
+        calibration_curve,
+        pr_threshold_sweep,
+        roc_auc,
+    )
+
+    clean = [(0.9, 1), (0.7, 0), (0.3, 1), (0.1, 0)]
+    dirty = clean + [(None, 1), (0.5, None), (None, None)]
+    cdf = spark.createDataFrame(clean, "score double, y int")
+    ddf = spark.createDataFrame(dirty, "score double, y int")
+
+    for op, kwargs in [
+        (roc_auc, {}),
+        (calibration_curve, {"bins": 10}),
+        (pr_threshold_sweep, {}),
+    ]:
+        got_c = sorted(tuple(r) for r in op(cdf, "score", "y", **kwargs).collect())
+        got_d = sorted(tuple(r) for r in op(ddf, "score", "y", **kwargs).collect())
+        assert got_c == got_d, op.__name__
+
+    # agreement: cells must sum to n with NULL raters present
+    rows = [(1, 1), (1, 0), (0, 1), (0, 0), (None, 1), (1, None)]
+    r = agreement_metrics(
+        spark.createDataFrame(rows, "ra int, rb int"), "ra", "rb"
+    ).collect()[0]
+    assert r["n"] == 4
+    assert (
+        r["both_pos"] + r["a_only"] + r["b_only"] + r["both_neg"] == r["n"]
+    )
