@@ -339,8 +339,15 @@ def gini_concentration(
     from pyspark.sql import Window
 
     d38 = "decimal(38,0)"
-    g = df.groupBy(F.col(value_col).cast("bigint").alias("__v")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("__c")
+    # NULL values are excluded up front (r13 latent-defect pass): a
+    # valueless row has no rank, and left in, the NULL block would
+    # sort FIRST under Spark's window but LAST under DuckDB's,
+    # shifting every prefix. Registered consumers aggregate non-null
+    # money columns and never produce one.
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).cast("bigint").alias("__v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
     )
     w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
     b = g.withColumn(
@@ -446,8 +453,11 @@ def abc_classification(
     from pyspark.sql import Window
 
     d38 = "decimal(38,0)"
-    g = df.groupBy(F.col(value_col).cast("bigint").alias("__v")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("__c")
+    # same NULL exclusion as gini_concentration above (r13)
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).cast("bigint").alias("__v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
     )
     w = Window.orderBy(F.col("__v").desc()).rowsBetween(
         Window.unboundedPreceding, -1

@@ -474,3 +474,27 @@ def test_abc_classification_validates_fractions(spark):
     df = spark.createDataFrame([(1,)], "v bigint")
     with pytest.raises(ValueError):
         abc_classification(df, "v", a_fraction=0.9, b_fraction=0.7)
+
+
+def test_gini_and_abc_exclude_null_values(spark):
+    """r13 latent-defect pass: a NULL value has no rank — the NULL
+    block would otherwise sort FIRST in Spark but LAST in DuckDB,
+    shifting every prefix in the concentration math."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from evidence_images_etl_airflow_spark.operators.quality import (
+        abc_classification,
+        gini_concentration,
+    )
+
+    clean = [(100,), (200,), (300,), (400,)]
+    dirty = clean + [(None,)]
+    cdf = spark.createDataFrame(clean, "v bigint")
+    ddf = spark.createDataFrame(dirty, "v bigint")
+    assert (
+        gini_concentration(cdf, "v").collect()
+        == gini_concentration(ddf, "v").collect()
+    )
+    assert (
+        abc_classification(cdf, "v").collect()
+        == abc_classification(ddf, "v").collect()
+    )
