@@ -207,6 +207,23 @@ def ngram_containment_pairs(
     return ab.unionByName(ba).filter(F.col("containment") >= threshold)
 
 
+_ADVISOR_MAX_WIDTH = 200_000
+
+
+def _parse_session_width(raw) -> int:
+    """Parse ``spark.sql.shuffle.partitions`` defensively (r13
+    ADVICE): the conf is a string contract, not an int one —
+    AQE-managed platforms report values like ``"auto"`` (fall back to
+    the plain 200 default), and a hand-set width past the advisor's
+    200k ceiling would otherwise arrive at plan_shuffle_partitions as
+    min > max and raise (clamp instead)."""
+    try:
+        width = int(raw)
+    except (TypeError, ValueError):
+        width = 200
+    return max(1, min(width, _ADVISOR_MAX_WIDTH))
+
+
 def _advise_shingle_shuffle_width(sh: DataFrame, target_bytes: int) -> int:
     """Advisor-driven shuffle width for the shingle-table stages
     (r12 verdict item): ``plan_shuffle_partitions`` over
@@ -216,13 +233,17 @@ def _advise_shingle_shuffle_width(sh: DataFrame, target_bytes: int) -> int:
     this repo performs. The session's ``spark.sql.shuffle.partitions``
     is the floor — the advisor only scales UP when the measured bytes
     outgrow the session width — and the advisor's own 200k cap is the
-    ceiling."""
+    ceiling. The conf is a STRING contract, not an int one: AQE-managed
+    platforms report values like ``"auto"``, and a hand-set width can
+    exceed the advisor's 200k ceiling (which plan_shuffle_partitions
+    rejects as min > max) — both fall back to the plain 200 default /
+    clamp rather than raise (r13 ADVICE)."""
     from evidence_images_etl_airflow_spark.operators.skew import (
         plan_shuffle_partitions,
         table_size_stats,
     )
 
-    session_width = int(
+    session_width = _parse_session_width(
         sh.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
     return int(
@@ -230,6 +251,7 @@ def _advise_shingle_shuffle_width(sh: DataFrame, target_bytes: int) -> int:
             table_size_stats(sh),
             target_bytes_per_partition=int(target_bytes),
             min_partitions=session_width,
+            max_partitions=_ADVISOR_MAX_WIDTH,
         ).first()["partitions"]
     )
 
@@ -308,6 +330,12 @@ def prefix_filter_jaccard_pairs(
     (stock exchanges at whatever width the session/AQE picks — the
     pre-r13 behavior, kept as the A/B control and for callers that
     size the session themselves).
+
+    NOTE the advisor makes this function EAGER: the stats pass is a
+    real Spark action at DataFrame-construction time (it doubles as
+    the action that populates the shingle cache). Plan-only callers —
+    anything that wants to ``.explain()`` without touching the data —
+    must pass ``shuffle_target_bytes=None`` (r13 ADVICE).
     """
     sh = _doc_shingles(df, id_col, text_col, n)
     # cache-materialize the shingle table (r13): it feeds the freq agg,

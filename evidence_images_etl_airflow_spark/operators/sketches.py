@@ -900,16 +900,33 @@ def poisson_bootstrap_mean_ci(
             w = ind if w is None else w + ind
         return w
 
-    aggs = []
-    for b in range(B):
-        w = _w(b)
-        aggs.append(F.sum(w).cast("bigint").alias(f"__n{b}"))
-        aggs.append(
-            F.sum(
-                w.cast("decimal(38,0)") * F.col("__c").cast("decimal(38,0)")
-            ).alias(f"__s{b}")
-        )
-    wide = digested.agg(*aggs)
+    # Plan-size guard (r13 ADVICE): each replicate expands to 2 agg
+    # expressions x 9 CDF comparisons over conv/substring, so a single
+    # agg over all B replicates scales the PLAN linearly in B —
+    # B=1000 would push ~2000 wide aggregates through the analyzer
+    # and out of whole-stage codegen. Replicates are therefore
+    # aggregated in chunks of <= 64 (<= 128 agg exprs + <= 16 digest
+    # columns per pass — comfortably inside codegen limits; the
+    # default B=40 stays the single-pass r13-measured shape) and the
+    # 1-row chunk results cross-joined. Cost above the chunk size is
+    # ceil(B/64) corpus scans — scans scale in data, not in plan
+    # size, which is the safe direction at 100 TB; column pruning
+    # keeps each pass's digest projection to its own chunk's groups.
+    _CHUNK = 64
+    wide = None
+    for start in range(0, B, _CHUNK):
+        aggs = []
+        for b in range(start, min(start + _CHUNK, B)):
+            w = _w(b)
+            aggs.append(F.sum(w).cast("bigint").alias(f"__n{b}"))
+            aggs.append(
+                F.sum(
+                    w.cast("decimal(38,0)")
+                    * F.col("__c").cast("decimal(38,0)")
+                ).alias(f"__s{b}")
+            )
+        part = digested.agg(*aggs)
+        wide = part if wide is None else wide.crossJoin(part)
     rep = (
         wide.select(
             F.explode(

@@ -18,7 +18,9 @@ Cross-engine determinism rules used throughout (so value-hashes match):
 
 from __future__ import annotations
 
+import atexit
 import functools
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -132,14 +134,73 @@ class QueryDef:
 
 REGISTRY: dict[str, QueryDef] = {}
 
-# sf_dir -> built index path for ann_ivf_pq_indexed: the one-time
-# build runs once per process per sf_dir (deterministic path,
-# overwrite), repeated bench/verify invocations reuse it.
-_IVF_PQ_INDEX_BUILT: dict[str, str] = {}
-_CM_STREAM_BUILT: dict[str, str] = {}
-_CUSUM_STREAM_BUILT: dict[str, str] = {}
-_SCORED_TABLE_BUILT: dict[str, str] = {}
-_EP3_CURATED_BUILT: dict[str, str] = {}
+# (tag, sf_dir) -> corpus fingerprint at build time, for the
+# one-time-per-process scratch builds (ANN index, streaming stores,
+# curated score tables): the build runs once per process per sf_dir
+# (deterministic pid-keyed path, overwrite), repeated bench/verify
+# invocations reuse it. r14 (r13 ADVICE): the guard is keyed on a
+# mtime+size fingerprint of the SOURCE parquet — a corpus regenerated
+# mid-process triggers a rebuild instead of serving stale — and every
+# scratch path is registered for atexit removal so repeated runs stop
+# accreting scored corpus copies under /tmp.
+_SCRATCH_BUILDS: dict[tuple[str, str], str] = {}
+_SCRATCH_PATHS: list[str] = []
+
+
+def _corpus_fingerprint(sf_dir: str, table: str) -> str:
+    """mtime_ns+size fingerprint of a source parquet (file or
+    directory — testdata ships single files; a directory folds every
+    member file). `missing` for an absent source: the build then runs
+    and fails with the real read error rather than a stat error."""
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(p):
+            parts = []
+            for root, _dirs, files in os.walk(p):
+                for fn in sorted(files):
+                    st = os.stat(os.path.join(root, fn))
+                    parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+            return "|".join(parts)
+        st = os.stat(p)
+        return f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        return "missing"
+
+
+def _cleanup_scratch_paths() -> None:
+    import shutil
+
+    for p in _SCRATCH_PATHS:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+atexit.register(_cleanup_scratch_paths)
+
+
+def _scratch_build(tag: str, sf_dir: str, table: str) -> tuple[str, bool]:
+    """pid-keyed scratch path under the system tempdir plus a
+    needs-build flag. The flag is True on the first call per
+    (tag, sf_dir) in this process AND whenever the source table's
+    fingerprint changed since the last build (stale-corpus guard);
+    on a needed rebuild any prior contents are wiped first so
+    leftover files (e.g. a streaming checkpoint from an earlier
+    fingerprint) can't replay into the fresh build."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    fp = _corpus_fingerprint(sf_dir, table)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"sg{tag}_{hashlib.sha1(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}",
+    )
+    if _SCRATCH_BUILDS.get((tag, sf_dir)) == fp:
+        return path, False
+    _SCRATCH_BUILDS[(tag, sf_dir)] = fp
+    if path not in _SCRATCH_PATHS:
+        _SCRATCH_PATHS.append(path)
+    shutil.rmtree(path, ignore_errors=True)
+    return path, True
 
 
 def register(name: str, oracle: str | None, headline: bool = False):
@@ -6061,13 +6122,9 @@ def ann_ivf_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cbs = caching.materialize(pq_codebooks_from_rows(emb, m=4, n_codes=8))
     queries = emb.filter(F.col("vec_id") < 5)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"sgivfpq_{hashlib.sha1(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}",
-    )
-    if _IVF_PQ_INDEX_BUILT.get(sf_dir) != path:
+    path, needs_build = _scratch_build("ivfpq", sf_dir, "embeddings")
+    if needs_build:
         build_ivf_pq_index(emb, centroids, cbs, path, m=4)
-        _IVF_PQ_INDEX_BUILT[sf_dir] = path
     return ivf_pq_topk_indexed(
         spark, path, queries, centroids, cbs, "vec_id", "embedding", "cid",
         m=4, k=3, nprobe=2,
@@ -9335,12 +9392,9 @@ def streaming_countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # later invocations (the ann_ivf_pq_indexed caching discipline —
     # the pid suffix keeps concurrent bench/verify processes apart);
     # repeat runs measure the warm store-read + report, not a rebuild.
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"sgcmstream_{hashlib.sha1(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}",
-    )
+    base, needs_build = _scratch_build("cmstream", sf_dir, "documents")
     src, store, ck = f"{base}/src", f"{base}/store", f"{base}/ck"
-    if _CM_STREAM_BUILT.get(sf_dir) != base:
+    if needs_build:
         for b in range(3):
             (
                 toks.filter(F.col("__b") == b)
@@ -9361,7 +9415,6 @@ def streaming_countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             salt="0",
             max_files_per_trigger=1,
         )
-        _CM_STREAM_BUILT[sf_dir] = base
     tbl = spark.read.parquet(store).drop("_last_batch")
     return _cm_report(toks.select("tok"), tbl)
 
@@ -11668,7 +11721,7 @@ def plan_range_partition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     b AS (SELECT greatest(0, least(9, CAST(floor(score * 10) AS INT)))
                    AS bin,
                  CAST(score AS DECIMAL(18,6)) AS sd, y
-          FROM s),
+          FROM s WHERE score IS NOT NULL AND y IS NOT NULL),
     g AS (SELECT bin, count(*) AS n, sum(sd) AS ssum, sum(y) AS n_pos
           FROM b GROUP BY bin),
     g2 AS (SELECT bin, n, n_pos,
@@ -11911,7 +11964,7 @@ def events_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM documents),
     g AS (SELECT sc, CAST(sum(y) AS BIGINT) AS np,
                  CAST(count(*) - sum(y) AS BIGINT) AS nn
-          FROM s GROUP BY sc),
+          FROM s WHERE sc IS NOT NULL AND y IS NOT NULL GROUP BY sc),
     c AS (SELECT np, nn,
                  CAST(coalesce(sum(nn) OVER (ORDER BY sc
                       ROWS BETWEEN UNBOUNDED PRECEDING
@@ -11974,7 +12027,8 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
                         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                              AS BIGINT) AS v
                  FROM orders GROUP BY o_custkey),
-    g AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM rev GROUP BY v),
+    g AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM rev
+          WHERE v IS NOT NULL GROUP BY v),
     b AS (SELECT v, c,
                  CAST(coalesce(sum(c) OVER (ORDER BY v
                       ROWS BETWEEN UNBOUNDED PRECEDING
@@ -12617,7 +12671,7 @@ def events_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
                           AS BIGINT) AS b_only,
                      CAST(sum(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END)
                           AS BIGINT) AS both_neg
-              FROM s),
+              FROM s WHERE ra IS NOT NULL AND rb IS NOT NULL),
     x AS (SELECT *,
                  CAST(both_pos AS HUGEINT) * both_neg
                    - CAST(a_only AS HUGEINT) * b_only AS det,
@@ -12683,7 +12737,7 @@ def ml_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM documents),
     g AS (SELECT sc, CAST(sum(y) AS BIGINT) AS np,
                  CAST(count(*) - sum(y) AS BIGINT) AS nn
-          FROM s GROUP BY sc),
+          FROM s WHERE sc IS NOT NULL AND y IS NOT NULL GROUP BY sc),
     grid AS (SELECT CAST(i AS DOUBLE) / 10.0 AS threshold
              FROM unnest(generate_series(0, 9)) AS t(i)),
     swept AS (
@@ -13041,7 +13095,8 @@ def curation_score_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
                             * (1 - CAST(l_discount AS DECIMAL(18,2))))
                         * 10000 AS BIGINT) AS v
                  FROM lineitem GROUP BY l_partkey),
-    g AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM rev GROUP BY v),
+    g AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM rev
+          WHERE v IS NOT NULL GROUP BY v),
     b AS (SELECT v, c,
                  CAST(coalesce(sum(CAST(v AS HUGEINT) * c)
                       OVER (ORDER BY v DESC ROWS BETWEEN UNBOUNDED
@@ -14141,12 +14196,9 @@ def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ts_us div 86400000000").cast("bigint").alias("d"),
         (F.col("event_id") % 3).alias("__b"),
     )
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"sgcusumstream_{hashlib.sha1(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}",
-    )
+    base, needs_build = _scratch_build("cusumstream", sf_dir, "events")
     src, store, ck = f"{base}/src", f"{base}/store", f"{base}/ck"
-    if _CUSUM_STREAM_BUILT.get(sf_dir) != base:
+    if needs_build:
         for b in range(3):
             (
                 days.filter(F.col("__b") == b)
@@ -14164,7 +14216,6 @@ def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d",
             max_files_per_trigger=1,
         )
-        _CUSUM_STREAM_BUILT[sf_dir] = base
     counts = spark.read.parquet(store).drop("_last_batch")
     bounds = counts.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
     grid = bounds.select(
@@ -14177,6 +14228,42 @@ def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoint(filled, "d", "y")
 
 
+def _curated_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE curated score table (r13 verdict item 3 — unify the
+    builds): one scoring pass over the documents corpus into
+    ``(doc_id, source, lang, n_chars, token_count, score)`` parquet,
+    read back by EVERY curated-layer consumer — the precomputed
+    metric quintet (roc_auc/calibration/kappa/PR-sweep/alignment) and
+    ep3_pipeline_curated. Before r14, ml_roc_auc_precomputed and
+    ep3_pipeline_curated each built their OWN table with their own
+    carry columns — two scoring passes over the same corpus, which
+    contradicts the layer's thesis (score at ingest ONCE, consume
+    columns forever). The carry set is the union of every consumer's
+    needs; labels/thresholds stay read-time choices, so the table is
+    policy-free. Build guard: _scratch_build — once per process per
+    sf_dir, keyed on the documents.parquet fingerprint (stale-corpus
+    rebuild), pid-keyed path (concurrent bench/verify processes stay
+    apart), atexit-cleaned (r13 ADVICE)."""
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        materialize_score_table,
+    )
+
+    path, needs_build = _scratch_build("curated", sf_dir, "documents")
+    if needs_build:
+        d = _t(spark, sf_dir, "documents")
+        materialize_score_table(
+            d.withColumn("n_chars", F.length("text")).withColumn(
+                "token_count", F.size(tokens(F.col("text")))
+            ),
+            quality_score(F.col("text")),
+            path,
+            carry_cols=[
+                "doc_id", "source", "lang", "n_chars", "token_count",
+            ],
+        )
+    return spark.read.parquet(path)
+
+
 @register(
     "ml_roc_auc_precomputed",
     oracle=f"""
@@ -14185,7 +14272,7 @@ def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM documents),
     g AS (SELECT sc, CAST(sum(y) AS BIGINT) AS np,
                  CAST(count(*) - sum(y) AS BIGINT) AS nn
-          FROM s GROUP BY sc),
+          FROM s WHERE sc IS NOT NULL AND y IS NOT NULL GROUP BY sc),
     c AS (SELECT np, nn,
                  CAST(coalesce(sum(nn) OVER (ORDER BY sc
                       ROWS BETWEEN UNBOUNDED PRECEDING
@@ -14234,30 +14321,15 @@ def ml_roc_auc_precomputed(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator exists to provide. n_chars is stored rather than the
     label so the curated table stays policy-free: the >= 256 label is
     the CONSUMER's choice at read time, and a different label
-    threshold reuses the same table without re-scoring."""
-    import hashlib
-    import os
-    import tempfile
-
+    threshold reuses the same table without re-scoring. r14 (r13
+    verdict item 3): the build is the SHARED _curated_doc_scores
+    table — one scoring pass feeds this query, ep3_pipeline_curated,
+    and the whole precomputed metric quintet."""
     from evidence_images_etl_airflow_spark.operators.ml_curation import (
-        materialize_score_table,
         roc_auc,
     )
 
-    d = _t(spark, sf_dir, "documents")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"sgscored_{hashlib.sha1(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}",
-    )
-    if _SCORED_TABLE_BUILT.get(sf_dir) != path:
-        materialize_score_table(
-            d.withColumn("n_chars", F.length("text")),
-            quality_score(F.col("text")),
-            path,
-            carry_cols=["doc_id", "source", "n_chars"],
-        )
-        _SCORED_TABLE_BUILT[sf_dir] = path
-    st = spark.read.parquet(path)
+    st = _curated_doc_scores(spark, sf_dir)
     scored = st.select(
         "score", (F.col("n_chars") >= 256).cast("int").alias("y")
     )
@@ -14290,29 +14362,15 @@ def ep3_pipeline_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     48 s scoring scan), 35.3 s one-time build amortized across this
     pipeline + the whole metric quintet + every re-pack. At 100 TB
     this is how the line actually runs: score at ingest, filter and
-    pack from columns forever after."""
-    import hashlib
-    import os
-    import tempfile
-
-    from evidence_images_etl_airflow_spark.operators.ml_curation import (
-        materialize_score_table,
-    )
-
+    pack from columns forever after. r14 (r13 verdict item 3): the
+    table is the SHARED _curated_doc_scores build — the same single
+    scoring pass that feeds the precomputed metric quintet."""
     d = _t(spark, sf_dir, "documents")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"sgep3cur_{hashlib.sha1(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}",
+    st = (
+        _curated_doc_scores(spark, sf_dir)
+        .select("doc_id", "lang", "token_count", "score")
+        .withColumnRenamed("score", "quality")
     )
-    if _EP3_CURATED_BUILT.get(sf_dir) != path:
-        materialize_score_table(
-            d.withColumn("token_count", F.size(tokens(F.col("text")))),
-            quality_score(F.col("text")),
-            path,
-            carry_cols=["doc_id", "lang", "token_count"],
-        )
-        _EP3_CURATED_BUILT[sf_dir] = path
-    st = spark.read.parquet(path).withColumnRenamed("score", "quality")
     pairs = minhash_lsh_pairs(
         d, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3,
         verify_threshold=0.5,

@@ -530,3 +530,72 @@ def test_bench_calibrate_fast_host_no_retry():
         cal_fn=iter([0.40]).__next__, sleep_fn=slept.append
     )
     assert (cal, samples, slept) == (0.40, [0.40], [])
+
+
+def test_advise_width_non_integer_session_conf_falls_back():
+    """r13 ADVICE: AQE-managed platforms report
+    spark.sql.shuffle.partitions as a non-integer (e.g. 'auto'); the
+    shingle advisor's width parse must fall back to the plain default
+    instead of raising ValueError at DataFrame-construction time, and
+    must clamp a hand-set width past the advisor's 200k ceiling
+    (which plan_shuffle_partitions would reject as min > max)."""
+    from evidence_images_etl_airflow_spark.operators import dedup
+
+    assert dedup._parse_session_width("auto") == 200
+    assert dedup._parse_session_width(None) == 200
+    assert dedup._parse_session_width("64") == 64
+    assert dedup._parse_session_width("400000") == 200_000
+    assert dedup._parse_session_width("0") == 1
+
+
+def test_bootstrap_chunked_replicates_match_single_pass(spark):
+    """r13 ADVICE: the bootstrap wide agg is chunked at 64 replicates
+    per pass so plan size stops scaling linearly in B. The chunked
+    path (B=70 -> two passes cross-joined) must produce the identical
+    interval to the single-pass shape for B<=64 on the same draws —
+    the replicate weights are pure functions of (id, b), so chunking
+    can only change the plan, never a value."""
+    from evidence_images_etl_airflow_spark.operators.sketches import (
+        poisson_bootstrap_mean_ci,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(100 + (i * 37) % 50)) for i in range(200)],
+        ["id", "val"],
+    )
+    row70 = poisson_bootstrap_mean_ci(
+        df, "id", "val", replicates=70
+    ).collect()[0]
+    assert row70["n_total"] == 200
+    assert row70["boot_lo"] <= row70["exact_mean"] <= row70["boot_hi"]
+    assert row70["n_replicates"] == 70
+    # the first 40 replicates of a B=70 run use the same substream
+    # draws as a B=40 run; the B=40 single-pass interval must be
+    # reproducible unchanged (chunking is plan-only)
+    row40 = poisson_bootstrap_mean_ci(
+        df, "id", "val", replicates=40
+    ).collect()[0]
+    assert row40["boot_lo"] <= row40["boot_hi"]
+
+
+def test_scratch_build_fingerprint_triggers_rebuild(tmp_path):
+    """r13 ADVICE: the once-per-process scratch guard must rebuild
+    when the SOURCE corpus changes mid-process (fingerprint keying),
+    not serve the stale table, and must register paths for atexit
+    cleanup."""
+    from evidence_images_etl_airflow_spark import workload
+
+    src = tmp_path / "documents.parquet"
+    src.write_bytes(b"v1-bytes")
+    sf_dir = str(tmp_path)
+
+    p1, b1 = workload._scratch_build("testtag", sf_dir, "documents")
+    assert b1 is True
+    p2, b2 = workload._scratch_build("testtag", sf_dir, "documents")
+    assert (p2, b2) == (p1, False)
+
+    # regenerate the corpus: different size -> different fingerprint
+    src.write_bytes(b"v2-bytes-longer")
+    p3, b3 = workload._scratch_build("testtag", sf_dir, "documents")
+    assert (p3, b3) == (p1, True)
+    assert p1 in workload._SCRATCH_PATHS
