@@ -10454,98 +10454,77 @@ def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # already-multiply-verified trivia trail past the cap. Everything not
 # listed follows in registration order.
 _VERIFY_FIRST = [
-    # ---- r13 head (exactly the enumeration committed at r12 and held
-    # to by the r12 verdict): FIRST the 6 r08-cohort entries that had
-    # spilled past the cap since r08 (the r11 reorder rule: nothing
-    # goes five rounds unchecked) ...
-    "supplier_reliability_wilson",
-    "text_zipf_fit",
-    "sketch_hll_rollup",
-    "er_fuzzy_part_pairs",
-    "data_shard_shuffle",
-    "recon_table_diff",
-    # ... then the 32 round-12 registrations in registration order
-    # (each carried two-scale parity proof at registration time and
-    # was judge-parity-green at sf0.01 in the r12 verdict session) ...
-    "ep5_mart_chain_planned",
-    "dq_k_anonymity",
-    "embedding_int8_recall",
-    "text_cooccurrence_pmi",
-    "plan_range_partition_report",
-    "ml_calibration_curve",
-    "agg_sample_ci",
-    "events_churn_features",
-    "ml_roc_auc",
-    "customers_revenue_gini",
-    "events_attribution_last_touch",
-    "orders_interarrival_profile",
-    "events_active_users_stickiness",
-    "dq_referential_orphans",
-    "agg_stratified_ci",
-    "events_forecast_mase",
-    "ml_agreement_kappa",
-    "ml_pr_threshold_sweep",
-    "events_cusum_changepoint",
-    "events_ewma_daily",
-    "text_gopher_rules",
-    "curation_score_alignment",
-    "parts_abc_classification",
-    "embedding_cluster_silhouette",
-    "agg_bootstrap_ci",
-    "events_weekday_seasonal_index",
-    "orders_cohort_ltv",
-    "events_anomaly_deseasonalized",
-    "text_novelty_curve",
-    "customers_value_migration",
-    "sql_unpivot_year_revenue",
-    "streaming_cusum_monitor",
-    # ... then the 12 oldest r09-green entries in registration order
-    # (6 + 32 + 12 = 50, the driver cap).
-    "flagship_image_urls",
-    "p1_projection",
-    "p2_nonempty_filter",
-    "j2_conflict_skip",
-    "j3_merge_upsert",
-    "p4_like_predicate",
-    "q4_semi_join",
-    "q13_outer_join_distribution",
-    "q17_scalar_subquery",
-    "q6_forecast_revenue",
-    "q12_priority_shipping",
-    "q14_promo_revenue",
-    # ---- past the driver's 50-row cap: the r14 head, fully
-    # enumerated (hold the r14 builder to it): FIRST the r13
-    # registrations in registration order (each registered past the
-    # cap with two-scale parity proof per the registration-time rule;
-    # so far: ml_roc_auc_precomputed, ep3_pipeline_curated), then the
-    # remaining 38 r09-green entries in registration order —
-    # q18_large_volume_orders, q19_disjunctive_predicates,
-    # q7_nation_trade_volume, q10_returned_revenue, q15_top_supplier,
-    # q22_idle_rich_customers, q2_min_cost_supplier, q8_market_share,
-    # q9_product_profit, q21_late_supplier_alone, q5_nation_revenue,
-    # text_bpe_encode, text_bpe_vocab (the BPE pair rotates normally
-    # now that its oracle is linear — r12's AS MATERIALIZED fix),
-    # dedup_span_exact, dedup_minhash_lsh, split_leakage_audit,
-    # curation_template_ngrams, data_quality_weighted_sample,
-    # data_token_budget_mixture, ep2_curation_pipeline,
-    # curation_lm_perplexity, multimodal_phash_near,
-    # dedup_semantic_kmeans, ml_quality_classifier,
-    # ann_ivf_pq_indexed, scd2_asof_lookup,
-    # sketch_quantile_coarse_rollup, zorder_locality_stats,
-    # data_group_split, profile_key_candidates, timeseries_gapfill,
-    # dedup_prefix_filter_pairs, sketch_countmin_estimates,
-    # curation_dsir_selection, streaming_countmin_estimates,
-    # dq_benford_prices, orders_revenue_trend,
-    # sketch_join_size_estimate — then the 12 oldest r10-green
-    # entries in registration order (t2_t3_string_nan_normalization,
-    # j4_keyed_update, udtf_token_chunks, sql_api_revenue_by_status,
-    # q11_important_stock, q16_supplier_counts, q20_excess_suppliers,
-    # q1_pricing_summary, q3_top_revenue_orders, agg_grouping_sets,
-    # agg_pivot_nation_year, events_sessionization). With r13
-    # registrations leading, the r10-green tail shrinks to fit the
-    # 50-slot cap (r13 entries pre-empt the tail, never the spill or
-    # stale cohorts); every r13 registration carries two-scale parity
-    # proof in the r13 ledger per the registration-time rule.
+    # ---- r14 head (exactly the enumeration committed at r13 and
+    # held to by the r13 verdict): FIRST the 2 round-13 registrations
+    # in registration order (each registered past the cap with
+    # two-scale parity proof; both judge-parity-green at sf0.01 in
+    # the r13 verdict session but never driver-checked) ...
+    "ml_roc_auc_precomputed",
+    "ep3_pipeline_curated",
+    # ... then the 38 remaining r09-green entries in registration
+    # order — including the BPE pair, six rounds stale, whose
+    # rotation the r12 and r13 verdicts both called due ...
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicates",
+    "q7_nation_trade_volume",
+    "q10_returned_revenue",
+    "q15_top_supplier",
+    "q22_idle_rich_customers",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q21_late_supplier_alone",
+    "q5_nation_revenue",
+    "text_bpe_encode",
+    "text_bpe_vocab",
+    "dedup_span_exact",
+    "dedup_minhash_lsh",
+    "split_leakage_audit",
+    "curation_template_ngrams",
+    "data_quality_weighted_sample",
+    "data_token_budget_mixture",
+    "ep2_curation_pipeline",
+    "curation_lm_perplexity",
+    "multimodal_phash_near",
+    "dedup_semantic_kmeans",
+    "ml_quality_classifier",
+    "ann_ivf_pq_indexed",
+    "scd2_asof_lookup",
+    "sketch_quantile_coarse_rollup",
+    "zorder_locality_stats",
+    "data_group_split",
+    "profile_key_candidates",
+    "timeseries_gapfill",
+    "dedup_prefix_filter_pairs",
+    "sketch_countmin_estimates",
+    "curation_dsir_selection",
+    "streaming_countmin_estimates",
+    "dq_benford_prices",
+    "orders_revenue_trend",
+    "sketch_join_size_estimate",
+    # ... then the oldest r10-green entries in registration order,
+    # shrunk to fill the 50-slot cap (2 + 38 + 10 = 50).
+    "t2_t3_string_nan_normalization",
+    "j4_keyed_update",
+    "udtf_token_chunks",
+    "sql_api_revenue_by_status",
+    "q11_important_stock",
+    "q16_supplier_counts",
+    "q20_excess_suppliers",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "agg_grouping_sets",
+    # ---- past the driver's 50-row cap: the r15 head, fully
+    # enumerated (hold the r15 builder to it): FIRST any round-14
+    # registrations in registration order (each must carry two-scale
+    # parity proof at registration time per the registration-time
+    # rule; so far: ml_calibration_precomputed, ml_kappa_precomputed,
+    # ml_pr_sweep_precomputed, curation_alignment_precomputed), then
+    # the 2 r10-green entries this round's tail squeezed out
+    # (agg_pivot_nation_year, events_sessionization), then the oldest
+    # r11-green entries in registration order until the 50-slot cap
+    # is filled. New r15 registrations pre-empt the r11-green tail,
+    # never the spill or stale cohorts.
 ]
 
 
@@ -11333,6 +11312,9 @@ def events_experiment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ep5_mart_chain_planned",
+    # promoted r14 (VERDICT r13 item 1): green CORRECTNESS_r13 row
+    # committed; solo sf0.1 anchor 5.78 s pre-recorded in BASELINE.md
+    headline=True,
     oracle="""
     SELECT n_name AS nation,
            CAST(count(*) AS BIGINT) AS n_lineitems,
@@ -14397,6 +14379,120 @@ def ep3_pipeline_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ml_calibration_precomputed",
+    # value-identical to ml_calibration_curve (the stored score IS the
+    # inline expression's value, the label is recomputed from the
+    # stored n_chars) — share its oracle verbatim: the differential
+    # check proves score-then-store == score-inline for the
+    # calibration machinery (the ml_roc_auc_precomputed pattern,
+    # extended to the rest of the quintet per r13 verdict item 4).
+    oracle=REGISTRY["ml_calibration_curve"].oracle,
+)
+def ml_calibration_precomputed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE over the SHARED curated score table
+    (_curated_doc_scores) instead of scoring inline — the curated
+    twin of ml_calibration_curve (r13 verdict item 4: only roc_auc
+    had one; each remaining metric's twin is a ~10-line column read
+    sharing the incumbent's oracle verbatim). Steady state is the
+    flat class: a two-column parquet scan + the <=10-bin grid
+    machinery; the scoring scan was paid once by whichever curated
+    consumer ran first. NOTE: registered after the r14 verify head
+    (rotation-slot rule); parity-proven locally at sf0.001 + sf0.01;
+    heads the r15 rotation."""
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        calibration_curve,
+    )
+
+    st = _curated_doc_scores(spark, sf_dir)
+    scored = st.select(
+        "score", (F.col("n_chars") >= 256).cast("int").alias("y")
+    )
+    return calibration_curve(scored, "score", "y", bins=10)
+
+
+@register(
+    "ml_kappa_precomputed",
+    # value-identical to ml_agreement_kappa — both raters are pure
+    # functions of stored columns (score >= 0.67, n_chars >= 256);
+    # shares its oracle verbatim (differential proof).
+    oracle=REGISTRY["ml_agreement_kappa"].oracle,
+)
+def ml_kappa_precomputed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa / MCC / accuracy over the SHARED curated score
+    table — the curated twin of ml_agreement_kappa (r13 verdict item
+    4). Both raters derive from stored integers (threshold choices
+    stay read-time policy, the table stays policy-free); the corpus
+    text is never touched. Steady state: one two-column scan into
+    four confusion cells. NOTE: registered after the r14 verify head
+    (rotation-slot rule); parity-proven locally at sf0.001 + sf0.01;
+    heads the r15 rotation."""
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        agreement_metrics,
+    )
+
+    st = _curated_doc_scores(spark, sf_dir)
+    rated = st.select(
+        (F.col("score") >= 0.67).cast("int").alias("ra"),
+        (F.col("n_chars") >= 256).cast("int").alias("rb"),
+    )
+    return agreement_metrics(rated, "ra", "rb")
+
+
+@register(
+    "ml_pr_sweep_precomputed",
+    # value-identical to ml_pr_threshold_sweep — shares its oracle
+    # verbatim (differential proof).
+    oracle=REGISTRY["ml_pr_threshold_sweep"].oracle,
+)
+def ml_pr_sweep_precomputed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 threshold sweep over the SHARED curated
+    score table — the curated twin of ml_pr_threshold_sweep (r13
+    verdict item 4). This is the query the curated layer exists for
+    most directly: every operating-threshold RE-SWEEP after the first
+    is a column read + the grid-bounded confusion re-aggregation,
+    never a re-score. NOTE: registered after the r14 verify head
+    (rotation-slot rule); parity-proven locally at sf0.001 + sf0.01;
+    heads the r15 rotation."""
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        pr_threshold_sweep,
+    )
+
+    st = _curated_doc_scores(spark, sf_dir)
+    scored = st.select(
+        "score", (F.col("n_chars") >= 256).cast("int").alias("y")
+    )
+    return pr_threshold_sweep(scored, "score", "y")
+
+
+@register(
+    "curation_alignment_precomputed",
+    # value-identical to curation_score_alignment — source and score
+    # are both stored columns; shares its oracle verbatim
+    # (differential proof).
+    oracle=REGISTRY["curation_score_alignment"].oracle,
+)
+def curation_alignment_precomputed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source score alignment over the SHARED curated score
+    table — the curated twin of curation_score_alignment, completing
+    the quintet (r13 verdict item 4): all five scoring metrics now
+    have a precomputed form reading the ONE _curated_doc_scores
+    build. Steady state: a (source, score) two-column scan + the
+    grid-bounded midrank machinery. NOTE: registered after the r14
+    verify head (rotation-slot rule); parity-proven locally at
+    sf0.001 + sf0.01; heads the r15 rotation."""
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        source_score_alignment,
+    )
+
+    st = _curated_doc_scores(spark, sf_dir)
+    return source_score_alignment(
+        st.select("source", "score"), "source", "score"
+    )
+
+
 # r11: `join_autoplan_strategy` promoted (green r10 driver row landed).
 # r12: `events_pattern_journey` promoted (green CORRECTNESS_r11 row
 # committed — the sequence-analytics family's representative); the
@@ -14409,5 +14505,9 @@ def ep3_pipeline_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (committed green CORRECTNESS row, enforced by test_pipeline.py)
 # makes it r14's first promotion, exactly as events_pattern_journey
 # waited out r11.
+# r14: `ep5_mart_chain_planned` promoted (green CORRECTNESS_r13 row
+# committed; solo sf0.1 anchor 5.78 s pre-recorded) — the headline
+# set is now 27: both planner layers (plan_join_chain order +
+# plan_equi_join strategy) exercised end-to-end in every bench sweep.
 def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items() if q.headline}
