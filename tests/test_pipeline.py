@@ -139,3 +139,26 @@ def test_bench_calibrate_noisy_host_guard():
     )
     assert cal == 2.4 and samples == [2.3, 2.4]
     assert not (bench.CAL_BAND[0] <= cal <= bench.CAL_BAND[1])
+
+
+def test_precomputed_twins_share_incumbent_oracles_verbatim():
+    """The curated-layer differential-proof pattern (r13 verdict item
+    4): each precomputed twin must share its inline incumbent's oracle
+    STRING verbatim — a reworded oracle would silently weaken the
+    score-then-store == score-inline differential into two unrelated
+    checks."""
+    from evidence_images_etl_airflow_spark import workload
+
+    twins = {
+        "ml_roc_auc_precomputed": "ml_roc_auc",
+        "ml_calibration_precomputed": "ml_calibration_curve",
+        "ml_kappa_precomputed": "ml_agreement_kappa",
+        "ml_pr_sweep_precomputed": "ml_pr_threshold_sweep",
+        "curation_alignment_precomputed": "curation_score_alignment",
+        "ep3_pipeline_curated": "ep3_training_data_pipeline",
+    }
+    for twin, incumbent in twins.items():
+        assert (
+            workload.REGISTRY[twin].oracle
+            == workload.REGISTRY[incumbent].oracle
+        ), f"{twin} oracle diverged from {incumbent}"
