@@ -421,76 +421,49 @@ def prefix_filter_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    if n_parts is not None:
-        # r14 (r13 verdict item 2 — the published pair-heavy caveat):
-        # the advisor width above is sized off CORPUS shingle bytes,
-        # but on pair-heavy corpora (sf100x_de: 27.31M qualifying
-        # pairs) the verify stage dominates and its cost scales in
-        # CANDIDATES — each verify row carries TWO full per-doc
-        # shingle arrays through the id-keyed exchanges, a volume the
-        # corpus-stats width knows nothing about (measured ~19%
-        # regression vs stock there in r13). So the verify joins get
-        # their OWN width from a second 1-row stat off the prefix-join
-        # output: materialize the candidate pairs (the count is the
-        # action that populates the cache the verify joins then read —
-        # the same pay-once idiom as the shingle cache; candidate rows
-        # are two ids, the cheapest possible cache), estimate verify
-        # exchange bytes as n_cand x 2 x avg per-doc array bytes (from
-        # table_size_stats over the cached arr), and clamp to
-        # [advised corpus width, 200k]. The verify target is 4x the
-        # agg target: verify rows STREAM through row-local
-        # array_intersect — no hash map holds them — so the 16 MiB
-        # agg-memory rationale doesn't apply; 64 MiB raw keeps task
-        # count sane while still splitting the exchange far below
-        # spill pressure. Pair-light corpora advise ~the corpus width
-        # (the floor), so the r13-measured default regime is preserved.
-        # (table_size_stats rejects array columns, so the per-doc
-        # array bytes come from a direct row-local F.aggregate over
-        # the cached arr: string bytes + ~20B JVM per-element
-        # overhead — the same serialized-expansion allowance the agg
-        # target's 16 MiB rationale uses.)
-        per_doc_bytes = F.aggregate(
-            "shingles",
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + F.length(x) + F.lit(20),
-        )
-        arr_stats = arr.agg(
-            F.avg(per_doc_bytes).alias("avg_doc_bytes"),
-        ).first()
-        avg_doc_bytes = max(1, int(arr_stats["avg_doc_bytes"] or 0))
-        cand = _materialized(cand)
-        n_cand = cand.count()
-        verify_target = 4 * int(shuffle_target_bytes)
-        v_parts = max(
-            n_parts,
-            min(
-                _ADVISOR_MAX_WIDTH,
-                (n_cand * 2 * avg_doc_bytes + verify_target - 1)
-                // verify_target,
-            ),
-        )
-        cand = cand.repartition(v_parts, "id_a")
     # verify on candidates only: two id-keyed joins pull each side's
     # (bounded, per-doc) array and array_intersect computes the exact
     # overlap row-locally — no explode-join-reaggregate pass over the
-    # corpus shingle table, so verify cost is O(candidates x doc_len)
-    half = cand.join(
-        arr.select(
-            F.col("id").alias("id_a"),
-            F.col("shingles").alias("sh_a"),
-            F.col("sz").alias("sz_a"),
-        ),
-        "id_a",
-    )
-    if n_parts is not None:
-        # explicit width for the second exchange too: join 2 re-keys
-        # on id_b, which a plan already partitioned by id_a cannot
-        # satisfy — without this the heavy (pairs x arrays) rows fall
-        # back to the session/AQE width (AQE only COALESCES from it,
-        # never widens, exactly the spill path the caveat measured)
-        half = half.repartition(v_parts, "id_b")
+    # corpus shingle table, so verify cost is O(candidates x doc_len).
+    #
+    # r14 NEGATIVE RESULT (r13 verdict item 2 — the pair-heavy
+    # caveat's named dial, "size the verify join off candidate
+    # count", implemented, measured, and REVERTED): the r14 build
+    # materialized the candidate pairs (count populating the cache),
+    # estimated verify-exchange bytes as n_cand x 2 x avg per-doc
+    # array bytes, and widened both verify exchanges to that width.
+    # Measured on the 27.31M-pair sf100x_de corpus:
+    #   - interleaved fresh-JVM pair, same window: stock 117.9 s vs
+    #     candidate-sized advisor 267.9 s — the stat is NOT free: the
+    #     count job + 27M-row cache cost ~as much as the verify stage
+    #     itself, and a QUIET-window stock run shows no verify spill
+    #     to recover (stock swung 424.7/192.4/116.3 s across windows
+    #     while the sized leg sat flat ~390-425 s: its floor is its
+    #     own added structure).
+    #   - width in isolation (tools/probe_verify_width.py, same-JVM
+    #     cached-input legs): stock-32 208 s, 64-512 partitions
+    #     81-139 s (flat within host noise), formula-picked 1708
+    #     147 s — width has SOME effect under load, but the only
+    #     zero-extra-job estimator available (corpus stats) cannot
+    #     see candidate volume, and every candidate-aware estimator
+    #     (cand count, prefix-table C(c,2) agg) adds a corpus-scale
+    #     job that taxes the default regime the r13 advisor wins.
+    # Conclusion recorded in SCALING.md: on pair-heavy corpora the
+    # cost IS the 27.31M-row (pairs x arrays) materialization itself
+    # — the verify output equals the candidate set there (every
+    # candidate a true pair), so exchange width is second-order and
+    # pair enumeration is the wrong tool (use minhash clustering /
+    # exact dedup); the caveat stands as published, now with its dial
+    # measured shut.
     return (
-        half
+        cand.join(
+            arr.select(
+                F.col("id").alias("id_a"),
+                F.col("shingles").alias("sh_a"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "id_a",
+        )
         .join(
             arr.select(
                 F.col("id").alias("id_b"),
