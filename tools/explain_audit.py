@@ -66,6 +66,9 @@ EXPECTED_CROSS = {
     "text_cooccurrence_pmi",  # 1-row n_docs aggregate broadcasts
     "plan_range_partition_report",  # 1-row total + <=N-1 boundary broadcasts
     "ml_calibration_curve",  # 1-row ECE aggregate broadcast
+    "ml_calibration_precomputed",  # same 1-row ECE broadcast, curated twin
+    "ml_pr_sweep_precomputed",  # same 10-row grid broadcast, curated twin
+    "curation_alignment_precomputed",  # same 1-row broadcasts, curated twin
     "agg_sample_ci",  # 1-row estimate x 1-row exact-mean report assembly
     "customers_revenue_gini",  # 1-row totals broadcast back over value blocks
     "events_attribution_last_touch",  # 1-row conversion-total broadcast
