@@ -10519,7 +10519,8 @@ _VERIFY_FIRST = [
     # registrations in registration order (each must carry two-scale
     # parity proof at registration time per the registration-time
     # rule; so far: ml_calibration_precomputed, ml_kappa_precomputed,
-    # ml_pr_sweep_precomputed, curation_alignment_precomputed), then
+    # ml_pr_sweep_precomputed, curation_alignment_precomputed,
+    # ml_pr_sweep_fine_precomputed), then
     # the 2 r10-green entries this round's tail squeezed out
     # (agg_pivot_nation_year, events_sessionization), then the oldest
     # r11-green entries in registration order until the 50-slot cap
@@ -14490,6 +14491,72 @@ def curation_alignment_precomputed(
     st = _curated_doc_scores(spark, sf_dir)
     return source_score_alignment(
         st.select("source", "score"), "source", "score"
+    )
+
+
+@register(
+    "ml_pr_sweep_fine_precomputed",
+    oracle=f"""
+    WITH s AS (SELECT {_QUALITY_SQL} AS sc,
+                      CAST(length(text) >= 256 AS INT) AS y
+               FROM documents),
+    g AS (SELECT sc, CAST(sum(y) AS BIGINT) AS np,
+                 CAST(count(*) - sum(y) AS BIGINT) AS nn
+          FROM s WHERE sc IS NOT NULL AND y IS NOT NULL GROUP BY sc),
+    grid AS (SELECT CAST(i AS DOUBLE) / 100.0 AS threshold
+             FROM unnest(generate_series(0, 99)) AS t(i)),
+    swept AS (
+      SELECT threshold,
+             CAST(coalesce(sum(CASE WHEN sc >= threshold THEN np END), 0)
+                  AS BIGINT) AS tp,
+             CAST(coalesce(sum(CASE WHEN sc >= threshold THEN nn END), 0)
+                  AS BIGINT) AS fp,
+             CAST(coalesce(sum(CASE WHEN sc < threshold THEN np END), 0)
+                  AS BIGINT) AS fn,
+             CAST(coalesce(sum(CASE WHEN sc < threshold THEN nn END), 0)
+                  AS BIGINT) AS tn
+      FROM g CROSS JOIN grid GROUP BY threshold)
+    SELECT threshold, tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0 THEN
+             round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+           CASE WHEN tp + fn > 0 THEN
+             round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0 THEN
+             round(2.0 * CAST(tp AS DOUBLE) / (2 * tp + fp + fn), 6)
+           END AS f1
+    FROM swept ORDER BY threshold
+    """,
+)
+def ml_pr_sweep_fine_precomputed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A 100-point PR/F1 threshold sweep (0.00..0.99 at 0.01 steps)
+    over the SHARED curated score table — not a twin of an inline
+    incumbent but the NEW analysis the curated layer exists to make
+    affordable: picking an operating threshold to 2dp means
+    re-sweeping, and against raw text each re-sweep re-pays the
+    ~20-48 s scoring scan while against the stored column it is a
+    two-column read + a grid join 10x wider than the coarse sweep's —
+    still grid-bounded (100 x |distinct 6dp scores| intermediate
+    rows, corpus-size-independent). Same machinery as
+    ml_pr_threshold_sweep (operators/ml_curation.pr_threshold_sweep,
+    thresholds parameter), same exactness discipline (6dp score
+    quantization mirrored in the oracle, BIGINT cells, one IEEE
+    divide per metric, NULL on empty denominators; i/100 thresholds
+    are the identical binary64 division in both engines). NOTE:
+    registered after the r14 verify head (rotation-slot rule);
+    parity-proven locally at sf0.001 + sf0.01; heads the r15
+    rotation with the four curated twins."""
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        pr_threshold_sweep,
+    )
+
+    st = _curated_doc_scores(spark, sf_dir)
+    scored = st.select(
+        "score", (F.col("n_chars") >= 256).cast("int").alias("y")
+    )
+    return pr_threshold_sweep(
+        scored, "score", "y", thresholds=[i / 100.0 for i in range(100)]
     )
 
 

@@ -68,6 +68,7 @@ EXPECTED_CROSS = {
     "ml_calibration_curve",  # 1-row ECE aggregate broadcast
     "ml_calibration_precomputed",  # same 1-row ECE broadcast, curated twin
     "ml_pr_sweep_precomputed",  # same 10-row grid broadcast, curated twin
+    "ml_pr_sweep_fine_precomputed",  # 100-row literal grid broadcast
     "curation_alignment_precomputed",  # same 1-row broadcasts, curated twin
     "agg_sample_ci",  # 1-row estimate x 1-row exact-mean report assembly
     "customers_revenue_gini",  # 1-row totals broadcast back over value blocks
