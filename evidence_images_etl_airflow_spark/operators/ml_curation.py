@@ -664,3 +664,41 @@ def materialize_score_table(
     df.select(*cols, score.alias("score")).write.mode("overwrite").parquet(
         path
     )
+
+
+def update_score_table(
+    candidates: DataFrame,
+    score: F.Column,
+    path: str,
+    id_col: str,
+    carry_cols: list[str] | None = None,
+) -> None:
+    """Incremental curated-score ingest (VERDICT r14 item 3): score
+    ONLY the ``candidates`` rows whose ``id_col`` is not yet in the
+    score table at ``path`` and APPEND them — the crawl-loop companion
+    to :func:`materialize_score_table`, which rebuilds the whole table
+    whenever the corpus changes. Real corpora are append-mostly: a
+    re-crawl batch overlaps heavily with ingested history, and
+    re-scoring the overlap re-pays the one term the curated layer
+    exists to amortize (the scoring expression's corpus scan).
+
+    Scale shape (the ``dedup_against_store`` idiom applied to the
+    score table): the existing side is a COLUMN-PRUNED scan of the
+    stored ``id_col`` only — never the corpus, never the score — LEFT
+    ANTI joined against the batch, so append cost is proportional to
+    the batch, not the table; at 100 TB of scored history the anti
+    join's build side is one id column. The scoring expression sits
+    ABOVE the anti join in the plan, so it evaluates only for
+    surviving (genuinely new) rows. Idempotent by construction:
+    re-running the same batch appends zero rows because its ids are
+    already present — a retried ingest cannot double-score. Not
+    concurrency-safe across simultaneous writers (parquet append has
+    no transaction); serialize ingest batches or stage+rename.
+    """
+    spark = candidates.sparkSession
+    existing = spark.read.parquet(path).select(id_col)
+    fresh = candidates.join(existing, on=id_col, how="left_anti")
+    cols = list(carry_cols or [])
+    fresh.select(*cols, score.alias("score")).write.mode("append").parquet(
+        path
+    )

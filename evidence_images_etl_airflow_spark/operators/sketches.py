@@ -803,6 +803,13 @@ POISSON1_CDF_1E6: tuple[int, ...] = (
 )
 
 
+# Replicates per aggregation pass in poisson_bootstrap_mean_ci.
+# Module-level (not a function local) so tests can pin it high and
+# prove the chunked plan is value-identical to the single-pass shape
+# (r14 ADVICE: the old test only asserted sanity bounds).
+_BOOT_CHUNK = 64
+
+
 def poisson_bootstrap_mean_ci(
     df: DataFrame,
     id_col: str | Column,
@@ -912,11 +919,10 @@ def poisson_bootstrap_mean_ci(
     # ceil(B/64) corpus scans — scans scale in data, not in plan
     # size, which is the safe direction at 100 TB; column pruning
     # keeps each pass's digest projection to its own chunk's groups.
-    _CHUNK = 64
     wide = None
-    for start in range(0, B, _CHUNK):
+    for start in range(0, B, _BOOT_CHUNK):
         aggs = []
-        for b in range(start, min(start + _CHUNK, B)):
+        for b in range(start, min(start + _BOOT_CHUNK, B)):
             w = _w(b)
             aggs.append(F.sum(w).cast("bigint").alias(f"__n{b}"))
             aggs.append(

@@ -4,6 +4,8 @@ merge_upsert NULL-key matching, and the cache lifecycle."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -548,54 +550,117 @@ def test_advise_width_non_integer_session_conf_falls_back():
     assert dedup._parse_session_width("0") == 1
 
 
-def test_bootstrap_chunked_replicates_match_single_pass(spark):
+def test_bootstrap_chunked_replicates_match_single_pass(spark, monkeypatch):
     """r13 ADVICE: the bootstrap wide agg is chunked at 64 replicates
     per pass so plan size stops scaling linearly in B. The chunked
-    path (B=70 -> two passes cross-joined) must produce the identical
-    interval to the single-pass shape for B<=64 on the same draws —
-    the replicate weights are pure functions of (id, b), so chunking
-    can only change the plan, never a value."""
-    from evidence_images_etl_airflow_spark.operators.sketches import (
-        poisson_bootstrap_mean_ci,
-    )
+    path (B=70 -> two passes cross-joined) must produce the IDENTICAL
+    interval to the single-pass shape on the same draws — the
+    replicate weights are pure functions of (id, b), so chunking can
+    only change the plan, never a value. r15 (r14 ADVICE): assert that
+    equality directly by pinning _BOOT_CHUNK past B and comparing the
+    two rows field by field, instead of only sanity bounds."""
+    from evidence_images_etl_airflow_spark.operators import sketches
 
     df = spark.createDataFrame(
         [(i, float(100 + (i * 37) % 50)) for i in range(200)],
         ["id", "val"],
     )
-    row70 = poisson_bootstrap_mean_ci(
+    row70 = sketches.poisson_bootstrap_mean_ci(
         df, "id", "val", replicates=70
     ).collect()[0]
     assert row70["n_total"] == 200
     assert row70["boot_lo"] <= row70["exact_mean"] <= row70["boot_hi"]
     assert row70["n_replicates"] == 70
-    # the first 40 replicates of a B=70 run use the same substream
-    # draws as a B=40 run; the B=40 single-pass interval must be
-    # reproducible unchanged (chunking is plan-only)
-    row40 = poisson_bootstrap_mean_ci(
-        df, "id", "val", replicates=40
+    monkeypatch.setattr(sketches, "_BOOT_CHUNK", 1024)
+    single70 = sketches.poisson_bootstrap_mean_ci(
+        df, "id", "val", replicates=70
     ).collect()[0]
-    assert row40["boot_lo"] <= row40["boot_hi"]
+    assert single70.asDict() == row70.asDict()
 
 
 def test_scratch_build_fingerprint_triggers_rebuild(tmp_path):
     """r13 ADVICE: the once-per-process scratch guard must rebuild
     when the SOURCE corpus changes mid-process (fingerprint keying),
     not serve the stale table, and must register paths for atexit
-    cleanup."""
+    cleanup. r15 (r14 ADVICE): a regenerated corpus now gets a FRESH
+    fingerprint-suffixed path — the old build's directory survives
+    until atexit so lazily-evaluated readers of it stay valid."""
     from evidence_images_etl_airflow_spark import workload
 
     src = tmp_path / "documents.parquet"
     src.write_bytes(b"v1-bytes")
     sf_dir = str(tmp_path)
 
-    p1, b1 = workload._scratch_build("testtag", sf_dir, "documents")
+    p1, b1, mark1 = workload._scratch_build("testtag", sf_dir, "documents")
     assert b1 is True
-    p2, b2 = workload._scratch_build("testtag", sf_dir, "documents")
+    mark1()
+    p2, b2, _ = workload._scratch_build("testtag", sf_dir, "documents")
     assert (p2, b2) == (p1, False)
 
     # regenerate the corpus: different size -> different fingerprint
+    # -> a DIFFERENT path, with the completed v1 build left on disk
     src.write_bytes(b"v2-bytes-longer")
-    p3, b3 = workload._scratch_build("testtag", sf_dir, "documents")
-    assert (p3, b3) == (p1, True)
+    p3, b3, mark3 = workload._scratch_build("testtag", sf_dir, "documents")
+    assert b3 is True
+    assert p3 != p1
+    assert os.path.exists(os.path.join(p1, "_SG_BUILD_OK"))
+    mark3()
     assert p1 in workload._SCRATCH_PATHS
+    assert p3 in workload._SCRATCH_PATHS
+
+
+def test_scratch_build_failed_build_retries(tmp_path):
+    """r14 ADVICE (medium): success is recorded only by the caller's
+    mark_built() — a build that RAISES must leave needs_build True for
+    the next call in the same process, not silently serve a wiped or
+    partially-written scratch path to every later consumer."""
+    from evidence_images_etl_airflow_spark import workload
+
+    src = tmp_path / "documents.parquet"
+    src.write_bytes(b"corpus-bytes")
+    sf_dir = str(tmp_path)
+
+    p1, b1, _mark_never_called = workload._scratch_build(
+        "failtag", sf_dir, "documents"
+    )
+    assert b1 is True
+    # simulate a build that wrote partial output then raised:
+    # mark_built is never invoked
+    os.makedirs(p1, exist_ok=True)
+    (tmp_path / "partial").write_bytes(b"")
+
+    p2, b2, mark2 = workload._scratch_build("failtag", sf_dir, "documents")
+    assert (p2, b2) == (p1, True)
+    mark2()
+    p3, b3, _ = workload._scratch_build("failtag", sf_dir, "documents")
+    assert (p3, b3) == (p1, False)
+
+
+def test_corpus_fingerprint_canonical_over_layout(tmp_path):
+    """r14 ADVICE (low): the directory fingerprint must be canonical —
+    independent of os.walk root order — and must distinguish
+    same-named files in different subdirs (relative path, not
+    basename, keys each part)."""
+    from evidence_images_etl_airflow_spark import workload
+
+    d = tmp_path / "documents.parquet"
+    (d / "a").mkdir(parents=True)
+    (d / "b").mkdir()
+    f1, f2 = d / "a" / "part-0", d / "b" / "part-0"
+    f1.write_bytes(b"xx")
+    f2.write_bytes(b"yy")
+    fp = workload._corpus_fingerprint(str(tmp_path), "documents")
+    # relative paths present -> same-named files in different subdirs
+    # cannot collide
+    assert "a/part-0" in fp and "b/part-0" in fp
+    # swapping which subdir holds which mtime changes the print even
+    # though the bag of (basename, size, mtime) is identical
+    os.utime(f1, ns=(111, 111))
+    os.utime(f2, ns=(222, 222))
+    fp = workload._corpus_fingerprint(str(tmp_path), "documents")
+    os.utime(f1, ns=(222, 222))
+    os.utime(f2, ns=(111, 111))
+    fp_swapped = workload._corpus_fingerprint(str(tmp_path), "documents")
+    assert fp_swapped != fp
+    # sorted parts: the print equals its own canonical re-sort
+    assert fp == "|".join(sorted(fp.split("|")))
