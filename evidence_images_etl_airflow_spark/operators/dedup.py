@@ -793,6 +793,88 @@ def minhash_lsh_pairs(
     )
 
 
+def plan_pair_enumeration(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    pairs_per_doc_cutoff: float = 2.0,
+) -> DataFrame:
+    """Route the pair-enumeration strategy from a measured statistic
+    (r14 verdict item 6, measured r15 — SCALING.md "Routing rule for
+    the pair-heavy regime"): a 1-row plan frame
+    ``(n_docs, cand_pairs_upper, pairs_per_doc, route)`` deciding
+    between :func:`minhash_lsh_pairs` and
+    :func:`prefix_filter_jaccard_pairs` for a corpus.
+
+    The statistic is the BAND-BUCKET pair volume: after minhash
+    banding, a bucket of s docs contributes s·(s−1)/2 band collisions;
+    the sum over buckets is an upper bound on the distinct candidate
+    set (a pair agreeing on k bands is counted k times — the bound
+    errs toward routing to minhash, the measured-safe direction). It
+    is computed WITHOUT any pairwise join — shingle → signature →
+    band keys → one (band, key) count + a 1-row aggregate — i.e. it
+    prices candidate volume for strictly less than the cost of
+    enumerating candidates, and n_docs falls out of the same
+    aggregation (Σs over buckets = docs × bands). Per the r14 advisor
+    rule (a stat must be amortized), this is a PLANNING pass: run it
+    once per corpus family and reuse the route across the ingest
+    loop, not per batch.
+
+    The routing rule it encodes is the r15 two-corpus measurement
+    (tools/ab_routing_pairheavy.py, fresh-JVM interleaved medians, 3
+    reps, identical J≥0.6 spec): candidate-dominated corpus
+    (sf100x_de, 54.6 pairs/doc) — minhash 120.3 s vs prefix 245.2 s
+    at IDENTICAL output (recall exactly 1.0: high-J duplicates hit
+    every band, the exact verify emits precisely the qualifying set);
+    pair-sparse corpus (sf100x_docs, 0.05 pairs/doc) — minhash
+    26.6 s vs prefix 38.4 s but 7 borderline-J pairs dropped (recall
+    0.9997). So: above the cutoff, minhash wins outright and
+    losslessness is not even being paid for; below it, the lossless
+    guarantee costs ~45% wall and is worth buying for a dedup engine
+    whose outputs feed oracles/audits. Callers that REQUIRE provable
+    completeness should bypass the router and call the prefix filter
+    directly — no statistic can license dropping that guarantee.
+
+    Scale shape: one shingle scan, the map-side-combining signature
+    agg (one row per doc), a (band, key) count shuffle whose payload
+    is O(docs × bands) key rows, one 1-row aggregate. No join, no
+    candidate materialization. The rounded pairs_per_doc (6dp, exact
+    integer inputs) makes the route decision bit-reproducible across
+    engines."""
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    sh = _doc_shingles(df, id_col, text_col, shingle_n).withColumn(
+        "hp", _base_hash(F.col("shingle"))
+    )
+    sig = sh.groupBy("id").agg(*_sig_aggs(num_hashes))
+    buckets = _band_keys(sig, num_hashes, bands).groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    stats = buckets.agg(
+        F.coalesce(
+            F.sum(F.expr("(s * (s - 1)) div 2")), F.lit(0)
+        ).cast("bigint").alias("cand_pairs_upper"),
+        F.coalesce(F.sum("s"), F.lit(0)).cast("bigint").alias("__sum_s"),
+    ).select(
+        (F.col("__sum_s") / F.lit(bands)).cast("bigint").alias("n_docs"),
+        "cand_pairs_upper",
+    )
+    ppd = F.when(
+        F.col("n_docs") > 0,
+        F.round(F.col("cand_pairs_upper") / F.col("n_docs"), 6),
+    )
+    return stats.select(
+        "n_docs",
+        "cand_pairs_upper",
+        ppd.alias("pairs_per_doc"),
+        F.when(ppd >= F.lit(pairs_per_doc_cutoff), F.lit("minhash"))
+        .otherwise(F.lit("prefix_filter"))
+        .alias("route"),
+    )
+
+
 # --- duplicate clusters (connected components) -------------------------------
 
 # Rounds used by the most recent connected_components call — exposed so

@@ -10562,10 +10562,12 @@ _VERIFY_FIRST = [
     "setops_intersect_except",
     "agg_cube",
     # ---- past the driver's 50-row cap: the r16 head, fully
-    # enumerated (hold the r16 builder to it): FIRST any round-15
-    # registrations in registration order (each must carry two-scale
+    # enumerated (hold the r16 builder to it): FIRST the round-15
+    # registrations in registration order (each carries two-scale
     # parity proof at registration time per the registration-time
-    # rule), then the remaining 45 r11-green entries in registration
+    # rule; so far: curation_score_table_incremental,
+    # dedup_route_pair_enumeration), then the remaining 45
+    # r11-green entries in registration
     # order (sort_limit_topk, agg_rollup, agg_distinct_counts,
     # events_rollup_cascade, range_join_error_context, ... through
     # ep4_retrieval_pipeline), shrunk from the tail to fill the
@@ -14683,6 +14685,83 @@ def curation_score_table_incremental(
         mark_built()
     return spark.read.parquet(path).select(
         "doc_id", "n_chars", "token_count", "score", "ingest_batch"
+    )
+
+
+def _route_oracle(
+    num_hashes: int = 8, bands: int = 4, cutoff: float = 2.0
+) -> str:
+    """DuckDB mirror of dedup.plan_pair_enumeration: the band-bucket
+    statistic via the same affine-permutation minhash arithmetic as
+    _minhash_ctes, minus the cands/inter/sizes chain (the router's
+    whole point is never building those)."""
+    rows = num_hashes // bands
+    p = MINHASH_P
+    sigs = ", ".join(
+        f"min(({a} * hp + {b}) % {p}) AS sig_{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"CAST(sig_{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_shingle_cte()},
+    shh AS (SELECT doc_id,
+                   CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {p} AS hp
+            FROM sh),
+    sig AS (SELECT doc_id, {sigs} FROM shh GROUP BY doc_id),
+    banded AS ({band_rows}),
+    buckets AS (SELECT band, key, count(*) AS s FROM banded GROUP BY 1, 2),
+    st AS (SELECT CAST(coalesce(sum((s * (s - 1)) // 2), 0) AS BIGINT)
+                    AS cand_pairs_upper,
+                  CAST(coalesce(sum(s), 0) // {bands} AS BIGINT) AS n_docs
+           FROM buckets)
+    SELECT n_docs, cand_pairs_upper,
+           CASE WHEN n_docs > 0
+                THEN round(cand_pairs_upper / n_docs, 6) END AS pairs_per_doc,
+           CASE WHEN n_docs > 0
+                     AND round(cand_pairs_upper / n_docs, 6) >= {cutoff}
+                THEN 'minhash' ELSE 'prefix_filter' END AS route
+    FROM st
+    """
+
+
+@register("dedup_route_pair_enumeration", oracle=_route_oracle())
+def dedup_route_pair_enumeration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The measured routing rule of SCALING.md r15 ("Routing rule for
+    the pair-heavy regime") as a first-class planning operator
+    (operators/dedup.plan_pair_enumeration): price a corpus's
+    candidate-pair volume WITHOUT enumerating candidates — shingle →
+    signature → band keys → Σ s·(s−1)/2 over (band, key) buckets, one
+    linear pass, no join — and route to minhash (candidate-dominated:
+    measured 2× cheaper at recall exactly 1.0 on sf100x_de) or to the
+    lossless prefix filter (pair-sparse: the exactness guarantee
+    costs ~45% and protects borderline-J pairs banding drops). Joins
+    the autoplanner family (join_autoplan_strategy, the shuffle-width
+    advisor) — statistics deciding plan shape, the stat itself
+    strictly cheaper than the work it routes. The testdata corpus is
+    pair-sparse, so the expected route here is prefix_filter; the
+    dense side of the rule is exercised by the unit test's salted
+    corpus and the published 100× measurement. NOTE: registered after
+    the r15 verify head (rotation-slot rule); parity-proven locally
+    at sf0.001 + sf0.01; heads the r16 rotation with
+    curation_score_table_incremental."""
+    from evidence_images_etl_airflow_spark.operators.dedup import (
+        plan_pair_enumeration,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return plan_pair_enumeration(
+        d, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3,
+        pairs_per_doc_cutoff=2.0,
     )
 
 

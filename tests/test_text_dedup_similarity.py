@@ -368,6 +368,52 @@ def test_fit_group_trend_matches_numpy(spark):
     assert got["c"].slope is None and got["c"].n == 1
 
 
+def test_plan_pair_enumeration_routes_by_density(spark):
+    """The r15 routing rule (SCALING.md two-corpus measurement) as an
+    operator: a dup-dense corpus (salted copies, high band-bucket
+    volume) must route to minhash; a corpus of distinct docs must
+    route to the lossless prefix filter; the statistic itself must be
+    the exact band-bucket sum."""
+    from evidence_images_etl_airflow_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        plan_pair_enumeration,
+    )
+
+    # 8 salted near-copies of one doc + 2 unrelated docs: the copies
+    # collide in every band, so cand_pairs_upper >= C(8,2) * 1 band
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    dense_rows = [(i, f"{base} v{i % 2}") for i in range(8)] + [
+        (100, "completely different text about spark shuffles here"),
+        (101, "another unrelated document discussing parquet footers"),
+    ]
+    dense = spark.createDataFrame(dense_rows, "doc_id bigint, text string")
+    plan = plan_pair_enumeration(dense, "doc_id", "text").collect()[0]
+    assert plan["n_docs"] == 10
+    assert plan["route"] == "minhash"
+    assert plan["pairs_per_doc"] >= 2.0
+    # upper bound: at least the true candidate volume (each of the 4
+    # bands double-counts pairs agreeing on it)
+    cands = minhash_lsh_pairs(
+        dense, "doc_id", "text", verify_threshold=None
+    ).count()
+    assert plan["cand_pairs_upper"] >= cands
+
+    sparse_rows = [
+        (i, f"document number {i} about topic {i * 7} with words {i * 13}")
+        for i in range(10)
+    ]
+    sparse = spark.createDataFrame(sparse_rows, "doc_id bigint, text string")
+    plan2 = plan_pair_enumeration(sparse, "doc_id", "text").collect()[0]
+    assert plan2["route"] == "prefix_filter"
+
+    # empty corpus: deterministic, no divide-by-zero under ANSI mode
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    plan3 = plan_pair_enumeration(empty, "doc_id", "text").collect()[0]
+    assert plan3["n_docs"] == 0
+    assert plan3["pairs_per_doc"] is None
+    assert plan3["route"] == "prefix_filter"
+
+
 def test_minhash_lsh_against_store_incremental(spark):
     """Incremental near-dup gate: an exact copy of a historical doc
     (all bands collide) is dropped; a distinct doc survives and its
