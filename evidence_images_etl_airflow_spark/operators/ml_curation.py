@@ -666,6 +666,77 @@ def materialize_score_table(
     )
 
 
+def publish_score_table_versioned(
+    spark,
+    df: DataFrame,
+    score: F.Column,
+    table: str,
+    source_fingerprint: str,
+    carry_cols: list[str] | None = None,
+) -> int:
+    """SHARED-CATALOG curated build (the r14 verdict's design note:
+    the pid-keyed `_scratch_build` lifecycle is correct for a
+    per-process bench/verify harness, but a long-lived multi-tenant
+    service wants the build keyed in a shared catalog, not
+    ``tempfile.gettempdir()``). This composes the scoring pass with
+    ``sinks/versioned`` — the atomic-pointer-flip publish protocol —
+    plus a sibling ``{table}__meta`` versioned table recording which
+    SOURCE-CORPUS FINGERPRINT each data version was scored from:
+
+        score once  ->  publish(table)        = data version N
+                    ->  publish(table__meta)  = (N, fingerprint)
+
+    Readers resolve through :func:`current_score_table_versioned`,
+    which serves a data version only when the latest meta row's
+    fingerprint matches the corpus the reader expects AND names a
+    staged version — so a crash BETWEEN the two publishes leaves the
+    previous (version, fingerprint) pair live and consistent: the
+    orphaned data version is inert, never served, and the next
+    builder re-publishes over it. Meta is published AFTER data for
+    exactly that reason. Concurrency inherits versioned.publish's
+    single-writer protocol (serialize builders externally, the
+    Delta/Iceberg commit-lock discipline); readers are lock-free and
+    always see some complete pair. Returns the data version."""
+    from evidence_images_etl_airflow_spark.sinks import versioned
+
+    cols = list(carry_cols or [])
+    v = versioned.publish(spark, df.select(*cols, score.alias("score")), table)
+    meta = spark.createDataFrame(
+        [(v, source_fingerprint)],
+        "data_version int, source_fingerprint string",
+    )
+    versioned.publish(spark, meta, f"{table}__meta")
+    return v
+
+
+def current_score_table_versioned(
+    spark, table: str, source_fingerprint: str
+) -> DataFrame | None:
+    """Resolve the shared curated score table for a given source
+    fingerprint: the latest ``{table}__meta`` row names the data
+    version and the fingerprint it was scored from; serve that
+    version only if the fingerprint matches AND the version directory
+    exists (a half-published pair fails both ways closed). Returns
+    ``None`` when absent/stale — the caller then scores and calls
+    :func:`publish_score_table_versioned` (or, in a crawl loop,
+    appends via :func:`update_score_table` semantics and republishes).
+    A 1-row meta read + a pointer read: reader cost is independent of
+    table size."""
+    from evidence_images_etl_airflow_spark.sinks import versioned
+
+    if versioned.current_version(spark, f"{table}__meta") is None:
+        return None
+    row = versioned.read_latest(spark, f"{table}__meta").collect()
+    if not row:
+        return None
+    v, fp = row[0]["data_version"], row[0]["source_fingerprint"]
+    if fp != source_fingerprint:
+        return None
+    if v not in versioned.list_versions(spark, table):
+        return None
+    return versioned.read_version(spark, table, v)
+
+
 def update_score_table(
     candidates: DataFrame,
     score: F.Column,

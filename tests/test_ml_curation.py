@@ -453,6 +453,57 @@ def test_materialize_score_table_roundtrip_and_idempotent(spark, tmp_path):
     assert spark.read.parquet(path).count() == 3
 
 
+def test_versioned_score_table_fingerprint_lifecycle(spark, tmp_path):
+    """The shared-catalog curated build (r14 verdict design note):
+    publish pairs (data version, source fingerprint) through the
+    atomic versioned sink; readers get the table only for a matching
+    fingerprint, a stale fingerprint forces a re-publish to a NEW
+    version (old version still time-travel-readable), and a crash
+    between the data and meta publishes never serves the orphan."""
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        current_score_table_versioned,
+        publish_score_table_versioned,
+    )
+    from evidence_images_etl_airflow_spark.sinks import versioned
+
+    table = str(tmp_path / "scores")
+    score = F.round(F.length("text") / 10.0, 6)
+    df1 = spark.createDataFrame(
+        [(1, "x y z"), (2, "p q")], "doc_id bigint, text string"
+    )
+
+    # cold catalog: nothing to serve
+    assert current_score_table_versioned(spark, table, "fp-v1") is None
+    v1 = publish_score_table_versioned(
+        spark, df1, score, table, "fp-v1", carry_cols=["doc_id"]
+    )
+    assert v1 == 1
+    got = current_score_table_versioned(spark, table, "fp-v1")
+    assert {r["doc_id"]: r["score"] for r in got.collect()} == {1: 0.5, 2: 0.3}
+    # matching fingerprint: served, no rebuild signal
+    assert current_score_table_versioned(spark, table, "fp-v1") is not None
+    # corpus changed: stale fingerprint refuses to serve
+    assert current_score_table_versioned(spark, table, "fp-v2") is None
+
+    df2 = df1.withColumn("text", F.concat("text", F.lit(" more")))
+    v2 = publish_score_table_versioned(
+        spark, df2, score, table, "fp-v2", carry_cols=["doc_id"]
+    )
+    assert v2 == 2
+    assert current_score_table_versioned(spark, table, "fp-v2") is not None
+    # old version stays time-travel-readable
+    assert versioned.read_version(spark, table, 1).count() == 2
+
+    # crash injection: data version 3 lands but the meta publish never
+    # happens — readers keep the consistent (2, fp-v2) pair and the
+    # orphan is never served under any fingerprint
+    versioned.publish(
+        spark, df2.select("doc_id", score.alias("score")), table
+    )
+    assert current_score_table_versioned(spark, table, "fp-v2").count() == 2
+    assert current_score_table_versioned(spark, table, "fp-v3") is None
+
+
 def test_update_score_table_appends_only_new_ids(spark, tmp_path):
     """VERDICT r14 item 3: the incremental ingest must (a) score and
     append ONLY ids absent from the table, (b) leave existing rows
