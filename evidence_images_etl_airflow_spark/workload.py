@@ -10566,6 +10566,7 @@ _VERIFY_FIRST = [
     # registrations in registration order (each carries two-scale
     # parity proof at registration time per the registration-time
     # rule; so far: curation_score_table_incremental,
+    # data_token_budget_mixture_precomputed,
     # curation_score_drift_batches,
     # dedup_route_pair_enumeration), then the remaining 45
     # r11-green entries in registration
@@ -14698,6 +14699,70 @@ def _incremental_score_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         mark_built()
     return spark.read.parquet(path)
+
+
+@register(
+    "data_token_budget_mixture_precomputed",
+    # value-identical to data_token_budget_mixture (token_count stored
+    # by the curated build IS F.size(tokens(text))): share its oracle
+    # VERBATIM — the differential proves mixture-planned-from-columns
+    # == mixture-planned-from-text, waterfill solver included.
+    oracle=REGISTRY["data_token_budget_mixture"].oracle,
+)
+def data_token_budget_mixture_precomputed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The pretraining-mixture PLAN off the CURATED LAYER: the
+    incumbent's only corpus-sized term is its token-count aggregation
+    over raw text (tokenize + size per doc); this twin reads the
+    stored ``token_count`` column from the shared
+    `_curated_doc_scores` table instead — a two-column scan — and
+    runs the identical declarative waterfill on the |sources|-row
+    aggregate. The seventh consumer of the one scoring pass (metric
+    quintet + ep3_curated + this). HONEST MEASUREMENT (r15, one JVM,
+    3 interleaved reps at sf100x_de): ~PARITY with the inline
+    incumbent (twin 1.4-3.9 s vs inline 1.5-2.3 s) — the incumbent's
+    corpus term is a whitespace split+size, already cheap, unlike the
+    quality-score regexp pipeline whose amortization the label-policy
+    sweep measured at ~31×. The twin's value here is (a) the
+    differential PROOF that mixture-planned-from-columns ==
+    mixture-planned-from-text, waterfill included, and (b) the shape
+    a real pipeline needs when token_count comes from a REAL
+    tokenizer (the BPE family in operators/bpe.py — encode cost
+    dwarfs split+size, and re-planning a mixture must not re-encode
+    the corpus). Differential-proof oracle shared verbatim with the
+    incumbent (locked by test_pipeline.py). NOTE: registered after
+    the r15 verify head (rotation-slot rule); parity-proven locally
+    at sf0.001 + sf0.01; heads the r16 rotation with the other r15
+    registrations."""
+    from evidence_images_etl_airflow_spark.operators.mixture import (
+        token_budget_allocation,
+    )
+
+    st = _curated_doc_scores(spark, sf_dir)
+    stats = st.groupBy("source").agg(
+        F.sum("token_count").cast("bigint").alias("avail")
+    )
+    tot = stats.agg(F.sum("avail").cast("bigint").alias("total"))
+    stats = (
+        stats.crossJoin(F.broadcast(tot))  # 1-row totals
+        .withColumn(
+            "w", F.round(F.pow(F.col("avail") / F.col("total"), F.lit(0.5)), 6)
+        )
+        .withColumn("budget", F.floor(F.lit(0.6) * F.col("total")).cast("bigint"))
+    )
+    alloc = token_budget_allocation(
+        stats, "source", "avail", "w", "budget", max_epochs=2.0
+    )
+    return alloc.select(
+        F.col("stratum").alias("source"),
+        "available_tokens",
+        "weight",
+        "cap_tokens",
+        "allocated_tokens",
+        "capped",
+        "epochs",
+    )
 
 
 @register(

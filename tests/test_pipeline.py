@@ -156,6 +156,7 @@ def test_precomputed_twins_share_incumbent_oracles_verbatim():
         "ml_pr_sweep_precomputed": "ml_pr_threshold_sweep",
         "curation_alignment_precomputed": "curation_score_alignment",
         "ep3_pipeline_curated": "ep3_training_data_pipeline",
+        "data_token_budget_mixture_precomputed": "data_token_budget_mixture",
     }
     for twin, incumbent in twins.items():
         assert (
