@@ -875,6 +875,53 @@ def plan_pair_enumeration(
     )
 
 
+def routed_duplicate_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    pairs_per_doc_cutoff: float = 2.0,
+) -> DataFrame:
+    """The router EXECUTED, not just reported: price the corpus with
+    :func:`plan_pair_enumeration`, enumerate near-dup pairs with the
+    chosen strategy (minhash above the density cutoff, the lossless
+    prefix filter below it — the r15 two-corpus measurement's rule),
+    then cluster with connected components. Output
+    ``(id, component, route)`` — the route rides along so a consumer
+    (or an oracle) can see which leg produced the clusters. This is
+    the autoplanner-dogfooding pattern (ep4 executes
+    plan_equi_join's choice the same way): statistics pick the plan,
+    the plan runs, the decision is visible in the result.
+
+    The plan read is a 1-row ``.collect()`` — constant-bounded, the
+    audited autoplanner idiom. Both legs verify exact Jaccard at
+    ``threshold`` over the same ``shingle_n``-token shingles, so below
+    the cutoff the output is provably complete, and above it the
+    banding loss is the priced trade (measured 0 on the dense corpus,
+    3e-4 on the sparse one — SCALING.md r15)."""
+    plan = plan_pair_enumeration(
+        df, id_col, text_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, pairs_per_doc_cutoff=pairs_per_doc_cutoff,
+    ).collect()[0]
+    if plan["route"] == "minhash":
+        pairs = minhash_lsh_pairs(
+            df, id_col, text_col, num_hashes=num_hashes, bands=bands,
+            shingle_n=shingle_n, verify_threshold=threshold,
+        )
+    else:
+        pairs = prefix_filter_jaccard_pairs(
+            df, id_col, text_col, n=shingle_n, threshold=threshold
+        )
+    return (
+        connected_components(pairs.select("id_a", "id_b"))
+        .select(F.col("node").alias(id_col), "component")
+        .withColumn("route", F.lit(plan["route"]))
+    )
+
+
 # --- duplicate clusters (connected components) -------------------------------
 
 # Rounds used by the most recent connected_components call — exposed so

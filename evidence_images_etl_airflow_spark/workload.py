@@ -10567,7 +10567,7 @@ _VERIFY_FIRST = [
     # parity proof at registration time per the registration-time
     # rule; so far: curation_score_table_incremental,
     # data_token_budget_mixture_precomputed,
-    # curation_score_drift_batches,
+    # curation_score_drift_batches, dedup_routed_clusters,
     # dedup_route_pair_enumeration), then the remaining 45
     # r11-green entries in registration
     # order (sort_limit_topk, agg_rollup, agg_distinct_counts,
@@ -14835,13 +14835,16 @@ def curation_score_drift_batches(
     )
 
 
-def _route_oracle(
+def _route_ctes(
     num_hashes: int = 8, bands: int = 4, cutoff: float = 2.0
 ) -> str:
-    """DuckDB mirror of dedup.plan_pair_enumeration: the band-bucket
-    statistic via the same affine-permutation minhash arithmetic as
-    _minhash_ctes, minus the cands/inter/sizes chain (the router's
-    whole point is never building those)."""
+    """The band-bucket routing-statistic CTE chain (after
+    `_shingle_cte()`), via the same affine-permutation minhash
+    arithmetic as _minhash_ctes, minus the cands/inter/sizes chain
+    (the router's whole point is never building those). Ends in
+    ``st`` (n_docs, cand_pairs_upper) and ``rt`` (the route string) —
+    shared by the router report oracle and the routed-clusters
+    oracle."""
     rows = num_hashes // bands
     p = MINHASH_P
     sigs = ", ".join(
@@ -14858,7 +14861,6 @@ def _route_oracle(
         for b in range(bands)
     )
     return f"""
-    WITH {_shingle_cte()},
     shh AS (SELECT doc_id,
                    CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {p} AS hp
             FROM sh),
@@ -14868,15 +14870,87 @@ def _route_oracle(
     st AS (SELECT CAST(coalesce(sum((s * (s - 1)) // 2), 0) AS BIGINT)
                     AS cand_pairs_upper,
                   CAST(coalesce(sum(s), 0) // {bands} AS BIGINT) AS n_docs
-           FROM buckets)
+           FROM buckets),
+    rt AS (SELECT CASE WHEN n_docs > 0
+                            AND round(cand_pairs_upper / n_docs, 6) >= {cutoff}
+                       THEN 'minhash' ELSE 'prefix_filter' END AS route
+           FROM st)"""
+
+
+def _route_oracle(
+    num_hashes: int = 8, bands: int = 4, cutoff: float = 2.0
+) -> str:
+    """DuckDB mirror of dedup.plan_pair_enumeration."""
+    return f"""
+    WITH {_shingle_cte()},
+    {_route_ctes(num_hashes, bands, cutoff)}
     SELECT n_docs, cand_pairs_upper,
            CASE WHEN n_docs > 0
                 THEN round(cand_pairs_upper / n_docs, 6) END AS pairs_per_doc,
-           CASE WHEN n_docs > 0
-                     AND round(cand_pairs_upper / n_docs, 6) >= {cutoff}
-                THEN 'minhash' ELSE 'prefix_filter' END AS route
-    FROM st
+           rt.route AS route
+    FROM st, rt
     """
+
+
+@register(
+    "dedup_routed_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_shingle_cte()},
+    {_route_ctes()},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    prs AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM prs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+      SELECT node, node AS lbl FROM nodes
+      UNION
+      SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON r.node = e.src)
+    SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS component,
+           (SELECT route FROM rt) AS route
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_routed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The router EXECUTED end-to-end (operators/dedup.
+    routed_duplicate_clusters): price the corpus with the band-bucket
+    statistic, enumerate J>=0.5 3-shingle pairs with the chosen leg,
+    cluster with connected components, and carry the route in the
+    output — the autoplanner-dogfooding pattern (ep4 executes
+    plan_equi_join's choices the same way). The oracle replays BOTH
+    halves: the routing statistic (its route column must equal the
+    engine's) and the cluster assignment, with the pair set written
+    as the EXACT shared-shingle join — which equals the engine's
+    output on any corpus the router sends down the prefix-filter leg
+    (losslessness is the leg's defining property; the testdata
+    corpora are pair-sparse, 0.2-0.8 band collisions/doc, firmly
+    below the 2.0 cutoff). If a future driver corpus ever crossed
+    the cutoff, the engine would take the minhash leg and the route
+    column mismatch would flag the oracle's conditionality BEFORE any
+    silent pair divergence could pass — the check fails closed.
+    NOTE: registered after the r15 verify head (rotation-slot rule);
+    parity-proven locally at sf0.001 + sf0.01; heads the r16
+    rotation with the other r15 registrations."""
+    from evidence_images_etl_airflow_spark.operators.dedup import (
+        routed_duplicate_clusters,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return routed_duplicate_clusters(
+        d, "doc_id", "text", shingle_n=3, threshold=0.5,
+        num_hashes=8, bands=4, pairs_per_doc_cutoff=2.0,
+    )
 
 
 @register("dedup_route_pair_enumeration", oracle=_route_oracle())

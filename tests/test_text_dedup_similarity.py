@@ -414,6 +414,41 @@ def test_plan_pair_enumeration_routes_by_density(spark):
     assert plan3["route"] == "prefix_filter"
 
 
+def test_routed_duplicate_clusters_executes_both_legs(spark):
+    """routed_duplicate_clusters must actually take the leg the plan
+    names, carry the route in the output, and produce the same
+    clusters either way on a corpus where both legs are exact (exact
+    duplicates hit every band)."""
+    from evidence_images_etl_airflow_spark.operators.dedup import (
+        routed_duplicate_clusters,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    dense = spark.createDataFrame(
+        [(i, base) for i in range(6)]
+        + [(10, "unrelated words entirely different from the cluster")],
+        "doc_id bigint, text string",
+    )
+    got = routed_duplicate_clusters(dense, "doc_id", "text").collect()
+    assert {r["route"] for r in got} == {"minhash"}
+    by_comp = {}
+    for r in got:
+        by_comp.setdefault(r["component"], set()).add(r["doc_id"])
+    assert by_comp == {0: {0, 1, 2, 3, 4, 5}}
+
+    sparse = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely different text about spark and parquet files"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got2 = routed_duplicate_clusters(sparse, "doc_id", "text").collect()
+    assert {r["route"] for r in got2} == {"prefix_filter"}
+    assert {(r["doc_id"], r["component"]) for r in got2} == {(1, 1), (2, 1)}
+
+
 def test_minhash_lsh_against_store_incremental(spark):
     """Incremental near-dup gate: an exact copy of a historical doc
     (all bands collide) is dropped; a distinct doc survives and its
