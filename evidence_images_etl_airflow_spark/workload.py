@@ -10572,9 +10572,10 @@ _VERIFY_FIRST = [
     # r11-green entries in registration
     # order (sort_limit_topk, agg_rollup, agg_distinct_counts,
     # events_rollup_cascade, range_join_error_context, ... through
-    # ep4_retrieval_pipeline), shrunk from the tail to fill the
-    # 50-slot cap. New r16 registrations pre-empt the r11-green tail,
-    # never older cohorts.
+    # ep4_retrieval_pipeline). With exactly 5 r15 registrations the
+    # head is exactly 5 + 45 = 50 — the r11 cohort drains completely
+    # and nothing registered before r12 remains unrefreshed. New r16
+    # registrations pre-empt the r11-green tail, never older cohorts.
 ]
 
 
