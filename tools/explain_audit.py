@@ -50,6 +50,8 @@ EXPECTED_CROSS = {
     "events_churn_features",  # 1-row corpus-max-day anchor broadcast
     "graph_triangle_stats",  # 1-row edge-count x 1-row degree-stats report
     "data_token_budget_mixture",  # 1-row totals + 1-row water-level broadcasts
+    "data_token_budget_mixture_precomputed",  # same broadcasts off the curated table
+    "curation_score_drift_batches",  # psi_report's 1-row min/max edge broadcast
     "curation_dsir_selection",  # 1-row token-totals aggregate broadcast
     "dq_benford_prices",  # 1-row grand-total aggregate broadcast
     "sketch_join_size_estimate",  # 1-row est x 1-row true-count report
