@@ -10568,14 +10568,15 @@ _VERIFY_FIRST = [
     # rule; so far: curation_score_table_incremental,
     # data_token_budget_mixture_precomputed,
     # curation_score_drift_batches, dedup_routed_clusters,
-    # dedup_route_pair_enumeration), then the remaining 45
-    # r11-green entries in registration
+    # dedup_route_pair_enumeration, ep6_crawl_refresh_pipeline), then
+    # the remaining r11-green entries in registration
     # order (sort_limit_topk, agg_rollup, agg_distinct_counts,
     # events_rollup_cascade, range_join_error_context, ... through
-    # ep4_retrieval_pipeline). With exactly 5 r15 registrations the
-    # head is exactly 5 + 45 = 50 — the r11 cohort drains completely
-    # and nothing registered before r12 remains unrefreshed. New r16
-    # registrations pre-empt the r11-green tail, never older cohorts.
+    # ep4_retrieval_pipeline). With 6 r15 registrations the head is
+    # 6 + 44 = 50 — one r11-green (ep4_retrieval_pipeline, the
+    # youngest by registration order) spills to the r17 head and must
+    # lead it. New r16 registrations pre-empt the r11-green tail,
+    # never older cohorts.
 ]
 
 
@@ -14836,16 +14837,13 @@ def curation_score_drift_batches(
     )
 
 
-def _route_ctes(
-    num_hashes: int = 8, bands: int = 4, cutoff: float = 2.0
-) -> str:
-    """The band-bucket routing-statistic CTE chain (after
-    `_shingle_cte()`), via the same affine-permutation minhash
-    arithmetic as _minhash_ctes, minus the cands/inter/sizes chain
-    (the router's whole point is never building those). Ends in
-    ``st`` (n_docs, cand_pairs_upper) and ``rt`` (the route string) —
-    shared by the router report oracle and the routed-clusters
-    oracle."""
+def _banded_cte(num_hashes: int = 8, bands: int = 4) -> str:
+    """DuckDB replay of the minhash band keys (dedup.minhash_band_store
+    arithmetic: md5-derived base hash folded mod P, affine permutation
+    families, per-band '|'-joined signature keys) over the shingle
+    table ``sh`` — shared by the routing-statistic chain below and the
+    ep6 band-store admission gate's oracle. Ends in ``banded``
+    (doc_id, band, key)."""
     rows = num_hashes // bands
     p = MINHASH_P
     sigs = ", ".join(
@@ -14866,7 +14864,21 @@ def _route_ctes(
                    CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {p} AS hp
             FROM sh),
     sig AS (SELECT doc_id, {sigs} FROM shh GROUP BY doc_id),
-    banded AS ({band_rows}),
+    banded AS ({band_rows})"""
+
+
+def _route_ctes(
+    num_hashes: int = 8, bands: int = 4, cutoff: float = 2.0
+) -> str:
+    """The band-bucket routing-statistic CTE chain (after
+    `_shingle_cte()`), via the same affine-permutation minhash
+    arithmetic as _minhash_ctes, minus the cands/inter/sizes chain
+    (the router's whole point is never building those). Ends in
+    ``st`` (n_docs, cand_pairs_upper) and ``rt`` (the route string) —
+    shared by the router report oracle and the routed-clusters
+    oracle."""
+    return f"""
+    {_banded_cte(num_hashes, bands)},
     buckets AS (SELECT band, key, count(*) AS s FROM banded GROUP BY 1, 2),
     st AS (SELECT CAST(coalesce(sum((s * (s - 1)) // 2), 0) AS BIGINT)
                     AS cand_pairs_upper,
@@ -14984,6 +14996,250 @@ def dedup_route_pair_enumeration(
     return plan_pair_enumeration(
         d, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3,
         pairs_per_doc_cutoff=2.0,
+    )
+
+
+def _ep6_refreshed_score_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ep6 crawl-refresh score table: history (doc_id % 5 != 0)
+    scored via materialize_score_table (ingest_batch=0); the new crawl
+    (doc_id % 5 == 0) first passes the minhash BAND-STORE near-dup
+    gate against history (dedup.minhash_lsh_against_store — band keys
+    only, never historical text), and only the survivors are scored
+    incrementally via update_score_table (ingest_batch=1). One build
+    per (process, sf_dir), the _curated_doc_scores discipline; marked
+    built only after ALL steps succeed (r14 ADVICE)."""
+    from evidence_images_etl_airflow_spark.operators.dedup import (
+        minhash_band_store,
+        minhash_lsh_against_store,
+    )
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        materialize_score_table,
+        update_score_table,
+    )
+
+    carry = ["doc_id", "source", "token_count", "ingest_batch"]
+
+    def enrich(df: DataFrame, batch: int) -> DataFrame:
+        return df.withColumn(
+            "token_count", F.size(tokens(F.col("text")))
+        ).withColumn("ingest_batch", F.lit(batch))
+
+    path, needs_build, mark_built = _scratch_build("ep6crawl", sf_dir, "documents")
+    if needs_build:
+        base = _t(spark, sf_dir, "documents")
+        hist = base.filter(F.col("doc_id") % 5 != 0)
+        batch = base.filter(F.col("doc_id") % 5 == 0)
+        store = minhash_band_store(
+            hist, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3
+        )
+        survivors, _ = minhash_lsh_against_store(
+            batch, store, "doc_id", "text",
+            num_hashes=8, bands=4, shingle_n=3,
+        )
+        materialize_score_table(
+            enrich(hist, 0), quality_score(F.col("text")), path,
+            carry_cols=carry,
+        )
+        update_score_table(
+            enrich(survivors, 1), quality_score(F.col("text")), path,
+            "doc_id", carry_cols=carry,
+        )
+        mark_built()
+    return spark.read.parquet(path)
+
+
+@register(
+    "ep6_crawl_refresh_pipeline",
+    oracle=f"""
+    WITH {_shingle_cte()},
+    {_banded_cte()},
+    coll AS (
+      SELECT DISTINCT bn.doc_id
+      FROM banded bn JOIN banded bh ON bn.band = bh.band AND bn.key = bh.key
+      WHERE bn.doc_id % 5 = 0 AND bh.doc_id % 5 != 0),
+    scored AS (
+      SELECT doc_id, source, {_QUALITY_SQL} AS score,
+             len({_TOK}) AS token_count,
+             CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS ib
+      FROM documents
+      WHERE doc_id % 5 != 0
+         OR doc_id NOT IN (SELECT doc_id FROM coll)),
+    sst AS (SELECT CAST(min(score) AS DOUBLE) AS mn,
+                   CAST(max(score) AS DOUBLE) AS mx FROM scored),
+    binned AS (
+      SELECT CASE WHEN ib = 1 THEN 'cur' ELSE 'ref' END AS per,
+             CAST(CASE WHEN mx = mn THEN 0
+                  ELSE least(CAST(floor((CAST(score AS DOUBLE) - mn)
+                                        / ((mx - mn) / 10)) AS BIGINT), 9)
+                  END AS VARCHAR) AS bin
+      FROM scored, sst),
+    tots AS (SELECT CAST(count(*) FILTER (WHERE per = 'ref') AS BIGINT) AS tr,
+                    CAST(count(*) FILTER (WHERE per = 'cur') AS BIGINT) AS tc
+             FROM binned),
+    cnts AS (SELECT bin,
+                    CAST(count(*) FILTER (WHERE per = 'ref') AS BIGINT) AS nr,
+                    CAST(count(*) FILTER (WHERE per = 'cur') AS BIGINT) AS nc
+             FROM binned GROUP BY 1),
+    terms AS (SELECT (greatest(round(nr / tr, 6), 0.000001)
+                      - greatest(round(nc / tc, 6), 0.000001))
+                     * ln(greatest(round(nr / tr, 6), 0.000001)
+                          / greatest(round(nc / tc, 6), 0.000001)) AS term
+              FROM cnts, tots),
+    gate AS (SELECT round(sum(term), 6) AS batch_psi,
+                    round(sum(term), 6) < 0.25 AS admitted FROM terms),
+    refreshed AS (SELECT s.* FROM scored s, gate g WHERE s.ib = 0 OR g.admitted),
+    tok AS (SELECT source, CAST(sum(token_count) AS BIGINT) AS avail
+            FROM refreshed GROUP BY source),
+    tot AS (SELECT CAST(sum(avail) AS BIGINT) AS total FROM tok),
+    s AS (SELECT source, avail,
+                 round(pow(avail / CAST(total AS DOUBLE), 0.5), 6) AS w,
+                 CAST(floor(0.6 * total) AS BIGINT) AS b,
+                 CAST(floor(avail * 2.0) AS BIGINT) AS cap
+          FROM tok, tot),
+    r AS (SELECT *, cap / w AS ratio FROM s),
+    c AS (SELECT *,
+                 row_number() OVER (ORDER BY ratio, source) AS rn,
+                 CAST(coalesce(sum(cap) OVER (
+                        ORDER BY ratio, source
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS c_prev,
+                 coalesce(sum(CAST(w AS DECIMAL(18,6))) OVER (
+                        ORDER BY ratio, source
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      CAST(0 AS DECIMAL(18,6))) AS v_prev,
+                 sum(CAST(w AS DECIMAL(18,6))) OVER () AS w_total,
+                 lag(ratio) OVER (ORDER BY ratio, source) AS ratio_prev
+          FROM r),
+    lamt AS (
+      SELECT (b - c_prev) / CAST(w_total - v_prev AS DOUBLE) AS lam
+      FROM c
+      WHERE (ratio_prev IS NULL
+             OR ratio_prev <= (b - c_prev) / CAST(w_total - v_prev AS DOUBLE))
+        AND ratio > (b - c_prev) / CAST(w_total - v_prev AS DOUBLE)
+      ORDER BY rn LIMIT 1),
+    audit AS (
+      SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 5 = 0)
+                  AS BIGINT) AS n_new_seen,
+             CAST((SELECT count(*) FROM scored WHERE ib = 1)
+                  AS BIGINT) AS n_new_admitted)
+    SELECT source, avail AS available_tokens, round(w, 6) AS weight,
+           cap AS cap_tokens,
+           CASE WHEN ratio <= lam THEN cap
+                ELSE CAST(floor(lam * w) AS BIGINT) END AS allocated_tokens,
+           ratio <= lam AS capped,
+           round((CASE WHEN ratio <= lam THEN cap
+                       ELSE CAST(floor(lam * w) AS BIGINT) END)
+                 / CAST(avail AS DOUBLE), 6) AS epochs,
+           g.batch_psi, g.admitted, a.n_new_seen, a.n_new_admitted
+    FROM r, lamt, gate g, audit a
+    """,
+)
+def ep6_crawl_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP6 — the steady-state CRAWL-REFRESH loop, composing the whole
+    r15 incremental-curation layer end-to-end: (1) the new crawl batch
+    passes the minhash BAND-STORE admission gate against ingested
+    history (dedup.minhash_lsh_against_store — the 100 TB shape: the
+    join shuffles band KEYS only, historical text is never re-read;
+    band collision = probable near-dup, dropped, exactly the trade
+    that operator documents); (2) survivors are scored INCREMENTALLY
+    (ml_curation.update_score_table — anti-join on the stored id
+    column, scoring evaluates only for genuinely new rows); (3) the
+    PSI drift gate (drift.psi_report) compares the new batch's stored
+    score distribution against history — psi >= 0.25 would REJECT the
+    batch from the mixture (fails closed; both testdata scales admit);
+    (4) the token-budget waterfill re-plans the training mixture over
+    the refreshed corpus, reading the stored token_count carry column
+    (mixture.token_budget_allocation, same alpha=0.5 / 0.6-budget /
+    2-epoch spec as data_token_budget_mixture). Output: one row per
+    source with the full allocation plus the loop's audit columns
+    (batch_psi, admitted, n_new_seen, n_new_admitted).
+
+    The oracle replays EVERY stage exactly: the band keys via the
+    shared _banded_cte (md5-derived affine minhash arithmetic —
+    deterministic, so the probabilistic gate is still exactly
+    replayable), collision-vs-history, inline scoring of history +
+    survivors, the 10-bin PSI discipline of curation_score_drift
+    (6dp-round then eps-clamp before the log), and the incumbent
+    waterfill chain verbatim. At sf0.01 the gate drops 13 of 100 new
+    docs and psi = 0.066743 admits the batch.
+
+    Scale shape: per-refresh cost is the batch's shingle/signature
+    work + band-key join vs the stored index + scoring the survivors —
+    all ∝ batch, never corpus; the mixture re-plan reads two stored
+    columns and solves on the |sources|-row aggregate. Parity note
+    (reference: the reference's daily 15-day-lookback re-ingest loop,
+    evidence_images_processing.py:25-26,169-171, is this loop's
+    degenerate exact-key form — ON CONFLICT DO NOTHING admission with
+    no scoring or planning). NOTE: registered after the r15 verify
+    head (rotation-slot rule); parity-proven locally at sf0.001 +
+    sf0.01; heads the r16 rotation with the other r15 registrations."""
+    from evidence_images_etl_airflow_spark.operators.drift import psi_report
+    from evidence_images_etl_airflow_spark.operators.mixture import (
+        token_budget_allocation,
+    )
+
+    st = _ep6_refreshed_score_table(spark, sf_dir)
+    rep = psi_report(
+        st,
+        F.when(F.col("ingest_batch") == 0, "ref").otherwise("cur"),
+        numeric_cols=("score",),
+        categorical_cols=(),
+        n_bins=10,
+    )
+    gate = rep.agg(F.max("psi").alias("batch_psi")).withColumn(
+        "admitted", F.col("batch_psi") < F.lit(0.25)
+    )
+    refreshed = st.crossJoin(F.broadcast(gate)).filter(  # 1-row gate
+        (F.col("ingest_batch") == 0) | F.col("admitted")
+    )
+    stats = refreshed.groupBy("source").agg(
+        F.sum("token_count").cast("bigint").alias("avail")
+    )
+    tot = stats.agg(F.sum("avail").cast("bigint").alias("total"))
+    stats = (
+        stats.crossJoin(F.broadcast(tot))  # 1-row totals
+        .withColumn(
+            "w", F.round(F.pow(F.col("avail") / F.col("total"), F.lit(0.5)), 6)
+        )
+        .withColumn("budget", F.floor(F.lit(0.6) * F.col("total")).cast("bigint"))
+    )
+    alloc = token_budget_allocation(
+        stats, "source", "avail", "w", "budget", max_epochs=2.0
+    )
+    n_seen = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new_seen"))
+    )
+    n_adm = st.filter(F.col("ingest_batch") == 1).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new_admitted")
+    )
+    return (
+        alloc.select(
+            F.col("stratum").alias("source"),
+            "available_tokens",
+            "weight",
+            "cap_tokens",
+            "allocated_tokens",
+            "capped",
+            "epochs",
+        )
+        .crossJoin(F.broadcast(gate))  # 1-row psi gate
+        .crossJoin(F.broadcast(n_seen))  # 1-row batch count
+        .crossJoin(F.broadcast(n_adm))  # 1-row admitted count
+        .select(
+            "source",
+            "available_tokens",
+            "weight",
+            "cap_tokens",
+            "allocated_tokens",
+            "capped",
+            "epochs",
+            "batch_psi",
+            "admitted",
+            "n_new_seen",
+            "n_new_admitted",
+        )
     )
 
 

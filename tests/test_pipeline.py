@@ -163,3 +163,58 @@ def test_precomputed_twins_share_incumbent_oracles_verbatim():
             workload.REGISTRY[twin].oracle
             == workload.REGISTRY[incumbent].oracle
         ), f"{twin} oracle diverged from {incumbent}"
+
+
+def test_ep6_crawl_refresh_gate_scoring_and_mixture(spark, tmp_path):
+    """EP6 composition on a planted corpus: the band-store gate drops
+    the new-batch doc that duplicates history (all bands collide); the
+    novel doc is admitted and scored INCREMENTALLY (ingest_batch=1,
+    history rows keep their batch-0 tag — never re-scored); with every
+    text shaped to the same quality score, PSI is exactly 0 and the
+    gate admits; the waterfill then plans over history + survivor."""
+    from evidence_images_etl_airflow_spark.workload import (
+        REGISTRY,
+        _ep6_refreshed_score_table,
+    )
+
+    # every doc: 30 distinct 4-char tokens -> identical length,
+    # distinct-ratio, and alnum-ratio -> identical quality score
+    def text(prefix):
+        return " ".join(f"{prefix}{j:02d}x" for j in range(30))
+
+    rows = [
+        (1, text("a"), "en", "sA", 1),   # history (ids % 5 != 0)
+        (2, text("b"), "en", "sA", 1),
+        (3, text("c"), "en", "sB", 1),
+        (4, text("d"), "en", "sB", 1),
+        (5, text("a"), "en", "sA", 1),   # new batch: duplicates doc 1
+        (10, text("z"), "en", "sB", 1),  # new batch: novel
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    d = f"{tmp_path}/sf"
+    df.write.parquet(f"{d}/documents.parquet")
+
+    st = {r.doc_id: r for r in _ep6_refreshed_score_table(spark, d).collect()}
+    # dup 5 dropped by the band gate; novel 10 admitted; history intact
+    assert sorted(st) == [1, 2, 3, 4, 10]
+    assert [st[i].ingest_batch for i in (1, 2, 3, 4)] == [0, 0, 0, 0]
+    assert st[10].ingest_batch == 1
+    assert all(st[i].token_count == 30 for i in st)
+    assert len({st[i].score for i in st}) == 1  # identical by design
+
+    out = REGISTRY["ep6_crawl_refresh_pipeline"].fn(spark, d).collect()
+    by_src = {r.source: r for r in out}
+    assert sorted(by_src) == ["sA", "sB"]
+    r0 = out[0]
+    assert (r0.n_new_seen, r0.n_new_admitted) == (2, 1)
+    assert r0.batch_psi == 0.0 and r0.admitted  # identical scores -> PSI 0
+    # mixture planned over history + survivor: sA=60, sB=90 tokens
+    assert by_src["sA"].available_tokens == 60
+    assert by_src["sB"].available_tokens == 90
+    budget = int(0.6 * 150)
+    total_alloc = sum(r.allocated_tokens for r in out)
+    assert 0 < total_alloc <= budget
+    assert all(not r.capped and r.epochs <= 2.0 for r in out)
+    assert by_src["sA"].allocated_tokens < by_src["sB"].allocated_tokens

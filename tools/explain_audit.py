@@ -52,6 +52,7 @@ EXPECTED_CROSS = {
     "data_token_budget_mixture",  # 1-row totals + 1-row water-level broadcasts
     "data_token_budget_mixture_precomputed",  # same broadcasts off the curated table
     "curation_score_drift_batches",  # psi_report's 1-row min/max edge broadcast
+    "ep6_crawl_refresh_pipeline",  # 1-row psi-gate/totals/audit-count broadcasts
     "curation_dsir_selection",  # 1-row token-totals aggregate broadcast
     "dq_benford_prices",  # 1-row grand-total aggregate broadcast
     "sketch_join_size_estimate",  # 1-row est x 1-row true-count report
