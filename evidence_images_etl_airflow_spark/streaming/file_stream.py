@@ -583,3 +583,71 @@ def daily_counts_stream_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def score_ingest_stream_available_now(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    table_path: str,
+    checkpoint_path: str,
+    score,
+    id_col: str,
+    carry_cols: list[str],
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming incremental curated-score ingest — the crawl loop of
+    ``ml_curation.update_score_table`` driven by the FILE SOURCE
+    instead of a batch scheduler: each crawl file that lands becomes a
+    micro-batch, anti-joined against the stored id column and scored
+    only for genuinely new ids (score-at-landing, the curated-layer
+    contract). ``score`` is an unbound Column expression over the
+    landing schema's columns, evaluated per micro-batch.
+
+    Durability contract differs from the swap-store family ON
+    PURPOSE: the score table is APPEND-ONLY and the sink is idempotent
+    BY CONSTRUCTION — a replayed batch's ids are already present, so
+    its anti-join appends zero rows — which upgrades foreachBatch's
+    at-least-once delivery to exactly-once table CONTENTS with no
+    batch-id stamp and no rename swap. The batch twin
+    (``curation_score_table_incremental``) proves that property
+    differentially against the inline-scoring oracle; this stream
+    inherits it unchanged because both run the same operator.
+
+    Bootstrap: the first batch MATERIALIZES the table (overwrite).
+    Existence is judged by the commit protocol's ``_SUCCESS`` marker,
+    not the bare directory — a bootstrap that crashed mid-write leaves
+    no marker, so the replay re-materializes over the torn attempt
+    instead of anti-joining against a partial table."""
+    from evidence_images_etl_airflow_spark.operators.ml_curation import (
+        materialize_score_table,
+        update_score_table,
+    )
+
+    reader = spark.readStream.format("parquet").schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(source_path)
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        jvm, fs, _hpath = _hadoop(sess, table_path)
+        marker = jvm.org.apache.hadoop.fs.Path(
+            table_path.rstrip("/") + "/_SUCCESS"
+        )
+        if not fs.exists(marker):
+            materialize_score_table(
+                batch_df, score, table_path, carry_cols=carry_cols
+            )
+        else:
+            update_score_table(
+                batch_df, score, table_path, id_col, carry_cols=carry_cols
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

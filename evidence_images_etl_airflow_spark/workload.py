@@ -10568,15 +10568,16 @@ _VERIFY_FIRST = [
     # rule; so far: curation_score_table_incremental,
     # data_token_budget_mixture_precomputed,
     # curation_score_drift_batches, dedup_routed_clusters,
-    # dedup_route_pair_enumeration, ep6_crawl_refresh_pipeline), then
-    # the remaining r11-green entries in registration
-    # order (sort_limit_topk, agg_rollup, agg_distinct_counts,
-    # events_rollup_cascade, range_join_error_context, ... through
-    # ep4_retrieval_pipeline). With 6 r15 registrations the head is
-    # 6 + 44 = 50 — one r11-green (ep4_retrieval_pipeline, the
-    # youngest by registration order) spills to the r17 head and must
-    # lead it. New r16 registrations pre-empt the r11-green tail,
-    # never older cohorts.
+    # dedup_route_pair_enumeration, ep6_crawl_refresh_pipeline,
+    # streaming_score_ingest), then the remaining r11-green entries in
+    # registration order (sort_limit_topk, agg_rollup,
+    # agg_distinct_counts, events_rollup_cascade,
+    # range_join_error_context, ... through retrieval_hybrid_rrf).
+    # With 7 r15 registrations the head is 7 + 43 = 50 — the two
+    # youngest r11-greens by registration order
+    # (mixture_select_budget, ep4_retrieval_pipeline) spill to the
+    # r17 head and must lead it. New r16 registrations pre-empt the
+    # r11-green tail, never older cohorts.
 ]
 
 
@@ -15240,6 +15241,93 @@ def ep6_crawl_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_new_seen",
             "n_new_admitted",
         )
+    )
+
+
+@register(
+    # three-way differential: stream-ingested == batch-ingested ==
+    # inline-scored. Shares curation_score_table_incremental's oracle
+    # VERBATIM (locked by test_pipeline.py) — both run the SAME
+    # update_score_table operator, one driven by the file source.
+    "streaming_score_ingest",
+    oracle=REGISTRY["curation_score_table_incremental"].oracle,
+)
+def streaming_score_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental curated-score ingest as a STREAM
+    (streaming/file_stream.score_ingest_stream_available_now): the
+    landing directory receives two crawl files — the already-ingested
+    history, then the full re-crawl (old docs included, as a real
+    crawl delivers) — and maxFilesPerTrigger=1 forces each through its
+    own checkpointed micro-batch. The first batch materializes the
+    score table; the second anti-joins the stored id column and scores
+    ONLY the genuinely new fifth. The final table must be row-for-row
+    identical to the batch twin AND to inline scoring — the oracle is
+    shared verbatim, so this is the unified-engine contract
+    (streaming_countmin_estimates precedent) applied to the curated
+    layer: stream/batch equivalence is EXACT here because the sink is
+    idempotent by construction (a replayed batch appends zero rows —
+    at-least-once delivery, exactly-once contents). File order is
+    pinned by modification time (the file source drains oldest-first);
+    a flipped order would tag every row ingest_batch=1 and the shared
+    oracle would catch it — the check fails closed. Scale: per-file
+    cost ∝ file, never table (the anti-join's build side is the stored
+    id column); the stream needs no lookback window at all — the
+    checkpoint IS the ingest ledger (vs the reference's 15-day
+    re-read + ON CONFLICT DO NOTHING loop,
+    evidence_images_processing.py:25-26,169-171). NOTE: registered
+    after the r15 verify head (rotation-slot rule); parity-proven
+    locally at sf0.001 + sf0.01; heads the r16 rotation with the
+    other r15 registrations."""
+    import os
+    import time
+
+    from evidence_images_etl_airflow_spark.streaming.file_stream import (
+        score_ingest_stream_available_now,
+    )
+
+    def enrich(df: DataFrame, batch: int) -> DataFrame:
+        return (
+            df.withColumn("n_chars", F.length("text"))
+            .withColumn("token_count", F.size(tokens(F.col("text"))))
+            .withColumn("ingest_batch", F.lit(batch))
+            .select("doc_id", "text", "n_chars", "token_count", "ingest_batch")
+        )
+
+    carry = ["doc_id", "n_chars", "token_count", "ingest_batch"]
+    path, needs_build, mark_built = _scratch_build(
+        "scoreingeststream", sf_dir, "documents"
+    )
+    src, store, ck = f"{path}/src", f"{path}/store", f"{path}/ck"
+    if needs_build:
+        base = _t(spark, sf_dir, "documents")
+        enrich(base.filter(F.col("doc_id") % 5 != 0), 0).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{src}/f0")
+        enrich(base, 1).coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/f1"
+        )
+        # pin the drain order: the file source takes files oldest-first
+        # and both writes can land within one mtime granule
+        now = time.time()
+        for sub, ts in (("f0", now - 120), ("f1", now - 60)):
+            d = os.path.join(src, sub)
+            for name in os.listdir(d):
+                os.utime(os.path.join(d, name), (ts, ts))
+        score_ingest_stream_available_now(
+            spark,
+            f"{src}/f*",
+            "doc_id long, text string, n_chars int, "
+            "token_count int, ingest_batch int",
+            store,
+            ck,
+            quality_score(F.col("text")),
+            "doc_id",
+            carry,
+            max_files_per_trigger=1,
+        )
+        mark_built()
+    return spark.read.parquet(store).select(
+        "doc_id", "n_chars", "token_count", "score", "ingest_batch"
     )
 
 

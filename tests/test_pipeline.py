@@ -157,6 +157,7 @@ def test_precomputed_twins_share_incumbent_oracles_verbatim():
         "curation_alignment_precomputed": "curation_score_alignment",
         "ep3_pipeline_curated": "ep3_training_data_pipeline",
         "data_token_budget_mixture_precomputed": "data_token_budget_mixture",
+        "streaming_score_ingest": "curation_score_table_incremental",
     }
     for twin, incumbent in twins.items():
         assert (

@@ -721,3 +721,63 @@ def test_daily_counts_store_equals_single_pass(spark, tmp_path):
         for r in spark.read.parquet(store_path).drop("_last_batch").collect()
     }
     assert got2 == got
+
+
+def test_score_ingest_stream_bootstrap_append_replay(spark, tmp_path):
+    """score_ingest_stream_available_now: batch 0 bootstraps the score
+    table, batch 1 anti-joins and scores only new ids, a REPLAY (fresh
+    checkpoint, same store) appends zero rows (idempotent sink =
+    exactly-once contents), and a torn bootstrap (no _SUCCESS marker)
+    re-materializes instead of anti-joining a partial table."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from evidence_images_etl_airflow_spark.streaming.file_stream import (
+        score_ingest_stream_available_now,
+    )
+
+    src, store = f"{tmp_path}/src", f"{tmp_path}/store"
+    f0 = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, "dd ee ff")], "doc_id long, text string"
+    )
+    # re-crawl overlaps history (ids 1-2) and adds id 3
+    f1 = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, "dd ee ff"), (3, "gg hh ii")],
+        "doc_id long, text string",
+    )
+    f0.coalesce(1).write.parquet(f"{src}/f0")
+    f1.coalesce(1).write.parquet(f"{src}/f1")
+    now = time.time()
+    for sub, ts in (("f0", now - 120), ("f1", now - 60)):
+        d = f"{src}/{sub}"
+        for name in os.listdir(d):
+            os.utime(os.path.join(d, name), (ts, ts))
+
+    def run(ck):
+        score_ingest_stream_available_now(
+            spark,
+            f"{src}/f*",
+            "doc_id long, text string",
+            store,
+            ck,
+            F.length("text").cast("double"),
+            "doc_id",
+            ["doc_id"],
+            max_files_per_trigger=1,
+        )
+
+    run(f"{tmp_path}/ck1")
+    rows = {r.doc_id: r.score for r in spark.read.parquet(store).collect()}
+    assert rows == {1: 8.0, 2: 8.0, 3: 8.0}
+
+    # replay from scratch: at-least-once delivery, exactly-once contents
+    run(f"{tmp_path}/ck2")
+    assert spark.read.parquet(store).count() == 3
+
+    # torn bootstrap: marker gone -> next first batch re-materializes
+    os.remove(f"{store}/_SUCCESS")
+    run(f"{tmp_path}/ck3")
+    rows = {r.doc_id: r.score for r in spark.read.parquet(store).collect()}
+    assert rows == {1: 8.0, 2: 8.0, 3: 8.0}
