@@ -80,13 +80,38 @@ def _psi_terms(tagged: DataFrame, feature: str, eps: float) -> DataFrame:
 def _psi_tail(cnts: DataFrame, feature: str, eps: float) -> DataFrame:
     """Shared report tail over a (bin, nr, nc) counts frame: totals
     broadcast, 6dp-rounded eps-clamped proportions, per-bin terms and
-    the feature-total window."""
+    the feature-total window.
+
+    An EMPTY slice (total 0 — e.g. a crawl batch whose every doc was
+    dropped upstream) must not crash the plan under ANSI division:
+    its proportions fall to the eps floor in every bin, so PSI reads
+    as maximal drift. Callers that want vacuous-pass semantics for an
+    empty slice gate on the slice count instead (ep6 does — an empty
+    admitted batch reports psi NULL, not maximal drift). Values are
+    unchanged whenever both totals are positive: the guard branch is
+    taken only at total 0, where the old expression threw."""
     tot = cnts.agg(
         F.sum("nr").cast("bigint").alias("tr"),
         F.sum("nc").cast("bigint").alias("tc"),
     )
-    p_ref = F.greatest(F.round(F.col("nr") / F.col("tr"), 6), F.lit(eps))
-    p_cur = F.greatest(F.round(F.col("nc") / F.col("tc"), 6), F.lit(eps))
+    p_ref = F.greatest(
+        F.round(
+            F.when(F.col("tr") > 0, F.col("nr") / F.col("tr")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ),
+        F.lit(eps),
+    )
+    p_cur = F.greatest(
+        F.round(
+            F.when(F.col("tc") > 0, F.col("nc") / F.col("tc")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ),
+        F.lit(eps),
+    )
     term = (F.col("p_ref") - F.col("p_cur")) * F.log(
         F.col("p_ref") / F.col("p_cur")
     )

@@ -15081,13 +15081,24 @@ def _ep6_refreshed_score_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                     CAST(count(*) FILTER (WHERE per = 'ref') AS BIGINT) AS nr,
                     CAST(count(*) FILTER (WHERE per = 'cur') AS BIGINT) AS nc
              FROM binned GROUP BY 1),
-    terms AS (SELECT (greatest(round(nr / tr, 6), 0.000001)
-                      - greatest(round(nc / tc, 6), 0.000001))
-                     * ln(greatest(round(nr / tr, 6), 0.000001)
-                          / greatest(round(nc / tc, 6), 0.000001)) AS term
+    terms AS (SELECT (greatest(round(CASE WHEN tr = 0 THEN 0
+                                          ELSE nr / tr END, 6), 0.000001)
+                      - greatest(round(CASE WHEN tc = 0 THEN 0
+                                            ELSE nc / tc END, 6), 0.000001))
+                     * ln(greatest(round(CASE WHEN tr = 0 THEN 0
+                                              ELSE nr / tr END, 6), 0.000001)
+                          / greatest(round(CASE WHEN tc = 0 THEN 0
+                                                ELSE nc / tc END, 6), 0.000001))
+                     AS term
               FROM cnts, tots),
-    gate AS (SELECT round(sum(term), 6) AS batch_psi,
-                    round(sum(term), 6) < 0.25 AS admitted FROM terms),
+    adm AS (SELECT CAST(count(*) AS BIGINT) AS n_new_admitted
+            FROM scored WHERE ib = 1),
+    gate AS (SELECT CASE WHEN a.n_new_admitted > 0
+                         THEN round(sum(term), 6) END AS batch_psi,
+                    (a.n_new_admitted = 0
+                     OR round(sum(term), 6) < 0.25) AS admitted,
+                    a.n_new_admitted
+             FROM terms, adm a GROUP BY a.n_new_admitted),
     refreshed AS (SELECT s.* FROM scored s, gate g WHERE s.ib = 0 OR g.admitted),
     tok AS (SELECT source, CAST(sum(token_count) AS BIGINT) AS avail
             FROM refreshed GROUP BY source),
@@ -15120,9 +15131,7 @@ def _ep6_refreshed_score_table(spark: SparkSession, sf_dir: str) -> DataFrame:
       ORDER BY rn LIMIT 1),
     audit AS (
       SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 5 = 0)
-                  AS BIGINT) AS n_new_seen,
-             CAST((SELECT count(*) FROM scored WHERE ib = 1)
-                  AS BIGINT) AS n_new_admitted)
+                  AS BIGINT) AS n_new_seen)
     SELECT source, avail AS available_tokens, round(w, 6) AS weight,
            cap AS cap_tokens,
            CASE WHEN ratio <= lam THEN cap
@@ -15131,7 +15140,7 @@ def _ep6_refreshed_score_table(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((CASE WHEN ratio <= lam THEN cap
                        ELSE CAST(floor(lam * w) AS BIGINT) END)
                  / CAST(avail AS DOUBLE), 6) AS epochs,
-           g.batch_psi, g.admitted, a.n_new_seen, a.n_new_admitted
+           g.batch_psi, g.admitted, a.n_new_seen, g.n_new_admitted
     FROM r, lamt, gate g, audit a
     """,
 )
@@ -15147,7 +15156,11 @@ def ep6_crawl_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     column, scoring evaluates only for genuinely new rows); (3) the
     PSI drift gate (drift.psi_report) compares the new batch's stored
     score distribution against history — psi >= 0.25 would REJECT the
-    batch from the mixture (fails closed; both testdata scales admit);
+    batch from the mixture (fails closed; both testdata scales admit),
+    and a FULLY-DUPLICATE re-crawl (every doc dropped by the band
+    gate — the sf100x_de probe's actual regime) admits vacuously with
+    batch_psi NULL: an empty admitted batch has no distribution to
+    test and changes nothing downstream;
     (4) the token-budget waterfill re-plans the training mixture over
     the refreshed corpus, reading the stored token_count carry column
     (mixture.token_budget_allocation, same alpha=0.5 / 0.6-budget /
@@ -15187,8 +15200,26 @@ def ep6_crawl_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         categorical_cols=(),
         n_bins=10,
     )
-    gate = rep.agg(F.max("psi").alias("batch_psi")).withColumn(
-        "admitted", F.col("batch_psi") < F.lit(0.25)
+    n_adm = st.filter(F.col("ingest_batch") == 1).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new_admitted")
+    )
+    # vacuous admit: a fully-duplicate re-crawl admits ZERO docs — the
+    # cur slice is empty, PSI has no distribution to test (reported
+    # NULL, not the all-eps "maximal drift" _psi_tail floors to), and
+    # the mixture is history-only either way
+    gate = (
+        rep.agg(F.max("psi").alias("__psi"))
+        .crossJoin(F.broadcast(n_adm))  # 1-row admitted count
+        .select(
+            F.when(F.col("n_new_admitted") > 0, F.col("__psi")).alias(
+                "batch_psi"
+            ),
+            (
+                (F.col("n_new_admitted") == 0)
+                | (F.col("__psi") < F.lit(0.25))
+            ).alias("admitted"),
+            "n_new_admitted",
+        )
     )
     refreshed = st.crossJoin(F.broadcast(gate)).filter(  # 1-row gate
         (F.col("ingest_batch") == 0) | F.col("admitted")
@@ -15212,9 +15243,6 @@ def ep6_crawl_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 5 == 0)
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_new_seen"))
     )
-    n_adm = st.filter(F.col("ingest_batch") == 1).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_new_admitted")
-    )
     return (
         alloc.select(
             F.col("stratum").alias("source"),
@@ -15225,9 +15253,8 @@ def ep6_crawl_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "capped",
             "epochs",
         )
-        .crossJoin(F.broadcast(gate))  # 1-row psi gate
+        .crossJoin(F.broadcast(gate))  # 1-row psi gate + admitted count
         .crossJoin(F.broadcast(n_seen))  # 1-row batch count
-        .crossJoin(F.broadcast(n_adm))  # 1-row admitted count
         .select(
             "source",
             "available_tokens",

@@ -219,3 +219,33 @@ def test_ep6_crawl_refresh_gate_scoring_and_mixture(spark, tmp_path):
     assert 0 < total_alloc <= budget
     assert all(not r.capped and r.epochs <= 2.0 for r in out)
     assert by_src["sA"].allocated_tokens < by_src["sB"].allocated_tokens
+
+
+def test_ep6_fully_duplicate_batch_admits_vacuously(spark, tmp_path):
+    """A re-crawl whose EVERY doc is a near-dup of history (the
+    sf100x_de regime that crashed the pre-fix PSI under ANSI division)
+    admits vacuously: zero admitted docs, batch_psi NULL (no
+    distribution to test — not _psi_tail's all-eps maximal-drift
+    floor), and the mixture plans over history alone."""
+    from evidence_images_etl_airflow_spark.workload import REGISTRY
+
+    def text(prefix):
+        return " ".join(f"{prefix}{j:02d}x" for j in range(30))
+
+    rows = [
+        (1, text("a"), "en", "sA", 1),   # history
+        (2, text("b"), "en", "sB", 1),
+        (5, text("a"), "en", "sA", 1),   # new batch: duplicates doc 1
+        (10, text("b"), "en", "sB", 1),  # new batch: duplicates doc 2
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    d = f"{tmp_path}/sf"
+    df.write.parquet(f"{d}/documents.parquet")
+
+    out = REGISTRY["ep6_crawl_refresh_pipeline"].fn(spark, d).collect()
+    r0 = out[0]
+    assert (r0.n_new_seen, r0.n_new_admitted) == (2, 0)
+    assert r0.batch_psi is None and r0.admitted
+    assert {r.source: r.available_tokens for r in out} == {"sA": 30, "sB": 30}
