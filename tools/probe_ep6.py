@@ -12,10 +12,18 @@ from __future__ import annotations
 import subprocess
 import sys
 
+# *_docs (salted sparse) is ep6's decade family: the %5 split keeps
+# cross-split near-dups at the base corpus's relative rate, so BOTH
+# loop terms (band gate + survivor scoring) stay alive as the corpus
+# scales. sf100x_de is kept as the degenerate regime row: its dup-dense
+# structure makes the whole batch collide with history, so the probe
+# measures the gate-only cost of a fully-duplicate re-crawl (and it is
+# what surfaced the empty-slice PSI crash this probe exists to guard).
 POINTS = [
     ("1x", "/root/testdata/sf0.1"),
-    ("10x", ".scratch/sf10x_de"),
-    ("100x", ".scratch/sf100x_de"),
+    ("10x", ".scratch/sf10x_docs"),
+    ("100x", ".scratch/sf100x_docs"),
+    ("100x_dupdense", ".scratch/sf100x_de"),
 ]
 
 _CHILD = """
