@@ -7996,8 +7996,13 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
-    slope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # single-distinct-token corpus: m=1 makes the OLS variance term 0
+    # — slope is undefined (NULL, matching DuckDB's x/0), not an ANSI
+    # crash (the degenerate-slice pass; see tests/test_degenerate_slices)
+    den = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        den != 0.0,
+        (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / den,
     )
     return s.select(
         F.col("m").cast("long").alias("vocab_size"),
@@ -11338,21 +11343,35 @@ def events_experiment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
         .cast("bigint").alias("conv_b"),
     )
-    rate_a = F.round(F.col("conv_a").cast("double") / F.col("n_a"), 6)
-    rate_b = F.round(F.col("conv_b").cast("double") / F.col("n_b"), 6)
-    pooled = F.round(
-        (F.col("conv_a") + F.col("conv_b")).cast("double")
-        / (F.col("n_a") + F.col("n_b")),
-        6,
+    # a one-sided experiment (every user hashes to one variant — real
+    # on tiny/filtered slices) leaves the other arm's rate UNDEFINED:
+    # NULL (matching DuckDB's x/0), not an ANSI crash. The z_score's
+    # nullif(se, 0) guard then propagates NULL end-to-end.
+    rate_a = F.when(
+        F.col("n_a") > 0, F.round(F.col("conv_a").cast("double") / F.col("n_a"), 6)
+    )
+    rate_b = F.when(
+        F.col("n_b") > 0, F.round(F.col("conv_b").cast("double") / F.col("n_b"), 6)
+    )
+    pooled = F.when(
+        (F.col("n_a") + F.col("n_b")) > 0,
+        F.round(
+            (F.col("conv_a") + F.col("conv_b")).cast("double")
+            / (F.col("n_a") + F.col("n_b")),
+            6,
+        ),
     )
     r = v.select(
         "n_a", "n_b", "conv_a", "conv_b",
         rate_a.alias("rate_a"), rate_b.alias("rate_b"),
         pooled.alias("pooled"),
     )
-    se = F.sqrt(
-        F.col("pooled") * (F.lit(1.0) - F.col("pooled"))
-        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    se = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.sqrt(
+            F.col("pooled") * (F.lit(1.0) - F.col("pooled"))
+            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+        ),
     )
     return r.select(
         "n_a", "n_b", "conv_a", "conv_b", "rate_a", "rate_b",
@@ -12681,10 +12700,16 @@ def events_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y",
             "yhat",
             "abs_err",
-            F.round(
-                F.col("__sa_te").cast("double") * F.col("__n_tr")
-                / (F.col("__n_te").cast("double") * F.col("__sa_tr")),
-                6,
+            # a FLAT (or empty) train window has zero in-sample
+            # seasonal-naive error — MASE is undefined (NULL, matching
+            # DuckDB's x/0), not an ANSI crash (degenerate-slice pass)
+            F.when(
+                F.col("__sa_tr") > 0,
+                F.round(
+                    F.col("__sa_te").cast("double") * F.col("__n_tr")
+                    / (F.col("__n_te").cast("double") * F.col("__sa_tr")),
+                    6,
+                ),
             ).alias("mase"),
         )
         .orderBy("d")
