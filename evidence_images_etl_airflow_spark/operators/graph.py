@@ -43,6 +43,7 @@ def pagerank(
     damping: float = 0.85,
     assume_distinct: bool = False,
     nodes_from_src: bool = False,
+    complete_indegree: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list ``(src, dst)`` — pass both
     directions for an undirected graph. Every node is assumed to have
@@ -57,8 +58,19 @@ def pagerank(
     ``nodes_from_src=True`` when every node is KNOWN to appear as a
     source (always true for symmetric/undirected edge lists): the node
     set then falls out of the out-degree aggregation for free instead
-    of costing a second full-edge distinct. Returns ``(node, rank)``
-    with the uniform 1/N start and ``iterations`` fixed power steps."""
+    of costing a second full-edge distinct. Pass
+    ``complete_indegree=True`` when every node is KNOWN to appear as a
+    destination (again always true for symmetric edge lists): the
+    contribution aggregation then already covers the full node set, so
+    each iteration is ONE join + agg instead of two — the per-round
+    left-join of contributions back onto the node frame (and the extra
+    broadcast it forces) exists only to re-seat nodes with no
+    in-edges at base rank, which a symmetric graph cannot have.
+    Numerically identical when the precondition holds: the same
+    groupBy produces the same sums; only the no-op join is removed
+    (r16 optimization — halves the per-iteration job count).
+    Returns ``(node, rank)`` with the uniform 1/N start and
+    ``iterations`` fixed power steps."""
     edges = edges.select("src", "dst")
     if not assume_distinct:
         edges = edges.distinct()
@@ -109,17 +121,27 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("__w")).alias("__in"))
         )
-        cv = F.broadcast(contrib) if small else contrib
-        ranks = (
-            nodes.join(cv, nodes.node == cv.dst, "left")
-            .select(
-                nodes.node,
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
-                ).alias("rank"),
+        if complete_indegree:
+            # dst set == node set (symmetric list): the left-join back
+            # onto nodes is the identity — skip it and the broadcast
+            # it would force. Same summands, same expression, same
+            # rows; one join + one broadcast fewer per round.
+            ranks = contrib.select(
+                F.col("dst").alias("node"),
+                (F.lit(base) + F.lit(damping) * F.col("__in")).alias("rank"),
             )
-        )
+        else:
+            cv = F.broadcast(contrib) if small else contrib
+            ranks = (
+                nodes.join(cv, nodes.node == cv.dst, "left")
+                .select(
+                    nodes.node,
+                    (
+                        F.lit(base)
+                        + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
         # Truncate lineage every round (eagerly: a lazy checkpoint
         # leaves the deep plan in the analyzer until the final action,
         # which is where the compounding cost lives — measured 16.7s
@@ -169,7 +191,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .distinct()
     )
-    deg = (
+    deg = caching.materialize(
         e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count("*").cast("bigint").alias("d"))
@@ -199,27 +221,36 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     # inside codegen with no wedge ever shuffled. Measured 9.2 s ->
     # 4.3 s on the 1.2M-edge / 148M-wedge sf0.1 graph (SCALING.md r9).
     adj = o.groupBy(F.col("s").alias("n")).agg(F.collect_set("t").alias("nbrs"))
-    tri_row = (
+    # 1-row aggregate, composed LAZILY via a broadcast cross join (the
+    # basket_type_affinity idiom) instead of a driver .first() at
+    # construction time: the old shape EXECUTED the whole heavy subtree
+    # once per DataFrame construction and then re-ran the deg/edge-count
+    # branch again under the caller's action — two action suites per
+    # invocation. One plan, one action, every branch reads the shared
+    # e/o/deg caches (r16 optimization).
+    tri_agg = (
         o.join(adj.select(F.col("n").alias("s"), F.col("nbrs").alias("ns")), "s")
         .join(adj.select(F.col("n").alias("t"), F.col("nbrs").alias("nt")), "t")
         .agg(
             F.coalesce(
                 F.sum(F.size(F.array_intersect("ns", "nt"))), F.lit(0)
-            ).cast("bigint").alias("tri")
+            ).cast("bigint").alias("n_triangles")
         )
-        .first()
     )
-    tri = int(tri_row["tri"])
-    stats = deg.agg(
-        F.count("*").cast("bigint").alias("n_nodes"),
-        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("bigint").alias("n_wedges"),
-    ).crossJoin(F.broadcast(e.agg(F.count("*").cast("bigint").alias("n_edges"))))
+    stats = (
+        deg.agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("bigint").alias("n_wedges"),
+        )
+        .crossJoin(F.broadcast(e.agg(F.count("*").cast("bigint").alias("n_edges"))))
+        .crossJoin(F.broadcast(tri_agg))
+    )
     return stats.select(
         "n_nodes",
         "n_edges",
         "n_wedges",
-        F.lit(tri).cast("bigint").alias("n_triangles"),
+        "n_triangles",
         F.when(F.col("n_wedges") > 0,
-               F.round(F.lit(3.0) * F.lit(tri) / F.col("n_wedges").cast("double"), 6)
+               F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges").cast("double"), 6)
         ).otherwise(F.lit(0.0)).alias("global_clustering"),
     )

@@ -244,11 +244,25 @@ def plan_join_chain(
     # 1. exact per-edge pricing + per-table row counts (the row count
     # is the degree sum, so it falls out of the same aggregations; a
     # plain count() keeps the code obvious — both are one scan).
-    edge_rows = {
-        _label(a, b): estimate_join_rows(tables[a], tables[b], k)
-        for a, b, k in edges
-    }
-    n_rows = {t: int(df.count()) for t, df in tables.items()}
+    # All pre-flight jobs are mutually independent 1-row aggregates, so
+    # they are submitted CONCURRENTLY from a small driver pool (guide
+    # §2.6 "overlap independent jobs"): Spark's scheduler interleaves
+    # their tasks, so the pre-flight wall clock is ~max instead of sum
+    # — on a cluster the later jobs back-fill executors idled by the
+    # earlier jobs' stage tails. Decisions are unchanged: the same
+    # exact statistics arrive, just sooner.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        edge_futs = {
+            _label(a, b): pool.submit(
+                estimate_join_rows, tables[a], tables[b], k
+            )
+            for a, b, k in edges
+        }
+        count_futs = {t: pool.submit(df.count) for t, df in tables.items()}
+        edge_rows = {lbl: f.result() for lbl, f in edge_futs.items()}
+        n_rows = {t: int(f.result()) for t, f in count_futs.items()}
 
     step_decisions: list = []
 

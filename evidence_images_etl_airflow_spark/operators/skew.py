@@ -277,12 +277,24 @@ def plan_equi_join(
             *[c for c in right.columns if c not in on],
         )
 
-    rs = _stats(right)
-    ls = None
-    if not (
-        lazy_stats and can_broadcast_right and rs.n_rows <= broadcast_max_rows
-    ):
-        ls = _stats(left)
+    if lazy_stats:
+        # the left pre-flight is CONDITIONAL on the right result —
+        # sequential by design (the whole point of lazy_stats)
+        rs = _stats(right)
+        ls = None
+        if not (can_broadcast_right and rs.n_rows <= broadcast_max_rows):
+            ls = _stats(left)
+    else:
+        # both pre-flights always run and are independent 1-row
+        # aggregates: submit them concurrently (guide §2.6) so the
+        # pre-flight costs ~max(side) wall clock instead of the sum —
+        # identical statistics, identical decision
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            rf = pool.submit(_stats, right)
+            lf = pool.submit(_stats, left)
+            rs, ls = rf.result(), lf.result()
     decision = {
         "left": _rec(ls),
         "right": _rec(rs),

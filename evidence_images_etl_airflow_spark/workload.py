@@ -7402,7 +7402,13 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e")
     ).select("e.src", "e.dst")
     pr = pagerank(
-        edges, iterations=5, damping=0.85, assume_distinct=True, nodes_from_src=True
+        edges, iterations=5, damping=0.85, assume_distinct=True,
+        nodes_from_src=True,
+        # symmetric list: every node also appears as a destination, so
+        # the per-round left-join back onto the node frame is the
+        # identity — the operator skips it (one join + one broadcast
+        # per iteration instead of two; r16, guide §2.4)
+        complete_indegree=True,
     )
     return pr.select(
         F.when(
@@ -7475,16 +7481,29 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01; must head the r08 rotation."""
     from evidence_images_etl_airflow_spark.operators.graph import triangle_count
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    # Per-order pair generation via ONE groupBy + in-task array
+    # expansion (r16, guide §2.4 "remove shuffles outright"): the old
+    # shape paid a full-table distinct shuffle, an orderkey exchange
+    # for the self-join, and the join itself before triangle_count's
+    # own (u,v) distinct. collect_set per order collapses duplicate
+    # (orderkey, partkey) rows in the same aggregation that blocks the
+    # pairs, and the a<b pair set falls out of a sorted array expanded
+    # entirely inside codegen — identical edge multiset, half the
+    # exchanges. Fan-out stays bounded by per-order line count squared,
+    # never |parts|^2 (the same blocking bound as the join form).
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("__ps")
     )
+    edges = per_order.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__ps, (x, i) -> "
+                "transform(slice(__ps, i + 2, size(__ps)), "
+                "y -> struct(x AS src, y AS dst))))"
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     return triangle_count(edges, "src", "dst")
 
 
@@ -9888,31 +9907,43 @@ def join_autoplan_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt = joined.agg(F.count("*").cast("bigint").alias("joined_rows"))
         return meta.crossJoin(F.broadcast(cnt))  # 1-row count
 
-    a = _case(
-        "dim_broadcast",
-        orders.select(F.col("o_custkey").alias("k"), "o_orderkey"),
-        customer.select(F.col("c_custkey").alias("k"), "c_acctbal"),
-        bcast_max=2000,
-    )
-    b = _case(
-        "fact_fact_uniform",
-        li.select(F.col("l_orderkey").alias("k"), "l_linenumber"),
-        orders.select(F.col("o_orderkey").alias("k"), "o_totalprice"),
-        bcast_max=1000,
-    )
-    c = _case(
-        "fact_hot_salted",
-        li.select(
-            F.when(F.col("l_suppkey") % 4 == 0, F.col("l_suppkey"))
-            .otherwise(F.lit(-1))
-            .cast("bigint")
-            .alias("k"),
-            "l_orderkey",
-            "l_linenumber",
-        ),
-        supplier.select(F.col("s_suppkey").alias("k"), "s_name"),
-        bcast_max=5,
-    )
+    # The three cases are independent — each _case blocks the driver on
+    # its planner pre-flight (two degree aggregations), so constructing
+    # them CONCURRENTLY (guide §2.6) overlaps those jobs: ~max instead
+    # of sum of the three pre-flights. Same statistics, same decisions,
+    # same rows.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fa = pool.submit(
+            _case,
+            "dim_broadcast",
+            orders.select(F.col("o_custkey").alias("k"), "o_orderkey"),
+            customer.select(F.col("c_custkey").alias("k"), "c_acctbal"),
+            2000,
+        )
+        fb = pool.submit(
+            _case,
+            "fact_fact_uniform",
+            li.select(F.col("l_orderkey").alias("k"), "l_linenumber"),
+            orders.select(F.col("o_orderkey").alias("k"), "o_totalprice"),
+            1000,
+        )
+        fc = pool.submit(
+            _case,
+            "fact_hot_salted",
+            li.select(
+                F.when(F.col("l_suppkey") % 4 == 0, F.col("l_suppkey"))
+                .otherwise(F.lit(-1))
+                .cast("bigint")
+                .alias("k"),
+                "l_orderkey",
+                "l_linenumber",
+            ),
+            supplier.select(F.col("s_suppkey").alias("k"), "s_name"),
+            5,
+        )
+        a, b, c = fa.result(), fb.result(), fc.result()
     return a.unionByName(b).unionByName(c).orderBy("case_name")
 
 
