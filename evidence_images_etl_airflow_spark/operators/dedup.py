@@ -71,6 +71,17 @@ def dedup_exact(
     )
 
 
+# NOTE (r16): a shared "_expand_bucket_pairs" helper (groupBy bucket
+# key + collect_set + in-task pair expansion) was trialed as a
+# replacement for the dedup family's key-equality self-joins and
+# REVERTED after interleaved A/B: every such self-join in this module
+# is an AQE BroadcastHashJoin at bench scale (the keyed tables are
+# small), and the ObjectHashAggregate the rewrite forces measured
+# 1.3-3x slower (details at each former call site). The idiom survives
+# where it removes a whole exchange chain instead of one broadcast
+# join — the co-purchase edge build in workload.graph_triangle_stats.
+
+
 # --- n-gram Jaccard ----------------------------------------------------------
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, shingle) exploded, distinct within doc. Tokens are
@@ -141,7 +152,16 @@ def _shingle_pair_stats(
     # the shingle table feeds both join sides AND the size agg — persist
     # + eager-populate so the tokenize+explode runs once, not 4x (spills
     # to disk when it outgrows memory; at cluster scale this is the
-    # natural checkpoint between candidate generation and verification)
+    # natural checkpoint between candidate generation and verification).
+    # r16 NEGATIVE RESULT, kept as the join on purpose: rewriting the
+    # candidate phase as one shingle-keyed collect_set + in-task pair
+    # expansion (_expand_bucket_pairs, the idiom that DID win for the
+    # triangle edge build) measured 2-3x SLOWER here in interleaved
+    # A/B (old mins 1.9-2.0 s vs new 5.4 s at sf0.1): the self-join is
+    # an AQE BroadcastHashJoin running fully in codegen, while the
+    # rewrite pays an ObjectHashAggregate that carries id arrays
+    # through its partials. The idiom wins only where it REMOVES an
+    # exchange chain, not where it replaces a broadcast join.
     sh = _materialized(sh)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
@@ -582,7 +602,12 @@ def winnowing_pairs(
     generating O(df^2) candidates."""
     # the fingerprint table feeds the optional freq guard AND both join
     # sides — persist so the tokenize/window/distinct lineage runs
-    # once, not 2-3x (the minhash shingle-set discipline)
+    # once, not 2-3x (the minhash shingle-set discipline). r16 NEGATIVE
+    # RESULT, kept as the join on purpose: the fp-keyed collect_set +
+    # in-task pair expansion rewrite measured at-best-par and
+    # quiet-window slower (old min 3.5 s vs new 4.0-4.6 s interleaved
+    # at sf0.1) — same ObjectHashAggregate-vs-broadcast-join economics
+    # as the shingle candidate phase (see _shingle_pair_stats).
     fps = _materialized(
         winnowing_fingerprints(df, id_col, text_col, k, w)
         .select("id", "fp")
@@ -733,6 +758,15 @@ def minhash_lsh_pairs(
     # materializing the O(docs)-row table caps the k-hash agg at one pass
     sig = _materialized(shp.groupBy("id").agg(*_sig_aggs(num_hashes)))
     banded = _band_keys(sig, num_hashes, bands)
+    # The band self-join STAYS a join (r16 A/B, measured): the banded
+    # table is O(docs x bands) — small enough that AQE broadcasts one
+    # side (BroadcastHashJoin in the committed plan, no exchange at
+    # all), and the _expand_bucket_pairs rewrite (one (band, key)
+    # ObjectHashAggregate) measured consistently SLOWER at sf0.1
+    # (interleaved mins 2.6 vs 3.5 s, medians 14.7 vs 46.2 s in the
+    # loud window). Past the broadcast threshold the planner falls
+    # back to a shuffle join on its own — the join form lets AQE pick,
+    # the aggregate form forces an exchange at every scale.
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (

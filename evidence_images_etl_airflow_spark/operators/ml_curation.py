@@ -691,9 +691,15 @@ def publish_score_table_versioned(
     fingerprint matches the corpus the reader expects AND names a
     staged version — so a crash BETWEEN the two publishes leaves the
     previous (version, fingerprint) pair live and consistent: the
-    orphaned data version is inert, never served, and the next
-    builder re-publishes over it. Meta is published AFTER data for
-    exactly that reason. Concurrency inherits versioned.publish's
+    orphaned data version is inert — never served THROUGH THIS
+    RESOLVER — and the next builder re-publishes over it. Meta is
+    published AFTER data for exactly that reason. The guarantee is
+    scoped to resolver-mediated reads (r15 ADVICE): a crash between
+    the two publishes leaves the orphan data version as the data
+    table's own current pointer, so a reader going straight to
+    ``versioned.read_latest(table)`` would serve unvalidated data —
+    ALL readers of this table must resolve via
+    :func:`current_score_table_versioned`. Concurrency inherits versioned.publish's
     single-writer protocol (serialize builders externally, the
     Delta/Iceberg commit-lock discipline); readers are lock-free and
     always see some complete pair. Returns the data version."""
@@ -762,13 +768,19 @@ def update_score_table(
     ABOVE the anti join in the plan, so it evaluates only for
     surviving (genuinely new) rows. Idempotent by construction:
     re-running the same batch appends zero rows because its ids are
-    already present — a retried ingest cannot double-score. Not
-    concurrency-safe across simultaneous writers (parquet append has
-    no transaction); serialize ingest batches or stage+rename.
+    already present — a retried ingest cannot double-score. Duplicate
+    ids WITHIN one batch are collapsed before the anti join (r15
+    ADVICE: they would all survive it and be scored and appended
+    twice; the dedup is one exchange of the batch — the small side by
+    design — keyed on the id column, keeping the first row per id).
+    Not concurrency-safe across simultaneous writers (parquet append
+    has no transaction); serialize ingest batches or stage+rename.
     """
     spark = candidates.sparkSession
     existing = spark.read.parquet(path).select(id_col)
-    fresh = candidates.join(existing, on=id_col, how="left_anti")
+    fresh = candidates.dropDuplicates([id_col]).join(
+        existing, on=id_col, how="left_anti"
+    )
     cols = list(carry_cols or [])
     fresh.select(*cols, score.alias("score")).write.mode("append").parquet(
         path

@@ -636,8 +636,15 @@ def score_ingest_stream_available_now(
             table_path.rstrip("/") + "/_SUCCESS"
         )
         if not fs.exists(marker):
+            # r15 ADVICE: with maxFilesPerTrigger unset, overlapping
+            # landing files coalesce into ONE micro-batch, so the
+            # bootstrap materialize could write duplicate ids and break
+            # the exactly-once table contract. Collapse ids within the
+            # batch here (the update path dedupes inside
+            # update_score_table itself).
             materialize_score_table(
-                batch_df, score, table_path, carry_cols=carry_cols
+                batch_df.dropDuplicates([id_col]), score, table_path,
+                carry_cols=carry_cols,
             )
         else:
             update_score_table(

@@ -15006,9 +15006,13 @@ def dedup_routed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (losslessness is the leg's defining property; the testdata
     corpora are pair-sparse, 0.2-0.8 band collisions/doc, firmly
     below the 2.0 cutoff). If a future driver corpus ever crossed
-    the cutoff, the engine would take the minhash leg and the route
-    column mismatch would flag the oracle's conditionality BEFORE any
-    silent pair divergence could pass — the check fails closed.
+    the cutoff, both engine and oracle would report route='minhash'
+    (the oracle replays the identical band-bucket statistic, so the
+    route columns agree by construction); the guard that fails closed
+    is the CLUSTER-SET comparison itself — the oracle's pair set stays
+    the exact shared-shingle join, so any pair the minhash banding
+    dropped would surface as a component diff (r15 ADVICE: the
+    protection is pair/cluster divergence, not the route column).
     NOTE: registered after the r15 verify head (rotation-slot rule);
     parity-proven locally at sf0.001 + sf0.01; heads the r16
     rotation with the other r15 registrations."""

@@ -181,6 +181,109 @@ def ab_ep5(spark, sf_dir, reps):
     _report("ep5", legs)
 
 
+def ab_winnow(spark, sf_dir, reps):
+    from evidence_images_etl_airflow_spark.operators import dedup as D
+
+    def old():
+        d = W._t(spark, sf_dir, "documents")
+        fps = D._materialized(
+            D.winnowing_fingerprints(d, "doc_id", "text", 3, 4)
+            .select("id", "fp")
+            .distinct()
+        )
+        a, b = fps.alias("a"), fps.alias("b")
+        return (
+            a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").cast("bigint").alias("n_shared"))
+            .filter(F.col("n_shared") >= 2)
+        )
+
+    legs = {"old(selfjoin)": [], "new(buckets)": []}
+    for _ in range(reps):
+        legs["old(selfjoin)"] += _timed(spark, old, 1)
+        legs["new(buckets)"] += _timed(
+            spark, lambda: W.REGISTRY["dedup_winnowing_pairs"].fn(spark, sf_dir), 1
+        )
+    _report("winnow", legs)
+
+
+def ab_ngram(spark, sf_dir, reps):
+    from evidence_images_etl_airflow_spark.operators import dedup as D
+
+    def old():
+        d = W._t(spark, sf_dir, "documents")
+        sh = D._materialized(D._doc_shingles(d, "doc_id", "text", 3))
+        sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+        sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+        sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+        return (
+            inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= 0.5)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    legs = {"old(selfjoin)": [], "new(buckets)": []}
+    for _ in range(reps):
+        legs["old(selfjoin)"] += _timed(spark, old, 1)
+        legs["new(buckets)"] += _timed(
+            spark, lambda: W.REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir), 1
+        )
+    _report("ngram", legs)
+
+
+def ab_minhash(spark, sf_dir, reps):
+    from evidence_images_etl_airflow_spark.operators import dedup as D
+
+    def old():
+        d = W._t(spark, sf_dir, "documents")
+        sh = D._materialized(
+            D._doc_shingles(d, "doc_id", "text", 3).withColumn(
+                "hp", D._base_hash(F.col("shingle"))
+            )
+        )
+        sig = D._materialized(sh.groupBy("id").agg(*D._sig_aggs(8)))
+        banded = D._band_keys(sig, 8, 4)
+        a, b = banded.alias("a"), banded.alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        arrs = D._materialized(
+            sh.groupBy("id").agg(F.collect_set("shingle").alias("__shs"))
+        )
+        return (
+            cands.join(arrs.select(F.col("id").alias("id_a"), F.col("__shs").alias("__sa")), "id_a")
+            .join(arrs.select(F.col("id").alias("id_b"), F.col("__shs").alias("__sb")), "id_b")
+            .withColumn("__inter", F.size(F.array_intersect("__sa", "__sb")))
+            .filter(F.col("__inter") > 0)
+            .withColumn("jaccard", F.round(F.col("__inter") / (F.size("__sa") + F.size("__sb") - F.col("__inter")), 6))
+            .filter(F.col("jaccard") >= 0.5)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    legs = {"old(selfjoin)": [], "new(buckets)": []}
+    for _ in range(reps):
+        legs["old(selfjoin)"] += _timed(spark, old, 1)
+        legs["new(buckets)"] += _timed(
+            spark, lambda: W.REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir), 1
+        )
+    _report("minhash", legs)
+
+
 def main():
     modes = sys.argv[1].split(",") if len(sys.argv) > 1 else ["pagerank"]
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
@@ -191,7 +294,8 @@ def main():
     W.REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).count()
     for m in modes:
         {"pagerank": ab_pagerank, "triangle": ab_triangle,
-         "autoplan": ab_autoplan, "ep5": ab_ep5}[m](spark, sf_dir, reps)
+         "autoplan": ab_autoplan, "ep5": ab_ep5, "winnow": ab_winnow,
+         "ngram": ab_ngram, "minhash": ab_minhash}[m](spark, sf_dir, reps)
     spark.stop()
 
 

@@ -44,7 +44,7 @@ def main() -> None:
     for pas in (1, 2):
         caching.release_all(spark, hard=True)
         sc = spark.sparkContext
-        first_job = sc._jsc.sc().dagScheduler().nextJobId().get()
+        first_job = int(sc._jsc.sc().dagScheduler().nextJobId())
         t0 = time.perf_counter()
         W.REGISTRY[q].fn(spark, sf_dir).count()
         dt = time.perf_counter() - t0
