@@ -1010,20 +1010,29 @@ def connected_components(
         "lbl", F.col("node")
     )
     global last_cc_rounds
+    lbl_type = dict(labels.dtypes)["lbl"]
     for i in range(max_iter):
         msgs = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), "lbl"
         )
+        # One job per round instead of three (r17, guide §2.6): the
+        # previous label rides through the min-aggregate as ``__old``
+        # (every node appears exactly once in ``labels``, so max() over
+        # the union — null for neighbor messages — recovers it exactly),
+        # replacing the new-vs-old join; the checkpoint is LAZY (the
+        # logical plan is truncated to an RDD scan either way — eager
+        # only adds a materialization job) so the changed-count action
+        # below materializes it and counts in the same job.
         new_labels = (
-            labels.unionByName(msgs).groupBy("node").agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
+            labels.select("node", "lbl", F.col("lbl").alias("__old"))
+            .unionByName(
+                msgs.withColumn("__old", F.lit(None).cast(lbl_type))
+            )
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"), F.max("__old").alias("__old"))
+        ).localCheckpoint(eager=False)
+        changed = new_labels.filter(F.col("lbl") != F.col("__old")).count()
+        labels = new_labels.select("node", "lbl")
         if changed == 0:
             last_cc_rounds = i + 1
             break
@@ -1049,10 +1058,26 @@ def _cc_two_phase(
 
     Both phases keep every emitted edge (big, small)-oriented, so the
     invariant a > b holds and convergence is a fixed point of the edge
-    set — checked with a count + anti-join (cheap: the edge list only
-    shrinks). Component height halves per round: O(log diameter)
-    rounds of a constant number of shuffles each."""
+    set. Fixed points are detected DIRECTLY on each round's output
+    (r17, guide §2.6 — cut driver round-trips): a (big, small)-oriented
+    edge set is a fixed point of large-star/small-star iff it is a
+    union of stars, i.e. every node has at most one parent
+    (count == count_distinct(a), folded into the round's existing
+    count job) and no parent is itself a child (an empty b ∩ a
+    semi-join, one tiny probe run only when the functional test
+    passes). The previous output-equals-input check (count + exceptAll
+    against the prior round) could only observe stability one full
+    round LATE — every call paid an entire confirming round of ~5
+    shuffles just to watch nothing change. Component height halves per
+    round: O(log diameter) rounds of a constant number of shuffles
+    each."""
     global last_cc_rounds
+    # LAZY checkpoints throughout (r17, guide §2.6): localCheckpoint
+    # truncates the logical plan to an RDD scan in both modes — eager
+    # mode only adds a dedicated materialization job. Counting the
+    # lazily-checkpointed frame materializes it AND returns the count
+    # in ONE job, so each round costs one job (plus the exceptAll
+    # fixed-point probe only in the round whose count matches).
     edges = (
         pairs.select(
             F.greatest(F.col(src), F.col(dst)).alias("a"),
@@ -1060,16 +1085,9 @@ def _cc_two_phase(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     last_cc_rounds = max_iter
-    # carry the previous round's edge count forward: edges is always
-    # last round's (already-counted) small-star output, so re-counting
-    # it inside the stability check paid one full Spark job per round
-    # for a number already in hand (r13; ~1 scheduling-latency job per
-    # round saved — the per-round constant is what dominates CC wall
-    # time on SMALL graphs, while at scale it vanishes into the data)
-    prev_n: int | None = None
     for i in range(max_iter):
         # symmetrize once per round: both endpoints need Γ(u)
         nb = edges.unionByName(
@@ -1100,17 +1118,22 @@ def _cc_two_phase(
             .filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        n_new = small.count()
-        if prev_n is None:
-            prev_n = edges.count()
-        stable = (
-            n_new == prev_n
-            and small.exceptAll(edges).limit(1).count() == 0
+        # one job: materialize the (lazy) checkpoint AND compute both
+        # star-test statistics — |small| and |distinct parents|
+        row = small.agg(
+            F.count("*").alias("__n"), F.count_distinct("a").alias("__na")
+        ).first()
+        stable = row["__n"] == row["__na"] and (
+            small.join(
+                small.select(F.col("a").alias("b")), "b", "left_semi"
+            )
+            .limit(1)
+            .count()
+            == 0
         )
         edges = small
-        prev_n = n_new
         if stable:
             last_cc_rounds = i + 1
             break
