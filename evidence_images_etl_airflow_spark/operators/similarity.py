@@ -87,11 +87,28 @@ def assign_cells(
         "cell",
         F.round(cosine(F.col(vec_col), F.col("centv")), 6).alias("__cs"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__cs").desc(), F.col("cell"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__cs")
+    # Argmax as ONE map-side-combinable aggregate instead of a
+    # row_number window (r17, guide §2.3 "aggregate before you
+    # shuffle"): the window shuffled and sorted the FULL |corpus| x
+    # |centroids| cross join — vector payload included — where the
+    # aggregate's partial max_by collapses each task's rows to one per
+    # id before the exchange, so the shuffle carries |corpus| rows and
+    # the sort disappears. Key order matches the window exactly:
+    # max(__cs) first (same polarity, so NaN/-0.0 ordering is
+    # unchanged), then the SMALLEST cell via the negated id — cell ids
+    # are numeric by the operator's contract (every caller passes
+    # bigint ids). Keys are unique per group (cell is part of the
+    # key), so the aggregate is deterministic.
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(F.col(vec_col), F.col("cell")),
+            F.struct(F.col("__cs").alias("__cs"), (-F.col("cell")).alias("__nc")),
+        ).alias("__best")
+    )
+    return best.select(
+        id_col,
+        F.col(f"__best.{vec_col}").alias(vec_col),
+        F.col("__best.cell").alias("cell"),
     )
 
 
@@ -298,11 +315,30 @@ def pq_encode(
         "code",
         F.round(dot(F.col("__slice"), F.col("subvec")), 6).alias("__ip"),
     )
-    w = Window.partitionBy("id", "sub").orderBy(F.col("__ip").desc(), F.col("code"))
-    best = scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
-    return best.groupBy("id").agg(
+    # Per-subspace argmax folded into ONE groupBy(id) aggregation
+    # (r17, guide §2.3/§2.4): the previous shape paid an (id, sub)
+    # window exchange + sort over |corpus| x m x n_codes scored rows
+    # AND a second (id) exchange for the code pivot; m conditional
+    # max_by aggregates compute the same winners in a single exchange
+    # whose partial aggregation collapses to one row per id map-side.
+    # Key order matches the window exactly: max __ip first (same
+    # polarity — NaN/-0.0 ordering unchanged), ties to the SMALLEST
+    # code via the negated (integer by construction: codes are corpus
+    # ids) code. Keys are unique per (id, sub) since code is part of
+    # the key, so the aggregate is deterministic; rows of other
+    # subspaces have a NULL key and are ignored by max_by.
+    return scored.groupBy("id").agg(
         *[
-            F.max(F.when(F.col("sub") == s, F.col("code"))).alias(f"code_{s}")
+            F.max_by(
+                F.when(F.col("sub") == s, F.col("code")),
+                F.when(
+                    F.col("sub") == s,
+                    F.struct(
+                        F.col("__ip").alias("__ip"),
+                        (-F.col("code")).alias("__nc"),
+                    ),
+                ),
+            ).alias(f"code_{s}")
             for s in range(m)
         ]
     )
