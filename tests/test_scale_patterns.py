@@ -141,6 +141,29 @@ def test_hash_split_deterministic_and_proportional(spark):
         hash_split(df, "doc_id", {"train": 0.5, "val": 0.1})
 
 
+def test_spread_split_estimate_matches_physical_probe(spark):
+    """spread()'s file-split estimate (r17: replaces the per-call
+    physical-planning probe) must agree with Spark's actual scan
+    partitioning on real parquet, and fall back to the exact probe
+    for frames without a file source."""
+    from evidence_images_etl_airflow_spark.functions.partitioning import (
+        _estimate_scan_partitions,
+        spread,
+    )
+
+    for table in ("documents", "lineitem", "events"):
+        df = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
+        est = _estimate_scan_partitions(df)
+        assert est == df.rdd.getNumPartitions(), table
+
+    mem = spark.createDataFrame([(1, "a"), (2, "b")], "id long, t string")
+    assert _estimate_scan_partitions(mem) is None
+    # fallback path still spreads an in-memory frame to full parallelism
+    out = spread(mem, F.col("id"))
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert sorted(r.id for r in out.collect()) == [1, 2]
+
+
 def test_topk_salted_matches_plain_on_hot_group(spark):
     """A 10k-row hot group + tiny groups: the two-phase salted top-k
     returns exactly the one-window answer."""
