@@ -259,7 +259,15 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("bigint").alias("n_wedges"),
         )
         .crossJoin(F.broadcast(e.agg(F.count("*").cast("bigint").alias("n_edges"))))
-        .crossJoin(F.broadcast(tri_agg))
+        # 1-row side, but NOT broadcast (r16 ADVICE): a broadcast
+        # exchange must finish within spark.sql.broadcastTimeout
+        # (300 s default), and this side carries the whole compact-
+        # forward intersection subtree — on a large graph that turns a
+        # slow-but-correct run into a spurious TimeoutException. The
+        # replicate-NL hint keeps the single-action composition with
+        # ordinary (deadline-free) stages; it is a 1 x 1-row cartesian,
+        # so the join itself is free at any scale.
+        .crossJoin(tri_agg.hint("shuffle_replicate_nl"))
     )
     return stats.select(
         "n_nodes",
