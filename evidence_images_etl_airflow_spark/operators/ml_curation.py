@@ -772,16 +772,40 @@ def update_score_table(
     ids WITHIN one batch are collapsed before the anti join (r15
     ADVICE: they would all survive it and be scored and appended
     twice; the dedup is one exchange of the batch — the small side by
-    design — keyed on the id column, keeping the first row per id).
+    design — keyed on the id column). The survivor among duplicate ids
+    is DETERMINISTIC (r16 ADVICE: dropDuplicates keeps an arbitrary
+    row, so duplicate ids carrying different payloads would store
+    nondeterministic score/carry values — oracle-parity flake in a
+    differential-testing engine): the lexicographically smallest tuple
+    of the non-id columns wins, via one min(struct) aggregate — the
+    same single exchange the dropDuplicates paid, now with a defined
+    winner. Payload columns must therefore be orderable types.
     Not concurrency-safe across simultaneous writers (parquet append
     has no transaction); serialize ingest batches or stage+rename.
     """
     spark = candidates.sparkSession
     existing = spark.read.parquet(path).select(id_col)
-    fresh = candidates.dropDuplicates([id_col]).join(
+    fresh = dedup_ids_deterministic(candidates, id_col).join(
         existing, on=id_col, how="left_anti"
     )
     cols = list(carry_cols or [])
     fresh.select(*cols, score.alias("score")).write.mode("append").parquet(
         path
     )
+
+
+def dedup_ids_deterministic(df: DataFrame, id_col: str) -> DataFrame:
+    """One row per ``id_col`` with a DETERMINISTIC survivor — the
+    lexicographically smallest tuple of the remaining columns, via one
+    min(struct) aggregate (same single exchange dropDuplicates pays,
+    but with a defined winner; see update_score_table's docstring).
+    Payload columns must be orderable types. Column order preserved."""
+    others = [c for c in df.columns if c != id_col]
+    if not others:
+        return df.dropDuplicates([id_col])
+    out = (
+        df.groupBy(id_col)
+        .agg(F.min(F.struct(*others)).alias("__row"))
+        .select(id_col, *[F.col("__row")[c].alias(c) for c in others])
+    )
+    return out.select(*df.columns)

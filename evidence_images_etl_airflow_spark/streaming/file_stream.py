@@ -641,10 +641,15 @@ def score_ingest_stream_available_now(
             # bootstrap materialize could write duplicate ids and break
             # the exactly-once table contract. Collapse ids within the
             # batch here (the update path dedupes inside
-            # update_score_table itself).
+            # update_score_table itself), with the same deterministic
+            # survivor as that path (r16 ADVICE).
+            from evidence_images_etl_airflow_spark.operators.ml_curation import (
+                dedup_ids_deterministic,
+            )
+
             materialize_score_table(
-                batch_df.dropDuplicates([id_col]), score, table_path,
-                carry_cols=carry_cols,
+                dedup_ids_deterministic(batch_df, id_col), score,
+                table_path, carry_cols=carry_cols,
             )
         else:
             update_score_table(
