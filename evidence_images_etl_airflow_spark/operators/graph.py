@@ -69,6 +69,16 @@ def pagerank(
     Numerically identical when the precondition holds: the same
     groupBy produces the same sums; only the no-op join is removed
     (r16 optimization — halves the per-iteration job count).
+
+    AUDIT THE THREE PRECONDITION FLAGS TOGETHER (r16 ADVICE): each is
+    an unchecked caller promise, and they fail differently when
+    violated — ``assume_distinct`` double-counts duplicate edges,
+    ``nodes_from_src`` drops nodes that never appear as a source, and
+    ``complete_indegree`` silently drops any ZERO-IN-EDGE node from
+    the rank vector after round 1 while N still counts it (ranks then
+    no longer sum to 1). A symmetric/undirected edge list satisfies
+    all three at once; for anything else, leave the flags off rather
+    than reason about them separately.
     Returns ``(node, rank)`` with the uniform 1/N start and
     ``iterations`` fixed power steps."""
     edges = edges.select("src", "dst")

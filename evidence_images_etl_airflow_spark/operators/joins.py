@@ -250,7 +250,14 @@ def plan_join_chain(
     # their tasks, so the pre-flight wall clock is ~max instead of sum
     # — on a cluster the later jobs back-fill executors idled by the
     # earlier jobs' stage tails. Decisions are unchanged: the same
-    # exact statistics arrive, just sooner.
+    # exact statistics arrive, just sooner. CAVEAT (r16 ADVICE): jobs
+    # submitted from pool workers do NOT inherit the caller thread's
+    # Spark local properties — job groups/descriptions, scheduler
+    # pool, job tags — so setJobGroup/cancelJobGroup does not scope
+    # these pre-flight jobs, and a failed future's siblings run to
+    # completion before the exception surfaces. A harness that needs
+    # cancellation scoping should set the properties inside a submit
+    # wrapper (sc.setLocalProperty per worker).
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=4) as pool:
