@@ -7534,25 +7534,42 @@ def basket_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     by marginal frequencies with the 1-row order count broadcast."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    ol = (
+    # Per-order pair generation via ONE groupBy + in-task sorted-array
+    # expansion (r17, VERDICT r16 item 5 — the idiom proven on the
+    # triangle edge build): collect_set dedups (order, type) inside
+    # the same aggregation that blocks the pairs, so the old shape's
+    # full-table distinct exchange AND the orderkey self-join are both
+    # gone; the a < b ordered pairs fall out of the sorted array
+    # entirely inside codegen. The per-order frame also serves the
+    # marginals: singles = one explode + groupBy, n_orders = the row
+    # count — replacing the count_distinct pass over the exploded
+    # table. Fan-out stays bounded by per-order distinct-type count
+    # squared, exactly the blocking bound of the join form.
+    per_order = caching.materialize(
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select("l_orderkey", F.col("p_type").alias("t"))
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_type")).alias("__ts"))
     )
-    ol = caching.materialize(ol)
-    a, b = ol.alias("a"), ol.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.t") < F.col("b.t")),
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ts, (x, i) -> "
+                    "transform(slice(__ts, i + 2, size(__ts)), "
+                    "y -> struct(x AS type_a, y AS type_b))))"
+                )
+            ).alias("pr")
         )
-        .groupBy(F.col("a.t").alias("type_a"), F.col("b.t").alias("type_b"))
+        .groupBy(F.col("pr.type_a").alias("type_a"), F.col("pr.type_b").alias("type_b"))
         .agg(F.count("*").alias("support"))
     )
-    singles = ol.groupBy("t").agg(F.count("*").cast("double").alias("n"))
-    n_orders = ol.agg(
-        F.count_distinct("l_orderkey").cast("double").alias("n_orders")
+    singles = (
+        per_order.select(F.explode("__ts").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    n_orders = per_order.agg(
+        F.count("*").cast("double").alias("n_orders")
     )
     return (
         pairs.join(F.broadcast(singles.select(F.col("t").alias("type_a"), F.col("n").alias("na"))), "type_a")
