@@ -246,7 +246,13 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     # orientation already bounds at O(sqrt(m)); the intersections run
     # inside codegen with no wedge ever shuffled. Measured 9.2 s ->
     # 4.3 s on the 1.2M-edge / 148M-wedge sf0.1 graph (SCALING.md r9).
-    adj = o.groupBy(F.col("s").alias("n")).agg(F.collect_set("t").alias("nbrs"))
+    # persisted: both wedge legs read the SAME adjacency table, and
+    # without it Spark computes the collect_set aggregation (and its
+    # exchange) twice — once per broadcast build side (r17; interleaved
+    # A/B med 3.84 -> 2.69 s, min 3.13 -> 2.61 s at sf0.1)
+    adj = caching.materialize(
+        o.groupBy(F.col("s").alias("n")).agg(F.collect_set("t").alias("nbrs"))
+    )
     # 1-row aggregate, composed LAZILY via a broadcast cross join (the
     # basket_type_affinity idiom) instead of a driver .first() at
     # construction time: the old shape EXECUTED the whole heavy subtree
