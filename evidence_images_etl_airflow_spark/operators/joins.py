@@ -138,20 +138,18 @@ def estimate_join_rows(left: DataFrame, right: DataFrame, key: str) -> int:
     heavy keys). Two map-side-combinable degree aggregations + one
     join at distinct-key cardinality; pure integer math, so the
     estimate is bit-identical cross-engine."""
-    return int(_estimate_join_rows_df(left, right, key).first().n)
-
-
-def _estimate_join_rows_df(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
-    """:func:`estimate_join_rows`'s 1-row aggregate as a LAZY frame
-    (column ``n``) — separate so several edge pricings can be unioned
-    into ONE action (r17, guide §2.6)."""
     da = left.groupBy(key).agg(F.count("*").cast("bigint").alias("__nl"))
     db = right.groupBy(key).agg(F.count("*").cast("bigint").alias("__nr"))
-    return da.join(db, key).agg(
-        F.coalesce(F.sum(F.col("__nl") * F.col("__nr")), F.lit(0))
-        .cast("bigint")
-        .alias("n")
+    r = (
+        da.join(db, key)
+        .agg(
+            F.coalesce(F.sum(F.col("__nl") * F.col("__nr")), F.lit(0))
+            .cast("bigint")
+            .alias("n")
+        )
+        .first()
     )
+    return int(r.n)
 
 
 def plan_join_chain(
@@ -245,35 +243,33 @@ def plan_join_chain(
 
     # 1. exact per-edge pricing + per-table row counts (the row count
     # is the degree sum, so it falls out of the same aggregations; a
-    # plain count keeps the code obvious — both are one scan).
-    # All pre-flight statistics are mutually independent 1-row
-    # aggregates, so they are UNIONED into one labeled frame and
-    # collected with a single action (r17, guide §2.6 — supersedes the
-    # r16 4-worker driver pool: one driver round-trip instead of seven
-    # overlapped ones, and AQE materializes the independent subtrees'
-    # stages concurrently inside the single job; this also restores
-    # job-group/scheduler-pool scoping that pool workers lost, the
-    # r16 ADVICE caveat). Decisions are unchanged: the same exact
-    # statistics arrive in one batch.
-    import functools
+    # plain count() keeps the code obvious — both are one scan).
+    # All pre-flight jobs are mutually independent 1-row aggregates, so
+    # they are submitted CONCURRENTLY from a small driver pool (guide
+    # §2.6 "overlap independent jobs"): Spark's scheduler interleaves
+    # their tasks, so the pre-flight wall clock is ~max instead of sum
+    # — on a cluster the later jobs back-fill executors idled by the
+    # earlier jobs' stage tails. Decisions are unchanged: the same
+    # exact statistics arrive, just sooner. CAVEAT (r16 ADVICE): jobs
+    # submitted from pool workers do NOT inherit the caller thread's
+    # Spark local properties — job groups/descriptions, scheduler
+    # pool, job tags — so setJobGroup/cancelJobGroup does not scope
+    # these pre-flight jobs, and a failed future's siblings run to
+    # completion before the exception surfaces. A harness that needs
+    # cancellation scoping should set the properties inside a submit
+    # wrapper (sc.setLocalProperty per worker).
+    from concurrent.futures import ThreadPoolExecutor
 
-    stat_frames = [
-        _estimate_join_rows_df(tables[a], tables[b], k).select(
-            F.lit("e:" + _label(a, b)).alias("__k"), F.col("n")
-        )
-        for a, b, k in edges
-    ] + [
-        df.agg(F.count("*").cast("bigint").alias("n")).select(
-            F.lit("t:" + t).alias("__k"), F.col("n")
-        )
-        for t, df in tables.items()
-    ]
-    stats = {
-        r["__k"]: int(r["n"])
-        for r in functools.reduce(DataFrame.unionByName, stat_frames).collect()
-    }
-    edge_rows = {_label(a, b): stats["e:" + _label(a, b)] for a, b, _k in edges}
-    n_rows = {t: stats["t:" + t] for t in tables}
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        edge_futs = {
+            _label(a, b): pool.submit(
+                estimate_join_rows, tables[a], tables[b], k
+            )
+            for a, b, k in edges
+        }
+        count_futs = {t: pool.submit(df.count) for t, df in tables.items()}
+        edge_rows = {lbl: f.result() for lbl, f in edge_futs.items()}
+        n_rows = {t: int(f.result()) for t, f in count_futs.items()}
 
     step_decisions: list = []
 

@@ -152,14 +152,11 @@ def _key_stats_sketch(df: DataFrame, on: Sequence[str], capacity: int) -> _Sketc
     )
 
 
-def _key_stats_df(df: DataFrame, on: Sequence[str]) -> DataFrame:
-    """The 1-row (n_rows, n_keys, max_degree) aggregate of a join side
-    as a LAZY frame — one map-side-combinable degree aggregation,
-    shuffled at distinct-key cardinality, never at row cardinality.
-    Kept separate from the collecting wrapper so callers that need
-    several sides at once can union the aggregates into ONE action
-    (r17, guide §2.6: AQE materializes the independent subtrees'
-    stages concurrently inside a single job)."""
+def _key_stats(df: DataFrame, on: Sequence[str]):
+    """(n_rows, n_keys, max_degree) of a join side — one map-side-
+    combinable degree aggregation per side, shuffled at distinct-key
+    cardinality, never at row cardinality. The 1-row collect is the
+    same constant-bounded driver read every planner performs."""
     return (
         df.groupBy(*[F.col(c) for c in on])
         .agg(F.count("*").alias("d"))
@@ -168,13 +165,8 @@ def _key_stats_df(df: DataFrame, on: Sequence[str]) -> DataFrame:
             F.count("*").cast("bigint").alias("n_keys"),
             F.coalesce(F.max("d"), F.lit(0)).cast("bigint").alias("max_degree"),
         )
+        .first()
     )
-
-
-def _key_stats(df: DataFrame, on: Sequence[str]):
-    """(n_rows, n_keys, max_degree) of a join side. The 1-row collect
-    is the same constant-bounded driver read every planner performs."""
-    return _key_stats_df(df, on).first()
 
 
 def plan_equi_join(
@@ -292,26 +284,11 @@ def plan_equi_join(
         ls = None
         if not (can_broadcast_right and rs.n_rows <= broadcast_max_rows):
             ls = _stats(left)
-    elif stats_mode == "exact":
-        # both pre-flights always run and are independent 1-row
-        # aggregates: union them into ONE action (r17, guide §2.6 —
-        # supersedes the r16 two-worker pool: one driver round-trip
-        # instead of two overlapped ones; AQE materializes the two
-        # subtrees' stages concurrently inside the single job).
-        # Identical statistics, identical decision.
-        both = {
-            r["__side"]: r
-            for r in _key_stats_df(left, on)
-            .select(F.lit("L").alias("__side"), "*")
-            .unionByName(
-                _key_stats_df(right, on).select(F.lit("R").alias("__side"), "*")
-            )
-            .collect()
-        }
-        ls, rs = both["L"], both["R"]
     else:
-        # sketch mode keeps the overlapped pool (its two pre-flights
-        # return different shapes; unioning them buys nothing extra)
+        # both pre-flights always run and are independent 1-row
+        # aggregates: submit them concurrently (guide §2.6) so the
+        # pre-flight costs ~max(side) wall clock instead of the sum —
+        # identical statistics, identical decision
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=2) as pool:
